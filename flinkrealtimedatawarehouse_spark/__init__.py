@@ -9,11 +9,16 @@ Layout (see SURVEY.md for the operator inventory this covers):
 - ``schemas``      — StructType constants for the gmall-domain inputs
                      (behavior log, CDC envelope, config table).
 - ``operators``    — batch/DataFrame re-expressions of every reference
-                     operator: log split, dedup, bounce, interval joins,
-                     dim enrichment, windowed stats, ADS queries, routing.
-- ``functions``    — scalar/UDTF surface: tokenizer, text metrics, datetime.
-- ``streaming``    — Structured Streaming forms: sources/sinks, watermarked
-                     aggregations, stateful bounce, CDC routing foreachBatch.
+                     operator: log split (P1-P3), routing (P4/P5/J5),
+                     filters (P6/P7), joins (J1-J4, P8/P9), aggs (A1-A4,
+                     W2/W3), dedup (A5), is_new (A6), bounce (W1/U3),
+                     unions (U1/U2), ADS layer (A7-A11, O1/O2), MERGE
+                     upsert (K3).
+- ``functions``    — F1 tokenizer (built-in split + CJK-bigram fallback).
+- ``streaming``    — Structured Streaming forms: sources/sinks (S1/S6,
+                     K1-K5), watermarked aggregations and joins (T1-T3),
+                     stateful dedup/bounce (T5/T7), foreachBatch routing +
+                     upsert (K2/K3), checkpointing (T9).
 - ``datapipeline`` — large-scale training-data ops: dedup (exact/MinHash/
                      SimHash/Jaccard/embedding), ANN similarity, text
                      analysis, multimodal column plumbing.

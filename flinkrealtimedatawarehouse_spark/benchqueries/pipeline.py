@@ -1,0 +1,451 @@
+"""LLM-data-pipeline driver queries (north-star operators) with exact
+DuckDB oracles.
+
+Near-dup / similarity tests plant deterministic duplicates (same
+transformation expressed in both engines) so the checks exercise real
+positive cases, not just empty agreement:
+
+- exact dedup: every doc_id % 5 == 0 re-inserted verbatim at id+10000
+- near-dup:    every doc_id % 7 == 0 re-inserted at id+20000 with one
+               appended token (' zyx') — high-Jaccard, small-Hamming twins
+- embeddings:  every vec_id % 11 == 0 re-inserted at id+10000 verbatim —
+               cosine-1.0 twins
+
+MinHash/SimHash oracles are GENERATED from the same constants as the Spark
+expressions (datapipeline.hashing) — bit-for-bit identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkrealtimedatawarehouse_spark.datapipeline import multimodal, similarity, textdedup, textstats
+from flinkrealtimedatawarehouse_spark.datapipeline.hashing import (
+    MERSENNE31,
+    duck_minhash,
+    duck_phash,
+    duck_shingle_hashes,
+    duck_shingles,
+    duck_tokens,
+)
+from flinkrealtimedatawarehouse_spark.datapipeline.similarity import (
+    PLANE_A,
+    PLANE_B,
+    PLANE_MOD,
+    PLANE_SHIFT,
+)
+from flinkrealtimedatawarehouse_spark.tables import load_table
+
+# --- shared planted-duplicate builders (Spark + SQL twins) ----------------
+
+def _docs_with_exact_dups(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return docs.unionByName(planted)
+
+_SQL_EXACT_DUPS = """
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text, lang, source, n_chars FROM documents WHERE doc_id % 5 = 0
+"""
+
+def _docs_with_near_dups(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zyx")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return docs.unionByName(planted)
+
+_SQL_NEAR_DUPS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000, text || ' zyx' FROM documents WHERE doc_id % 7 = 0
+"""
+
+def _emb_with_dups(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    return emb.unionByName(planted)
+
+_SQL_EMB_DUPS = """
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 11 = 0
+"""
+
+_DUCK_Q = "list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)"
+
+
+def _duck_bucket(q: str, n_planes: int) -> str:
+    terms = []
+    for p in range(n_planes):
+        proj = (
+            f"list_sum(list_transform(range(1, len({q}) + 1), "
+            f"d -> ({q})[d] * ((({p} * {PLANE_A} + (d - 1) * {PLANE_B}) % {PLANE_MOD}) - {PLANE_SHIFT})))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def _duck_cosine(qa: str, qb: str) -> str:
+    dot = f"list_sum(list_transform(range(1, len({qa}) + 1), i -> ({qa})[i] * ({qb})[i]))"
+    na = f"list_sum(list_transform({qa}, x -> x * x))"
+    nb = f"list_sum(list_transform({qb}, x -> x * x))"
+    return f"round(({dot})::DOUBLE / sqrt(({na})::DOUBLE * ({nb})::DOUBLE), 6)"
+
+
+# --- dp1 exact dedup ------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = textdedup.exact_dedup(_docs_with_exact_dups(spark, sf), "doc_id", "text")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("ct"),
+        F.sum("is_duplicate").cast("long").alias("dup_ct"),
+        F.countDistinct("content_hash").alias("uniq_ct"),
+    )
+
+SQL_EXACT_DEDUP = f"""
+WITH a AS ({_SQL_EXACT_DUPS}),
+h AS (
+  SELECT *, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm,
+         min(doc_id) OVER (PARTITION BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS mn
+  FROM a
+)
+SELECT source, count(*)::BIGINT AS ct,
+       sum(CASE WHEN doc_id <> mn THEN 1 ELSE 0 END)::BIGINT AS dup_ct,
+       count(DISTINCT norm)::BIGINT AS uniq_ct
+FROM h GROUP BY 1
+"""
+
+# --- dp2 MinHash + LSH near-dup ------------------------------------------
+
+_MH_K, _MH_BANDS, _MH_N, _MH_THRESH = 16, 8, 3, 0.35
+
+def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return textdedup.minhash_near_dups(
+        _docs_with_near_dups(spark, sf), "doc_id", "text",
+        shingle_n=_MH_N, k=_MH_K, bands=_MH_BANDS, threshold=_MH_THRESH,
+    )
+
+def _sql_sigs_cte() -> str:
+    toks = duck_tokens("text")
+    shingles = duck_shingles("toks", _MH_N)
+    return f"""
+a AS ({_SQL_NEAR_DUPS}),
+tk AS (SELECT doc_id, {toks} AS toks FROM a),
+sg AS (
+  SELECT doc_id, list_distinct({shingles}) AS shingles FROM tk
+),
+ms AS (
+  SELECT doc_id, shingles, {duck_minhash(duck_shingle_hashes('shingles'), _MH_K)} AS sig
+  FROM sg WHERE len(shingles) > 0
+)"""
+
+_R = _MH_K // _MH_BANDS  # rows per band
+
+SQL_MINHASH_LSH = f"""
+WITH {_sql_sigs_cte()},
+bd AS (
+  SELECT doc_id, bi.band_idx,
+         concat_ws('_', sig[2 * bi.band_idx + 1], sig[2 * bi.band_idx + 2]) AS band_key
+  FROM ms CROSS JOIN (SELECT unnest(generate_series(0, {_MH_BANDS - 1})) AS band_idx) bi
+),
+cd AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bd a JOIN bd b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+jv AS (
+  SELECT id_a, id_b,
+         round(len(list_intersect(x.shingles, y.shingles))::DOUBLE /
+               len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS jaccard
+  FROM cd JOIN ms x ON x.doc_id = id_a JOIN ms y ON y.doc_id = id_b
+)
+SELECT * FROM jv WHERE jaccard >= {_MH_THRESH}
+"""
+
+# --- dp3 SimHash near-dup -------------------------------------------------
+
+_SH_MAXH = 6
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return textdedup.simhash_near_dups(
+        _docs_with_near_dups(spark, sf), "doc_id", "text", max_hamming=_SH_MAXH
+    )
+
+def _duck_simhash(th: str) -> str:
+    terms = []
+    for i in range(textdedup.SIMHASH_BITS):
+        s = f"list_sum(list_transform({th}, h -> ((h >> {i}) & 1) * 2 - 1))"
+        terms.append(f"(CASE WHEN {s} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+SQL_SIMHASH = f"""
+WITH a AS ({_SQL_NEAR_DUPS}),
+tk AS (
+  SELECT doc_id, list_transform(list_distinct({duck_tokens('text')}), t -> {duck_phash('t')}) AS th
+  FROM a
+),
+sm AS (
+  SELECT doc_id, {_duck_simhash('th')} AS simhash FROM tk WHERE len(th) > 0
+),
+bd AS (
+  SELECT doc_id, simhash, bi.band_idx, (simhash >> (8 * bi.band_idx)) & 255 AS band_val
+  FROM sm CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_idx) bi
+),
+cd AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
+  FROM bd a JOIN bd b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+FROM cd WHERE bit_count(xor(sa, sb)) <= {_SH_MAXH}
+"""
+
+# --- dp4 n-gram Jaccard on explicit pairs --------------------------------
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    all_docs = _docs_with_near_dups(spark, sf)
+    sigs = textdedup.minhash_signatures(all_docs, "doc_id", "text", shingle_n=3, k=2)
+    base = load_table(spark, sf, "documents")
+    pairs = base.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 20000).alias("id_b")
+    )
+    return textdedup.jaccard_verify(pairs, sigs, "doc_id")
+
+SQL_NGRAM_JACCARD = f"""
+WITH a AS ({_SQL_NEAR_DUPS}),
+tk AS (SELECT doc_id, {duck_tokens('text')} AS toks FROM a),
+sg AS (
+  SELECT doc_id, list_distinct({duck_shingles('toks', 3)}) AS shingles FROM tk
+),
+ms AS (SELECT doc_id, shingles FROM sg WHERE len(shingles) > 0),
+pr AS (SELECT doc_id AS id_a, doc_id + 20000 AS id_b FROM documents WHERE doc_id % 7 = 0)
+SELECT id_a, id_b,
+       round(len(list_intersect(x.shingles, y.shingles))::DOUBLE /
+             len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS jaccard
+FROM pr JOIN ms x ON x.doc_id = id_a JOIN ms y ON y.doc_id = id_b
+"""
+
+# --- dp5 embedding-cosine near-dup ---------------------------------------
+
+_ED_PLANES, _ED_THRESH = 8, 0.99
+
+def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    return textdedup.embedding_near_dups(
+        _emb_with_dups(spark, sf), "vec_id", "embedding",
+        threshold=_ED_THRESH, n_planes=_ED_PLANES,
+    )
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH a AS ({_SQL_EMB_DUPS}),
+q AS (SELECT vec_id, {_DUCK_Q} AS q FROM a),
+b AS (SELECT vec_id, q, {_duck_bucket('q', _ED_PLANES)} AS bucket FROM q)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b, {_duck_cosine('x.q', 'y.q')} AS cosine
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE {_duck_cosine('x.q', 'y.q')} >= {_ED_THRESH}
+"""
+
+# --- dp6 brute-force cosine top-k ----------------------------------------
+
+_TK_PROBES, _TK_K = 8, 5
+
+def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _TK_PROBES)
+    return similarity.cosine_topk(emb, probes, "vec_id", "embedding", k=_TK_K)
+
+SQL_COSINE_TOPK = f"""
+WITH q AS (SELECT vec_id, {_DUCK_Q} AS q FROM embeddings),
+s AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, {_duck_cosine('p.q', 'c.q')} AS cosine
+  FROM q p JOIN q c ON p.vec_id < {_TK_PROBES} AND p.vec_id <> c.vec_id
+)
+SELECT probe_id, neighbor_id, cosine, rank::INT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= {_TK_K}
+"""
+
+# --- dp7 LSH-bucketed ANN top-k ------------------------------------------
+
+_ANN_PLANES = 6
+
+def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _TK_PROBES)
+    return similarity.ann_topk_lsh(
+        emb, probes, "vec_id", "embedding", k=_TK_K, n_planes=_ANN_PLANES
+    )
+
+SQL_ANN_LSH = f"""
+WITH q AS (SELECT vec_id, {_DUCK_Q} AS q FROM embeddings),
+b AS (SELECT vec_id, q, {_duck_bucket('q', _ANN_PLANES)} AS bucket FROM q),
+s AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, {_duck_cosine('p.q', 'c.q')} AS cosine
+  FROM b p JOIN b c ON p.vec_id < {_TK_PROBES} AND p.bucket = c.bucket AND p.vec_id <> c.vec_id
+)
+SELECT probe_id, neighbor_id, cosine, rank::INT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= {_TK_K}
+"""
+
+# --- dp8 language ID ------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = textstats.lang_id(load_table(spark, sf, "documents"), "text")
+    return d.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("ct"))
+
+def _sql_lang_id() -> str:
+    toks = duck_tokens("text")
+    hits = {
+        lang: f"len(list_filter({toks}, t -> t IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in textstats.LANG_STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {h} = {best} AND {best} > 0 THEN '{lang}'" for lang, h in hits.items()
+    ) + " ELSE 'und' END"
+    return f"""
+SELECT lang, {case} AS pred_lang, count(*)::BIGINT AS ct
+FROM documents GROUP BY 1, 2
+"""
+
+SQL_LANG_ID = _sql_lang_id()
+
+# --- dp9 quality scoring --------------------------------------------------
+
+def q_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = textstats.quality_score(load_table(spark, sf, "documents"), "text")
+    return d.groupBy("source").agg(
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        F.round(F.avg("alnum_ratio"), 4).alias("avg_alnum"),
+    )
+
+_EN_STOPS = ", ".join(repr(w) for w in textstats.LANG_STOPWORDS["en"])
+
+SQL_QUALITY = f"""
+WITH d AS (
+  SELECT source,
+         {duck_tokens('text')} AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS alnum
+  FROM documents
+), m AS (
+  SELECT source, len(toks) AS n_tokens,
+         CASE WHEN n_chars > 0 THEN alnum::DOUBLE / n_chars ELSE 0.0 END AS alnum_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> t IN ({_EN_STOPS})))::DOUBLE / len(toks)
+              ELSE 0.0 END AS stop_ratio
+  FROM d
+), s AS (
+  SELECT source, n_tokens, round(alnum_ratio, 6) AS alnum_ratio,
+         round(0.4 * least(n_tokens::DOUBLE / 100.0, 1.0)
+             + 0.3 * alnum_ratio
+             + 0.3 * least(stop_ratio * 5.0, 1.0), 6) AS quality
+  FROM m
+)
+SELECT source, round(avg(quality), 4) AS avg_quality,
+       round(avg(n_tokens), 2) AS avg_tokens,
+       round(avg(alnum_ratio), 4) AS avg_alnum
+FROM s GROUP BY 1
+"""
+
+# --- dp10 token counting --------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = textstats.token_counts(load_table(spark, sf, "documents"), "text")
+    return d.groupBy("source").agg(
+        F.sum("ws_tokens").alias("ws_total"),
+        F.sum("bpe_est_tokens").alias("bpe_total"),
+        F.count(F.lit(1)).alias("ct"),
+    )
+
+SQL_TOKEN_COUNT = f"""
+WITH d AS (
+  SELECT source,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)) AS ws_tokens,
+         coalesce(list_sum(list_transform({duck_tokens('text')},
+                                          t -> ceil(length(t) / 4.0)::BIGINT)), 0)
+         + length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS bpe_est
+  FROM documents
+)
+SELECT source, sum(ws_tokens)::BIGINT AS ws_total, sum(bpe_est)::BIGINT AS bpe_total,
+       count(*)::BIGINT AS ct
+FROM d GROUP BY 1
+"""
+
+# --- dp11 document fingerprinting ----------------------------------------
+
+_FP_N, _FP_MOD = 5, 1 << 20
+
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    fp = textstats.fingerprint(docs, "doc_id", "text", shingle_n=_FP_N, mod=_FP_MOD)
+    return fp.join(docs.select("doc_id", "source"), "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).alias("ct"), F.countDistinct("fingerprint").alias("fp_ct")
+    )
+
+SQL_FINGERPRINT = f"""
+WITH d AS (
+  SELECT doc_id, source, {duck_tokens('text')} AS toks FROM documents
+), f AS (
+  SELECT doc_id, source,
+         coalesce(list_min(list_transform({duck_shingles('toks', _FP_N)},
+                                          s -> {duck_phash('s')} % {_FP_MOD})), -1) AS fingerprint
+  FROM d
+)
+SELECT source, count(*)::BIGINT AS ct, count(DISTINCT fingerprint)::BIGINT AS fp_ct
+FROM f GROUP BY 1
+"""
+
+# --- dp12 multimodal column plumbing -------------------------------------
+
+def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.to_media_table(docs, "doc_id", "text", "source")
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.groupBy("kind", "source").agg(
+        F.count(F.lit(1)).alias("ct"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("feat_sum").alias("feat_total"),
+        F.min("feat_head").alias("head_min"),
+    )
+
+SQL_MULTIMODAL = """
+WITH f AS (
+  SELECT 'image' AS kind, source,
+         octet_length(text::BLOB)::BIGINT AS n_bytes,
+         list_sum(list_transform(range(1, length(text) + 1), i -> ascii(text[i])))::BIGINT AS feat_sum,
+         (ascii(text[1]) * 16777216 + ascii(text[2]) * 65536
+          + ascii(text[3]) * 256 + ascii(text[4]))::BIGINT AS feat_head
+  FROM documents
+)
+SELECT kind, source, count(*)::BIGINT AS ct, sum(n_bytes)::BIGINT AS total_bytes,
+       sum(feat_sum)::BIGINT AS feat_total, min(feat_head)::BIGINT AS head_min
+FROM f GROUP BY 1, 2
+"""
+
+REGISTRY = {
+    "dp1_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "dp2_minhash_lsh_neardup": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "dp3_simhash_neardup": (q_simhash, SQL_SIMHASH),
+    "dp4_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dp5_embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "dp6_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "dp7_ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
+    "dp8_lang_id": (q_lang_id, SQL_LANG_ID),
+    "dp9_quality_score": (q_quality, SQL_QUALITY),
+    "dp10_token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "dp11_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "dp12_multimodal_features": (q_multimodal, SQL_MULTIMODAL),
+}

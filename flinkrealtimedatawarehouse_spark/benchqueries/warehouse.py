@@ -1,0 +1,731 @@
+"""Warehouse-surface driver queries (SURVEY.md §2 rows P*/J*/A*/W*/O*/U*/F1/K3).
+
+Every reference operator, exercised end-to-end on the driver's testdata
+star schema with an exact DuckDB oracle. The gmall domain columns map onto
+testdata as documented per query (e.g. ``mid`` -> ``user_id``, session
+entry -> ``event_type='view'``, province -> ``nation``); the OPERATOR
+SHAPE is the reference's — the mapping only renames inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkrealtimedatawarehouse_spark.operators import ads, aggs, bounce, dedup, filters, joins, logsplit, merge, routing, unions
+from flinkrealtimedatawarehouse_spark.functions.tokenize import explode_tokens
+from flinkrealtimedatawarehouse_spark.schemas import TABLE_PROCESS_SCHEMA
+from flinkrealtimedatawarehouse_spark.tables import load_table
+
+FMT = "yyyy-MM-dd HH:mm:ss"
+DUCK_FMT = "%Y-%m-%d %H:%M:%S"
+
+# ---------------------------------------------------------------------------
+# P1 parse-or-dirty
+def q_p1(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    clean, dirty = logsplit.parse_or_dirty(ev, "props", "k INT")
+    c = clean.agg(
+        F.count(F.lit(1)).alias("clean_ct"),
+        F.sum("k").cast("long").alias("k_sum"),
+    )
+    d = dirty.agg(F.count(F.lit(1)).alias("dirty_ct"))
+    return c.crossJoin(d)
+
+SQL_P1 = """
+SELECT count(*)::BIGINT AS clean_ct,
+       sum(CAST(json_extract(props, '$.k') AS INT))::BIGINT AS k_sum,
+       0::BIGINT AS dirty_ct
+FROM events
+"""
+
+# P2 delete-op filter (CDC analog: event_type='error' plays op=delete)
+def q_p2(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    cdc = ev.withColumn(
+        "type", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
+    )
+    return logsplit.delete_filter(cdc).groupBy("event_type").agg(F.count(F.lit(1)).alias("ct"))
+
+SQL_P2 = """
+SELECT event_type, count(*)::BIGINT AS ct
+FROM events WHERE event_type <> 'error' GROUP BY event_type
+"""
+
+# P3 three-way split + display explode (start analog: signup)
+def q_p3(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    parsed = ev.withColumn(
+        "start", F.when(F.col("event_type") == "signup", F.lit(1))
+    ).withColumn(
+        "displays",
+        F.when(
+            (F.col("event_type") != "signup")
+            & F.get_json_object("props", "$.k").isNotNull(),
+            F.array(F.struct(F.get_json_object("props", "$.k").alias("item"))),
+        ),
+    )
+    start, page, display = logsplit.three_way_split(parsed, F.col("start"), "displays")
+    return (
+        start.agg(F.count(F.lit(1)).alias("ct")).withColumn("branch", F.lit("start"))
+        .unionByName(page.agg(F.count(F.lit(1)).alias("ct")).withColumn("branch", F.lit("page")))
+        .unionByName(display.agg(F.count(F.lit(1)).alias("ct")).withColumn("branch", F.lit("display")))
+        .select("branch", "ct")
+    )
+
+SQL_P3 = """
+SELECT 'start' AS branch, count(*)::BIGINT AS ct FROM events WHERE event_type = 'signup'
+UNION ALL
+SELECT 'page', count(*)::BIGINT FROM events WHERE event_type <> 'signup'
+UNION ALL
+SELECT 'display', count(*)::BIGINT FROM events
+WHERE event_type <> 'signup' AND json_extract(props, '$.k') IS NOT NULL
+"""
+
+# P6 map-access filter (page['item'] analog: props map)
+def q_p6(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    m = ev.withColumn("page", F.from_json("props", "map<string,string>"))
+    return filters.map_access_filter(m, "page", {"k": "50"}, ["k"]).select(
+        "event_id", "user_id", F.col("page")["k"].alias("item")
+    )
+
+SQL_P6 = """
+SELECT event_id, user_id, json_extract_string(props, '$.k') AS item
+FROM events WHERE json_extract_string(props, '$.k') = '50'
+"""
+
+# P7 click filter (good_detail/sku_id analog)
+def q_p7(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").withColumn(
+        "item_type", F.when(F.col("value") > 10, "sku_id").otherwise("other")
+    )
+    return (
+        filters.click_filter(ev, "event_type", "item_type", "click", "sku_id")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("ct"), F.round(F.sum("value"), 2).alias("value_sum"))
+    )
+
+SQL_P7 = """
+SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*)::BIGINT AS ct, round(sum(value), 2) AS value_sum
+FROM events WHERE event_type = 'click' AND value > 10 GROUP BY 1
+"""
+
+# P8 time-field derivation
+def q_p8(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").withColumn(
+        "create_time", F.date_format("ts", FMT)
+    )
+    return (
+        joins.with_time_fields(ev, "create_time")
+        .groupBy("create_date", F.col("create_hour").cast("long").alias("create_hour"))
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+
+SQL_P8 = """
+SELECT strftime(ts, '%Y-%m-%d') AS create_date, hour(ts)::BIGINT AS create_hour,
+       count(*)::BIGINT AS ct
+FROM events GROUP BY 1, 2
+"""
+
+# P9 age derivation (l_shipdate plays the birthday, fixed as-of date)
+def q_p9(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    aged = joins.with_age(li, "l_shipdate", F.lit("2026-01-01").cast("date"))
+    return aged.groupBy("l_returnflag").agg(
+        F.round(F.avg("user_age"), 4).alias("avg_age"), F.count(F.lit(1)).alias("ct")
+    )
+
+SQL_P9 = """
+SELECT l_returnflag,
+       round(avg(floor(date_diff('day', l_shipdate, DATE '2026-01-01') / 365.25)), 4) AS avg_age,
+       count(*)::BIGINT AS ct
+FROM lineitem GROUP BY 1
+"""
+
+# J1 interval join ±5 min (order ⋈ detail analog: purchase ⋈ click per user)
+def q_j1(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts")
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"), F.col("value").alias("r_val")
+    )
+    j = joins.interval_join(left, right, ("l_user", "r_user"), ("l_ts", "r_ts"), "'-5' MINUTE", "'5' MINUTE")
+    return j.groupBy(F.date_format("l_ts", "yyyy-MM-dd").alias("dt")).agg(
+        F.count(F.lit(1)).alias("pair_ct"), F.round(F.sum("r_val"), 2).alias("val_sum")
+    )
+
+SQL_J1 = """
+SELECT strftime(l.ts, '%Y-%m-%d') AS dt, count(*)::BIGINT AS pair_ct,
+       round(sum(r.value), 2) AS val_sum
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'purchase' AND r.event_type = 'click'
+ AND r.ts >= l.ts - INTERVAL 5 MINUTE AND r.ts <= l.ts + INTERVAL 5 MINUTE
+GROUP BY 1
+"""
+
+# J2 asymmetric interval join [-15 min, 0] (payment ⋈ order analog)
+def q_j2(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    pay = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    orderv = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("o_user"), F.col("ts").alias("o_ts")
+    )
+    j = joins.interval_join(pay, orderv, ("p_user", "o_user"), ("p_ts", "o_ts"), "'-15' MINUTE", "'0' SECOND")
+    return j.groupBy(F.date_format("p_ts", "yyyy-MM-dd").alias("dt")).agg(
+        F.count(F.lit(1)).alias("pair_ct")
+    )
+
+SQL_J2 = """
+SELECT strftime(p.ts, '%Y-%m-%d') AS dt, count(*)::BIGINT AS pair_ct
+FROM events p JOIN events o
+  ON p.user_id = o.user_id
+ AND p.event_type = 'purchase' AND o.event_type = 'view'
+ AND o.ts >= p.ts - INTERVAL 15 MINUTE AND o.ts <= p.ts
+GROUP BY 1
+"""
+
+# J3 dim lookup join (lineitem enriched by part)
+def q_j3(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    enr = joins.dim_enrich(
+        li, [(part, li["l_partkey"] == part["p_partkey"], ["p_partkey", "p_brand"])]
+    )
+    return enr.groupBy("p_brand").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("ct")
+    )
+
+SQL_J3 = """
+SELECT p_brand, round(sum(l_extendedprice), 2) AS revenue, count(*)::BIGINT AS ct
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+# J4 dim chain (orders -> customer -> nation -> region) — flagship star join
+def q_j4(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    enr = joins.dim_enrich(
+        o, [(c, o["o_custkey"] == c["c_custkey"], ["c_custkey", "c_nationkey"])]
+    )
+    enr = joins.dim_enrich(
+        enr,
+        [
+            (n, F.col("c_nationkey") == n["n_nationkey"], ["n_nationkey", "n_name", "n_regionkey"]),
+            (r, F.col("n_regionkey") == r["r_regionkey"], ["r_regionkey", "r_name"]),
+        ],
+        broadcast=True,
+    )
+    return enr.groupBy("r_name", "n_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("order_ct")
+    )
+
+SQL_J4 = """
+SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*)::BIGINT AS order_ct
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+# J5+P4+P5 config-driven routing with column pruning
+def q_j5(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    cdc = o.select(
+        F.lit("gmall").alias("database"),
+        F.lit("orders").alias("tableName"),
+        F.when(F.col("o_orderstatus") == "O", "insert")
+        .when(F.col("o_orderstatus") == "F", "update")
+        .otherwise("delete")
+        .alias("type"),
+        F.create_map(
+            F.lit("id"), F.col("o_orderkey").cast("string"),
+            F.lit("total"), F.col("o_totalprice").cast("string"),
+            F.lit("status"), F.col("o_orderstatus"),
+            F.lit("priority"), F.col("o_orderpriority"),
+        ).alias("after"),
+    )
+    config = spark.createDataFrame(
+        [
+            ("orders", "insert", "kafka", "fact_orders", "id,total", None, None),
+            ("orders", "update", "hbase", "dim_orders", "id,status", None, None),
+        ],
+        TABLE_PROCESS_SCHEMA,
+    )
+    routed = routing.route_with_config(logsplit.delete_filter(cdc), config)
+    return routed.groupBy("sink_type", "sink_table").agg(
+        F.count(F.lit(1)).alias("ct"),
+        F.min(F.array_join(F.array_sort(F.map_keys("after_pruned")), ",")).alias("pruned_cols"),
+    )
+
+SQL_J5 = """
+SELECT 'kafka' AS sink_type, 'fact_orders' AS sink_table, count(*)::BIGINT AS ct,
+       'id,total' AS pruned_cols
+FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT 'hbase', 'dim_orders', count(*)::BIGINT, 'id,status'
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+# A1 visitor tumble (10-minute windows keyed by event_type)
+def q_a1(spark: SparkSession, sf: str) -> DataFrame:
+    return aggs.visitor_stats_tumble(load_table(spark, sf, "events"), "10 minutes")
+
+SQL_A1 = f"""
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '{DUCK_FMT}') AS stt,
+       strftime(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes', '{DUCK_FMT}') AS edt,
+       event_type, count(*)::BIGINT AS pv_ct, round(sum(value), 2) AS value_sum,
+       count(DISTINCT user_id)::BIGINT AS uv_ct
+FROM events GROUP BY 1, 2, 3
+"""
+
+# A2 product tumble with exact distinct (hourly by item)
+def q_a2(spark: SparkSession, sf: str) -> DataFrame:
+    return aggs.product_stats_tumble(load_table(spark, sf, "events"), "1 hour")
+
+SQL_A2 = f"""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{DUCK_FMT}') AS stt,
+       strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour', '{DUCK_FMT}') AS edt,
+       CAST(json_extract(props, '$.k') AS INT) AS item_id,
+       count(*)::BIGINT AS click_ct, round(sum(value), 2) AS amount,
+       count(DISTINCT user_id)::BIGINT AS order_ct
+FROM events GROUP BY 1, 2, 3
+"""
+
+# A3 province stats (monthly tumble, nation = province)
+def q_a3(spark: SparkSession, sf: str) -> DataFrame:
+    return aggs.province_stats(
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "nation"),
+    )
+
+SQL_A3 = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, n_name AS province_name,
+       count(DISTINCT o_orderkey)::BIGINT AS order_count,
+       round(sum(o_totalprice), 2) AS order_amount
+FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+# A4+F1+W3 keyword stats (tokenize -> hourly tumble; synthetic doc ts)
+def q_a4(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60)
+    )
+    tokens = explode_tokens(docs.select("doc_id", "ts", "text"), "text")
+    return aggs.keyword_stats(tokens, "ts", "1 hour")
+
+SQL_A4 = f"""
+WITH d AS (
+  SELECT TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts, text
+  FROM documents
+), t AS (
+  SELECT ts, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                s -> length(s) > 0)) AS word
+  FROM d
+)
+SELECT word AS keyword, count(*)::BIGINT AS ct, 'search' AS source,
+       strftime(time_bucket(INTERVAL '1 hour', ts), '{DUCK_FMT}') AS stt,
+       strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour', '{DUCK_FMT}') AS edt,
+       epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS ts
+FROM t GROUP BY word, time_bucket(INTERVAL '1 hour', ts)
+"""
+
+# A5 daily unique visitors
+def q_a5(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.daily_unique_counts(load_table(spark, sf, "events"), "user_id", "ts")
+
+SQL_A5 = """
+SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT user_id)::BIGINT AS uv_ct
+FROM events GROUP BY 1
+"""
+
+# A6 is_new correction (signup rows play is_new='1')
+def q_a6(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").withColumn(
+        "is_new", F.when(F.col("event_type") == "signup", "1").otherwise("0")
+    )
+    corr = logsplit.correct_is_new(ev, "user_id", "ts", "is_new", tiebreak="event_id")
+    return corr.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt")).agg(
+        F.sum(F.when(F.col("is_new_corrected") == "1", 1).otherwise(0)).cast("long").alias("new_ct"),
+        F.count(F.lit(1)).alias("ct"),
+    )
+
+SQL_A6 = """
+WITH s AS (
+  SELECT *, CASE WHEN event_type = 'signup' THEN '1' ELSE '0' END AS is_new FROM events
+), c AS (
+  SELECT ts,
+         CASE WHEN is_new <> '1' THEN is_new
+              WHEN row_number() OVER (PARTITION BY user_id, is_new ORDER BY ts, event_id) = 1 THEN '1'
+              ELSE '0' END AS isc
+  FROM s
+)
+SELECT strftime(ts, '%Y-%m-%d') AS dt,
+       sum(CASE WHEN isc = '1' THEN 1 ELSE 0 END)::BIGINT AS new_ct,
+       count(*)::BIGINT AS ct
+FROM c GROUP BY 1
+"""
+
+# A7+O1 top-N by brand (group/having/order/limit)
+def q_a7(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    enr = joins.dim_enrich(
+        li, [(part, li["l_partkey"] == part["p_partkey"], ["p_partkey", "p_brand"])]
+    )
+    return ads.topn_sum(enr, "p_brand", "l_extendedprice", 10)
+
+SQL_A7 = """
+SELECT p_brand, round(sum(l_extendedprice), 2) AS order_amount
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+GROUP BY 1 HAVING round(sum(l_extendedprice), 2) > 0
+ORDER BY order_amount DESC, p_brand LIMIT 10
+"""
+
+# A8+O2 hourly conditional agg over a visitor-stats rollup
+def q_a8(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").withColumn(
+        "is_new", F.when(F.col("event_type") == "signup", "1").otherwise("0")
+    )
+    vs = (
+        ev.groupBy(F.window("ts", "1 hour"), "is_new")
+        .agg(F.countDistinct("user_id").alias("uv_ct"), F.count(F.lit(1)).alias("pv_ct"))
+        .select(F.col("window.start").alias("stt"), "is_new", "uv_ct", "pv_ct")
+    )
+    out = ads.hourly_conditional(vs, "stt", "is_new", "uv_ct", "pv_ct")
+    return out.withColumn("hr", F.col("hr").cast("long"))
+
+SQL_A8 = """
+WITH vs AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS stt,
+         CASE WHEN event_type = 'signup' THEN '1' ELSE '0' END AS is_new,
+         count(DISTINCT user_id) AS uv_ct, count(*) AS pv_ct
+  FROM events GROUP BY 1, 2
+)
+SELECT hour(stt)::BIGINT AS hr,
+       sum(CASE WHEN is_new = '1' THEN uv_ct ELSE 0 END)::BIGINT AS new_uv,
+       sum(uv_ct)::BIGINT AS uv_ct, sum(pv_ct)::BIGINT AS pv_ct
+FROM vs GROUP BY 1
+"""
+
+# A9 weighted keyword scoring (multiIf) over documents sources
+def q_a9(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = explode_tokens(docs.select("source", "text"), "text")
+    ks = toks.groupBy("word", "source").agg(F.count(F.lit(1)).alias("ct"))
+    return ads.keyword_score(
+        ks, "word", "ct", "source", {"src0": 10, "src1": 3, "src2": 2, "src3": 1}, 20
+    )
+
+SQL_A9 = """
+WITH t AS (
+  SELECT source, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    s -> length(s) > 0)) AS word
+  FROM documents
+), k AS (
+  SELECT word, source, count(*) AS ct FROM t GROUP BY 1, 2
+)
+SELECT word AS keyword,
+       sum(ct * CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 3
+                            WHEN 'src2' THEN 2 WHEN 'src3' THEN 1 ELSE 0 END)::BIGINT AS ct
+FROM k GROUP BY 1 ORDER BY ct DESC, keyword LIMIT 20
+"""
+
+# A10 whole-day GMV
+def q_a10(spark: SparkSession, sf: str) -> DataFrame:
+    return ads.gmv_day(load_table(spark, sf, "orders"), "o_totalprice", "o_orderdate", "19960917")
+
+SQL_A10 = """
+SELECT round(coalesce(sum(o_totalprice), 0), 2) AS gmv
+FROM orders WHERE strftime(o_orderdate, '%Y%m%d') = '19960917'
+"""
+
+# W1+U3 bounce detection (entry analog: event_type='view'; gap 300 s)
+def q_w1(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    marked = bounce.mark_bounces(
+        ev, "user_id", "ts", F.col("event_type") == "view", 300, tiebreak="event_id"
+    )
+    return marked.select("user_id", "event_id", "is_bounce")
+
+SQL_W1 = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ie
+  FROM events
+), l AS (
+  SELECT *, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts,
+            lead(ie) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nie
+  FROM e
+)
+SELECT user_id, event_id,
+       CASE WHEN nts IS NOT NULL AND epoch(nts) - epoch(ts) < 300 AND nie = 0
+            THEN 0 ELSE 1 END AS is_bounce
+FROM l WHERE ie = 1
+"""
+
+# W2 window-bound stamping (15-minute tumble)
+def q_w2(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy(*aggs.window_bounds("ts", "15 minutes")).agg(F.count(F.lit(1)).alias("ct"))
+
+SQL_W2 = f"""
+SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '{DUCK_FMT}') AS stt,
+       strftime(time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes', '{DUCK_FMT}') AS edt,
+       count(*)::BIGINT AS ct
+FROM events GROUP BY 1, 2
+"""
+
+# U1 3-stream visitor union (pv/uv/uj) -> daily stats
+def _u1_base(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    pv = ev.filter(F.col("event_type") == "view")
+    uv = dedup.daily_unique(ev, "user_id", "ts", tiebreak="event_id")
+    uj = bounce.mark_bounces(
+        ev, "user_id", "ts", F.col("event_type") == "view", 300, tiebreak="event_id"
+    )
+    measures = ["pv_ct", "uv_ct", "sv_ct", "uj_ct", "dur_sum"]
+    u = unions.align_union(
+        [
+            (pv, {"pv_ct": F.lit(1), "dur_sum": F.col("value")}),
+            (uv, {"uv_ct": F.lit(1)}),
+            (uj, {"sv_ct": F.lit(1), "uj_ct": F.col("is_bounce")}),
+        ],
+        keys=[],
+        ts_col="ts",
+        measures=measures,
+    )
+    return unions.tumble_sum(u, [], "ts", measures, "1 day")
+
+def q_u1(spark: SparkSession, sf: str) -> DataFrame:
+    return _u1_base(spark, sf)
+
+_SQL_U1_BASE = f"""
+WITH e AS (
+  SELECT *, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ie FROM events
+), l AS (
+  SELECT *, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts,
+            lead(ie) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nie
+  FROM e
+), uj AS (
+  SELECT ts, CASE WHEN nts IS NOT NULL AND epoch(nts) - epoch(ts) < 300 AND nie = 0
+                  THEN 0 ELSE 1 END AS ib
+  FROM l WHERE ie = 1
+), uv AS (
+  SELECT ts FROM (
+    SELECT ts, row_number() OVER (PARTITION BY user_id, ts::DATE ORDER BY ts, event_id) AS rn
+    FROM events
+  ) WHERE rn = 1
+), s AS (
+  SELECT ts, 1.0::DOUBLE AS pv_ct, 0.0::DOUBLE AS uv_ct, 0.0::DOUBLE AS sv_ct,
+         0.0::DOUBLE AS uj_ct, value AS dur_sum
+  FROM events WHERE event_type = 'view'
+  UNION ALL SELECT ts, 0.0::DOUBLE, 1.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE FROM uv
+  UNION ALL SELECT ts, 0.0::DOUBLE, 0.0::DOUBLE, 1.0::DOUBLE, ib::DOUBLE, 0.0::DOUBLE FROM uj
+)
+SELECT strftime(time_bucket(INTERVAL '1 day', ts), '{DUCK_FMT}') AS stt,
+       strftime(time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day', '{DUCK_FMT}') AS edt,
+       round(sum(pv_ct), 2)::DOUBLE AS pv_ct, round(sum(uv_ct), 2)::DOUBLE AS uv_ct,
+       round(sum(sv_ct), 2)::DOUBLE AS sv_ct, round(sum(uj_ct), 2)::DOUBLE AS uj_ct,
+       round(sum(dur_sum), 2)::DOUBLE AS dur_sum
+FROM s GROUP BY 1, 2
+"""
+
+SQL_U1 = _SQL_U1_BASE
+
+# A11 derived ratio metrics over the U1 daily stats
+def q_a11(spark: SparkSession, sf: str) -> DataFrame:
+    base = _u1_base(spark, sf)
+    return ads.visitor_ratios(base, "uj_ct", "sv_ct", "dur_sum", "pv_ct")
+
+SQL_A11 = f"""
+WITH base AS ({_SQL_U1_BASE})
+SELECT *,
+       (CASE WHEN sv_ct <> 0 THEN round(uj_ct * 100.0 / sv_ct, 2) ELSE 0.0 END)::DOUBLE AS bounce_rate,
+       (CASE WHEN sv_ct <> 0 THEN round(dur_sum / sv_ct / 1000.0, 2) ELSE 0.0 END)::DOUBLE AS avg_dur_sec,
+       (CASE WHEN sv_ct <> 0 THEN round(pv_ct / sv_ct, 2) ELSE 0.0 END)::DOUBLE AS pv_per_visit
+FROM base
+"""
+
+# U2 7-stream product union -> daily per-item stats
+def q_u2(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").withColumn(
+        "item_id", F.get_json_object("props", "$.k").cast("int")
+    ).filter(F.col("item_id").isNotNull())
+    t = F.col("event_type")
+    v = F.col("value")
+    streams = [
+        (ev.filter(t == "click"), {"click_ct": F.lit(1)}),
+        (ev.filter(t == "view"), {"display_ct": F.lit(1)}),
+        (ev.filter((t == "click") & (v > 15)), {"favor_ct": F.lit(1)}),
+        (ev.filter((t == "click") & (v > 5) & (v <= 15)), {"cart_ct": F.lit(1)}),
+        (ev.filter(t == "purchase"), {"order_ct": F.lit(1), "order_amount": v}),
+        (ev.filter((t == "purchase") & (v > 10)), {"payment_ct": F.lit(1)}),
+        (ev.filter(t == "error"), {"refund_ct": F.lit(1)}),
+    ]
+    measures = ["click_ct", "display_ct", "favor_ct", "cart_ct", "order_ct",
+                "order_amount", "payment_ct", "refund_ct"]
+    u = unions.align_union(streams, keys=["item_id"], ts_col="ts", measures=measures)
+    return unions.tumble_sum(u, ["item_id"], "ts", measures, "1 day")
+
+SQL_U2 = f"""
+WITH e AS (
+  SELECT *, CAST(json_extract(props, '$.k') AS INT) AS item_id FROM events
+  WHERE json_extract(props, '$.k') IS NOT NULL
+    -- only rows belonging to at least one of the 7 streams form groups
+    AND event_type IN ('click', 'view', 'purchase', 'error')
+)
+SELECT strftime(time_bucket(INTERVAL '1 day', ts), '{DUCK_FMT}') AS stt,
+       strftime(time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day', '{DUCK_FMT}') AS edt,
+       item_id,
+       round(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE, 2) AS click_ct,
+       round(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::DOUBLE, 2) AS display_ct,
+       round(sum(CASE WHEN event_type = 'click' AND value > 15 THEN 1 ELSE 0 END)::DOUBLE, 2) AS favor_ct,
+       round(sum(CASE WHEN event_type = 'click' AND value > 5 AND value <= 15 THEN 1 ELSE 0 END)::DOUBLE, 2) AS cart_ct,
+       round(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE, 2) AS order_ct,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS order_amount,
+       round(sum(CASE WHEN event_type = 'purchase' AND value > 10 THEN 1 ELSE 0 END)::DOUBLE, 2) AS payment_ct,
+       round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE, 2) AS refund_ct
+FROM e GROUP BY 1, 2, 3
+"""
+
+# O1 top keywords by raw count (order by desc limit)
+def q_o1(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = explode_tokens(docs.select("text"), "text")
+    return (
+        toks.groupBy("word").agg(F.count(F.lit(1)).alias("ct"))
+        .orderBy(F.col("ct").desc(), F.col("word").asc())
+        .limit(15)
+    )
+
+SQL_O1 = """
+WITH t AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            s -> length(s) > 0)) AS word
+  FROM documents
+)
+SELECT word, count(*)::BIGINT AS ct FROM t GROUP BY 1 ORDER BY ct DESC, word LIMIT 15
+"""
+
+# O2 hour-of-day series
+def q_o2(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.hour("ts").cast("long").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .orderBy("hr")
+    )
+
+SQL_O2 = """
+SELECT hour(ts)::BIGINT AS hr, count(*)::BIGINT AS ct FROM events GROUP BY 1 ORDER BY 1
+"""
+
+# F1 tokenizer word frequencies (full corpus)
+def q_f1(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return explode_tokens(docs.select("text"), "text").groupBy("word").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+
+SQL_F1 = """
+WITH t AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            s -> length(s) > 0)) AS word
+  FROM documents
+)
+SELECT word, count(*)::BIGINT AS ct FROM t GROUP BY 1
+"""
+
+# K3 MERGE upsert (latest-wins per pk)
+def q_k3(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    existing = cust.withColumn("v", F.lit(0))
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 1000, 2))
+        .withColumn("v", F.lit(1))
+    )
+    merged = merge.upsert_latest(existing, updates, "c_custkey", "v")
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("ct"), F.round(F.sum("c_acctbal"), 2).alias("bal")
+    )
+
+SQL_K3 = """
+SELECT c_mktsegment, count(*)::BIGINT AS ct,
+       round(sum(CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 1000, 2)
+                      ELSE c_acctbal END), 2) AS bal
+FROM customer GROUP BY 1
+"""
+
+# K3b apply a CDC envelope (upserts + deletes) to a dim snapshot
+def q_k3b(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    snapshot = cust.withColumn("v", F.lit(0))
+    changes = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("type", F.when(F.col("c_custkey") % 20 == 0, "delete").otherwise("update"))
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 20 == 0, F.col("c_acctbal"))
+            .otherwise(F.round(F.col("c_acctbal") + 500, 2)),
+        )
+        .withColumn("v", F.lit(1))
+    )
+    merged = merge.apply_cdc(snapshot, changes, "c_custkey", "v")
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("ct"), F.round(F.sum("c_acctbal"), 2).alias("bal")
+    )
+
+SQL_K3B = """
+SELECT c_mktsegment, count(*)::BIGINT AS ct,
+       round(sum(CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 500, 2)
+                      ELSE c_acctbal END), 2) AS bal
+FROM customer WHERE c_custkey % 20 <> 0 GROUP BY 1
+"""
+
+REGISTRY = {
+    "p1_parse_or_dirty": (q_p1, SQL_P1),
+    "p2_delete_filter": (q_p2, SQL_P2),
+    "p3_three_way_split": (q_p3, SQL_P3),
+    "p6_map_access_filter": (q_p6, SQL_P6),
+    "p7_click_filter": (q_p7, SQL_P7),
+    "p8_time_fields": (q_p8, SQL_P8),
+    "p9_age_derivation": (q_p9, SQL_P9),
+    "j1_interval_join_pm5": (q_j1, SQL_J1),
+    "j2_interval_join_asym": (q_j2, SQL_J2),
+    "j3_dim_enrich": (q_j3, SQL_J3),
+    "j4_dim_chain_star": (q_j4, SQL_J4),
+    "j5_route_config": (q_j5, SQL_J5),
+    "a1_visitor_stats": (q_a1, SQL_A1),
+    "a2_product_stats": (q_a2, SQL_A2),
+    "a3_province_stats": (q_a3, SQL_A3),
+    "a4_keyword_stats": (q_a4, SQL_A4),
+    "a5_daily_unique": (q_a5, SQL_A5),
+    "a6_is_new_correction": (q_a6, SQL_A6),
+    "a7_topn_brand": (q_a7, SQL_A7),
+    "a8_hourly_conditional": (q_a8, SQL_A8),
+    "a9_keyword_score": (q_a9, SQL_A9),
+    "a10_gmv_day": (q_a10, SQL_A10),
+    "a11_visitor_ratios": (q_a11, SQL_A11),
+    "w1_bounce_detect": (q_w1, SQL_W1),
+    "w2_window_bounds": (q_w2, SQL_W2),
+    "u1_visitor_union": (q_u1, SQL_U1),
+    "u2_product_union": (q_u2, SQL_U2),
+    "o1_top_keywords": (q_o1, SQL_O1),
+    "o2_hour_series": (q_o2, SQL_O2),
+    "f1_tokenize": (q_f1, SQL_F1),
+    "k3_dim_upsert": (q_k3, SQL_K3),
+    "k3b_apply_cdc": (q_k3b, SQL_K3B),
+}

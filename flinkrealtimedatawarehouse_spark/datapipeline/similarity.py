@@ -1,0 +1,112 @@
+"""Similarity search over an embedding column (north-star operator).
+
+Two paths, same answer shape:
+
+- ``cosine_topk``    — brute-force baseline: probes × corpus with the probe
+                       side broadcast, exact integer-quantized arithmetic
+                       (bit-for-bit reproducible in the DuckDB oracle — no
+                       float-association drift).
+- ``ann_topk_lsh``   — the scale path: random-hyperplane LSH where the
+                       hyperplanes are deterministic INTEGER weight vectors
+                       so the sign bits (and hence buckets) are exactly
+                       reproducible; candidates = same bucket, then exact
+                       cosine re-rank. At 100 TB the bucket join replaces
+                       the probes×corpus product with a per-bucket join;
+                       recall is tunable via n_planes (fewer planes ->
+                       bigger buckets -> higher recall, more compute).
+
+Quantization: q_i = round(x_i * 1000) :: bigint. Dot products and norms on
+q are exact integers; cosine = dot/sqrt(na*nb) is one IEEE double op each,
+identical in Spark and DuckDB, then rounded to 6 dp before ranking with an
+id tiebreak — fully deterministic ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1000
+# weight(plane, dim) = ((plane*1000003 + dim*7919) % 1997) - 998  (integers
+# in [-998, 998]; same closed form is embedded in the oracle SQL).
+PLANE_A, PLANE_B, PLANE_MOD, PLANE_SHIFT = 1000003, 7919, 1997, 998
+
+
+def quantized(vec: Column, quant: int = QUANT) -> Column:
+    """array<float> -> array<bigint> of round(x*quant)."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * quant, 0).cast("bigint"))
+
+
+def _plane_weight(plane: int, dim_idx: Column) -> Column:
+    return (F.lit(plane * PLANE_A) + dim_idx * F.lit(PLANE_B)) % F.lit(PLANE_MOD) - F.lit(PLANE_SHIFT)
+
+
+def hyperplane_bucket(q: Column, n_planes: int) -> Column:
+    """Sign-LSH bucket id from deterministic integer hyperplanes: bit p =
+    1 iff sum_d(w(p,d) * q_d) > 0. Exact integer arithmetic end-to-end."""
+    def _proj(p: int):
+        # factory (not lambda defaults): PySpark counts default params as HOF arity
+        return F.aggregate(
+            F.zip_with(
+                q,
+                F.sequence(F.lit(0), F.size(q) - 1),
+                lambda x, d: x * _plane_weight(p, d),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(_proj(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("bigint")
+
+
+def _exact_cosine(qa: Column, qb: Column) -> Column:
+    dot = F.aggregate(F.zip_with(qa, qb, lambda x, y: x * y), F.lit(0).cast("long"), lambda a, x: a + x)
+    na = F.aggregate(F.transform(qa, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x)
+    nb = F.aggregate(F.transform(qb, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x)
+    return F.round(dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double")), 6)
+
+
+def cosine_topk(emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str,
+                k: int = 5, quant: int = QUANT) -> DataFrame:
+    """Brute-force exact top-k: for each probe row, the k nearest corpus
+    vectors by cosine (excluding self). Probe side broadcasts — the corpus
+    is never replicated, so this scales to any corpus size for a bounded
+    probe set; for probe-set ~ corpus use ``ann_topk_lsh``."""
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col), quant).alias("qn"))
+    probe_q = probes.select(F.col(id_col).alias("probe_id"), quantized(F.col(vec_col), quant).alias("qp"))
+    scored = corpus.join(F.broadcast(probe_q), F.col("probe_id") != F.col("neighbor_id")).select(
+        "probe_id", "neighbor_id", _exact_cosine(F.col("qp"), F.col("qn")).alias("cosine")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_topk_lsh(emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str,
+                 k: int = 5, n_planes: int = 6, quant: int = QUANT) -> DataFrame:
+    """Approximate top-k: candidates restricted to the probe's hyperplane
+    bucket, exact cosine re-rank within. Same output schema as
+    ``cosine_topk`` (ranks are per-probe over the candidate set)."""
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col), quant).alias("qn")
+    ).withColumn("bucket", hyperplane_bucket(F.col("qn"), n_planes))
+    probe_q = probes.select(
+        F.col(id_col).alias("probe_id"), quantized(F.col(vec_col), quant).alias("qp")
+    ).withColumn("bucket", hyperplane_bucket(F.col("qp"), n_planes))
+    scored = corpus.join(
+        F.broadcast(probe_q),
+        (corpus["bucket"] == probe_q["bucket"]) & (F.col("probe_id") != F.col("neighbor_id")),
+    ).select("probe_id", "neighbor_id", _exact_cosine(F.col("qp"), F.col("qn")).alias("cosine"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,232 @@
+"""Document deduplication family (north-star LLM-data-pipeline operators).
+
+All shapes are bucket-bounded: candidate generation is always a
+groupBy/self-join on a short key (content hash, LSH band, SimHash band,
+hyperplane bucket) — never an all-pairs cross join — so the shuffle volume
+at 100 TB is O(data), not O(data²). Verification (Jaccard / Hamming /
+cosine) runs only on within-bucket candidate pairs.
+
+Hash/shingle expressions come from ``hashing`` so the DuckDB oracle can
+reproduce every value exactly (see hashing.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flinkrealtimedatawarehouse_spark.datapipeline.hashing import (
+    spark_minhash,
+    spark_phash,
+    spark_shingle_hashes,
+    spark_shingles,
+    spark_tokens,
+)
+
+# --- exact dedup ----------------------------------------------------------
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, non-alnum runs -> single
+    space, trimmed. (Same expression exists verbatim in the oracle.)"""
+    return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one survivor (min id) per
+    normalized text. Returns docs + ``content_hash``/``is_duplicate``.
+
+    Scale: grouping happens on the 64-char sha2, not the document body —
+    the exchange carries ids+hashes only after the aggregate is pushed
+    map-side. The survivor choice (min id) is deterministic.
+    """
+    hashed = docs.withColumn("content_hash", F.sha2(normalize_text(F.col(text_col)), 256))
+    w = Window.partitionBy("content_hash")
+    return hashed.withColumn(
+        "is_duplicate", (F.col(id_col) != F.min(id_col).over(w)).cast("int")
+    )
+
+
+# --- MinHash + LSH near-dup ----------------------------------------------
+
+def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
+                       shingle_n: int = 3, k: int = 16) -> DataFrame:
+    """(id, shingles, sig): word-n-gram shingles + k-perm MinHash signature.
+    Docs with fewer than ``shingle_n`` tokens are dropped (no shingles)."""
+    toks = spark_tokens(F.col(text_col))
+    with_sh = docs.select(
+        F.col(id_col), F.array_distinct(spark_shingles(toks, shingle_n)).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    return with_sh.withColumn("sh_hashes", spark_shingle_hashes(F.col("shingles"))).withColumn(
+        "sig", spark_minhash(F.col("sh_hashes"), k)
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    """Banded LSH: signature -> ``bands`` keys of ``rows_per_band`` values;
+    candidate pair = same (band_idx, band_key). The self-join key is the
+    band bucket, so the shuffle is bucket-bounded. Returns distinct
+    (id_a, id_b) with id_a < id_b."""
+    band_key = None
+    exploded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.concat_ws("_", *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]).alias("band_key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, sigs: DataFrame, id_col: str) -> DataFrame:
+    """n-gram Jaccard on the true shingle sets of candidate pairs only."""
+    sets_ = sigs.select(F.col(id_col), F.col("shingles"))
+    j = (
+        pairs.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a", "id_b", F.round(inter.cast("double") / uni.cast("double"), 6).alias("jaccard")
+    )
+
+
+def minhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
+                      shingle_n: int = 3, k: int = 16,
+                      bands: int = 8, threshold: float = 0.5) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup: shingle -> sign -> band -> bucket
+    self-join -> Jaccard verify -> pairs >= threshold."""
+    assert k % bands == 0, "k must divide into equal bands"
+    sigs = minhash_signatures(docs, id_col, text_col, shingle_n, k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, k // bands)
+    return jaccard_verify(cands, sigs, id_col).filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash --------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BAND_BITS = 8
+
+
+def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash over distinct-token hashes (unweighted): bit i is 1
+    iff sum over tokens of (2*bit_i(h)-1) > 0. Pure built-ins."""
+    toks = F.array_distinct(spark_tokens(F.col(text_col)))
+    hashed = docs.select(
+        F.col(id_col),
+        F.transform(toks, lambda t: spark_phash(t)).alias("th"),
+    ).filter(F.size("th") > 0)
+    def _bit_sum(i: int):
+        # factory (not lambda defaults): PySpark counts default params as HOF arity
+        return F.aggregate(
+            "th",
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    bit_sums = [_bit_sum(i) for i in range(SIMHASH_BITS)]
+    sim = None
+    for i, s in enumerate(bit_sums):
+        term = F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return hashed.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
+                      max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup: band on 8-bit slices (pigeonhole: hamming<=3 over
+    4 bands guarantees one identical band), bucket self-join, exact
+    Hamming verify with bit_count(xor)."""
+    sims = simhash(docs, id_col, text_col)
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    exploded = sims.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.shiftright("simhash", bi * SIMHASH_BAND_BITS).bitwiseAND(F.lit(255)).alias("band_val"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --- embedding-cosine near-dup -------------------------------------------
+
+def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
+                        threshold: float = 0.95, n_planes: int = 8,
+                        quant: int = 1000) -> DataFrame:
+    """Near-dup pairs by cosine >= threshold, LSH-bucketed by integer
+    hyperplane signs (see similarity.hyperplane_bucket): candidates share a
+    bucket, then exact integer-quantized cosine verifies. High-cosine pairs
+    agree on most hyperplane signs, so same-bucket recall is high at
+    near-dup thresholds; the bucket join keeps the shuffle linear."""
+    from flinkrealtimedatawarehouse_spark.datapipeline.similarity import (
+        hyperplane_bucket,
+        quantized,
+    )
+
+    q = emb.select(
+        F.col(id_col),
+        quantized(F.col(vec_col), quant).alias("q"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("q"), n_planes))
+    a, b = q.alias("a"), q.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.q", "b.q", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    norm = lambda side: F.aggregate(  # noqa: E731
+        F.transform(f"{side}.q", lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    cos = F.round(dot.cast("double") / F.sqrt(norm("a").cast("double") * norm("b").cast("double")), 6)
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,119 @@
+"""Text analysis over the ``documents`` table (north-star operators):
+language-ID, quality scoring, token counting, document fingerprinting.
+
+Everything is deterministic built-in expressions (no UDFs in the hot path)
+with an exact DuckDB-oracle twin; the heuristics are intentionally simple
+and documented — the value at 100 TB is that each is a single narrow
+projection + one aggregate, no shuffle beyond the final groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flinkrealtimedatawarehouse_spark.datapipeline.hashing import (
+    spark_phash,
+    spark_shingles,
+    spark_tokens,
+)
+
+# Tiny stopword profiles for the n-gram/stopword language heuristic. Tie
+# order = dict order (en first) — the oracle encodes the same precedence.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "en", "los"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans"),
+}
+
+
+def _stopword_hits(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def lang_id(docs: DataFrame, text_col: str) -> DataFrame:
+    """Predict language = profile with the most stopword hits (ties and
+    zero hits -> 'und'). A real pipeline swaps in fastText/CLD3 via the
+    same column contract; the plumbing and output schema stay identical."""
+    toks = spark_tokens(F.col(text_col))
+    d = docs.withColumn("_toks", toks)
+    hit_cols = {lang: _stopword_hits(F.col("_toks"), ws) for lang, ws in LANG_STOPWORDS.items()}
+    best = None
+    for lang, hits in hit_cols.items():
+        d = d.withColumn(f"_h_{lang}", hits)
+        best = F.col(f"_h_{lang}") if best is None else F.greatest(best, F.col(f"_h_{lang}"))
+    d = d.withColumn("_best", best)
+    pred = F.lit("und")
+    # reversed so earlier dict entries win ties (when() chains short-circuit)
+    expr = None
+    for lang in LANG_STOPWORDS:
+        cond = (F.col(f"_h_{lang}") == F.col("_best")) & (F.col("_best") > 0)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    pred = expr.otherwise(F.lit("und"))
+    return d.withColumn("pred_lang", pred).drop(
+        "_toks", "_best", *[f"_h_{lang}" for lang in LANG_STOPWORDS]
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str) -> DataFrame:
+    """Heuristic quality features + composite score:
+
+    - n_tokens, mean token length
+    - alnum_ratio: alnum+space chars / total chars
+    - stop_ratio: english-stopword tokens / tokens
+    - score = 0.4*min(n_tokens/100,1) + 0.3*alnum_ratio + 0.3*min(stop_ratio*5,1)
+    """
+    text = F.col(text_col)
+    toks = spark_tokens(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    alnum = F.length(F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", ""))
+    alnum_ratio = F.when(n_chars > 0, alnum.cast("double") / n_chars).otherwise(F.lit(0.0))
+    stop_hits = _stopword_hits(toks, LANG_STOPWORDS["en"])
+    stop_ratio = F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double") / n_tokens,
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * alnum_ratio
+        + F.lit(0.3) * F.least(stop_ratio * 5.0, F.lit(1.0))
+    )
+    return docs.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "alnum_ratio": F.round(alnum_ratio, 6),
+            "stop_ratio": F.round(stop_ratio, 6),
+            "mean_tok_len": F.round(mean_tok_len, 6),
+            "quality": F.round(score, 6),
+        }
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish subword
+    estimate (alnum runs contribute ceil(len/4) units; each punct char is
+    one unit) — the standard chars/4 heuristic, exactly reproducible."""
+    text = F.col(text_col)
+    ws_tokens = F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+    toks = spark_tokens(text)
+    sub_alnum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.ceil(F.length(t) / F.lit(4.0)).cast("long")
+    )
+    n_punct = F.length(F.regexp_replace(F.lower(text), r"[a-z0-9\s]", ""))
+    return docs.withColumns(
+        {"ws_tokens": ws_tokens, "bpe_est_tokens": (sub_alnum + n_punct).cast("long")}
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str, text_col: str,
+                shingle_n: int = 5, mod: int = 1 << 20) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum portable hash of
+    the word ``shingle_n``-grams, reduced mod ``mod`` — collisions group
+    near-identical prefixes/bodies. Output: (id, fingerprint)."""
+    toks = spark_tokens(F.col(text_col))
+    sh = spark_shingles(toks, shingle_n)
+    fp = F.array_min(F.transform(sh, lambda s: spark_phash(s) % F.lit(mod)))
+    return docs.select(F.col(id_col), F.coalesce(fp, F.lit(-1)).alias("fingerprint"))

@@ -1,0 +1,100 @@
+"""ADS serving layer (SURVEY.md §2.5 A7-A11, §2.7 O1-O2).
+
+The reference serves dashboards from ClickHouse SQL in MyBatis mappers
+(pub/mapper/*.java) over the pre-joined DWS "wide" tables — single-table
+queries by design (J6, README:404-410). Here each mapper query is a
+DataFrame function over the same gold-table shapes; all of them are pure
+group/filter/order/limit — fully Catalyst-optimizable, no shuffles beyond
+the one hash agg, and each limit is executed as a partial top-N per
+partition + final merge (TakeOrderedAndProject), which is exactly what you
+want at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def gmv_day(product_stats: DataFrame, amount_col: str, stt_col: str, day_yyyymmdd: str) -> DataFrame:
+    """A10: whole-day GMV — ``sum(order_amount) where toYYYYMMDD(stt)=#{date}``
+    (pub/mapper/ProductStatsMapper.java:15-16)."""
+    return (
+        product_stats.filter(F.date_format(F.col(stt_col), "yyyyMMdd") == F.lit(day_yyyymmdd))
+        .agg(F.round(F.coalesce(F.sum(amount_col), F.lit(0.0)), 2).alias("gmv"))
+    )
+
+
+def topn_sum(
+    stats: DataFrame,
+    dim_col: str,
+    amount_col: str,
+    n: int,
+    having_gt: float = 0.0,
+) -> DataFrame:
+    """A7/O1: ``sum(x) group by dim having sum(x)>0 order by sum desc limit N``
+    (pub/mapper/ProductStatsMapper.java:21-41 — trademark/category3/spu).
+
+    Tie-broken on the dim for determinism. Physical plan: partial agg →
+    one exchange → TakeOrderedAndProject (per-partition top-N + merge).
+    """
+    return (
+        stats.groupBy(dim_col)
+        .agg(F.round(F.sum(amount_col), 2).alias("order_amount"))
+        .filter(F.col("order_amount") > F.lit(having_gt))
+        .orderBy(F.col("order_amount").desc(), F.col(dim_col).asc())
+        .limit(n)
+    )
+
+
+def hourly_conditional(visitor_stats: DataFrame, stt_col: str, is_new_col: str,
+                       uv_col: str, pv_col: str) -> DataFrame:
+    """A8/O2: hour series with conditional agg —
+    ``sum(if(is_new='1', uv_ct, 0)) new_uv, toHour(stt) hr ... group/order by hr``
+    (pub/mapper/VisitorStatsMapper.java:22-25)."""
+    return (
+        visitor_stats.groupBy(F.hour(F.col(stt_col)).alias("hr"))
+        .agg(
+            F.sum(F.when(F.col(is_new_col) == "1", F.col(uv_col)).otherwise(F.lit(0))).alias("new_uv"),
+            F.sum(uv_col).alias("uv_ct"),
+            F.sum(pv_col).alias("pv_ct"),
+        )
+        .orderBy("hr")
+    )
+
+
+def keyword_score(keyword_stats: DataFrame, keyword_col: str, ct_col: str,
+                  source_col: str, weights: dict[str, int], n: int) -> DataFrame:
+    """A9: weighted keyword scoring —
+    ``sum(ct * multiIf(source='SEARCH',10,'ORDER',3,'CART',2,'CLICK',1,0))``
+    (pub/mapper/KeywordStatsMapper.java:15-20). ``multiIf`` = chained
+    when/otherwise (CASE)."""
+    weight: Column = F.lit(0)
+    expr = None
+    for src, w in weights.items():
+        cond = F.col(source_col) == F.lit(src)
+        expr = F.when(cond, F.lit(w)) if expr is None else expr.when(cond, F.lit(w))
+    weight = expr.otherwise(F.lit(0)) if expr is not None else weight
+    return (
+        keyword_stats.groupBy(F.col(keyword_col).alias("keyword"))
+        .agg(F.sum(F.col(ct_col) * weight).alias("ct"))
+        .orderBy(F.col("ct").desc(), F.col("keyword").asc())
+        .limit(n)
+    )
+
+
+def visitor_ratios(visitor_stats: DataFrame, uj_col: str, sv_col: str,
+                   dur_col: str, pv_col: str) -> DataFrame:
+    """A11: derived ratio metrics the reference computes in the bean
+    (pub/bean/VisitorStats.java:35-64): bounce rate uj*100/sv, avg visit
+    duration dur/sv/1000, pages per visit pv/sv — division guarded like the
+    bean's try/catch(/0)."""
+    sv = F.col(sv_col)
+    guard = lambda num: F.when(sv != 0, F.round(num, 2)).otherwise(F.lit(0.0))  # noqa: E731
+    return visitor_stats.withColumns(
+        {
+            "bounce_rate": guard(F.col(uj_col) * 100.0 / sv),
+            "avg_dur_sec": guard(F.col(dur_col) / sv / 1000.0),
+            "pv_per_visit": guard(F.col(pv_col) / sv),
+        }
+    )

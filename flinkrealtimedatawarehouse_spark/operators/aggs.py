@@ -90,12 +90,14 @@ def province_stats(orders: DataFrame, customer: DataFrame, nation: DataFrame) ->
     """A3: SQL tumble + COUNT(DISTINCT) + SUM group by province dims
     (rt/app/dws/ProvinceStatsSQLApp.java:69-89).
 
-    Nation plays the province dim; the tumble is monthly over o_orderdate.
-    Both dims broadcast — the Spark answer to the reference's per-row
-    Phoenix lookups.
+    Nation plays the province dim and broadcasts (fixed 25 rows at any
+    scale). Customer scales linearly with the data — billions of rows at
+    100 TB — so it must NOT broadcast: let AQE pick shuffle-hash/sort-merge
+    on the o_custkey exchange (round 1 hard-broadcast it; that OOMs every
+    executor at scale).
     """
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"), F.col("n_name").alias("province_name"))
         .agg(
@@ -105,12 +107,23 @@ def province_stats(orders: DataFrame, customer: DataFrame, nation: DataFrame) ->
     )
 
 
-def keyword_stats(tokens: DataFrame, duration: str | None = None) -> DataFrame:
-    """A4: tumble + COUNT(*) per keyword (KeywordStatsApp.java:80-91) with
-    the literal `source='search'` column. `tokens` = exploded tokenizer
-    output (F1) with a `word` column."""
+def keyword_stats(tokens: DataFrame, ts_col: str = "ts", duration: str = "10 seconds") -> DataFrame:
+    """A4: keyword + tumble COUNT(*) (KeywordStatsApp.java:80-91).
+
+    Emits the full KEYWORD_STATS_COLUMNS shape: keyword, ct, the literal
+    ``source='search'``, stt/edt window bounds (W3,
+    KeywordStatsApp.java:83-87) and the window-start epoch ``ts``.
+    `tokens` = exploded tokenizer output (F1) with a `word` column.
+    """
     return (
-        tokens.groupBy("word")
+        tokens.groupBy(F.window(F.col(ts_col), duration), "word")
         .agg(F.count(F.lit(1)).alias("ct"))
-        .withColumn("source", F.lit("search"))
+        .select(
+            F.col("word").alias("keyword"),
+            "ct",
+            F.lit("search").alias("source"),
+            F.date_format(F.col("window.start"), WINDOW_FMT).alias("stt"),
+            F.date_format(F.col("window.end"), WINDOW_FMT).alias("edt"),
+            F.unix_timestamp(F.col("window.start")).alias("ts"),
+        )
     )

@@ -10,16 +10,28 @@ TTL is exactly the day-grain of the key. Streaming form lives in
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def daily_unique(events: DataFrame, key: str, ts_col: str, entry_filter: Column | None = None) -> DataFrame:
-    """First event per (key, event_date). At scale this is one shuffle on
-    (key, date); no global state — the day bound is the TTL."""
+def daily_unique(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    entry_filter: Column | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """FIRST event per (key, event_date) — deterministic via row_number over
+    ts (the reference keeps the first-seen row, UniqueVisitApp.java:52-90;
+    round-1 dropDuplicates kept an arbitrary one). At scale this is one
+    shuffle on (key, date); no global state — the day bound is the TTL."""
     df = events.filter(entry_filter) if entry_filter is not None else events
     df = df.withColumn("event_date", F.to_date(ts_col))
-    return df.dropDuplicates(["event_date", key])
+    order = [F.col(ts_col).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy("event_date", key).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
 def daily_unique_counts(events: DataFrame, key: str, ts_col: str) -> DataFrame:

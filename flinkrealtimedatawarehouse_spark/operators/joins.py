@@ -46,17 +46,31 @@ def interval_join(
     return left.join(right, cond, how)
 
 
-def dim_enrich(fact: DataFrame, dims: list[tuple[DataFrame, object, list[str]]]) -> DataFrame:
-    """J3/J4: chained broadcast left joins against dimension tables.
+def dim_enrich(
+    fact: DataFrame,
+    dims: list[tuple[DataFrame, object, list[str]]],
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """J3/J4: chained left joins against dimension tables — the Spark form
+    of the reference's per-row async Phoenix lookups (left-outer: rows
+    survive a missing dim, AbstractDimAsyncFunction.java:71-75).
 
     `dims` = [(dim_df, join_cond, columns_to_add)]. Order matters when a
     later dim's key comes from an earlier join's output (the reference's
     SKU→SPU/TM/Category3 chain, OrderWideApp.java:159-215) — the chain is
     applied in list order, preserving that dependency.
+
+    ``broadcast``: True forces a broadcast hint (correct for fixed-size
+    dims like region/nation), False forbids it, None (default) lets AQE
+    decide from runtime sizes — the right choice for dims that scale with
+    the data (customer/part at 100 TB).
     """
     out = fact
     for dim, cond, cols in dims:
-        out = out.join(F.broadcast(dim.select(*cols)), cond, "left")
+        d = dim.select(*cols)
+        if broadcast:
+            d = F.broadcast(d)
+        out = out.join(d, cond, "left")
     return out
 
 

@@ -53,15 +53,31 @@ def three_way_split(
     return start, page, display
 
 
-def correct_is_new(events: DataFrame, key: str, ts_col: str, date_col: Column) -> DataFrame:
+def correct_is_new(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    is_new_col: str = "is_new",
+    tiebreak: str | None = None,
+) -> DataFrame:
     """A6: first-seen correction (BaseLogApp.java:64-92).
 
-    The reference rewrites is_new='1' to '0' when keyed state has already
-    seen the mid. Batch form: a row is genuinely new iff its event date
-    equals the key's minimum event date — one window min, no join.
+    Reference semantics, exactly: keyed ValueState is written only by the
+    first ``is_new='1'`` event of the key; any later ``is_new='1'`` event
+    finds the state set and is rewritten to '0'; an ``is_new='0'`` event is
+    never touched (and never writes state). Batch form: among each key's
+    '1'-rows, only the earliest keeps '1' — one row_number window over the
+    '1'-rows, no join, and '0'-rows pass through untouched (the round-1
+    min-date form wrongly *upgraded* pre-existing users).
     """
-    w = Window.partitionBy(key)
-    return events.withColumn("first_date", F.min(date_col).over(w)).withColumn(
+    order = [F.col(ts_col).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(key, F.col(is_new_col)).orderBy(*order)
+    rn = F.row_number().over(w)
+    return events.withColumn(
         "is_new_corrected",
-        F.when(date_col == F.col("first_date"), F.lit("1")).otherwise(F.lit("0")),
+        F.when(F.col(is_new_col) != F.lit("1"), F.col(is_new_col)).otherwise(
+            F.when(rn == 1, F.lit("1")).otherwise(F.lit("0"))
+        ),
     )

@@ -1,0 +1,64 @@
+"""Multi-stream unions feeding the DWS wide tables (SURVEY.md §2.8 U1-U3).
+
+Reference: VisitorStats is the union of 3 normalized streams (pv/uv/uj —
+rt/app/dws/VisitorStatsApp.java:60-126) and ProductStats the union of 7
+(click/display/favor/cart/order/payment/refund —
+rt/app/dws/ProductStatsApp.java:83-258); each source stream is projected
+onto the full stat row with zeros for the measures it doesn't carry, then
+the union is key+window aggregated with plain sums.
+
+Spark form: ``align_union`` builds the zero-filled projections and chains
+``unionByName``; the downstream tumble-sum is one hash agg. Scale: the
+union is a zero-shuffle narrow op; the single exchange is the groupBy —
+same topology as the reference's keyBy after union. U3 (match+timeout
+union) needs no union at all here: the ``lead()`` bounce rewrite
+(operators/bounce.py) emits both cases from one expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WINDOW_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def align_union(
+    streams: list[tuple[DataFrame, dict[str, Column]]],
+    keys: list[str],
+    ts_col: str,
+    measures: list[str],
+) -> DataFrame:
+    """Normalize each (df, provided-measures) onto keys+ts+all-measures with
+    typed zeros for the missing ones, then union by name."""
+    out: DataFrame | None = None
+    for df, provided in streams:
+        cols = [F.col(k) for k in keys] + [F.col(ts_col).alias(ts_col)]
+        for m in measures:
+            cols.append((provided[m] if m in provided else F.lit(0)).cast("double").alias(m))
+        proj = df.select(*cols)
+        out = proj if out is None else out.unionByName(proj)
+    assert out is not None, "align_union needs at least one stream"
+    return out
+
+
+def tumble_sum(
+    unioned: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    measures: list[str],
+    duration: str,
+) -> DataFrame:
+    """The post-union keyed tumble reduce (VisitorStatsApp.java:133-188):
+    sum every measure, stamp stt/edt (W2)."""
+    aggs = [F.round(F.sum(m), 2).alias(m) for m in measures]
+    return (
+        unioned.groupBy(F.window(F.col(ts_col), duration), *keys)
+        .agg(*aggs)
+        .select(
+            F.date_format(F.col("window.start"), WINDOW_FMT).alias("stt"),
+            F.date_format(F.col("window.end"), WINDOW_FMT).alias("edt"),
+            *keys,
+            *measures,
+        )
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region",
@@ -29,15 +30,30 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Small dimension tables that should always broadcast in star joins —
+# Dimension tables that are safe to ALWAYS broadcast in star joins — only
+# the genuinely fixed-size ones (region=5, nation=25 at every scale
+# factor). customer/part/supplier scale linearly with the data (billions of
+# rows at 100 TB) and must go through AQE's size-based decision instead —
 # the Spark replacement for the reference's per-row async Phoenix lookups
 # (SURVEY.md §2.4 J3: rt/app/function/AbstractDimAsyncFunction.java:58-91).
-BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects by default — read the nanos as long (legacy conf)
+        # and convert to a proper timestamp (exact: source is micros).
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

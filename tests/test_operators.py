@@ -1,0 +1,155 @@
+"""Boundary-case unit tests per SURVEY.md §5: interval-join bounds, bounce
+at exactly the gap, is_new state semantics, dedup determinism, MERGE."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from flinkrealtimedatawarehouse_spark.operators import bounce, dedup, joins, logsplit, merge
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+# --- W1 bounce: reference CEP semantics (UserJumpDetailApp.java:60-108) ----
+
+def _bounce_rows(spark, events):
+    df = spark.createDataFrame(events, "mid string, ts timestamp, page string, eid int")
+    marked = bounce.mark_bounces(
+        df, "mid", "ts", F.col("page") == "entry", gap_seconds=10, tiebreak="eid"
+    )
+    return {r.eid: r.is_bounce for r in marked.collect()}
+
+
+def test_bounce_match_case_is_jump(spark):
+    # entry followed by another entry within 10 s => CEP MATCH => first emitted
+    out = _bounce_rows(spark, [
+        ("m", ts("2024-01-01 00:00:00"), "entry", 1),
+        ("m", ts("2024-01-01 00:00:03"), "entry", 2),
+        ("m", ts("2024-01-01 00:00:20"), "entry", 3),
+    ])
+    assert out[1] == 1  # match case: jump
+    assert out[2] == 1  # next entry 17s away: timeout: jump
+    assert out[3] == 1  # no next: timeout: jump
+
+
+def test_bounce_continuation_within_gap_kills_match(spark):
+    # entry -> non-entry page at +2 s: strict `next` fails, no timeout => NOT a jump
+    out = _bounce_rows(spark, [
+        ("m", ts("2024-01-01 00:00:00"), "entry", 1),
+        ("m", ts("2024-01-01 00:00:02"), "page", 2),
+        ("m", ts("2024-01-01 00:00:15"), "entry", 3),
+    ])
+    assert out[1] == 0
+    assert out[3] == 1
+
+
+def test_bounce_continuation_after_gap_is_jump(spark):
+    # next event is a continuation but arrives at +12 s: timeout already fired
+    out = _bounce_rows(spark, [
+        ("m", ts("2024-01-01 00:00:00"), "entry", 1),
+        ("m", ts("2024-01-01 00:00:12"), "page", 2),
+    ])
+    assert out[1] == 1
+
+
+def test_bounce_boundary_exactly_gap(spark):
+    # within(10s) is [t, t+10): follow-up at exactly +10 s => timeout => jump
+    out = _bounce_rows(spark, [
+        ("m", ts("2024-01-01 00:00:00"), "entry", 1),
+        ("m", ts("2024-01-01 00:00:10"), "page", 2),
+        ("n", ts("2024-01-01 00:00:00"), "entry", 3),
+        ("n", ts("2024-01-01 00:00:09"), "page", 4),
+    ])
+    assert out[1] == 1  # 10 s: outside window
+    assert out[3] == 0  # 9.(9) s: inside window, continuation
+
+
+# --- J1/J2 interval join bounds (inclusive, OrderWideApp.java:80-88) -------
+
+def test_interval_join_bounds_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 00:01:00"))], "k int, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00:55")),  # exactly -5 s: in
+            (1, ts("2024-01-01 00:01:05")),  # exactly +5 s: in
+            (1, ts("2024-01-01 00:00:54")),  # -6 s: out
+            (1, ts("2024-01-01 00:01:06")),  # +6 s: out
+            (2, ts("2024-01-01 00:01:00")),  # wrong key
+        ],
+        "k2 int, rts timestamp",
+    )
+    j = joins.interval_join(left, right, ("k", "k2"), ("lts", "rts"), "'-5' SECOND", "'5' SECOND")
+    got = sorted(r.rts for r in j.collect())
+    assert got == [ts("2024-01-01 00:00:55"), ts("2024-01-01 00:01:05")]
+
+
+def test_interval_join_asymmetric(spark):
+    pay = spark.createDataFrame([(1, ts("2024-01-01 01:00:00"))], "k int, pts timestamp")
+    orderw = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:45:00")),  # exactly -15 min: in
+            (1, ts("2024-01-01 01:00:00")),  # exactly 0: in
+            (1, ts("2024-01-01 01:00:01")),  # after payment: out
+            (1, ts("2024-01-01 00:44:59")),  # before window: out
+        ],
+        "k2 int, ots timestamp",
+    )
+    j = joins.interval_join(pay, orderw, ("k", "k2"), ("pts", "ots"), "'-15' MINUTE", "'0' SECOND")
+    assert j.count() == 2
+
+
+# --- A6 is_new correction (BaseLogApp.java:64-92) --------------------------
+
+def test_is_new_first_one_kept_zero_untouched(spark):
+    df = spark.createDataFrame(
+        [
+            ("m", ts("2024-01-01 00:00:00"), "1", 1),
+            ("m", ts("2024-01-01 00:00:05"), "1", 2),  # later '1' -> '0'
+            ("m", ts("2024-01-02 00:00:00"), "1", 3),  # next day '1' -> '0'
+            ("n", ts("2024-01-01 00:00:00"), "0", 4),  # '0' stays '0' (cold start)
+            ("n", ts("2024-01-01 00:00:05"), "1", 5),  # n's first '1' stays
+        ],
+        "mid string, ts timestamp, is_new string, eid int",
+    )
+    out = {r.eid: r.is_new_corrected
+           for r in logsplit.correct_is_new(df, "mid", "ts", "is_new", "eid").collect()}
+    assert out == {1: "1", 2: "0", 3: "0", 4: "0", 5: "1"}
+
+
+# --- A5 dedup determinism --------------------------------------------------
+
+def test_daily_unique_keeps_first(spark):
+    df = spark.createDataFrame(
+        [
+            ("m", ts("2024-01-01 08:00:00"), 2),
+            ("m", ts("2024-01-01 07:00:00"), 1),  # earliest of the day
+            ("m", ts("2024-01-02 01:00:00"), 3),
+        ],
+        "mid string, ts timestamp, eid int",
+    )
+    kept = sorted(r.eid for r in dedup.daily_unique(df, "mid", "ts", tiebreak="eid").collect())
+    assert kept == [1, 3]
+
+
+# --- K3 MERGE upsert -------------------------------------------------------
+
+def test_upsert_latest_wins(spark):
+    existing = spark.createDataFrame([(1, "a", 0), (2, "b", 0)], "id int, val string, v int")
+    updates = spark.createDataFrame([(2, "B", 1), (3, "C", 1)], "id int, val string, v int")
+    out = {r.id: r.val for r in merge.upsert_latest(existing, updates, "id", "v").collect()}
+    assert out == {1: "a", 2: "B", 3: "C"}
+
+
+def test_apply_cdc_delete(spark):
+    snap = spark.createDataFrame([(1, "a", 0), (2, "b", 0)], "id int, val string, v int")
+    changes = spark.createDataFrame(
+        [(1, "A", 1, "update"), (2, "b", 1, "delete")], "id int, val string, v int, type string"
+    )
+    out = {r.id: r.val for r in merge.apply_cdc(snap, changes, "id", "v").collect()}
+    assert out == {1: "A"}
