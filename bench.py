@@ -1,0 +1,76 @@
+"""Headline benchmark: runs representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec}, "sf": ...}.
+
+Query set spans the engine's load-bearing paths: the star-schema dim chain
+(J3/J4), windowed stats aggs (A1/A2/A3), bounce detection (W1), the 7-way
+product union (U2), tokenizer+window (A4), and the data-pipeline ops
+(MinHash-LSH dedup, cosine top-k, fingerprinting).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "j4_dim_chain_star",
+    "a1_visitor_stats",
+    "a2_product_stats",
+    "a3_province_stats",
+    "a4_keyword_stats",
+    "w1_bounce_detect",
+    "u2_product_union",
+    "dp1_exact_dedup",
+    "dp2_minhash_lsh_neardup",
+    "dp6_cosine_topk",
+    "dp11_fingerprint",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from flinkrealtimedatawarehouse_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench")
+    registry = entry_mod.queries()
+
+    # warm the JVM + parquet footer cache so per-query numbers measure the
+    # plan, not session startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+    out = {
+        "metric": "headline_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
