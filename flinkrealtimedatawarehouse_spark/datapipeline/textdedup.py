@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from flinkrealtimedatawarehouse_spark.datapipeline.hashing import (
     spark_minhash,
@@ -113,9 +114,19 @@ def minhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
                       shingle_n: int = 3, k: int = 16,
                       bands: int = 8, threshold: float = 0.5) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: shingle -> sign -> band -> bucket
-    self-join -> Jaccard verify -> pairs >= threshold."""
+    self-join -> Jaccard verify -> pairs >= threshold.
+
+    Perf: the signature subtree (tokenize -> shingle -> md5/shingle -> k
+    permutation mins) is the CPU-dense stage; it is (a) spread across the
+    cluster with a round-robin repartition so small file-split counts don't
+    serialize it, and (b) persisted, because three consumers read it (both
+    sides of the band self-join + the Jaccard verifier) and recomputing it
+    per consumer tripled the wall time at sf0.1.
+    """
     assert k % bands == 0, "k must divide into equal bands"
-    sigs = minhash_signatures(docs, id_col, text_col, shingle_n, k)
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    sigs = minhash_signatures(docs.repartition(n_part), id_col, text_col, shingle_n, k)
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(sigs, id_col, bands, k // bands)
     return jaccard_verify(cands, sigs, id_col).filter(F.col("jaccard") >= threshold)
 
