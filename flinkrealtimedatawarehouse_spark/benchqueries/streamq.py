@@ -1,12 +1,235 @@
-"""Structured-Streaming driver queries (SURVEY.md §2.10 T-rows).
+"""Structured-Streaming driver queries (SURVEY.md §2.10 T-rows, §2.2 K-rows).
 
-Each callable runs a real streaming query (parquet file source ->
-watermarked transformation -> memory sink) to completion with
-``trigger(availableNow=True)`` and returns the sink contents as a batch
-DataFrame — proving the streaming form end-to-end under the driver's
-correctness gate. Filled in by the streaming module.
+Each callable runs a REAL streaming query end-to-end — staged time-ordered
+file source (runner.stage_stream_dir) -> watermarked transformation ->
+memory/foreachBatch sink with checkpointing, ``trigger(availableNow=True)``
+— and returns the sink contents as a batch DataFrame.
+
+Determinism/oracle contract: inputs replay in event-time order (monotone
+watermark, nothing late-dropped) and every stream ends with a watermark
+sentinel (runner.append_sentinel_file) that flushes all pending windows /
+event-time timers, so the streaming result equals the batch semantics and
+the SAME DuckDB oracles as the batch twins apply — these are exact checks,
+not rows-only.
+
+Streaming twins reuse the batch oracles: t1<->SQL_A1, t2<->SQL_A2,
+t3<->SQL_J1, t7<->SQL_W1.
 """
 
 from __future__ import annotations
 
-REGISTRY: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkrealtimedatawarehouse_spark.benchqueries.warehouse import (
+    SQL_A1,
+    SQL_A2,
+    SQL_J1,
+    SQL_W1,
+)
+from flinkrealtimedatawarehouse_spark.streaming import runner, sinks, sources, state, windows
+from flinkrealtimedatawarehouse_spark.tables import load_table
+
+_SENTINEL_MARKER = {"user_id": -1, "event_id": -1, "event_type": "__wm__"}
+_N_FILES = 5
+
+
+def _staged_events_stream(spark: SparkSession, sf: str, tag: str, sentinel_pad: str | None):
+    """events table -> time-ordered multi-file stream (+ optional sentinel)."""
+    ev = load_table(spark, sf, "events")
+    in_dir = runner.stage_stream_dir(ev, "ts", _N_FILES, tag)
+    if sentinel_pad is not None:
+        sent = runner.make_sentinel(ev, "ts", sentinel_pad, _SENTINEL_MARKER)
+        runner.append_sentinel_file(in_dir, sent, tag)
+    return runner.parquet_stream(spark, in_dir, ev.schema)
+
+
+def _real_max_stt(spark: SparkSession, sf: str) -> str:
+    """Formatted real max event time — post-agg cutoff that drops the
+    sentinel's own window group (its window start is always later).
+    Filtering sentinel ROWS pre-agg is forbidden: a pushable predicate
+    reaches the parquet scan and prunes the sentinel file before the
+    watermark node ever sees it (see windows.visitor_stats_stream)."""
+    mx = load_table(spark, sf, "events").agg(F.max("ts")).first()[0]
+    return mx.strftime("%Y-%m-%d %H:%M:%S")
+
+
+# --- T1+T3+W2: watermarked tumbling visitor stats (streaming A1) ----------
+
+def q_t1(spark: SparkSession, sf: str) -> DataFrame:
+    sdf = _staged_events_stream(spark, sf, "t1", "11 minutes")
+    out = runner.run_to_memory(windows.visitor_stats_stream(sdf), "t1")
+    return out.filter(F.col("stt") <= _real_max_stt(spark, sf))
+
+
+# --- T2-analog: streaming product stats (hourly tumble, exact distinct) ---
+
+def q_t2(spark: SparkSession, sf: str) -> DataFrame:
+    sdf = _staged_events_stream(spark, sf, "t2", "62 minutes")
+    out = runner.run_to_memory(windows.product_stats_stream(sdf), "t2")
+    return out.filter(F.col("stt") <= _real_max_stt(spark, sf))
+
+
+# --- streaming J1: stream-stream interval join ----------------------------
+
+def q_t3(spark: SparkSession, sf: str) -> DataFrame:
+    sdf = _staged_events_stream(spark, sf, "t3", None)
+    left = sdf.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts")
+    )
+    right = sdf.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"), F.col("value").alias("r_val")
+    )
+    joined = windows.interval_join_stream(
+        left, right, ("l_user", "r_user"), ("l_ts", "r_ts"), "'-5' MINUTE", "'5' MINUTE"
+    )
+    pairs = runner.run_to_memory(joined, "t3")
+    return pairs.groupBy(F.date_format("l_ts", "yyyy-MM-dd").alias("dt")).agg(
+        F.count(F.lit(1)).alias("pair_ct"), F.round(F.sum("r_val"), 2).alias("val_sum")
+    )
+
+
+# --- T5: streaming dedup (first per key, watermark-evicted state) ---------
+
+def q_t5(spark: SparkSession, sf: str) -> DataFrame:
+    sdf = _staged_events_stream(spark, sf, "t5", None)
+    keyed = sdf.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+    out = state.streaming_dedup(keyed, ["user_id", "event_date"])
+    return runner.run_to_memory(out, "t5")
+
+
+SQL_T5 = """
+SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS event_date FROM events
+"""
+
+
+# --- T7/W1: bounce detection with event-time timers -----------------------
+
+def q_t7(spark: SparkSession, sf: str) -> DataFrame:
+    sdf = _staged_events_stream(spark, sf, "t7", "400 seconds")
+    out = state.bounce_stream(sdf, gap_s=300)
+    return runner.run_to_memory(out, "t7").filter(F.col("user_id") >= 0)
+
+
+# --- K2: dynamic-destination fan-out via foreachBatch ---------------------
+
+def q_k2(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC-style rows routed to a per-row destination (sink_table column),
+    each micro-batch appended under its destination dir (the Kafka
+    per-row-topic sink shape, MyKafkaUtil.java:30-41)."""
+    orders = load_table(spark, sf, "orders")
+    enveloped = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("total"),
+        F.when(F.col("o_orderstatus") == "O", "fact_orders")
+        .when(F.col("o_orderstatus") == "F", "dim_orders")
+        .otherwise("dirty_orders")
+        .alias("sink_table"),
+    )
+    in_dir = runner.stage_stream_dir(enveloped, "id", 3, "k2")
+    sdf = runner.parquet_stream(spark, in_dir, enveloped.schema)
+    out_dir = runner.scratch_dir("out_k2")
+    sinks.fanout_sink(sdf, "sink_table", out_dir, "k2")
+    written = spark.read.parquet(out_dir)
+    return written.groupBy("sink_table").agg(
+        F.count(F.lit(1)).alias("ct"), F.round(F.sum("total"), 2).alias("total_sum")
+    )
+
+
+SQL_K2 = """
+SELECT CASE WHEN o_orderstatus = 'O' THEN 'fact_orders'
+            WHEN o_orderstatus = 'F' THEN 'dim_orders'
+            ELSE 'dirty_orders' END AS sink_table,
+       count(*)::BIGINT AS ct, round(sum(o_totalprice), 2) AS total_sum
+FROM orders GROUP BY 1
+"""
+
+
+# --- K3 streaming: incremental MERGE upsert across micro-batches ----------
+
+def q_k3s(spark: SparkSession, sf: str) -> DataFrame:
+    """Two update waves streamed over a base snapshot; each micro-batch
+    MERGEs into a versioned snapshot (DimSinkFunction.java:44-75 as
+    foreachBatch + upsert; Delta MERGE INTO stand-in). Latest version per
+    pk wins regardless of batch boundaries."""
+    cust = load_table(spark, sf, "customer")
+    base = cust.withColumn("v", F.lit(0))
+    wave1 = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 1000, 2))
+        .withColumn("v", F.lit(1))
+    )
+    wave2 = (
+        cust.filter(F.col("c_custkey") % 20 == 0)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 2000, 2))
+        .withColumn("v", F.lit(2))
+    )
+    updates = wave1.unionByName(wave2)
+    in_dir = runner.stage_stream_dir(updates, "v", 2, "k3s")
+    sdf = runner.parquet_stream(spark, in_dir, updates.schema)
+    sink = sinks.SnapshotMergeSink(runner.scratch_dir("out_k3s"), "c_custkey", "v")
+    sink.init(base)
+    runner.run_foreach_batch(sdf, sink.write_batch, "k3s")
+    final = sink.current(spark)
+    return final.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("ct"), F.round(F.sum("c_acctbal"), 2).alias("bal")
+    )
+
+
+SQL_K3S = """
+SELECT c_mktsegment, count(*)::BIGINT AS ct,
+       round(sum(CASE WHEN c_custkey % 20 = 0 THEN round(c_acctbal + 2000, 2)
+                      WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 1000, 2)
+                      ELSE c_acctbal END), 2) AS bal
+FROM customer GROUP BY 1
+"""
+
+
+# --- S3: CDC envelope deserializer (batch form of the ingest fn) ----------
+
+def q_s3(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw Debezium-style JSON -> typed envelope (create->insert rename) ->
+    delete filter (P2) -> per-table/op counts."""
+    orders = load_table(spark, sf, "orders")
+    raw = orders.select(
+        F.to_json(
+            F.struct(
+                F.lit("gmall").alias("database"),
+                F.lit("orders").alias("tableName"),
+                F.when(F.col("o_orderstatus") == "O", "create")
+                .when(F.col("o_orderstatus") == "F", "update")
+                .otherwise("delete")
+                .alias("type"),
+                F.create_map(
+                    F.lit("id"), F.col("o_orderkey").cast("string"),
+                    F.lit("total"), F.col("o_totalprice").cast("string"),
+                ).alias("after"),
+            )
+        ).alias("value")
+    )
+    env = sources.parse_cdc_envelope(raw)
+    live = env.filter(F.col("type") != "delete")
+    return live.groupBy("database", "tableName", "type").agg(
+        F.count(F.lit(1)).alias("ct"),
+        F.round(F.sum(F.element_at(F.col("after"), "total").cast("double")), 2).alias("total_sum"),
+    )
+
+
+SQL_S3 = """
+SELECT 'gmall' AS database, 'orders' AS tableName,
+       CASE WHEN o_orderstatus = 'O' THEN 'insert' ELSE 'update' END AS type,
+       count(*)::BIGINT AS ct, round(sum(o_totalprice), 2) AS total_sum
+FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 3
+"""
+
+
+REGISTRY: dict = {
+    "t1_visitor_stream": (q_t1, SQL_A1),
+    "t2_product_stream": (q_t2, SQL_A2),
+    "t3_interval_join_stream": (q_t3, SQL_J1),
+    "t5_dedup_stream": (q_t5, SQL_T5),
+    "t7_bounce_stream": (q_t7, SQL_W1),
+    "k2_fanout_stream": (q_k2, SQL_K2),
+    "k3_merge_stream": (q_k3s, SQL_K3S),
+    "s3_cdc_envelope": (q_s3, SQL_S3),
+}

@@ -1,0 +1,163 @@
+"""Stream staging + run-to-completion helpers (T9/T10).
+
+``stage_stream_dir`` turns a bounded table into a multi-file stream input
+whose files partition the event-time axis (repartitionByRange on the ts
+column). With ``maxFilesPerTrigger=1`` the file source then replays the
+data as an ordered sequence of micro-batches, so watermarks advance
+monotonically and no row is late-dropped — the streaming query's output
+becomes a deterministic function of the data and the watermark delay.
+
+``run_to_memory`` executes any streaming DataFrame to completion with
+``trigger(availableNow=True)``, checkpointing enabled (the reference
+comments its checkpointing out — rt/app/dwd/BaseLogApp.java:28-34; we
+do better), and returns the accumulated sink contents as a batch DF.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+_counter = itertools.count()
+
+
+def scratch_dir(tag: str, fresh: bool = True) -> str:
+    """Per-run scratch path (checkpoints, staged inputs, sink outputs)."""
+    path = os.path.join(SCRATCH, f"{tag}_{os.getpid()}_{next(_counter)}")
+    if fresh and os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def stage_stream_dir(
+    df: DataFrame,
+    order_col: str,
+    n_files: int,
+    tag: str,
+) -> str:
+    """Write ``df`` as ``n_files`` parquet files range-partitioned on
+    ``order_col`` so file k holds an earlier time slice than file k+1.
+    Returns the directory to point ``readStream`` at."""
+    out = scratch_dir(f"in_{tag}")
+    (
+        df.repartitionByRange(n_files, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    # FileStreamSource schedules by (modification time, listing order) and
+    # the writer stamps every part file with the same mtime — stamp strictly
+    # increasing mtimes in part order (range partition k = time slice k) so
+    # the replay is time-ordered and the watermark rises monotonically.
+    import glob as _glob
+    import time as _time
+
+    # mtimes sit in the recent PAST: the file source's availableNow snapshot
+    # only admits files already "available", so future-dated files would be
+    # skipped (this also keeps room below for a later sentinel file).
+    base = _time.time() - 3600
+    for i, part in enumerate(sorted(_glob.glob(os.path.join(out, "part-*.parquet")))):
+        os.utime(part, (base + i, base + i))
+    return out
+
+
+def make_sentinel(df: DataFrame, ts_col: str, pad: str, marker: dict) -> DataFrame:
+    """One schema-compatible row at ``max(ts_col) + pad`` (an interval
+    literal like ``'400 seconds'``); other columns from ``marker`` or NULL.
+    Route it to a marker key so it joins/aggregates with nothing real."""
+    cols = []
+    for field in df.schema.fields:
+        if field.name == ts_col:
+            cols.append((F.col("_mx") + F.expr(f"INTERVAL {pad}")).alias(ts_col))
+        else:
+            cols.append(F.lit(marker.get(field.name)).cast(field.dataType).alias(field.name))
+    return df.agg(F.max(F.col(ts_col)).alias("_mx")).select(*cols)
+
+
+def append_sentinel_file(in_dir: str, sentinel: DataFrame, tag: str) -> None:
+    """Append a one-row 'watermark sentinel' as the final stream file.
+
+    Under ``availableNow`` the run stops when the staged files are drained,
+    so event-time timeouts whose firing watermark is only reached *after*
+    the last real batch never fire (they would in a long-running stream).
+    A sentinel row beyond ``max(ts) + gap + delay``, staged as its own
+    final batch, advances the watermark to ``real_max - delay`` while that
+    batch runs — firing every pending timeout with exactly the watermark a
+    continuous stream would have reached. The file sorts last by both
+    mtime and name, so the file source schedules it after the real data.
+    """
+    import glob
+    import time as _time
+
+    tmp = scratch_dir(f"sent_{tag}")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dst = os.path.join(in_dir, "zzz-sentinel.parquet")
+    shutil.copyfile(part, dst)
+    # newest mtime among the staged files, but still in the past — a
+    # future-dated file is invisible to the availableNow snapshot
+    newest = max(
+        os.path.getmtime(os.path.join(in_dir, f))
+        for f in os.listdir(in_dir)
+        if f.endswith(".parquet") and f != "zzz-sentinel.parquet"
+    )
+    os.utime(dst, (newest + 10, newest + 10))
+
+
+def parquet_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """S1-analog file-stream source (the container has no Kafka broker;
+    the file source exercises identical source semantics: schema'd rows,
+    incremental batches, replay from checkpoint)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    tag: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Run a streaming DF to completion into a memory sink; return the
+    sink table as a batch DataFrame. Checkpointing on (T9)."""
+    name = f"sink_{tag}_{os.getpid()}_{next(_counter)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", scratch_dir(f"ckpt_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def run_foreach_batch(
+    sdf: DataFrame,
+    batch_fn,
+    tag: str,
+) -> None:
+    """Run a streaming DF to completion through a foreachBatch writer
+    (the K2/K3/K4 sink shapes). Checkpointing on."""
+    q = (
+        sdf.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", scratch_dir(f"ckpt_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

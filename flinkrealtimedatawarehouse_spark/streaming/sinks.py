@@ -1,0 +1,101 @@
+"""foreachBatch sink shapes (SURVEY.md §2.2 K1-K5).
+
+The reference's sinks are per-row JDBC/Kafka producers; the Spark-native
+equivalents are micro-batch writers:
+
+- K2 dynamic-destination fan-out (rt/utils/MyKafkaUtil.java:30-41,
+  BaseDBApp.java:126-133): the destination is a *row field* (sinkTable);
+  each micro-batch partitions by it and appends each slice to its own
+  destination. Kafka's sink does this natively via a ``topic`` column;
+  on the file/table backend it's ``partitionBy(sink_col)`` so each
+  destination is one directory — same dynamic routing, zero per-row code.
+- K3 dim MERGE upsert (rt/app/function/DimSinkFunction.java:44-75): each
+  micro-batch merges into a keyed snapshot, newest version wins
+  (operators/merge.upsert_latest). On Delta this is MERGE INTO; the
+  parquet container keeps versioned snapshot dirs (v0, v1, ...) with the
+  same semantics — the final snapshot is batching-invariant because the
+  winner is chosen by the data's version column, not arrival order.
+- K4 gold append (rt/utils/ClickHouseUtil.java:22-75): plain append of
+  each micro-batch to the gold table path.
+- K1/K5: fixed-topic Kafka producer / console — builders below.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkrealtimedatawarehouse_spark.operators.merge import upsert_latest
+from flinkrealtimedatawarehouse_spark.streaming.runner import run_foreach_batch
+
+
+def fanout_sink(sdf: DataFrame, sink_col: str, out_dir: str, tag: str) -> str:
+    """K2: run ``sdf`` to completion, appending every micro-batch into
+    ``out_dir`` partitioned by the per-row destination column. Returns
+    ``out_dir`` (read back with ``spark.read.parquet(out_dir)``; each
+    destination is the directory ``{out_dir}/{sink_col}=<dest>``)."""
+
+    def write_batch(batch: DataFrame, _batch_id: int) -> None:
+        batch.write.mode("append").partitionBy(sink_col).parquet(out_dir)
+
+    run_foreach_batch(sdf, write_batch, tag)
+    return out_dir
+
+
+class SnapshotMergeSink:
+    """K3: versioned-snapshot MERGE upsert (Delta MERGE INTO stand-in)."""
+
+    def __init__(self, base_dir: str, pk: str, version_col: str):
+        self.base_dir = base_dir
+        self.pk = pk
+        self.version_col = version_col
+        self.version = -1
+
+    def _path(self, v: int) -> str:
+        return os.path.join(self.base_dir, f"v{v}")
+
+    def init(self, snapshot: DataFrame) -> None:
+        self.version = 0
+        snapshot.write.mode("overwrite").parquet(self._path(0))
+
+    def current(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._path(self.version))
+
+    def write_batch(self, batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        merged = upsert_latest(self.current(spark), batch, self.pk, self.version_col)
+        self.version += 1
+        merged.write.mode("overwrite").parquet(self._path(self.version))
+
+
+def gold_append_sink(sdf: DataFrame, out_dir: str, tag: str) -> str:
+    """K4: append each micro-batch to the gold table path."""
+
+    def write_batch(batch: DataFrame, _batch_id: int) -> None:
+        batch.write.mode("append").parquet(out_dir)
+
+    run_foreach_batch(sdf, write_batch, tag)
+    return out_dir
+
+
+def kafka_sink(sdf: DataFrame, brokers: str, topic: str | None, checkpoint: str):
+    """K1 (fixed topic) / K2 (dynamic: ``topic`` column already on the DF,
+    pass topic=None — MyKafkaUtil.java:30-41's per-row destination is
+    native here). Requires the spark-sql-kafka package; builder only in
+    this container."""
+    value = sdf if "value" in sdf.columns else sdf.select(F.to_json(F.struct("*")).alias("value"))
+    w = (
+        value.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("checkpointLocation", checkpoint)
+    )
+    if topic is not None:
+        w = w.option("topic", topic)
+    return w
+
+
+def console_sink(sdf: DataFrame, n_rows: int = 20):
+    """K5: debug print sink (.print() — e.g. BaseLogApp.java:138-140)."""
+    return sdf.writeStream.format("console").option("numRows", str(n_rows)).option("truncate", "false")

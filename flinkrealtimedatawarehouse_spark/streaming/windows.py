@@ -1,0 +1,118 @@
+"""Watermarked tumbling event-time aggregations (T1-T3 + streaming A1-A4).
+
+The reference stamps bounded-out-of-orderness watermarks then runs
+10-second tumbles in every DWS app (rt/app/dws/VisitorStatsApp.java:129-188,
+ProductStatsApp.java:261-313, ProvinceStatsSQLApp.java:69-89,
+KeywordStatsApp.java:80-91). The Spark form is
+``withWatermark(ts, delay).groupBy(window(ts, size), keys).agg(...)`` in
+append mode: a window row is emitted exactly when the watermark passes the
+window end, and late rows (ts < watermark) are dropped (T8 — matches the
+reference, which has no allowedLateness anywhere).
+
+Exact distinct inside a window uses ``size(collect_set(...))`` — Spark
+bans ``countDistinct`` in streaming aggregations, but the per-window set
+is bounded state, same value, same guarantee the reference gets from its
+merged HashSets (rt/bean/ProductStats.java:107-117).
+
+Scale: state is one entry per open (window x key) group; with a 10 s-10 min
+window and a watermark delay of seconds, state size is bounded by key
+cardinality, independent of stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flinkrealtimedatawarehouse_spark.operators.aggs import WINDOW_FMT
+
+
+def visitor_stats_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "10 minutes",
+    delay: str = "30 seconds",
+) -> DataFrame:
+    """Streaming A1 (VisitorStatsApp.java:133-188): keyed tumble with
+    count / sum / exact-distinct measures and stamped window bounds (W2).
+
+    NOTE: do NOT filter watermark-sentinel rows before this operator with
+    a source-pushable predicate — Catalyst pushes such filters through the
+    EventTimeWatermark node to the parquet scan, row-group stats prune the
+    sentinel file entirely, and the watermark never advances. Sentinels
+    key to their own group; drop them from the OUTPUT (their window start
+    is always past the real max event time).
+    """
+    return (
+        events.withWatermark(ts_col, delay)
+        .groupBy(F.window(F.col(ts_col), duration), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+            F.size(F.collect_set("user_id")).alias("uv_ct"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), WINDOW_FMT).alias("stt"),
+            F.date_format(F.col("window.end"), WINDOW_FMT).alias("edt"),
+            "event_type",
+            "pv_ct",
+            "value_sum",
+            "uv_ct",
+        )
+    )
+
+
+def product_stats_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    delay: str = "30 seconds",
+) -> DataFrame:
+    """Streaming A2 (ProductStatsApp.java:265-313): per-item tumble, item
+    key parsed from the JSON payload, exact distinct via collect_set.
+    (Sentinel caveat: see visitor_stats_stream.)"""
+    parsed = events.withColumn("item_id", F.get_json_object("props", "$.k").cast("int"))
+    return (
+        parsed.withWatermark(ts_col, delay)
+        .groupBy(F.window(F.col(ts_col), duration), "item_id")
+        .agg(
+            F.count(F.lit(1)).alias("click_ct"),
+            F.round(F.sum("value"), 2).alias("amount"),
+            F.size(F.collect_set("user_id")).alias("order_ct"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), WINDOW_FMT).alias("stt"),
+            F.date_format(F.col("window.end"), WINDOW_FMT).alias("edt"),
+            "item_id",
+            "click_ct",
+            "amount",
+            "order_ct",
+        )
+    )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    keys: tuple[str, str],
+    ts_cols: tuple[str, str],
+    lower: str,
+    upper: str,
+    delay: str = "30 seconds",
+) -> DataFrame:
+    """Streaming J1/J2 (rt/app/dwd/OrderWideApp.java:80-88,
+    PaymentWideApp.java:97-105): watermarked stream-stream inner interval
+    join. Matches emit on arrival; the watermark + range bound the join
+    state on both sides (state eviction horizon = interval width + delay),
+    which is exactly how Flink's interval join bounds its buffers.
+    """
+    lk, rk = keys
+    lts, rts = ts_cols
+    lw = left.withWatermark(lts, delay)
+    rw = right.withWatermark(rts, delay)
+    cond = (
+        (F.col(lk) == F.col(rk))
+        & (F.col(rts) >= F.expr(f"{lts} + INTERVAL {lower}"))
+        & (F.col(rts) <= F.expr(f"{lts} + INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, "inner")

@@ -52,7 +52,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer DIV: epoch-ns ~1.7e18 exceeds double's exact range, so
+            # float division would wobble the microsecond value by ±1
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -1,0 +1,122 @@
+"""Streaming-semantics tests (SURVEY.md §5.4): watermark in/out-of-order
+handling, bounce timeout at the gap boundary, multi-batch replay
+determinism, fan-out + MERGE sinks, checkpointed availableNow runs."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flinkrealtimedatawarehouse_spark.streaming import runner, sinks, sources, state, windows
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def _stream_events(spark, rows, n_files, tag, sentinel_pad=None):
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string, value double, props string"
+    )
+    in_dir = runner.stage_stream_dir(df, "ts", n_files, tag)
+    if sentinel_pad is not None:
+        sent = runner.make_sentinel(
+            df, "ts", sentinel_pad, {"user_id": -1, "event_id": -1, "event_type": "__wm__"}
+        )
+        runner.append_sentinel_file(in_dir, sent, tag)
+    return runner.parquet_stream(spark, in_dir, df.schema)
+
+
+# --- T1/T3: watermarked tumble emits closed windows, late rows drop -------
+
+def test_stream_tumble_emits_closed_windows(spark):
+    rows = [
+        (1, 1, ts("2024-01-01 00:00:01"), "view", 1.0, None),
+        (1, 2, ts("2024-01-01 00:00:09"), "view", 2.0, None),
+        (2, 3, ts("2024-01-01 00:10:01"), "view", 3.0, None),
+        (2, 4, ts("2024-01-01 01:00:00"), "view", 4.0, None),
+    ]
+    sdf = _stream_events(spark, rows, 2, "tumble", sentinel_pad="11 minutes")
+    out = runner.run_to_memory(windows.visitor_stats_stream(sdf), "tumble")
+    got = {r.stt: (r.pv_ct, r.value_sum, r.uv_ct) for r in out.filter("event_type = 'view'").collect()}
+    assert got["2024-01-01 00:00:00"] == (2, 3.0, 1)
+    assert got["2024-01-01 00:10:00"] == (1, 3.0, 1)
+    assert got["2024-01-01 01:00:00"] == (1, 4.0, 1)  # sentinel flushed the tail window
+
+
+def test_stream_bounce_timeout_and_match(spark):
+    # u1: entry then entry at +3s  -> both jumps (match + timeout)
+    # u2: entry then page at +2s   -> not a jump
+    # u3: entry then page at +11s  -> jump (strict-next window expired)
+    rows = [
+        (1, 1, ts("2024-01-01 00:00:00"), "view", 0.0, None),
+        (1, 2, ts("2024-01-01 00:00:03"), "view", 0.0, None),
+        (2, 3, ts("2024-01-01 00:00:00"), "view", 0.0, None),
+        (2, 4, ts("2024-01-01 00:00:02"), "click", 0.0, None),
+        (3, 5, ts("2024-01-01 00:00:00"), "view", 0.0, None),
+        (3, 6, ts("2024-01-01 00:00:11"), "click", 0.0, None),
+    ]
+    sdf = _stream_events(spark, rows, 2, "bounce", sentinel_pad="60 seconds")
+    out = runner.run_to_memory(state.bounce_stream(sdf, gap_s=10, delay="1 second"), "bounce")
+    got = {r.event_id: r.is_bounce for r in out.filter("user_id >= 0").collect()}
+    assert got == {1: 1, 2: 1, 3: 0, 5: 1}
+
+
+def test_stream_dedup_emits_each_key_once(spark):
+    rows = [
+        (1, 1, ts("2024-01-01 00:00:00"), "view", 0.0, None),
+        (1, 2, ts("2024-01-01 05:00:00"), "view", 0.0, None),
+        (1, 3, ts("2024-01-02 00:00:00"), "view", 0.0, None),
+        (2, 4, ts("2024-01-01 00:00:00"), "view", 0.0, None),
+    ]
+    sdf = _stream_events(spark, rows, 2, "dedup")
+    keyed = sdf.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+    out = runner.run_to_memory(state.streaming_dedup(keyed, ["user_id", "event_date"]), "dedup")
+    assert {(r.user_id, r.event_date) for r in out.collect()} == {
+        (1, "2024-01-01"), (1, "2024-01-02"), (2, "2024-01-01"),
+    }
+
+
+def test_fanout_sink_routes_by_column(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)], "id long, sink_table string, v double"
+    )
+    in_dir = runner.stage_stream_dir(df, "id", 2, "fanout")
+    sdf = runner.parquet_stream(spark, in_dir, df.schema)
+    out_dir = str(tmp_path / "out")
+    sinks.fanout_sink(sdf, "sink_table", out_dir, "fanout")
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 3
+    a_rows = spark.read.parquet(f"{out_dir}/sink_table=a")
+    assert sorted(r.id for r in a_rows.collect()) == [1, 3]
+
+
+def test_snapshot_merge_latest_version_wins(spark, tmp_path):
+    base = spark.createDataFrame([(1, 10.0, 0), (2, 20.0, 0)], "pk long, val double, v int")
+    updates = spark.createDataFrame([(1, 11.0, 1), (1, 12.0, 2), (3, 30.0, 1)], "pk long, val double, v int")
+    in_dir = runner.stage_stream_dir(updates, "v", 2, "merge")
+    sdf = runner.parquet_stream(spark, in_dir, updates.schema)
+    sink = sinks.SnapshotMergeSink(str(tmp_path / "snap"), "pk", "v")
+    sink.init(base)
+    runner.run_foreach_batch(sdf, sink.write_batch, "merge")
+    final = {r.pk: (r.val, r.v) for r in sink.current(spark).collect()}
+    assert final == {1: (12.0, 2), 2: (20.0, 0), 3: (30.0, 1)}
+
+
+def test_cdc_envelope_parse_renames_create(spark):
+    raw = spark.createDataFrame(
+        [
+            ('{"database":"d","tableName":"t","type":"create","after":{"id":"1"}}',),
+            ('{"database":"d","tableName":"t","type":"delete","before":{"id":"1"}}',),
+            ("not json",),
+        ],
+        "value string",
+    )
+    env = sources.parse_cdc_envelope(raw).collect()
+    by_type = {r.type: r for r in env}
+    assert "insert" in by_type and by_type["insert"].after["id"] == "1"
+    assert "delete" in by_type and by_type["delete"].before["id"] == "1"
+    assert any(r.type is None for r in env)  # dirty row survives with NULL envelope
