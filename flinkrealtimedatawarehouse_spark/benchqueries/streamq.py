@@ -111,25 +111,34 @@ def q_t7(spark: SparkSession, sf: str) -> DataFrame:
     return runner.run_to_memory(out, "t7").filter(F.col("user_id") >= 0)
 
 
-# --- K2: dynamic-destination fan-out via foreachBatch ---------------------
+# --- K2+T6: broadcast-config routing + dynamic-destination fan-out --------
 
 def q_k2(spark: SparkSession, sf: str) -> DataFrame:
-    """CDC-style rows routed to a per-row destination (sink_table column),
-    each micro-batch appended under its destination dir (the Kafka
-    per-row-topic sink shape, MyKafkaUtil.java:30-41)."""
+    """Streaming P4/J5/T6/K2: change rows joined in-stream against a small
+    broadcast config table (the reference's MapState broadcast,
+    BaseDBApp.java:91-97) to pick a per-row destination, then fanned out
+    per micro-batch under that destination (the Kafka per-row-topic sink
+    shape, MyKafkaUtil.java:30-41). Unconfigured (table, type) rows drop,
+    exactly like TableProcessFunction.java:151-155."""
     orders = load_table(spark, sf, "orders")
     enveloped = orders.select(
         F.col("o_orderkey").alias("id"),
         F.col("o_totalprice").alias("total"),
-        F.when(F.col("o_orderstatus") == "O", "fact_orders")
-        .when(F.col("o_orderstatus") == "F", "dim_orders")
-        .otherwise("dirty_orders")
-        .alias("sink_table"),
+        F.lit("orders").alias("tableName"),
+        F.when(F.col("o_orderstatus") == "O", "insert")
+        .when(F.col("o_orderstatus") == "F", "update")
+        .otherwise("delete")
+        .alias("type"),
+    )
+    config = spark.createDataFrame(
+        [("orders", "insert", "fact_orders"), ("orders", "update", "dim_orders")],
+        "tableName string, type string, sink_table string",
     )
     in_dir = runner.stage_stream_dir(enveloped, "id", 3, "k2")
     sdf = runner.parquet_stream(spark, in_dir, enveloped.schema)
+    routed = sdf.join(F.broadcast(config), ["tableName", "type"], "inner")
     out_dir = runner.scratch_dir("out_k2")
-    sinks.fanout_sink(sdf, "sink_table", out_dir, "k2")
+    sinks.fanout_sink(routed, "sink_table", out_dir, "k2")
     written = spark.read.parquet(out_dir)
     return written.groupBy("sink_table").agg(
         F.count(F.lit(1)).alias("ct"), F.round(F.sum("total"), 2).alias("total_sum")
@@ -137,11 +146,82 @@ def q_k2(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_K2 = """
-SELECT CASE WHEN o_orderstatus = 'O' THEN 'fact_orders'
-            WHEN o_orderstatus = 'F' THEN 'dim_orders'
-            ELSE 'dirty_orders' END AS sink_table,
+SELECT CASE WHEN o_orderstatus = 'O' THEN 'fact_orders' ELSE 'dim_orders' END AS sink_table,
        count(*)::BIGINT AS ct, round(sum(o_totalprice), 2) AS total_sum
-FROM orders GROUP BY 1
+FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1
+"""
+
+
+# --- S2: CDC source emulation — initial snapshot + streamed changelog -----
+
+def q_s2(spark: SparkSession, sf: str) -> DataFrame:
+    """FlinkCDC ``startupOptions(initial)`` (rt/app/ods/FlinkCDC.java:26-38)
+    = snapshot, then tail the changelog. Here: customer is the initial
+    snapshot; a JSON changelog (update wave then delete wave) streams
+    through the S3 envelope parser into a per-batch CDC MERGE
+    (operators/merge.apply_cdc) — upserts replace, deletes remove."""
+    cust = load_table(spark, sf, "customer")
+    upd = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.lit(1).alias("v"),
+        F.to_json(
+            F.struct(
+                F.lit("gmall").alias("database"),
+                F.lit("customer").alias("tableName"),
+                F.lit("update").alias("type"),
+                F.create_map(
+                    F.lit("id"), F.col("c_custkey").cast("string"),
+                    F.lit("acctbal"), F.round(F.col("c_acctbal") + 1000, 2).cast("string"),
+                    F.lit("mktsegment"), F.col("c_mktsegment"),
+                ).alias("after"),
+            )
+        ).alias("value"),
+    )
+    dels = cust.filter(F.col("c_custkey") % 30 == 0).select(
+        F.lit(2).alias("v"),
+        F.to_json(
+            F.struct(
+                F.lit("gmall").alias("database"),
+                F.lit("customer").alias("tableName"),
+                F.lit("delete").alias("type"),
+                F.create_map(F.lit("id"), F.col("c_custkey").cast("string")).alias("after"),
+            )
+        ).alias("value"),
+    )
+    changelog = upd.unionByName(dels)
+    in_dir = runner.stage_stream_dir(changelog, "v", 2, "s2")
+    raw = runner.parquet_stream(spark, in_dir, changelog.schema)
+
+    base = cust.select("c_custkey", "c_mktsegment", "c_acctbal").withColumn("v", F.lit(0))
+    from flinkrealtimedatawarehouse_spark.operators.merge import apply_cdc
+
+    sink = sinks.SnapshotMergeSink(runner.scratch_dir("out_s2"), "c_custkey", "v")
+    sink.init(base)
+
+    def write_batch(batch: DataFrame, _bid: int) -> None:
+        env = sources.parse_cdc_envelope(batch)
+        typed = env.select(
+            F.col("type"),
+            F.element_at("after", "id").cast("long").alias("c_custkey"),
+            F.element_at("after", "mktsegment").alias("c_mktsegment"),
+            F.element_at("after", "acctbal").cast("double").alias("c_acctbal"),
+            F.col("v"),
+        )
+        merged = apply_cdc(sink.current(batch.sparkSession), typed, "c_custkey", "v")
+        sink.version += 1
+        merged.write.mode("overwrite").parquet(sink._path(sink.version))
+
+    runner.run_foreach_batch(raw, write_batch, "s2")
+    final = sink.current(spark)
+    return final.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("ct"), F.round(F.sum("c_acctbal"), 2).alias("bal")
+    )
+
+
+SQL_S2 = """
+SELECT c_mktsegment, count(*)::BIGINT AS ct,
+       round(sum(CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 1000, 2)
+                      ELSE c_acctbal END), 2) AS bal
+FROM customer WHERE c_custkey % 30 <> 0 GROUP BY 1
 """
 
 
@@ -231,5 +311,6 @@ REGISTRY: dict = {
     "t7_bounce_stream": (q_t7, SQL_W1),
     "k2_fanout_stream": (q_k2, SQL_K2),
     "k3_merge_stream": (q_k3s, SQL_K3S),
+    "s2_cdc_stream_apply": (q_s2, SQL_S2),
     "s3_cdc_envelope": (q_s3, SQL_S3),
 }

@@ -43,7 +43,7 @@ def parse_cdc_envelope(raw: DataFrame, json_col: str = "value") -> DataFrame:
     """
     parsed = raw.withColumn("_env", F.from_json(F.col(json_col), CDC_ENVELOPE_SCHEMA))
     return parsed.select(
-        F.col(f"{json_col}"),
+        "*",  # pass-through columns (e.g. a version/offset) survive the parse
         F.col("_env.database").alias("database"),
         F.col("_env.tableName").alias("tableName"),
         F.when(F.col("_env.type") == "create", "insert")
@@ -51,7 +51,7 @@ def parse_cdc_envelope(raw: DataFrame, json_col: str = "value") -> DataFrame:
         .alias("type"),
         F.col("_env.before").alias("before"),
         F.col("_env.after").alias("after"),
-    )
+    ).drop("_env")
 
 
 # --- S1/S4: Kafka builders (no broker in container; plan-level only) ------

@@ -106,6 +106,33 @@ def test_snapshot_merge_latest_version_wins(spark, tmp_path):
     assert final == {1: (12.0, 2), 2: (20.0, 0), 3: (30.0, 1)}
 
 
+def test_late_rows_drop_past_watermark(spark):
+    """T8: the reference silently drops late data (no allowedLateness
+    anywhere); Spark's default matches. A row arriving in a later batch
+    with ts far behind the advanced watermark must not resurrect its
+    window."""
+    # three on-time batches advance the watermark well past the first
+    # window AND give eviction a batch to run; then the late row arrives
+    early = [(1, 1, ts("2024-01-01 00:00:01"), "view", 1.0, None),
+             (1, 2, ts("2024-01-01 02:00:00"), "view", 1.0, None),
+             (1, 3, ts("2024-01-01 02:30:00"), "view", 1.0, None)]
+    late = [(1, 4, ts("2024-01-01 00:00:05"), "view", 100.0, None)]  # 2.5h late
+    df_early = spark.createDataFrame(
+        early, "user_id long, event_id long, ts timestamp, event_type string, value double, props string"
+    )
+    df_late = spark.createDataFrame(late, df_early.schema)
+    in_dir = runner.stage_stream_dir(df_early, "ts", 3, "late")
+    runner.append_sentinel_file(in_dir, df_late, "late")
+    sdf = runner.parquet_stream(spark, in_dir, df_early.schema)
+    out = runner.run_to_memory(
+        windows.visitor_stats_stream(sdf, delay="1 second"), "late"
+    )
+    rows = [r for r in out.collect() if r.stt == "2024-01-01 00:00:00"]
+    # window emitted once, on time, with only the on-time row; the late
+    # row neither merged into it nor resurrected a second emission
+    assert [(r.pv_ct, r.value_sum) for r in rows] == [(1, 1.0)]
+
+
 def test_cdc_envelope_parse_renames_create(spark):
     raw = spark.createDataFrame(
         [
