@@ -560,9 +560,12 @@ FROM base
 
 # U2 7-stream product union -> daily per-item stats
 def q_u2(spark: SparkSession, sf: str) -> DataFrame:
+    # the 7 per-stream filters below re-read this DF once each (the
+    # reference's 7 Kafka sources re-read topics the same way) — persist
+    # the shared parse so the scan+JSON-extract runs once, not 7x
     ev = load_table(spark, sf, "events").withColumn(
         "item_id", F.get_json_object("props", "$.k").cast("int")
-    ).filter(F.col("item_id").isNotNull())
+    ).filter(F.col("item_id").isNotNull()).persist()
     t = F.col("event_type")
     v = F.col("value")
     streams = [
