@@ -435,6 +435,47 @@ SELECT kind, source, count(*)::BIGINT AS ct, sum(n_bytes)::BIGINT AS total_bytes
 FROM f GROUP BY 1, 2
 """
 
+# --- dp13 IVF-bucketed ANN top-k (coarse quantizer = label cells) ---------
+
+_IVF_NPROBE = 2
+
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _TK_PROBES)
+    return similarity.ivf_topk(
+        emb, probes, "vec_id", "embedding", "label", k=_TK_K, n_probe=_IVF_NPROBE
+    )
+
+SQL_IVF = f"""
+WITH q AS (SELECT vec_id, label, {_DUCK_Q} AS q FROM embeddings),
+gs AS (SELECT unnest(generate_series(1, (SELECT max(len(q)) FROM q))) AS i),
+pos AS (
+  SELECT label AS cell, gs.i AS pos, q.q[gs.i] AS qv FROM q CROSS JOIN gs
+),
+cent AS (
+  SELECT cell, list(s ORDER BY pos) AS cvec
+  FROM (SELECT cell, pos, sum(qv) AS s FROM pos GROUP BY 1, 2) GROUP BY 1
+),
+pc AS (
+  SELECT p.vec_id AS probe_id, p.q AS qp, c.cell,
+         row_number() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY {_duck_cosine('p.q', 'c.cvec')} DESC, c.cell
+         ) AS crank
+  FROM q p CROSS JOIN cent c WHERE p.vec_id < {_TK_PROBES}
+),
+s AS (
+  SELECT pc.probe_id, c.vec_id AS neighbor_id, {_duck_cosine('pc.qp', 'c.q')} AS cosine
+  FROM pc JOIN q c ON c.label = pc.cell AND c.vec_id <> pc.probe_id
+  WHERE pc.crank <= {_IVF_NPROBE}
+)
+SELECT probe_id, neighbor_id, cosine, rank::INT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= {_TK_K}
+"""
+
+
 REGISTRY = {
     "dp1_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dp2_minhash_lsh_neardup": (q_minhash_lsh, SQL_MINHASH_LSH),
@@ -448,4 +489,5 @@ REGISTRY = {
     "dp10_token_count": (q_token_count, SQL_TOKEN_COUNT),
     "dp11_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "dp12_multimodal_features": (q_multimodal, SQL_MULTIMODAL),
+    "dp13_ivf_topk": (q_ivf_topk, SQL_IVF),
 }

@@ -89,6 +89,67 @@ def cosine_topk(emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def ivf_topk(emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str,
+             label_col: str, k: int = 5, n_probe: int = 2,
+             quant: int = QUANT) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-``label_col`` centroid (the
+    inverted-file cell); each probe searches only its ``n_probe`` nearest
+    cells, exact cosine re-rank within.
+
+    Centroids are element-wise integer SUMS of the quantized vectors —
+    cosine is scale-invariant, so sum == mean for ranking, and integer
+    sums are associative: no float-association drift between engines or
+    between runs, unlike a float mean.
+
+    Scale: the centroid table is tiny (one row per cell) and broadcasts;
+    the candidate join is (probe x n_probe cells) -> corpus co-partitioned
+    by cell — shuffle per probe is bounded by its cells' sizes, never the
+    whole corpus. On a real deployment the label column is the output of a
+    k-means coarse quantizer; any assignment column works.
+    """
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("cell"),
+        quantized(F.col(vec_col), quant).alias("qn"),
+    )
+    # element-wise integer sum per cell
+    pos = corpus.select(
+        "cell", F.posexplode(F.col("qn")).alias("pos", "qv")
+    )
+    cent = (
+        pos.groupBy("cell", "pos")
+        .agg(F.sum("qv").alias("s"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("s")))),
+                lambda x: x["s"],
+            ).alias("cvec")
+        )
+    )
+    probe_q = probes.select(
+        F.col(id_col).alias("probe_id"), quantized(F.col(vec_col), quant).alias("qp")
+    )
+    cw = Window.partitionBy("probe_id").orderBy(F.col("ccos").desc(), F.col("cell").asc())
+    probe_cells = (
+        probe_q.join(F.broadcast(cent))
+        .select("probe_id", "qp", "cell", _exact_cosine(F.col("qp"), F.col("cvec")).alias("ccos"))
+        .withColumn("crank", F.row_number().over(cw))
+        .filter(F.col("crank") <= n_probe)
+        .select("probe_id", "qp", F.col("cell").alias("probe_cell"))
+    )
+    scored = corpus.join(
+        F.broadcast(probe_cells),
+        (F.col("cell") == F.col("probe_cell")) & (F.col("probe_id") != F.col("neighbor_id")),
+    ).select("probe_id", "neighbor_id", _exact_cosine(F.col("qp"), F.col("qn")).alias("cosine"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ann_topk_lsh(emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str,
                  k: int = 5, n_planes: int = 6, quant: int = QUANT) -> DataFrame:
     """Approximate top-k: candidates restricted to the probe's hyperplane
