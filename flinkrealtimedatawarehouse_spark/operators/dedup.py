@@ -4,8 +4,8 @@ Reference: keyBy(mid), keep a row only if `last_page_id` is empty AND the
 stored date differs from today's; ValueState with 24 h TTL
 (rt/app/dwd/UniqueVisitApp.java:52-90). Batch form: the "first event of the
 (key, day)" — `dropDuplicates` on (key, day) after the entry filter; the
-TTL is exactly the day-grain of the key. Streaming form lives in
-``streaming.jobs`` (watermarked dropDuplicates).
+TTL is exactly the day-grain of the key. Streaming form:
+``streaming.state.streaming_dedup`` (watermarked dropDuplicates).
 """
 
 from __future__ import annotations
