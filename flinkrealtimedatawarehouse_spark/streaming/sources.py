@@ -22,15 +22,7 @@ from pyspark.sql import types as T
 
 # --- S3: CDC envelope ------------------------------------------------------
 
-CDC_ENVELOPE_SCHEMA = T.StructType(
-    [
-        T.StructField("database", T.StringType()),
-        T.StructField("tableName", T.StringType()),
-        T.StructField("type", T.StringType()),
-        T.StructField("before", T.MapType(T.StringType(), T.StringType())),
-        T.StructField("after", T.MapType(T.StringType(), T.StringType())),
-    ]
-)
+from flinkrealtimedatawarehouse_spark.schemas import CDC_ENVELOPE_SCHEMA  # noqa: E402
 
 
 def parse_cdc_envelope(raw: DataFrame, json_col: str = "value") -> DataFrame:

@@ -1,0 +1,103 @@
+"""Hand-computed unit tests for the data-pipeline operators: known dup
+pairs survive dedup, disjoint docs don't; similarity ranking on crafted
+vectors; multimodal stub contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flinkrealtimedatawarehouse_spark.datapipeline import multimodal, similarity, textdedup, textstats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_min_id_survives(spark):
+    d = _docs(spark, [
+        (1, "Hello,   World!"),
+        (2, "hello world"),        # same normalized text
+        (3, "something else"),
+    ])
+    out = {r.doc_id: r.is_duplicate for r in textdedup.exact_dedup(d, "doc_id", "text").collect()}
+    assert out == {1: 0, 2: 1, 3: 0}
+
+
+def test_minhash_identical_docs_pair_at_one(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    d = _docs(spark, [(1, text), (2, text), (3, "completely different words forming an unrelated sentence entirely here now")])
+    pairs = textdedup.minhash_near_dups(d, "doc_id", "text", threshold=0.5).collect()
+    assert [(p.id_a, p.id_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_minhash_near_identical_above_threshold(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    d = _docs(spark, [(1, base), (2, base + " nu")])
+    pairs = textdedup.minhash_near_dups(d, "doc_id", "text", threshold=0.5).collect()
+    assert len(pairs) == 1 and pairs[0].jaccard >= 0.5
+
+
+def test_simhash_identical_hamming_zero(spark):
+    text = "repeated document body with enough tokens to hash"
+    d = _docs(spark, [(1, text), (2, text)])
+    out = textdedup.simhash_near_dups(d, "doc_id", "text", max_hamming=0).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 0)]
+
+
+def test_cosine_topk_ranks_by_angle(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),       # probe
+            (1, [0.9, 0.1]),       # closest
+            (2, [0.5, 0.5]),
+            (3, [0.0, 1.0]),       # orthogonal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    probes = emb.filter("vec_id = 0")
+    out = similarity.cosine_topk(emb, probes, "vec_id", "embedding", k=3).collect()
+    assert [r.neighbor_id for r in out] == [1, 2, 3]
+    assert out[0].rank == 1 and out[0].cosine > 0.99
+
+
+def test_ivf_probes_only_nearest_cells(spark):
+    # two tight cells far apart; probe in cell 0 must only see cell 0
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.01], 0),
+            (1, [1.0, 0.02], 0),
+            (2, [0.99, 0.0], 0),
+            (10, [-1.0, 0.01], 1),
+            (11, [-1.0, -0.02], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    probes = emb.filter("vec_id = 0")
+    out = similarity.ivf_topk(emb, probes, "vec_id", "embedding", "label", k=5, n_probe=1).collect()
+    assert sorted(r.neighbor_id for r in out) == [1, 2]  # cell-1 vectors never scanned
+
+
+def test_token_counts_and_quality(spark):
+    d = _docs(spark, [(1, "One two three. Four!")])
+    t = textstats.token_counts(d, "text").first()
+    assert t.ws_tokens == 4
+    q = textstats.quality_score(d, "text").first()
+    assert 0.0 <= q.quality <= 1.0
+
+
+def test_multimodal_fake_features_deterministic(spark):
+    d = spark.createDataFrame([(1, "abc", "s")], "doc_id long, text string, source string")
+    media = multimodal.to_media_table(d, "doc_id", "text", "source")
+    f1 = multimodal.extract_features(media, fake=True).first()
+    f2 = multimodal.extract_features(media, fake=True).first()
+    assert f1.feat_sum == f2.feat_sum == sum(b"abc")
+    assert f1.n_bytes == 3
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    d = spark.createDataFrame([(1, "abc", "s")], "doc_id long, text string, source string")
+    media = multimodal.to_media_table(d, "doc_id", "text", "source")
+    with pytest.raises(Exception):  # NotImplementedError inside the UDF
+        multimodal.extract_features(media, fake=False).collect()
