@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flinkrealtimedatawarehouse_spark.operators import ads, aggs, bounce, dedup, filters, joins, logsplit, merge, routing, unions
+from flinkrealtimedatawarehouse_spark.operators import ads, aggs, bounce, dedup, filters, joins, logsplit, merge, routing, scale, unions
 from flinkrealtimedatawarehouse_spark.functions.tokenize import explode_tokens
 from flinkrealtimedatawarehouse_spark.schemas import TABLE_PROCESS_SCHEMA
 from flinkrealtimedatawarehouse_spark.tables import load_table
@@ -698,6 +698,42 @@ SELECT c_mktsegment, count(*)::BIGINT AS ct,
 FROM customer WHERE c_custkey % 20 <> 0 GROUP BY 1
 """
 
+# X1 skew-safe two-stage aggregation == plain aggregation (TPC-H Q1 shape)
+def q_x1(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    out = scale.salted_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"ct": ("l_quantity", "count"), "sum_qty": ("l_quantity", "sum"),
+         "sum_price": ("l_extendedprice", "sum")},
+        n_salts=16,
+        salt_source="l_orderkey",
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "ct",
+        F.round("sum_qty", 2).alias("sum_qty"), F.round("sum_price", 2).alias("sum_price"),
+    )
+
+SQL_X1 = """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS ct,
+       round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY 1, 2
+"""
+
+# X2 co-bucketed exchange-free join == plain join
+def q_x2(spark: SparkSession, sf: str) -> DataFrame:
+    scale.write_bucketed(load_table(spark, sf, "orders"), "bx_orders", "o_custkey", 8)
+    scale.write_bucketed(load_table(spark, sf, "customer"), "bx_customer", "c_custkey", 8)
+    j = scale.bucketed_join(spark, "bx_orders", "bx_customer", ("o_custkey", "c_custkey"), force_smj=True)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("ct"), F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+
+SQL_X2 = """
+SELECT c_mktsegment, count(*)::BIGINT AS ct, round(sum(o_totalprice), 2) AS rev
+FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
+"""
+
 REGISTRY = {
     "p1_parse_or_dirty": (q_p1, SQL_P1),
     "p2_delete_filter": (q_p2, SQL_P2),
@@ -731,4 +767,6 @@ REGISTRY = {
     "f1_tokenize": (q_f1, SQL_F1),
     "k3_dim_upsert": (q_k3, SQL_K3),
     "k3b_apply_cdc": (q_k3b, SQL_K3B),
+    "x1_salted_agg": (q_x1, SQL_X1),
+    "x2_bucketed_join": (q_x2, SQL_X2),
 }

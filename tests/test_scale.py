@@ -1,0 +1,43 @@
+"""Scale-toolkit tests: salting preserves results while spreading groups;
+co-bucketed joins plan without a shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flinkrealtimedatawarehouse_spark.operators import scale
+
+
+def test_salted_agg_equals_plain(spark):
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 3).alias("k"),        # 3 hot groups
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    plain = {r.k: (r.ct, r.s) for r in df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("ct"), F.sum("v").alias("s")).collect()}
+    salted = {r.k: (r.ct, r.s) for r in scale.salted_agg(
+        df, ["k"], {"ct": ("v", "count"), "s": ("v", "sum")}, n_salts=8, salt_source="v"
+    ).collect()}
+    assert salted == plain
+
+
+def test_salted_broadcast_join_equals_plain(spark):
+    fact = spark.range(0, 5000).select((F.col("id") % 5).alias("fk"), F.col("id").alias("rowid"))
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(5)], "dk long, name string")
+    plain = fact.join(dim, fact.fk == dim.dk).groupBy("name").count()
+    salted = scale.salted_broadcast_join(fact, dim, ("fk", "dk"), n_salts=4, how="inner").groupBy("name").count()
+    assert {(r.name, r["count"]) for r in salted.collect()} == {(r.name, r["count"]) for r in plain.collect()}
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    a = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 1000).select(F.col("id").alias("k2"), (F.col("id") * 3).alias("vb"))
+    scale.write_bucketed(a, "bk_a", "k", n_buckets=4)
+    scale.write_bucketed(b, "bk_b", "k2", n_buckets=4)
+    joined = scale.bucketed_join(spark, "bk_a", "bk_b", ("k", "k2"), force_smj=True)
+    assert joined.count() == 1000
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+    # and both scans actually use the bucket layout
+    assert plan.count("Bucketed: true") == 2, plan
