@@ -17,13 +17,28 @@ from pyspark.sql import functions as F
 def parse_or_dirty(raw: DataFrame, json_col: str, schema) -> tuple[DataFrame, DataFrame]:
     """P1: parse-or-dirty router (BaseLogApp.java:46-62).
 
-    Returns (clean, dirty). `from_json` in PERMISSIVE mode nulls the struct
-    on corrupt input — the dirty stream is the null-parse complement, same
-    rows the reference routes to its "Dirty" side output.
+    Returns (clean, dirty) — the same rows the reference routes to its
+    "Dirty" side output. PERMISSIVE ``from_json`` does NOT null the struct
+    on corrupt input (it yields an all-null struct), so corrupt detection
+    uses ``columnNameOfCorruptRecord``: a ``_corrupt`` field is appended to
+    the schema and is non-null exactly for unparseable rows.
     """
-    parsed = raw.withColumn("parsed", F.from_json(F.col(json_col), schema))
-    clean = parsed.filter(F.col("parsed").isNotNull()).select(F.col(json_col), F.col("parsed.*"))
-    dirty = parsed.filter(F.col("parsed").isNull()).select(F.col(json_col))
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    with_corrupt = T.StructType(list(schema.fields) + [T.StructField("_corrupt", T.StringType())])
+    parsed = raw.withColumn(
+        "parsed",
+        F.from_json(
+            F.col(json_col),
+            with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+    is_dirty = F.col("parsed").isNull() | F.col("parsed._corrupt").isNotNull()
+    clean = parsed.filter(~is_dirty).select(F.col(json_col), F.col("parsed.*")).drop("_corrupt")
+    dirty = parsed.filter(is_dirty).select(F.col(json_col))
     return clean, dirty
 
 

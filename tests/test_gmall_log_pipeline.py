@@ -1,0 +1,70 @@
+"""End-to-end log pipeline on the REAL gmall log shape (schemas.py):
+raw nested JSON -> parse-or-dirty (P1) -> is_new correction (A6) ->
+3-way split with displays explode (P3) — the BaseLogApp path
+(rt/app/dwd/BaseLogApp.java:46-144) on its native structure, not the
+testdata analog."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from flinkrealtimedatawarehouse_spark.operators import logsplit
+from flinkrealtimedatawarehouse_spark.schemas import LOG_EVENT_SCHEMA
+
+
+def _raw_logs(spark):
+    def page(mid, ts, page_id, last, is_new, displays=None):
+        e = {
+            "common": {"mid": mid, "is_new": is_new, "ar": "110000", "ch": "app", "vc": "v1"},
+            "page": {"page_id": page_id, "last_page_id": last, "during_time": 1000},
+            "ts": ts,
+        }
+        if displays:
+            e["displays"] = [{"item": d, "item_type": "sku_id", "order": i + 1} for i, d in enumerate(displays)]
+        return json.dumps(e)
+
+    def start(mid, ts):
+        return json.dumps({
+            "common": {"mid": mid, "is_new": "1"},
+            "start": {"entry": "icon", "loading_time": 1200},
+            "ts": ts,
+        })
+
+    rows = [
+        (start("m1", 1000),),
+        (page("m1", 2000, "home", None, "1", displays=["sku1", "sku2"]),),
+        (page("m1", 3000, "good_detail", "home", "1"),),        # later '1' -> corrected to '0'
+        (page("m2", 1500, "home", None, "0"),),                  # logged '0' stays '0'
+        ("{broken json",),                                        # dirty
+    ]
+    return spark.createDataFrame(rows, "value string")
+
+
+def test_gmall_log_pipeline_end_to_end(spark):
+    raw = _raw_logs(spark)
+    clean, dirty = logsplit.parse_or_dirty(raw, "value", LOG_EVENT_SCHEMA)
+    assert dirty.count() == 1 and clean.count() == 4
+
+    # A6 on the real key (common.mid) and epoch-ms ts
+    flat = clean.select(
+        F.col("common.mid").alias("mid"),
+        F.col("common.is_new").alias("is_new"),
+        (F.col("ts") / 1000).cast("timestamp").alias("ets"),
+        "page", "start", "displays", "value",
+    )
+    corrected = logsplit.correct_is_new(flat, "mid", "ets", "is_new")
+    got = {(r.mid, r.ets.timestamp()): r.is_new_corrected for r in corrected.collect()}
+    assert got[("m1", 1.0)] == "1"     # first '1' of m1 keeps it
+    assert got[("m1", 2.0)] == "0"     # later '1' rewritten
+    assert got[("m1", 3.0)] == "0"
+    assert got[("m2", 1.5)] == "0"     # logged '0' untouched
+
+    # P3 on the real routing key (start presence) + displays explode
+    start_s, page_s, display_s = logsplit.three_way_split(corrected, F.col("start"))
+    assert start_s.count() == 1
+    assert page_s.count() == 3
+    d = display_s.select("mid", "page.page_id", "display.item", "display.order").collect()
+    assert {(r.item, r.order) for r in d} == {("sku1", 1), ("sku2", 2)}
+    assert all(r.page_id == "home" for r in d)  # page_id injected per display row

@@ -106,6 +106,23 @@ def test_snapshot_merge_latest_version_wins(spark, tmp_path):
     assert final == {1: (12.0, 2), 2: (20.0, 0), 3: (30.0, 1)}
 
 
+def test_monotonic_watermark_zero_delay(spark):
+    """T2: orders/payments are assumed ascending in the reference
+    (forMonotonousTimestamps, OrderWideApp.java:64,76) — the Spark form is
+    a 0-second watermark delay over a time-ordered replay."""
+    rows = [
+        (1, 1, ts("2024-01-01 00:00:01"), "view", 1.0, None),
+        (1, 2, ts("2024-01-01 00:20:00"), "view", 2.0, None),
+        (2, 3, ts("2024-01-01 01:00:00"), "view", 3.0, None),
+    ]
+    sdf = _stream_events(spark, rows, 3, "mono", sentinel_pad="11 minutes")
+    out = runner.run_to_memory(
+        windows.visitor_stats_stream(sdf, delay="0 seconds"), "mono"
+    )
+    got = {r.stt: r.pv_ct for r in out.filter("event_type = 'view'").collect()}
+    assert got == {"2024-01-01 00:00:00": 1, "2024-01-01 00:20:00": 1, "2024-01-01 01:00:00": 1}
+
+
 def test_late_rows_drop_past_watermark(spark):
     """T8: the reference silently drops late data (no allowedLateness
     anywhere); Spark's default matches. A row arriving in a later batch
