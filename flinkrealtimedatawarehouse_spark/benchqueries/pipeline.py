@@ -25,8 +25,10 @@ from flinkrealtimedatawarehouse_spark.datapipeline.hashing import (
     MERSENNE31,
     duck_minhash,
     duck_phash,
+    duck_hash_shingles,
     duck_shingle_hashes,
     duck_shingles,
+    duck_token_hashes,
     duck_tokens,
 )
 from flinkrealtimedatawarehouse_spark.datapipeline.similarity import (
@@ -136,15 +138,14 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 def _sql_sigs_cte() -> str:
     toks = duck_tokens("text")
-    shingles = duck_shingles("toks", _MH_N)
     return f"""
 a AS ({_SQL_NEAR_DUPS}),
-tk AS (SELECT doc_id, {toks} AS toks FROM a),
+tk AS (SELECT doc_id, {duck_token_hashes(toks)} AS th FROM a),
 sg AS (
-  SELECT doc_id, list_distinct({shingles}) AS shingles FROM tk
+  SELECT doc_id, list_distinct({duck_hash_shingles('th', _MH_N)}) AS shingles FROM tk
 ),
 ms AS (
-  SELECT doc_id, shingles, {duck_minhash(duck_shingle_hashes('shingles'), _MH_K)} AS sig
+  SELECT doc_id, shingles, {duck_minhash('shingles', _MH_K)} AS sig
   FROM sg WHERE len(shingles) > 0
 )"""
 
@@ -222,9 +223,9 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_NGRAM_JACCARD = f"""
 WITH a AS ({_SQL_NEAR_DUPS}),
-tk AS (SELECT doc_id, {duck_tokens('text')} AS toks FROM a),
+tk AS (SELECT doc_id, {duck_token_hashes(duck_tokens('text'))} AS th FROM a),
 sg AS (
-  SELECT doc_id, list_distinct({duck_shingles('toks', 3)}) AS shingles FROM tk
+  SELECT doc_id, list_distinct({duck_hash_shingles('th', 3)}) AS shingles FROM tk
 ),
 ms AS (SELECT doc_id, shingles FROM sg WHERE len(shingles) > 0),
 pr AS (SELECT doc_id AS id_a, doc_id + 20000 AS id_b FROM documents WHERE doc_id % 7 = 0)

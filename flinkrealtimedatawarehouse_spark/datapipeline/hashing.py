@@ -60,6 +60,34 @@ def spark_shingle_hashes(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: spark_phash(s) % F.lit(H30))
 
 
+SHINGLE_A = 1_000_003  # rolling-combination multiplier (Horner mod p)
+
+
+def spark_token_hashes(tokens: Column) -> Column:
+    """30-bit hash per TOKEN (one md5 per token — the shingle hashes below
+    combine these with integer arithmetic, so an n-gram costs zero extra
+    md5 calls; hashing shingle STRINGS cost n× the md5 work plus the
+    concat allocations)."""
+    return F.transform(tokens, lambda t: spark_phash(t) % F.lit(H30))
+
+
+def spark_hash_shingles(token_hashes: Column, n: int) -> Column:
+    """Combined hash per overlapping n-gram of token hashes: Horner with a
+    mod at every step (values stay < 2^51, no int64 overflow). [] when
+    fewer than n tokens."""
+
+    def comb(i: Column) -> Column:
+        expr = F.element_at(token_hashes, i + 1)
+        for j in range(1, n):
+            expr = (expr * F.lit(SHINGLE_A) + F.element_at(token_hashes, i + 1 + j)) % F.lit(MERSENNE31)
+        return expr
+
+    return F.when(
+        F.size(token_hashes) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(token_hashes) - n), comb),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def _perm_fn(a: int, b: int):
     # NB: captured via factory, not lambda defaults — PySpark counts default
     # params as higher-order-function arity.
@@ -95,6 +123,21 @@ def duck_shingles(tokens_expr: str, n: int) -> str:
 
 def duck_shingle_hashes(shingles_expr: str) -> str:
     return f"list_transform({shingles_expr}, s -> {duck_phash('s')} % {H30})"
+
+
+def duck_token_hashes(tokens_expr: str) -> str:
+    return f"list_transform({tokens_expr}, t -> {duck_phash('t')} % {H30})"
+
+
+def duck_hash_shingles(th_expr: str, n: int) -> str:
+    expr = f"({th_expr})[i]"
+    for j in range(1, n):
+        expr = f"((({expr}) * {SHINGLE_A} + ({th_expr})[i+{j}]) % {MERSENNE31})"
+    return (
+        f"CASE WHEN len({th_expr}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({th_expr}) - {n - 1}), i -> {expr}) "
+        f"ELSE []::BIGINT[] END"
+    )
 
 
 def duck_minhash(hashes_expr: str, k: int) -> str:

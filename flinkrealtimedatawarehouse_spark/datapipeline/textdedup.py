@@ -17,10 +17,10 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from flinkrealtimedatawarehouse_spark.datapipeline.hashing import (
+    spark_hash_shingles,
     spark_minhash,
     spark_phash,
-    spark_shingle_hashes,
-    spark_shingles,
+    spark_token_hashes,
     spark_tokens,
 )
 
@@ -51,15 +51,23 @@ def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
                        shingle_n: int = 3, k: int = 16) -> DataFrame:
-    """(id, shingles, sig): word-n-gram shingles + k-perm MinHash signature.
-    Docs with fewer than ``shingle_n`` tokens are dropped (no shingles)."""
+    """(id, sh_hashes, sig): word-n-gram shingle HASHES + k-perm MinHash
+    signature. Docs with fewer than ``shingle_n`` tokens are dropped.
+
+    Cost note: one md5 per TOKEN; each n-gram hash is an integer rolling
+    combination of its token hashes (hashing.spark_hash_shingles) — n×
+    fewer md5 calls and no shingle-string allocation vs hashing the
+    concatenated n-gram text. Jaccard then runs on the distinct hash sets
+    (30ish-bit space: same value as string-set Jaccard up to vanishing
+    collision probability, and the oracle uses the identical hashes).
+    """
     toks = spark_tokens(F.col(text_col))
+    th = spark_token_hashes(toks)
     with_sh = docs.select(
-        F.col(id_col), F.array_distinct(spark_shingles(toks, shingle_n)).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    return with_sh.withColumn("sh_hashes", spark_shingle_hashes(F.col("shingles"))).withColumn(
-        "sig", spark_minhash(F.col("sh_hashes"), k)
-    )
+        F.col(id_col),
+        F.array_distinct(spark_hash_shingles(th, shingle_n)).alias("sh_hashes"),
+    ).filter(F.size("sh_hashes") > 0)
+    return with_sh.withColumn("sig", spark_minhash(F.col("sh_hashes"), k))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
@@ -97,11 +105,12 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str, bands: int, rows_per_band:
 
 
 def jaccard_verify(pairs: DataFrame, sigs: DataFrame, id_col: str) -> DataFrame:
-    """n-gram Jaccard on the true shingle sets of candidate pairs only."""
-    sets_ = sigs.select(F.col(id_col), F.col("shingles"))
+    """n-gram Jaccard on the true (hashed) shingle sets of candidate pairs
+    only — never all pairs."""
+    sets_ = sigs.select(F.col(id_col), F.col("sh_hashes"))
     j = (
-        pairs.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        pairs.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh_hashes", "sh_a"), "id_a")
+        .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh_hashes", "sh_b"), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     uni = F.size(F.array_union("sh_a", "sh_b"))
