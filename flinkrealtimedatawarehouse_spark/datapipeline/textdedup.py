@@ -61,13 +61,24 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
     (30ish-bit space: same value as string-set Jaccard up to vanishing
     collision probability, and the oracle uses the identical hashes).
     """
-    toks = spark_tokens(F.col(text_col))
-    th = spark_token_hashes(toks)
-    with_sh = docs.select(
-        F.col(id_col),
-        F.array_distinct(spark_hash_shingles(th, shingle_n)).alias("sh_hashes"),
-    ).filter(F.size("sh_hashes") > 0)
-    return with_sh.withColumn("sig", spark_minhash(F.col("sh_hashes"), k))
+    # Structure matters for 100×+ more than it looks:
+    # - the row filter runs on size(toks) — NOT size(sh_hashes) — because
+    #   Catalyst's filter pushdown substitutes aliases into the predicate
+    #   unconditionally; a predicate over sh_hashes inlines the whole
+    #   tokens→md5→Horner tree, and each element_at(th, ·) inside the
+    #   transform lambda then re-evaluates the full token-hash array per
+    #   shingle position (~150× the md5 work; measured 44 s of a 48 s
+    #   stage at sf0.1). size(toks) >= n is the same row set.
+    # - each stage is its own projection so the next references a bound
+    #   attribute; CollapseProject keeps the boundary (non-cheap producer
+    #   referenced more than once).
+    return (
+        docs.select(F.col(id_col), spark_tokens(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") >= shingle_n)
+        .select(id_col, spark_token_hashes(F.col("toks")).alias("th"))
+        .select(id_col, F.array_distinct(spark_hash_shingles(F.col("th"), shingle_n)).alias("sh_hashes"))
+        .select(id_col, "sh_hashes", spark_minhash(F.col("sh_hashes"), k).alias("sig"))
+    )
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
@@ -149,11 +160,14 @@ SIMHASH_BAND_BITS = 8
 def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash over distinct-token hashes (unweighted): bit i is 1
     iff sum over tokens of (2*bit_i(h)-1) > 0. Pure built-ins."""
-    toks = F.array_distinct(spark_tokens(F.col(text_col)))
-    hashed = docs.select(
-        F.col(id_col),
-        F.transform(toks, lambda t: spark_phash(t)).alias("th"),
-    ).filter(F.size("th") > 0)
+    # Filter on token count BEFORE hashing: a predicate over `th` would be
+    # pushed down with the md5 transform inlined (one extra full-array md5
+    # eval per row) — see minhash_signatures for the pathological case.
+    hashed = (
+        docs.select(F.col(id_col), F.array_distinct(spark_tokens(F.col(text_col))).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(id_col, F.transform("toks", lambda t: spark_phash(t)).alias("th"))
+    )
     def _bit_sum(i: int):
         # factory (not lambda defaults): PySpark counts default params as HOF arity
         return F.aggregate(
