@@ -127,23 +127,48 @@ def parquet_stream(
     )
 
 
+class _stream_shuffle_partitions:
+    """Scope a lower shuffle-partition count to one replay run.
+
+    A stateful streaming query pays a state-store commit per shuffle
+    partition per micro-batch; at replay-harness scale (a few thousand
+    rows over ~6 micro-batches) 32 partitions is pure overhead — the
+    per-query state partition count is fixed from the FIRST batch of a
+    checkpoint, and our checkpoints are fresh per run, so narrowing the
+    setting here is safe and local. On a real cluster you would size this
+    to executor count × cores instead; the operators themselves don't care.
+    """
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def run_to_memory(
     sdf: DataFrame,
     tag: str,
     output_mode: str = "append",
+    shuffle_partitions: int = 8,
 ) -> DataFrame:
     """Run a streaming DF to completion into a memory sink; return the
     sink table as a batch DataFrame. Checkpointing on (T9)."""
     name = f"sink_{tag}_{os.getpid()}_{next(_counter)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", scratch_dir(f"ckpt_{tag}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_partitions(sdf.sparkSession, shuffle_partitions):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", scratch_dir(f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return sdf.sparkSession.table(name)
 
 
@@ -151,13 +176,15 @@ def run_foreach_batch(
     sdf: DataFrame,
     batch_fn,
     tag: str,
+    shuffle_partitions: int = 8,
 ) -> None:
     """Run a streaming DF to completion through a foreachBatch writer
     (the K2/K3/K4 sink shapes). Checkpointing on."""
-    q = (
-        sdf.writeStream.foreachBatch(batch_fn)
-        .option("checkpointLocation", scratch_dir(f"ckpt_{tag}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_partitions(sdf.sparkSession, shuffle_partitions):
+        q = (
+            sdf.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", scratch_dir(f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
