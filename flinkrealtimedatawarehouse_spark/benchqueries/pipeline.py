@@ -477,6 +477,89 @@ SELECT probe_id, neighbor_id, cosine, rank::INT AS rank FROM (
 """
 
 
+# --- dp14 repetition / boilerplate signals (Gopher-style) -----------------
+
+def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 25 == 0)
+    return textstats.repetition_stats(docs, "doc_id", "text")
+
+SQL_REPETITION = f"""
+WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+tk AS (SELECT doc_id, {duck_tokens('text')} AS toks FROM a),
+f AS (
+  SELECT doc_id, toks, len(toks)::INT AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         {duck_shingles('toks', 2)} AS bigrams
+  FROM tk WHERE len(toks) > 0
+),
+ex AS (SELECT doc_id, unnest(bigrams) AS bg FROM f),
+ct AS (SELECT doc_id, bg, count(*) AS ct FROM ex GROUP BY 1, 2),
+tp AS (SELECT doc_id, max(ct) AS top_bg_ct FROM ct GROUP BY 1)
+SELECT f.doc_id, n_tokens,
+       round(n_distinct::DOUBLE / n_tokens, 6) AS ttr,
+       round(coalesce(top_bg_ct, 0)::DOUBLE * 2 / n_tokens, 6) AS top_bigram_frac
+FROM f LEFT JOIN tp ON f.doc_id = tp.doc_id
+"""
+
+# --- dp15 PII redaction ---------------------------------------------------
+
+def _docs_with_pii(spark, sf):
+    """Plant deterministic emails+phones on doc_id % 13 == 0 (same
+    transformation in the oracle) so the scrub has real positives."""
+    docs = load_table(spark, sf, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-1234"),
+    )
+    return docs.withColumn(
+        "text", F.when(F.col("doc_id") % 13 == 0, pii).otherwise(F.col("text"))
+    )
+
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    r = textstats.pii_redact(_docs_with_pii(spark, sf), "text")
+    return r.filter((F.col("n_emails") + F.col("n_phones")) > 0).select(
+        "doc_id", "n_emails", "n_phones", F.length("clean_text").alias("clean_len")
+    )
+
+SQL_PII = f"""
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0
+              THEN text || ' reach user' || doc_id || '@mail.example.com or +1-555-'
+                   || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-1234'
+              ELSE text END AS text
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{textstats.PII_EMAIL}'))::INT AS n_emails,
+         len(regexp_extract_all(text, '{textstats.PII_PHONE}'))::INT AS n_phones,
+         length(regexp_replace(regexp_replace(text, '{textstats.PII_EMAIL}', '[EMAIL]', 'g'),
+                               '{textstats.PII_PHONE}', '[PHONE]', 'g'))::INT AS clean_len
+  FROM a
+)
+SELECT doc_id, n_emails, n_phones, clean_len FROM r WHERE n_emails + n_phones > 0
+"""
+
+# --- dp16 corpus-level top-k n-grams --------------------------------------
+
+_NG_N, _NG_K = 2, 20
+
+def q_corpus_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.corpus_ngrams(load_table(spark, sf, "documents"), "text", _NG_N, _NG_K)
+
+SQL_CORPUS_NGRAMS = f"""
+WITH tk AS (SELECT {duck_tokens('text')} AS toks FROM documents),
+ex AS (SELECT unnest({duck_shingles('toks', _NG_N)}) AS gram FROM tk)
+SELECT gram, count(*)::BIGINT AS ct FROM ex
+GROUP BY 1 ORDER BY ct DESC, gram LIMIT {_NG_K}
+"""
+
+
 REGISTRY = {
     "dp1_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dp2_minhash_lsh_neardup": (q_minhash_lsh, SQL_MINHASH_LSH),
@@ -491,4 +574,7 @@ REGISTRY = {
     "dp11_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "dp12_multimodal_features": (q_multimodal, SQL_MULTIMODAL),
     "dp13_ivf_topk": (q_ivf_topk, SQL_IVF),
+    "dp14_repetition": (q_repetition, SQL_REPETITION),
+    "dp15_pii_redact": (q_pii_redact, SQL_PII),
+    "dp16_corpus_ngrams": (q_corpus_ngrams, SQL_CORPUS_NGRAMS),
 }

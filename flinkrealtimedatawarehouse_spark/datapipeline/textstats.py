@@ -108,6 +108,89 @@ def token_counts(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``ttr``: type-token ratio (distinct tokens / tokens); low = repetitive
+    - ``top_bigram_frac``: occurrences of the most frequent token bigram ×
+      2 / token count — the classic "fraction of text inside the top
+      2-gram" quality filter
+
+    Shape for scale: the per-doc bigram mode needs a count per (doc,
+    bigram); that is explode -> two-level partial aggregate (map-side
+    combine on both), so the shuffle carries (doc, bigram) counts, not raw
+    text. Docs with < 2 tokens get top_bigram_frac 0.
+    """
+    toks_df = docs.select(F.col(id_col), spark_tokens(F.col(text_col)).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    base = toks_df.select(
+        id_col,
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        spark_shingles(F.col("toks"), 2).alias("bigrams"),
+    )
+    top = (
+        base.select(id_col, F.explode("bigrams").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .groupBy(id_col)
+        .agg(F.max("ct").alias("top_bg_ct"))
+    )
+    return (
+        base.join(top, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens"),
+            F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(
+                F.coalesce(F.col("top_bg_ct"), F.lit(0)).cast("double") * 2 / F.col("n_tokens"), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+# PII patterns kept to RE2-safe syntax (char classes only, no lookaround)
+# so the Spark (Java regex) and DuckDB (RE2) engines match identically.
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{3,4}"
+
+
+def pii_redact(docs: DataFrame, text_col: str) -> DataFrame:
+    """Scrub emails / intl-format phone numbers, keeping counts:
+    ``n_emails``, ``n_phones``, ``clean_text`` (matches replaced with
+    [EMAIL]/[PHONE]). Pure regexp built-ins — one narrow projection, no
+    shuffle; at 100 TB this runs entirely map-side."""
+    text = F.col(text_col)
+    return docs.withColumns(
+        {
+            "n_emails": F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0))),
+            "n_phones": F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), F.lit(0))),
+            "clean_text": F.regexp_replace(
+                F.regexp_replace(text, PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
+            ),
+        }
+    )
+
+
+def corpus_ngrams(docs: DataFrame, text_col: str, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k token n-grams: explode -> count -> top-k.
+
+    Scale shape: counts partial-aggregate map-side before the single
+    hash exchange on the n-gram key; the final top-k is a TakeOrdered on
+    (ct desc, gram asc) — deterministic under ties, no full sort of the
+    tail. A hot-key skew here is inherent to the data (Zipf) but the
+    partial aggregate already collapses it to one row per partition."""
+    toks = spark_tokens(F.col(text_col))
+    grams = docs.select(F.explode(spark_shingles(toks, n)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .orderBy(F.col("ct").desc(), F.col("gram"))
+        .limit(k)
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str, text_col: str,
                 shingle_n: int = 5, mod: int = 1 << 20) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum portable hash of

@@ -101,3 +101,35 @@ def test_multimodal_real_decode_is_stubbed(spark):
     media = multimodal.to_media_table(d, "doc_id", "text", "source")
     with pytest.raises(Exception):  # NotImplementedError inside the UDF
         multimodal.extract_features(media, fake=False).collect()
+
+
+def test_repetition_stats_detects_loops(spark):
+    d = _docs(spark, [
+        (1, "spam ham spam ham spam ham"),   # 6 tokens, top bigram "spam ham" x3 -> frac 1.0
+        (2, "a b c d e f"),                  # all distinct, every bigram unique
+        (3, "solo"),                         # 1 token: no bigrams
+    ])
+    r = {row["doc_id"]: row for row in textstats.repetition_stats(d, "doc_id", "text").collect()}
+    assert r[1]["ttr"] == pytest.approx(2 / 6, abs=1e-6)
+    assert r[1]["top_bigram_frac"] == pytest.approx(1.0)
+    assert r[2]["ttr"] == pytest.approx(1.0)
+    assert r[2]["top_bigram_frac"] == pytest.approx(2 / 6, abs=1e-6)
+    assert r[3]["top_bigram_frac"] == 0.0
+
+
+def test_pii_redact_scrubs_and_counts(spark):
+    d = _docs(spark, [
+        (1, "write to jane.doe+x@corp.example.org or +44-207-946-0958 today"),
+        (2, "no pii here"),
+    ])
+    r = {row["doc_id"]: row for row in textstats.pii_redact(d, "text").collect()}
+    assert (r[1]["n_emails"], r[1]["n_phones"]) == (1, 1)
+    assert "[EMAIL]" in r[1]["clean_text"] and "[PHONE]" in r[1]["clean_text"]
+    assert "jane" not in r[1]["clean_text"] and "0958" not in r[1]["clean_text"]
+    assert r[2]["clean_text"] == "no pii here"
+
+
+def test_corpus_ngrams_orders_and_breaks_ties(spark):
+    d = _docs(spark, [(1, "x y x y"), (2, "x y z"), (3, "a b")])
+    rows = textstats.corpus_ngrams(d, "text", n=2, k=3).collect()
+    assert [(r["gram"], r["ct"]) for r in rows] == [("x y", 3), ("a b", 1), ("y x", 1)]
