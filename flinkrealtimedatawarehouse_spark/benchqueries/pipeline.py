@@ -275,6 +275,14 @@ SELECT probe_id, neighbor_id, cosine, rank::INT AS rank FROM (
 ) WHERE rank <= {_TK_K}
 """
 
+# --- dp6b Arrow-vectorized brute-force top-k (same oracle as dp6) ---------
+
+def q_cosine_topk_batch(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _TK_PROBES)
+    return similarity.cosine_topk_batch(emb, probes, "vec_id", "embedding", k=_TK_K)
+
+
 # --- dp7 LSH-bucketed ANN top-k ------------------------------------------
 
 _ANN_PLANES = 6
@@ -574,6 +582,7 @@ REGISTRY = {
     "dp11_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "dp12_multimodal_features": (q_multimodal, SQL_MULTIMODAL),
     "dp13_ivf_topk": (q_ivf_topk, SQL_IVF),
+    "dp17_cosine_topk_batch": (q_cosine_topk_batch, SQL_COSINE_TOPK),
     "dp14_repetition": (q_repetition, SQL_REPETITION),
     "dp15_pii_redact": (q_pii_redact, SQL_PII),
     "dp16_corpus_ngrams": (q_corpus_ngrams, SQL_CORPUS_NGRAMS),

@@ -171,3 +171,73 @@ def ann_topk_lsh(emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str,
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def cosine_topk_batch(emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str,
+                      k: int = 5, quant: int = QUANT) -> DataFrame:
+    """Arrow-vectorized brute-force top-k — same answer as ``cosine_topk``,
+    different physical path: the bounded probe set ships to every partition
+    as a numpy int64 matrix and each ``mapInPandas`` batch scores
+    probes × batch with one matmul (int64 dot/norm products are EXACT, so
+    the result is bit-identical to the expression path and the same DuckDB
+    oracle applies).
+
+    Per-batch pruning keeps, per probe, the top ``k`` by unrounded cosine
+    plus everything within 1.1e-6 of the k-th value — a margin wider than
+    the worst movement 6-dp rounding can cause — so the final Spark-side
+    re-rank (rounded cosine, id tiebreak) sees every row that could make
+    the true top k. Shuffle volume: O(probes × k) per batch, never the
+    corpus. This is the shape that wins at 100 TB: one Arrow transfer per
+    batch, one BLAS-grade matmul, no per-row lambda interpretation.
+    """
+    import numpy as np
+    import pandas as pd
+
+    probe_rows = probes.select(F.col(id_col), quantized(F.col(vec_col), quant).alias("q")).collect()
+    p_ids = np.array([r[id_col] for r in probe_rows], dtype=np.int64)
+    p_mat = np.array([r["q"] for r in probe_rows], dtype=np.int64)          # (P, D)
+    p_norm = (p_mat * p_mat).sum(axis=1)                                     # (P,)
+    bc = emb.sparkSession.sparkContext.broadcast((p_ids, p_mat, p_norm))
+
+    out_schema = "probe_id long, neighbor_id long, dot long, na long, nb long"
+
+    def score(batches):
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n_ids = pdf["_nid"].to_numpy(dtype=np.int64)
+            n_mat = np.array(list(pdf["_q"]), dtype=np.int64)               # (N, D)
+            n_norm = (n_mat * n_mat).sum(axis=1)                            # (N,)
+            dots = mat @ n_mat.T                                            # (P, N) int64 exact
+            cos = dots / np.sqrt(norms[:, None].astype(np.float64) * n_norm[None, :])
+            for pi in range(len(ids)):
+                mask = n_ids != ids[pi]
+                c = cos[pi][mask]
+                if c.size == 0:
+                    continue
+                kth = np.sort(c)[::-1][min(k, c.size) - 1]
+                keep = c >= kth - 1.1e-6
+                sel = np.flatnonzero(mask)[keep]
+                yield pd.DataFrame({
+                    "probe_id": ids[pi],
+                    "neighbor_id": n_ids[sel],
+                    "dot": dots[pi][sel],
+                    "na": norms[pi],
+                    "nb": n_norm[sel],
+                })
+
+    corpus = emb.select(
+        F.col(id_col).alias("_nid"), quantized(F.col(vec_col), quant).alias("_q")
+    )
+    cand = corpus.mapInPandas(score, out_schema)
+    cosine = F.round(
+        F.col("dot").cast("double") / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")), 6
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.select("probe_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )

@@ -133,3 +133,16 @@ def test_corpus_ngrams_orders_and_breaks_ties(spark):
     d = _docs(spark, [(1, "x y x y"), (2, "x y z"), (3, "a b")])
     rows = textstats.corpus_ngrams(d, "text", n=2, k=3).collect()
     assert [(r["gram"], r["ct"]) for r in rows] == [("x y", 3), ("a b", 1), ("y x", 1)]
+
+
+def test_cosine_topk_batch_matches_expression_path(spark):
+    import random
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.filter(F.col("vec_id") < 4)
+    a = similarity.cosine_topk(emb, probes, "vec_id", "embedding", k=5)
+    b = similarity.cosine_topk_batch(emb, probes, "vec_id", "embedding", k=5)
+    key = lambda r: (r["probe_id"], r["rank"])
+    ra, rb = sorted(a.collect(), key=key), sorted(b.collect(), key=key)
+    assert [tuple(r) for r in ra] == [tuple(r) for r in rb]
