@@ -29,6 +29,8 @@ HEADLINE = [
     "dp2_minhash_lsh_neardup",
     "dp6_cosine_topk",
     "dp11_fingerprint",
+    "dp16_corpus_ngrams",
+    "dp17_cosine_topk_batch",
 ]
 
 

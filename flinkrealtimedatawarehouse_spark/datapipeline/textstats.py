@@ -181,8 +181,11 @@ def corpus_ngrams(docs: DataFrame, text_col: str, n: int = 2, k: int = 20) -> Da
     (ct desc, gram asc) — deterministic under ties, no full sort of the
     tail. A hot-key skew here is inherent to the data (Zipf) but the
     partial aggregate already collapses it to one row per partition."""
-    toks = spark_tokens(F.col(text_col))
-    grams = docs.select(F.explode(spark_shingles(toks, n)).alias("gram"))
+    # tokens in their own projection: spark_shingles references its input
+    # 3× (size guard, sequence bound, slice in the lambda) — inlined, the
+    # regex split would re-run per shingle position (see textdedup note)
+    toks_df = docs.select(spark_tokens(F.col(text_col)).alias("toks"))
+    grams = toks_df.select(F.explode(spark_shingles(F.col("toks"), n)).alias("gram"))
     return (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("ct"))
@@ -196,7 +199,9 @@ def fingerprint(docs: DataFrame, id_col: str, text_col: str,
     """Winnowing-style document fingerprint: the minimum portable hash of
     the word ``shingle_n``-grams, reduced mod ``mod`` — collisions group
     near-identical prefixes/bodies. Output: (id, fingerprint)."""
-    toks = spark_tokens(F.col(text_col))
-    sh = spark_shingles(toks, shingle_n)
-    fp = F.array_min(F.transform(sh, lambda s: spark_phash(s) % F.lit(mod)))
-    return docs.select(F.col(id_col), F.coalesce(fp, F.lit(-1)).alias("fingerprint"))
+    fp = F.array_min(F.transform(F.col("_sh"), lambda s: spark_phash(s) % F.lit(mod)))
+    return (
+        docs.select(F.col(id_col), spark_tokens(F.col(text_col)).alias("_toks"))
+        .select(id_col, spark_shingles(F.col("_toks"), shingle_n).alias("_sh"))
+        .select(F.col(id_col), F.coalesce(fp, F.lit(-1)).alias("fingerprint"))
+    )
