@@ -1,0 +1,108 @@
+"""Property-based equivalence tests (hypothesis): randomized inputs checked
+against brute-force Python reference semantics. Spark round-trips are slow,
+so examples are capped; the properties cover the algebra the hand-picked
+cases can't: arbitrary key/ts distributions, duplicate keys, negative gaps.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flinkrealtimedatawarehouse_spark.operators.joins import interval_join
+from flinkrealtimedatawarehouse_spark.operators.merge import upsert_latest
+from flinkrealtimedatawarehouse_spark.operators.scale import salted_agg
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_T0 = datetime(2024, 1, 1)
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 30)), min_size=0, max_size=12),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 30)), min_size=0, max_size=12),
+)
+@settings(**_SETTINGS)
+def test_interval_join_matches_bruteforce(spark, left, right):
+    """J1/J2 equals the quadratic definition: pairs with equal key and
+    r.ts in [l.ts - 5 s, l.ts + 5 s], bounds inclusive."""
+    ldf = spark.createDataFrame(
+        [(k, _T0 + timedelta(seconds=s), i) for i, (k, s) in enumerate(left)],
+        "lk long, lts timestamp, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _T0 + timedelta(seconds=s), i) for i, (k, s) in enumerate(right)],
+        "rk long, rts timestamp, rid long",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            ldf, rdf, ("lk", "rk"), ("lts", "rts"), "'-5' SECOND", "'5' SECOND"
+        ).collect()
+    }
+    want = {
+        (li, ri)
+        for li, (lk, ls) in enumerate(left)
+        for ri, (rk, rs) in enumerate(right)
+        if lk == rk and ls - 5 <= rs <= ls + 5
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-100, 100)), min_size=0, max_size=25
+    ),
+    n_salts=st.integers(1, 8),
+)
+@settings(**_SETTINGS)
+def test_salted_agg_equals_plain_groupby(spark, rows, n_salts):
+    """x1: two-stage salted aggregation is exactly groupBy for every
+    decomposable measure, for any salt fan-out."""
+    df = spark.createDataFrame([(k, v) for k, v in rows] or [(0, 0)], "k long, v long")
+    if not rows:
+        df = df.limit(0)
+    out = salted_agg(
+        df, ["k"],
+        {"s": ("v", "sum"), "c": ("v", "count"), "mn": ("v", "min"), "mx": ("v", "max")},
+        n_salts=n_salts,
+    )
+    got = {r["k"]: (r["s"], r["c"], r["mn"], r["mx"]) for r in out.collect()}
+    want = {}
+    for k, v in rows:
+        s, c, mn, mx = want.get(k, (0, 0, None, None))
+        want[k] = (s + v, c + 1, v if mn is None else min(mn, v), v if mx is None else max(mx, v))
+    assert got == want
+
+
+@given(
+    base=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 5)), min_size=0, max_size=10),
+    updates=st.lists(st.tuples(st.integers(0, 5), st.integers(6, 11)), min_size=0, max_size=10),
+)
+@settings(**_SETTINGS)
+def test_upsert_latest_is_idempotent_and_newest_wins(spark, base, updates):
+    """K3: applying the same update batch twice equals applying it once,
+    and every surviving row is the max-version row of its key (updates
+    always out-version the snapshot here, so winners are deterministic)."""
+    snap = spark.createDataFrame(base or [(0, 0)], "id long, ver long")
+    if not base:
+        snap = snap.limit(0)
+    upd = spark.createDataFrame(updates or [(0, 6)], "id long, ver long")
+    if not updates:
+        upd = upd.limit(0)
+
+    once = upsert_latest(snap, upd, "id", "ver")
+    twice = upsert_latest(once, upd, "id", "ver")
+    as_rows = lambda df: sorted((r["id"], r["ver"]) for r in df.collect())
+    assert as_rows(once) == as_rows(twice)
+
+    want: dict[int, int] = {}
+    for i, v in base + updates:
+        want[i] = max(want.get(i, -1), v)
+    assert dict(as_rows(once)) == want
