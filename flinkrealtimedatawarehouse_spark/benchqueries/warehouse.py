@@ -341,6 +341,29 @@ SELECT word AS keyword, count(*)::BIGINT AS ct, 'search' AS source,
 FROM t GROUP BY word, time_bucket(INTERVAL '1 hour', ts)
 """
 
+# W3/F1 as PURE SQL — the reference's third entry point (SURVEY §3.3):
+# DDL'd source -> LATERAL TABLE(split_words(...)) -> TUMBLE window -> append
+# (rt/app/dws/KeywordStatsApp.java:43-98). Spark form: temp view + one
+# spark.sql text with LATERAL VIEW explode + a SQL lambda tokenizer (stays
+# in codegen; the reference needs a registered UDTF because Flink SQL has
+# no array higher-order functions) + GROUP BY window(). Same oracle as a4.
+def q_w3_sql(spark: SparkSession, sf: str) -> DataFrame:
+    load_table(spark, sf, "documents").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60)
+    ).createOrReplaceTempView("kw_docs")
+    return spark.sql("""
+        SELECT word AS keyword, count(*) AS ct, 'search' AS source,
+               date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS stt,
+               date_format(window.end, 'yyyy-MM-dd HH:mm:ss') AS edt,
+               unix_timestamp(window.start) AS ts
+        FROM kw_docs
+        LATERAL VIEW explode(
+            filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) >= 1)
+        ) tok AS word
+        GROUP BY window(ts, '1 hour'), word
+    """)
+
+
 # A5 daily unique visitors
 def q_a5(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.daily_unique_counts(load_table(spark, sf, "events"), "user_id", "ts")
@@ -760,6 +783,7 @@ REGISTRY = {
     "a11_visitor_ratios": (q_a11, SQL_A11),
     "w1_bounce_detect": (q_w1, SQL_W1),
     "w2_window_bounds": (q_w2, SQL_W2),
+    "w3_sql_pipeline": (q_w3_sql, SQL_A4),
     "u1_visitor_union": (q_u1, SQL_U1),
     "u2_product_union": (q_u2, SQL_U2),
     "o1_top_keywords": (q_o1, SQL_O1),
