@@ -192,3 +192,40 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     ).parquet(in_dir)
     # resumed run re-reads nothing: ids 1/2 appear exactly once, no dups
     assert run() == [1, 2, 3]
+
+
+def test_out_of_order_within_delay_is_merged(spark):
+    """T1's other half: a row arriving one batch late but INSIDE the
+    watermark delay still lands in its event-time window (bounded
+    out-of-orderness, VisitorStatsApp.java:129-130 — 11 s there; a wide
+    delay here so the straggler is safely inside it)."""
+    import glob
+    import os
+    import shutil
+
+    on_time = [(1, 1, ts("2024-01-01 00:00:01"), "view", 1.0, None),
+               (1, 2, ts("2024-01-01 00:20:00"), "view", 1.0, None),
+               (1, 3, ts("2024-01-01 00:40:00"), "view", 1.0, None)]
+    straggler = [(1, 4, ts("2024-01-01 00:00:05"), "view", 10.0, None)]  # 40 min behind
+    df = spark.createDataFrame(
+        on_time, "user_id long, event_id long, ts timestamp, event_type string, value double, props string"
+    )
+    in_dir = runner.stage_stream_dir(df, "ts", 3, "ooo")
+    # straggler = its own file AFTER the on-time batches (watermark has
+    # seen 00:40, delay=45min keeps it admissible), then a flush sentinel
+    tmp = runner.scratch_dir("ooo_straggler")
+    spark.createDataFrame(straggler, df.schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+    dst = os.path.join(in_dir, "yy-straggler.parquet")
+    shutil.copyfile(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+    newest = max(
+        os.path.getmtime(os.path.join(in_dir, f))
+        for f in os.listdir(in_dir) if f.endswith(".parquet") and f != "yy-straggler.parquet"
+    )
+    os.utime(dst, (newest + 5, newest + 5))
+    sent = runner.make_sentinel(df, "ts", "'2' HOUR", {"user_id": -1, "event_id": -1, "event_type": "__wm__"})
+    runner.append_sentinel_file(in_dir, sent, "ooo")
+
+    sdf = runner.parquet_stream(spark, in_dir, df.schema)
+    out = runner.run_to_memory(windows.visitor_stats_stream(sdf, delay="45 minutes"), "ooo")
+    rows = [r for r in out.collect() if r.stt == "2024-01-01 00:00:00"]
+    assert [(r.pv_ct, r.value_sum) for r in rows] == [(2, 11.0)]
