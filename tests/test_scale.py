@@ -41,3 +41,17 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
     # and both scans actually use the bucket layout
     assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_partitioned_gold_scan_prunes(spark, tmp_path):
+    """Gold tables partition by dt; a dt filter must reach the scan as a
+    PartitionFilter (directory pruning — at 100 TB this is the difference
+    between reading one day and reading the table)."""
+    out = str(tmp_path / "gold")
+    spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)], "dt string, v int"
+    ).write.partitionBy("dt").parquet(out)
+    scan = spark.read.parquet(out).filter(F.col("dt") == "2024-01-01")
+    plan = scan._sc._jvm.PythonSQLUtils.explainString(scan._jdf.queryExecution(), "extended")
+    assert "PartitionFilters" in plan and "2024-01-01" in plan.split("PartitionFilters", 1)[1][:200]
+    assert scan.count() == 2
