@@ -97,3 +97,62 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             yield out
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8,
+                 fake: bool = True) -> DataFrame:
+    """Frame sampling via ``mapInPandas`` — one output row per sampled
+    frame (the row-expanding shape a video pipeline needs; a real decoder
+    yields every k-th decoded frame here). fake=True samples fixed-width
+    byte windows of the payload as stand-in frames, deterministic and
+    schema-faithful; fake=False raises at the decode boundary."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame sampling requires av/ffmpeg — not available; "
+                    "plug the demuxer in here (payload -> frames)"
+                )
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p)
+                for i in range(min(max_frames, max(1, len(raw) // every_n_bytes))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(raw[i * every_n_bytes:(i + 1) * every_n_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def resize(media: DataFrame, target_bytes: int = 256, fake: bool = True) -> DataFrame:
+    """Resize via ``mapInPandas`` — payload-in/payload-out, schema
+    preserved (MEDIA_SCHEMA with updated n_bytes). fake=True truncates/pads
+    the byte payload to ``target_bytes`` (deterministic stand-in for a real
+    image resample); fake=False raises at the decode boundary."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real resize requires PIL — not available; "
+                    "plug the resampler in here (payload -> payload)"
+                )
+            resized = [bytes(p)[:target_bytes].ljust(target_bytes, b"\0") for p in pdf["payload"]]
+            meta = [
+                {"kind": m["kind"], "n_bytes": target_bytes, "source": m["source"]}
+                for m in pdf["meta"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": resized, "meta": meta})
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)

@@ -146,3 +146,24 @@ def test_cosine_topk_batch_matches_expression_path(spark):
     key = lambda r: (r["probe_id"], r["rank"])
     ra, rb = sorted(a.collect(), key=key), sorted(b.collect(), key=key)
     assert [tuple(r) for r in ra] == [tuple(r) for r in rb]
+
+
+def test_frame_sample_and_resize_contracts(spark):
+    docs = _docs(spark, [(1, "x" * 200), (2, "y" * 10)])
+    media = multimodal.to_media_table(
+        docs.withColumn("source", F.lit("s")), "doc_id", "text", "source"
+    )
+    frames = multimodal.frame_sample(media, every_n_bytes=64, max_frames=8).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 3          # 200 // 64
+    assert len(by_id[2]) == 1          # short payload -> one frame
+    assert bytes(by_id[1][0]["frame"]) == b"x" * 64
+
+    resized = multimodal.resize(media, target_bytes=32).collect()
+    assert all(r["meta"]["n_bytes"] == 32 and len(bytes(r["payload"])) == 32 for r in resized)
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="NotImplementedError|real frame"):
+        multimodal.frame_sample(media, fake=False).collect()
