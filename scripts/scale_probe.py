@@ -1,0 +1,57 @@
+"""Scale probe: amplify the documents/embeddings tables N× (id-shifted
+copies — same text distribution, disjoint ids) and time the dedup/ANN
+paths at each multiple. Linear wall-time growth = the bucket-bounded
+candidate generation is holding; superlinear growth would expose an
+all-pairs or recompute pathology. Run: ``python scripts/scale_probe.py
+[sf_dir] [multiples...]``; feeds the table in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def amplify(df, id_col, n):
+    out = df
+    step = 1_000_000
+    for i in range(1, n):
+        out = out.unionByName(df.withColumn(id_col, F.col(id_col) + i * step))
+    return out
+
+
+def main() -> int:
+    from flinkrealtimedatawarehouse_spark.datapipeline import textdedup, textstats
+    from flinkrealtimedatawarehouse_spark.session import get_spark
+
+    args = sys.argv[1:]
+    sf = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
+    multiples = [int(a) for a in args if not os.path.isdir(a)] or [1, 2, 4, 8]
+
+    spark = get_spark("scale_probe")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    base_n = docs.count()
+
+    for m in multiples:
+        d = amplify(docs, "doc_id", m)
+        t0 = time.time()
+        n_pairs = textdedup.minhash_near_dups(d, "doc_id", "text", 3, 16, 8, 0.5).count()
+        t_mh = time.time() - t0
+        t0 = time.time()
+        textstats.corpus_ngrams(d, "text", 2, 20).collect()
+        t_ng = time.time() - t0
+        print(
+            f"x{m} ({base_n * m} docs): minhash_lsh={t_mh:.1f}s ({n_pairs} pairs) "
+            f"corpus_ngrams={t_ng:.1f}s",
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
