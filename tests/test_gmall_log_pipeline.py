@@ -68,3 +68,42 @@ def test_gmall_log_pipeline_end_to_end(spark):
     d = display_s.select("mid", "page.page_id", "display.item", "display.order").collect()
     assert {(r.item, r.order) for r in d} == {("sku1", 1), ("sku2", 2)}
     assert all(r.page_id == "home" for r in d)  # page_id injected per display row
+
+
+def test_visitor_stats_native_keys_union(spark):
+    """U1/A1 on the reference's ACTUAL key tuple (ar, ch, is_new, vc) and
+    measure set pv/uv/sv/uj/dur (VisitorStatsApp.java:60-126, 133-188):
+    three aligned streams union, then one keyed tumble-sum."""
+    from datetime import datetime
+
+    from flinkrealtimedatawarehouse_spark.operators import unions
+
+    def ev(ar, ch, vc, is_new, sec, dur, entry):
+        return (ar, ch, vc, is_new, datetime(2024, 1, 1, 0, 0, sec), float(dur), entry)
+
+    # mid-less simplification: pv rows; uv = first per key-day; uj = entries
+    rows = [
+        ev("110", "app", "v1", "1", 1, 1000, 1),
+        ev("110", "app", "v1", "1", 5, 2000, 0),
+        ev("130", "web", "v2", "0", 9, 500, 1),
+    ]
+    pv = spark.createDataFrame(
+        rows, "ar string, ch string, vc string, is_new string, ts timestamp, dur double, entry int"
+    )
+    uv = pv.filter("entry = 1")          # stand-in uv stream
+    uj = pv.filter("entry = 1")          # stand-in bounce stream
+
+    keys = ["ar", "ch", "vc", "is_new"]
+    unioned = unions.align_union(
+        [
+            (pv, {"pv_ct": F.lit(1), "dur_sum": F.col("dur")}),
+            (uv, {"uv_ct": F.lit(1)}),
+            (uj, {"sv_ct": F.lit(1), "uj_ct": F.lit(1)}),
+        ],
+        keys, "ts", ["pv_ct", "uv_ct", "sv_ct", "uj_ct", "dur_sum"],
+    )
+    out = unions.tumble_sum(unioned, keys, "ts", ["pv_ct", "uv_ct", "sv_ct", "uj_ct", "dur_sum"], "10 seconds")
+    got = {(r.ar, r.ch, r.vc, r.is_new): (r.pv_ct, r.uv_ct, r.sv_ct, r.uj_ct, r.dur_sum)
+           for r in out.collect()}
+    assert got[("110", "app", "v1", "1")] == (2.0, 1.0, 1.0, 1.0, 3000.0)
+    assert got[("130", "web", "v2", "0")] == (1.0, 1.0, 1.0, 1.0, 500.0)
