@@ -96,3 +96,57 @@ def correct_is_new(
             F.when(rn == 1, F.lit("1")).otherwise(F.lit("0"))
         ),
     )
+
+
+def first_seen_table(events: DataFrame, key: str, ts_col: str) -> DataFrame:
+    """Compacted first-seen state for A6 at scale: one row per key with its
+    earliest '1'-event timestamp — the batch image of the reference's keyed
+    ValueState (BaseLogApp.java:67-72; only '1' events write state).
+
+    An incremental pipeline keeps this table instead of re-scanning
+    history: `update_first_seen` folds a new batch in with one
+    groupBy+merge on the key, so the per-batch cost is O(batch + keys
+    touched), not O(history).
+    """
+    return (
+        events.filter(F.col("is_new") == "1")
+        .groupBy(key)
+        .agg(F.min(ts_col).alias("first_seen_ts"))
+    )
+
+
+def update_first_seen(state: DataFrame, batch: DataFrame, key: str, ts_col: str) -> DataFrame:
+    """Fold a new batch into the first-seen table (min of old and new)."""
+    delta = first_seen_table(batch, key, ts_col)
+    return (
+        state.withColumnRenamed("first_seen_ts", "_old")
+        .join(delta.withColumnRenamed("first_seen_ts", "_new"), key, "full_outer")
+        .select(
+            key,
+            F.least("_old", "_new").alias("first_seen_ts"),  # least() skips nulls
+        )
+    )
+
+
+def correct_is_new_incremental(
+    batch: DataFrame, state: DataFrame, key: str, ts_col: str, is_new_col: str = "is_new"
+) -> DataFrame:
+    """A6 against the compacted state: a '1' event is kept '1' only if it
+    IS the key's recorded first-seen event; everything else follows the
+    reference rules ('0' never upgraded). Equivalent to correct_is_new
+    over (history + batch) — proven in tests — at O(batch) cost."""
+    st = state.select(F.col(key), F.col("first_seen_ts"))
+    return (
+        batch.join(st, key, "left")
+        .withColumn(
+            "is_new_corrected",
+            F.when(F.col(is_new_col) != F.lit("1"), F.col(is_new_col)).otherwise(
+                F.when(
+                    F.col("first_seen_ts").isNull()
+                    | (F.col(ts_col) == F.col("first_seen_ts")),
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+            ),
+        )
+        .drop("first_seen_ts")
+    )

@@ -153,3 +153,49 @@ def test_apply_cdc_delete(spark):
     )
     out = {r.id: r.val for r in merge.apply_cdc(snap, changes, "id", "v").collect()}
     assert out == {1: "A"}
+
+
+def test_incremental_is_new_equals_batch(spark):
+    """The compacted first-seen path (state folded batch-by-batch) gives
+    the same corrections as correct_is_new over the whole history."""
+    from datetime import datetime
+
+    rows = [  # (mid, sec, is_new)
+        ("m1", 1, "1"), ("m1", 2, "1"), ("m1", 3, "0"),
+        ("m2", 1, "0"), ("m2", 2, "1"), ("m2", 5, "1"),
+        ("m3", 4, "1"),
+    ]
+    df = spark.createDataFrame(
+        [(m, datetime(2024, 1, 1, 0, 0, s), i) for m, s, i in rows],
+        "mid string, ts timestamp, is_new string",
+    )
+    want = {(r["mid"], r["ts"]): r["is_new_corrected"]
+            for r in logsplit.correct_is_new(df, "mid", "ts").collect()}
+
+    # replay in two batches through the compacted state
+    b1 = df.filter(F.col("ts") <= datetime(2024, 1, 1, 0, 0, 2))
+    b2 = df.filter(F.col("ts") > datetime(2024, 1, 1, 0, 0, 2))
+    state = spark.createDataFrame([], "mid string, first_seen_ts timestamp")
+    got = {}
+    for b in (b1, b2):
+        state = logsplit.update_first_seen(state, b, "mid", "ts")
+        out = logsplit.correct_is_new_incremental(b, state, "mid", "ts")
+        got.update({(r["mid"], r["ts"]): r["is_new_corrected"] for r in out.collect()})
+    assert got == want
+
+
+def test_visitor_stats_approx_distinct_shape(spark):
+    """approx_count_distinct fallback: same schema, plausible counts
+    (HLL exact for tiny cardinalities), one fewer shuffle."""
+    from datetime import datetime
+
+    from flinkrealtimedatawarehouse_spark.operators import aggs
+
+    df = spark.createDataFrame(
+        [(u, 1, datetime(2024, 1, 1, 0, 0, 1), "view", 1.0, None) for u in range(5)],
+        "user_id long, event_id long, ts timestamp, event_type string, value double, props string",
+    )
+    exact = aggs.visitor_stats_tumble(df).collect()
+    approx = aggs.visitor_stats_tumble(df, approx_distinct=True).collect()
+    assert [r.asDict().keys() for r in exact] == [r.asDict().keys() for r in approx]
+    assert approx[0]["uv_ct"] == 5  # HLL is exact at tiny cardinality
