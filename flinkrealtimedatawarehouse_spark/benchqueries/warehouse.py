@@ -498,6 +498,54 @@ SELECT user_id, event_id,
 FROM l WHERE ie = 1
 """
 
+# W1 boundary corpus: PLANTED events pinning the CEP edge semantics at
+# exactly the gap (UserJumpDetailApp.java:72 within(10s) — a successor at
+# exactly +gap is OUTSIDE the match window, the timeout fires first).
+# u1: entry, entry at +9s        -> both bounce (match + tail timeout)
+# u2: entry, click at +10s       -> bounce (strict-next window expired)
+# u3: entry, click at +9.999s    -> NOT a bounce (inside, continuation)
+# u4: entry, entry at +10s       -> bounce + bounce (timeout, then tail)
+# u5: entry, click +2s, entry +9s-> not-bounce, then tail entry bounce
+_W1B_ROWS = [
+    (1, 1, "2024-01-01 00:00:00", "view"), (1, 2, "2024-01-01 00:00:09", "view"),
+    (2, 3, "2024-01-01 00:00:00", "view"), (2, 4, "2024-01-01 00:00:10", "click"),
+    (3, 5, "2024-01-01 00:00:00", "view"), (3, 6, "2024-01-01 00:00:09.999", "click"),
+    (4, 7, "2024-01-01 00:00:00", "view"), (4, 8, "2024-01-01 00:00:10", "view"),
+    (5, 9, "2024-01-01 00:00:00", "view"), (5, 10, "2024-01-01 00:00:02", "click"),
+    (5, 11, "2024-01-01 00:00:09", "view"),
+]
+
+def q_w1b(spark: SparkSession, sf: str) -> DataFrame:
+    ev = spark.createDataFrame(
+        [(u, e, ts, et) for u, e, ts, et in _W1B_ROWS],
+        "user_id long, event_id long, ts_s string, event_type string",
+    ).select("user_id", "event_id", F.to_timestamp("ts_s").alias("ts"), "event_type")
+    marked = bounce.mark_bounces(
+        ev, "user_id", "ts", F.col("event_type") == "view", 10, tiebreak="event_id"
+    )
+    return marked.select("user_id", "event_id", "is_bounce")
+
+_W1B_VALUES = ", ".join(
+    f"({u}, {e}, TIMESTAMP '{ts}', '{et}')" for u, e, ts, et in _W1B_ROWS
+)
+
+SQL_W1B = f"""
+WITH ev(user_id, event_id, ts, event_type) AS (VALUES {_W1B_VALUES}),
+e AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ie
+  FROM ev
+), l AS (
+  SELECT *, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts,
+            lead(ie) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nie
+  FROM e
+)
+SELECT user_id, event_id,
+       CASE WHEN nts IS NOT NULL AND epoch(nts) - epoch(ts) < 10 AND nie = 0
+            THEN 0 ELSE 1 END AS is_bounce
+FROM l WHERE ie = 1
+"""
+
 # W2 window-bound stamping (15-minute tumble)
 def q_w2(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
@@ -782,6 +830,7 @@ REGISTRY = {
     "a10_gmv_day": (q_a10, SQL_A10),
     "a11_visitor_ratios": (q_a11, SQL_A11),
     "w1_bounce_detect": (q_w1, SQL_W1),
+    "w1b_bounce_boundary": (q_w1b, SQL_W1B),
     "w2_window_bounds": (q_w2, SQL_W2),
     "w3_sql_pipeline": (q_w3_sql, SQL_A4),
     "u1_visitor_union": (q_u1, SQL_U1),
