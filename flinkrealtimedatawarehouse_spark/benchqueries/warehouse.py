@@ -498,6 +498,40 @@ SELECT user_id, event_id,
 FROM l WHERE ie = 1
 """
 
+# J1 boundary corpus: PLANTED rows pinning the interval-join bounds as
+# INCLUSIVE on both ends (Flink intervalJoin default — OrderWideApp.java:82;
+# exclusivity knobs exist but the apps never use them). ±5 s window:
+# details at exactly -5 s and +5 s join; ±5.001 s do not.
+_J1B_L = [(1, "2024-01-01 00:01:00")]
+_J1B_R = [
+    (1, 101, "2024-01-01 00:00:55"),      # exactly -5s -> in
+    (1, 102, "2024-01-01 00:01:05"),      # exactly +5s -> in
+    (1, 103, "2024-01-01 00:00:54.999"),  # just outside -> out
+    (1, 104, "2024-01-01 00:01:05.001"),  # just outside -> out
+    (2, 105, "2024-01-01 00:01:00"),      # other key -> out
+]
+
+def q_j1b(spark: SparkSession, sf: str) -> DataFrame:
+    left = spark.createDataFrame(_J1B_L, "l_user long, l_s string").select(
+        "l_user", F.to_timestamp("l_s").alias("l_ts")
+    )
+    right = spark.createDataFrame(_J1B_R, "r_user long, r_id long, r_s string").select(
+        "r_user", "r_id", F.to_timestamp("r_s").alias("r_ts")
+    )
+    j = joins.interval_join(
+        left, right, ("l_user", "r_user"), ("l_ts", "r_ts"), "'-5' SECOND", "'5' SECOND"
+    )
+    return j.select("l_user", "r_id")
+
+SQL_J1B = f"""
+WITH l(l_user, l_ts) AS (VALUES {", ".join(f"({u}, TIMESTAMP '{t}')" for u, t in _J1B_L)}),
+r(r_user, r_id, r_ts) AS (VALUES {", ".join(f"({u}, {i}, TIMESTAMP '{t}')" for u, i, t in _J1B_R)})
+SELECT l_user, r_id FROM l JOIN r
+  ON l_user = r_user
+ AND r_ts >= l_ts - INTERVAL '5' SECOND
+ AND r_ts <= l_ts + INTERVAL '5' SECOND
+"""
+
 # W1 boundary corpus: PLANTED events pinning the CEP edge semantics at
 # exactly the gap (UserJumpDetailApp.java:72 within(10s) — a successor at
 # exactly +gap is OUTSIDE the match window, the timeout fires first).
@@ -814,6 +848,7 @@ REGISTRY = {
     "p8_time_fields": (q_p8, SQL_P8),
     "p9_age_derivation": (q_p9, SQL_P9),
     "j1_interval_join_pm5": (q_j1, SQL_J1),
+    "j1b_interval_boundary": (q_j1b, SQL_J1B),
     "j2_interval_join_asym": (q_j2, SQL_J2),
     "j3_dim_enrich": (q_j3, SQL_J3),
     "j4_dim_chain_star": (q_j4, SQL_J4),
