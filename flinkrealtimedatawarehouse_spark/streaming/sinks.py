@@ -31,14 +31,32 @@ from flinkrealtimedatawarehouse_spark.operators.merge import upsert_latest
 from flinkrealtimedatawarehouse_spark.streaming.runner import run_foreach_batch
 
 
-def fanout_sink(sdf: DataFrame, sink_col: str, out_dir: str, tag: str) -> str:
-    """K2: run ``sdf`` to completion, appending every micro-batch into
+def fanout_sink(sdf: DataFrame, sink_col: str, out_dir: str, tag: str,
+                exactly_once: bool = True) -> str:
+    """K2: run ``sdf`` to completion, writing every micro-batch into
     ``out_dir`` partitioned by the per-row destination column. Returns
     ``out_dir`` (read back with ``spark.read.parquet(out_dir)``; each
-    destination is the directory ``{out_dir}/{sink_col}=<dest>``)."""
+    destination is the directory ``{out_dir}/{sink_col}=<dest>``).
 
-    def write_batch(batch: DataFrame, _batch_id: int) -> None:
-        batch.write.mode("append").partitionBy(sink_col).parquet(out_dir)
+    ``exactly_once=True`` sub-partitions by the micro-batch id with
+    dynamic partition OVERWRITE, so a batch replayed after a failure
+    rewrites exactly its own ``(dest, _bid)`` directories instead of
+    appending duplicates — foreachBatch is at-least-once by contract and
+    this is the standard idempotence trick (the reference runs producer
+    semantic NONE and has neither guarantee, MyKafkaUtil.java:38-40).
+    Readers drop the ``_bid`` column."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if exactly_once:
+            (
+                batch.withColumn("_bid", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(sink_col, "_bid")
+                .parquet(out_dir)
+            )
+        else:
+            batch.write.mode("append").partitionBy(sink_col).parquet(out_dir)
 
     run_foreach_batch(sdf, write_batch, tag)
     return out_dir

@@ -229,3 +229,24 @@ def test_out_of_order_within_delay_is_merged(spark):
     out = runner.run_to_memory(windows.visitor_stats_stream(sdf, delay="45 minutes"), "ooo")
     rows = [r for r in out.collect() if r.stt == "2024-01-01 00:00:00"]
     assert [(r.pv_ct, r.value_sum) for r in rows] == [(2, 11.0)]
+
+
+def test_fanout_replayed_batch_is_idempotent(spark, tmp_path):
+    """K2 exactly-once: re-running a micro-batch (foreachBatch is
+    at-least-once) overwrites its own (dest, batch) partitions — no
+    duplicate rows after a replay."""
+    out = str(tmp_path / "fan")
+    b0 = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "id long, sink_table string, v double")
+
+    def write(batch, bid):
+        (batch.withColumn("_bid", F.lit(bid))
+         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+         .partitionBy("sink_table", "_bid").parquet(out))
+
+    write(b0, 0)
+    write(b0, 0)  # replay of the SAME batch id
+    b1 = spark.createDataFrame([(3, "a", 3.0)], "id long, sink_table string, v double")
+    write(b1, 1)
+    back = spark.read.parquet(out)
+    assert back.count() == 3  # no duplicates from the replay
+    assert sorted(r["id"] for r in back.filter("sink_table = 'a'").collect()) == [1, 3]
