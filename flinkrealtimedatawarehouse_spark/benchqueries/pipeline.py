@@ -568,6 +568,87 @@ GROUP BY 1 ORDER BY ct DESC, gram LIMIT {_NG_K}
 """
 
 
+# --- dp18 benchmark decontamination ---------------------------------------
+
+_DC_N = 3
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc n-gram overlap against a 'benchmark' set = every
+    doc_id % 17 == 0 document (verbatim -> overlap 1.0 for those ids,
+    partial overlap only via shared grams elsewhere). Returns docs with
+    any overlap."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    out = textdedup.ngram_overlap(docs, bench, "doc_id", "text", n=_DC_N)
+    return out.filter(F.col("overlap") > 0)
+
+def _sql_decontaminate() -> str:
+    toks = duck_tokens("text")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, {duck_token_hashes(toks)} AS th FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct({duck_hash_shingles('th', _DC_N)})) AS g
+  FROM tk WHERE len(th) >= {_DC_N}
+),
+bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 17 = 0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+hit AS (SELECT doc_id, count(*) AS n_hit FROM g JOIN bg USING (g) GROUP BY 1)
+SELECT tot.doc_id, n_grams::BIGINT AS n_grams,
+       round(coalesce(n_hit, 0)::DOUBLE / n_grams, 6) AS overlap
+FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+WHERE coalesce(n_hit, 0) > 0
+"""
+
+SQL_DECONTAMINATE = _sql_decontaminate()
+
+# --- dp19 dedup cluster assignment (connected components) -----------------
+
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-id assignment over the LSH near-dup graph: connected
+    components by min-label propagation; emits only multi-member clusters
+    (the dedup work list)."""
+    docs = _docs_with_near_dups(spark, sf)
+    pairs = textdedup.minhash_near_dups(
+        docs, "doc_id", "text", _MH_N, _MH_K, _MH_BANDS, _MH_THRESH
+    ).select("id_a", "id_b")
+    labels = textdedup.dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
+    return labels.filter(F.col("cluster") != F.col("doc_id")).orderBy("doc_id")
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH {_sql_sigs_cte()},
+bd AS (
+  SELECT doc_id, bi.band_idx,
+         concat_ws('_', sig[2 * bi.band_idx + 1], sig[2 * bi.band_idx + 2]) AS band_key
+  FROM ms CROSS JOIN (SELECT unnest(generate_series(0, {_MH_BANDS - 1})) AS band_idx) bi
+),
+cd AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bd a JOIN bd b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+jv AS (
+  SELECT id_a, id_b,
+         round(len(list_intersect(x.shingles, y.shingles))::DOUBLE /
+               len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS jaccard
+  FROM cd JOIN ms x ON x.doc_id = id_a JOIN ms y ON y.doc_id = id_b
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM jv WHERE jaccard >= {_MH_THRESH}
+  UNION SELECT id_b, id_a FROM jv WHERE jaccard >= {_MH_THRESH}
+),
+rc AS (
+  WITH RECURSIVE reach(node, r) AS (
+    SELECT DISTINCT src, src FROM e
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r
+  )
+  SELECT node, min(r) AS cluster FROM reach GROUP BY 1
+)
+SELECT node AS doc_id, cluster FROM rc WHERE cluster <> node ORDER BY doc_id
+"""
+
 REGISTRY = {
     "dp1_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dp2_minhash_lsh_neardup": (q_minhash_lsh, SQL_MINHASH_LSH),
@@ -586,4 +667,6 @@ REGISTRY = {
     "dp14_repetition": (q_repetition, SQL_REPETITION),
     "dp15_pii_redact": (q_pii_redact, SQL_PII),
     "dp16_corpus_ngrams": (q_corpus_ngrams, SQL_CORPUS_NGRAMS),
+    "dp18_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "dp19_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
 }

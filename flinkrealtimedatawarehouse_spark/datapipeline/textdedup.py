@@ -264,3 +264,98 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --- benchmark decontamination -------------------------------------------
+
+def ngram_overlap(docs: DataFrame, bench: DataFrame, id_col: str, text_col: str,
+                  n: int = 3) -> DataFrame:
+    """Decontamination check: per document, the fraction of its distinct
+    token n-grams that appear anywhere in the benchmark set ``bench``
+    (the standard train/test-overlap filter before LLM training).
+
+    Scale shape: the benchmark gram set is small (test suites, not
+    corpora) — distinct-reduce it and let the join broadcast; the corpus
+    side is explode -> one partial-agg groupBy per doc. No all-pairs
+    anything; corpus cost is O(grams).
+    """
+    def grams(df, keep_id):
+        cols = [F.col(id_col)] if keep_id else []
+        toks_df = df.select(*cols, spark_tokens(F.col(text_col)).alias("toks")).filter(
+            F.size("toks") >= n
+        )
+        th_df = toks_df.select(*cols, spark_token_hashes(F.col("toks")).alias("th"))
+        return th_df.select(
+            *cols, F.explode(F.array_distinct(spark_hash_shingles(F.col("th"), n))).alias("g")
+        )
+
+    doc_g = grams(docs, keep_id=True)
+    bench_g = grams(bench, keep_id=False).distinct()
+    totals = doc_g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        doc_g.join(F.broadcast(bench_g), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_grams"), 6
+            ).alias("overlap"),
+        )
+    )
+
+
+# --- dedup cluster assignment (connected components) ----------------------
+
+def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str,
+                   max_iter: int = 15) -> DataFrame:
+    """Canonical-document assignment: connected components over near-dup
+    pairs via min-label propagation — every doc gets ``cluster`` = the
+    smallest doc id reachable through the dup graph (the id to KEEP; all
+    others are the dedup drop set).
+
+    Pregel-style iteration: each round joins labels across (symmetrized)
+    edges and takes the min; rounds needed = graph diameter, which for
+    dup clusters is tiny. Each round is one shuffle on the edge key; the
+    loop stops early when no label changes (one lightweight count action
+    per round — the standard driver-coordinated fixpoint, same as
+    GraphX/GraphFrames CC; at extreme scale swap in the alternating
+    big-star/small-star variant).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["node2"], "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))

@@ -167,3 +167,26 @@ def test_frame_sample_and_resize_contracts(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="NotImplementedError|real frame"):
         multimodal.frame_sample(media, fake=False).collect()
+
+
+def test_ngram_overlap_full_and_zero(spark):
+    d = _docs(spark, [
+        (1, "alpha beta gamma delta"),      # in bench verbatim -> 1.0
+        (2, "alpha beta gamma epsilon"),    # shares 'alpha beta gamma' -> 1/2
+        (3, "one two three four"),          # disjoint -> 0.0
+    ])
+    bench = d.filter(F.col("doc_id") == 1)
+    r = {row["doc_id"]: row for row in
+         textdedup.ngram_overlap(d, bench, "doc_id", "text", n=3).collect()}
+    assert r[1]["overlap"] == 1.0
+    assert r[2]["overlap"] == pytest.approx(0.5)
+    assert r[3]["overlap"] == 0.0
+
+
+def test_dedup_clusters_chain_and_singleton(spark):
+    # chain 1-2-3 (one component, canonical 1); pair 10-11; 99 isolated
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+    got = {r["doc_id"]: r["cluster"] for r in
+           textdedup.dedup_clusters(pairs, ids, "doc_id").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
