@@ -26,7 +26,6 @@ from flinkrealtimedatawarehouse_spark.datapipeline.hashing import (
     duck_minhash,
     duck_phash,
     duck_hash_shingles,
-    duck_shingle_hashes,
     duck_shingles,
     duck_token_hashes,
     duck_tokens,
@@ -580,7 +579,9 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     out = textdedup.ngram_overlap(docs, bench, "doc_id", "text", n=_DC_N)
-    return out.filter(F.col("overlap") > 0)
+    # filter on the raw hit count, not the 6-dp rounded ratio — a huge doc
+    # with one hit rounds to 0.0 but must still be flagged (oracle agrees)
+    return out.filter(F.col("n_hit") > 0).drop("n_hit")
 
 def _sql_decontaminate() -> str:
     toks = duck_tokens("text")

@@ -54,12 +54,6 @@ def spark_shingles(tokens: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def spark_shingle_hashes(shingles: Column) -> Column:
-    """30-bit hash per shingle — computed ONCE, then k linear permutations
-    run over the integer array (16 md5s/shingle would be the naive cost)."""
-    return F.transform(shingles, lambda s: spark_phash(s) % F.lit(H30))
-
-
 SHINGLE_A = 1_000_003  # rolling-combination multiplier (Horner mod p)
 
 
@@ -119,10 +113,6 @@ def duck_shingles(tokens_expr: str, n: int) -> str:
         f"i -> array_to_string(({tokens_expr})[i:i+{n - 1}], ' ')) "
         f"ELSE [] END"
     )
-
-
-def duck_shingle_hashes(shingles_expr: str) -> str:
-    return f"list_transform({shingles_expr}, s -> {duck_phash('s')} % {H30})"
 
 
 def duck_token_hashes(tokens_expr: str) -> str:

@@ -193,16 +193,21 @@ def cosine_topk_batch(emb: DataFrame, probes: DataFrame, id_col: str, vec_col: s
     import numpy as np
     import pandas as pd
 
+    out_schema = "probe_id long, neighbor_id long, dot long, na long, nb long"
+
     probe_rows = probes.select(F.col(id_col), quantized(F.col(vec_col), quant).alias("q")).collect()
+    if not probe_rows:  # empty probe set: empty answer, like cosine_topk
+        empty = "probe_id long, neighbor_id long, cosine double, rank int"
+        return emb.sparkSession.createDataFrame([], empty)
     p_ids = np.array([r[id_col] for r in probe_rows], dtype=np.int64)
     p_mat = np.array([r["q"] for r in probe_rows], dtype=np.int64)          # (P, D)
     p_norm = (p_mat * p_mat).sum(axis=1)                                     # (P,)
-    bc = emb.sparkSession.sparkContext.broadcast((p_ids, p_mat, p_norm))
-
-    out_schema = "probe_id long, neighbor_id long, dot long, na long, nb long"
+    # plain closure capture, not sparkContext.broadcast: the probe matrix
+    # is small by contract and a per-call broadcast handle would leak
+    # (nothing could safely destroy it while the lazy plan is alive)
 
     def score(batches):
-        ids, mat, norms = bc.value
+        ids, mat, norms = p_ids, p_mat, p_norm
         for pdf in batches:
             if pdf.empty:
                 continue

@@ -302,6 +302,7 @@ def ngram_overlap(docs: DataFrame, bench: DataFrame, id_col: str, text_col: str,
         .select(
             id_col,
             "n_grams",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
             F.round(
                 F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_grams"), 6
             ).alias("overlap"),
@@ -312,7 +313,7 @@ def ngram_overlap(docs: DataFrame, bench: DataFrame, id_col: str, text_col: str,
 # --- dedup cluster assignment (connected components) ----------------------
 
 def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str,
-                   max_iter: int = 15) -> DataFrame:
+                   max_iter: int = 50) -> DataFrame:
     """Canonical-document assignment: connected components over near-dup
     pairs via min-label propagation — every doc gets ``cluster`` = the
     smallest doc id reachable through the dup graph (the id to KEEP; all
@@ -333,6 +334,7 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str,
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    converged = False
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -354,8 +356,21 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str,
             .limit(1)
             .count()
         )
+        labels.unpersist()  # no-op on the (unpersisted) initial labels
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
+    if not converged:
+        # wrong labels are worse than no labels: a component with diameter
+        # > max_iter would silently mislabel its far members
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iter} rounds "
+            "(component diameter exceeds max_iter) — raise max_iter"
+        )
+    result = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
+    # materialize before releasing the cache backing the final labels
+    result = result.localCheckpoint(eager=True)
+    labels.unpersist()
+    return result

@@ -116,15 +116,15 @@ def first_seen_table(events: DataFrame, key: str, ts_col: str) -> DataFrame:
 
 
 def update_first_seen(state: DataFrame, batch: DataFrame, key: str, ts_col: str) -> DataFrame:
-    """Fold a new batch into the first-seen table (min of old and new)."""
+    """Fold a new batch into the first-seen table — FIRST WRITE WINS,
+    exactly the reference's ValueState (BaseLogApp.java:80-89 never
+    overwrites existing state), so a late batch carrying an older event
+    does not retroactively change the key's recorded first visit."""
     delta = first_seen_table(batch, key, ts_col)
     return (
         state.withColumnRenamed("first_seen_ts", "_old")
         .join(delta.withColumnRenamed("first_seen_ts", "_new"), key, "full_outer")
-        .select(
-            key,
-            F.least("_old", "_new").alias("first_seen_ts"),  # least() skips nulls
-        )
+        .select(key, F.coalesce("_old", "_new").alias("first_seen_ts"))
     )
 
 
@@ -132,21 +132,30 @@ def correct_is_new_incremental(
     batch: DataFrame, state: DataFrame, key: str, ts_col: str, is_new_col: str = "is_new"
 ) -> DataFrame:
     """A6 against the compacted state: a '1' event is kept '1' only if it
-    IS the key's recorded first-seen event; everything else follows the
-    reference rules ('0' never upgraded). Equivalent to correct_is_new
-    over (history + batch) — proven in tests — at O(batch) cost."""
+    is the key's recorded first-seen '1' event (earliest in its batch AND
+    matching the state timestamp); everything else follows the reference
+    rules ('0' never upgraded). Matches batch `correct_is_new` on a
+    time-ordered replay (tested); under cross-batch event-time disorder it
+    matches the reference's arrival-order ValueState instead — the state
+    is first-write-wins, so a late-arriving older '1' is demoted exactly
+    as BaseLogApp.java:80-89 would demote it."""
     st = state.select(F.col(key), F.col("first_seen_ts"))
+    w = Window.partitionBy(key, F.col(is_new_col)).orderBy(F.col(ts_col).asc())
     return (
         batch.join(st, key, "left")
+        .withColumn("_rn", F.row_number().over(w))
         .withColumn(
             "is_new_corrected",
             F.when(F.col(is_new_col) != F.lit("1"), F.col(is_new_col)).otherwise(
                 F.when(
-                    F.col("first_seen_ts").isNull()
-                    | (F.col(ts_col) == F.col("first_seen_ts")),
+                    (F.col("_rn") == 1)  # ties within a batch: one winner
+                    & (
+                        F.col("first_seen_ts").isNull()
+                        | (F.col(ts_col) == F.col("first_seen_ts"))
+                    ),
                     F.lit("1"),
                 ).otherwise(F.lit("0"))
             ),
         )
-        .drop("first_seen_ts")
+        .drop("first_seen_ts", "_rn")
     )

@@ -46,6 +46,14 @@ def fanout_sink(sdf: DataFrame, sink_col: str, out_dir: str, tag: str,
     semantic NONE and has neither guarantee, MyKafkaUtil.java:38-40).
     Readers drop the ``_bid`` column."""
 
+    run_foreach_batch(sdf, fanout_batch_writer(sink_col, out_dir, exactly_once), tag)
+    return out_dir
+
+
+def fanout_batch_writer(sink_col: str, out_dir: str, exactly_once: bool = True):
+    """The per-micro-batch writer behind ``fanout_sink`` (factored out so
+    the idempotence contract is testable with explicit batch ids)."""
+
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         if exactly_once:
             (
@@ -58,8 +66,7 @@ def fanout_sink(sdf: DataFrame, sink_col: str, out_dir: str, tag: str,
         else:
             batch.write.mode("append").partitionBy(sink_col).parquet(out_dir)
 
-    run_foreach_batch(sdf, write_batch, tag)
-    return out_dir
+    return write_batch
 
 
 class SnapshotMergeSink:

@@ -238,11 +238,7 @@ def test_fanout_replayed_batch_is_idempotent(spark, tmp_path):
     out = str(tmp_path / "fan")
     b0 = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "id long, sink_table string, v double")
 
-    def write(batch, bid):
-        (batch.withColumn("_bid", F.lit(bid))
-         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-         .partitionBy("sink_table", "_bid").parquet(out))
-
+    write = sinks.fanout_batch_writer("sink_table", out)  # the PRODUCTION writer
     write(b0, 0)
     write(b0, 0)  # replay of the SAME batch id
     b1 = spark.createDataFrame([(3, "a", 3.0)], "id long, sink_table string, v double")
