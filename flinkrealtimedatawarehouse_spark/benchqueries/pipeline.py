@@ -650,6 +650,54 @@ rc AS (
 SELECT node AS doc_id, cluster FROM rc WHERE cluster <> node ORDER BY doc_id
 """
 
+# --- dp20 training-mix sampling -------------------------------------------
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+def q_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
+    kept = textstats.mix_sample(
+        load_table(spark, sf, "documents"), "doc_id", _MIX_RATES, "source"
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("ct"))
+
+def _sql_mix() -> str:
+    bucket = f"{duck_phash('doc_id::VARCHAR')} % 10000"
+    conds = " OR ".join(
+        f"(source = '{s}' AND {bucket} < {int(round(r * 10000))})"
+        for s, r in _MIX_RATES.items()
+    )
+    return f"""
+SELECT source, count(*)::BIGINT AS ct FROM documents
+WHERE {conds} GROUP BY 1
+"""
+
+SQL_MIX_SAMPLE = _sql_mix()
+
+# --- dp21 token-budget sequence packing -----------------------------------
+
+_PACK_BUDGET = 4096
+
+def q_pack_bins(spark: SparkSession, sf: str) -> DataFrame:
+    packed = textstats.pack_bins(
+        load_table(spark, sf, "documents"), "doc_id", "n_chars", _PACK_BUDGET, part_col="source"
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("doc_ct"), F.sum("n_chars").alias("tok_sum")
+    )
+
+SQL_PACK_BINS = f"""
+WITH c AS (
+  SELECT source, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+SELECT source, floor((cum - n_chars) / {_PACK_BUDGET})::BIGINT AS bin,
+       count(*)::BIGINT AS doc_ct, sum(n_chars)::BIGINT AS tok_sum
+FROM c GROUP BY 1, 2
+"""
+
+
 REGISTRY = {
     "dp1_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dp2_minhash_lsh_neardup": (q_minhash_lsh, SQL_MINHASH_LSH),
@@ -670,4 +718,6 @@ REGISTRY = {
     "dp16_corpus_ngrams": (q_corpus_ngrams, SQL_CORPUS_NGRAMS),
     "dp18_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "dp19_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dp20_mix_sample": (q_mix_sample, SQL_MIX_SAMPLE),
+    "dp21_pack_bins": (q_pack_bins, SQL_PACK_BINS),
 }

@@ -9,7 +9,7 @@ projection + one aggregate, no shuffle beyond the final groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flinkrealtimedatawarehouse_spark.datapipeline.hashing import (
@@ -205,3 +205,46 @@ def fingerprint(docs: DataFrame, id_col: str, text_col: str,
         .select(id_col, spark_shingles(F.col("_toks"), shingle_n).alias("_sh"))
         .select(F.col(id_col), F.coalesce(fp, F.lit(-1)).alias("fingerprint"))
     )
+
+
+def mix_sample(docs: DataFrame, id_col: str, rates: dict[str, float],
+               rate_col: str = "source") -> DataFrame:
+    """Training-mix construction: deterministic per-source sampling.
+
+    ``rates`` maps a ``rate_col`` value to a keep-fraction; a row is kept
+    iff phash(id) % 10000 < rate*10000 — a pure function of the id, so the
+    sample is reproducible across runs/engines (no RNG, no seed drift) and
+    stable under re-partitioning. Unlisted sources are dropped (rate 0).
+    One narrow filter, no shuffle; at 100 TB this is a map-only pass.
+    """
+    bucket = spark_phash(F.col(id_col).cast("string")) % F.lit(10_000)
+    keep = None
+    for src, rate in rates.items():
+        cond = (F.col(rate_col) == src) & (bucket < int(round(rate * 10_000)))
+        keep = cond if keep is None else keep | cond
+    return docs.filter(keep if keep is not None else F.lit(False))
+
+
+def pack_bins(docs: DataFrame, id_col: str, token_col: str, budget: int,
+              part_col: str | None = None) -> DataFrame:
+    """Sequence packing: assign docs to fixed-token-budget training bins.
+
+    Greedy-by-order packing as a window cumulative sum: docs ordered by id
+    (within ``part_col`` if given) accumulate token counts; ``bin`` =
+    floor((cumsum - n_tokens) / budget) — the bin the doc STARTS in. This
+    is the order-preserving packing a sequence-builder uses; docs longer
+    than the budget simply occupy 2+ bins' worth of budget.
+
+    Scale: one shuffle on ``part_col`` (or a single partition without it —
+    callers at scale always pass a partition column, e.g. source or a
+    date shard, so the window never globally serializes).
+    """
+    w = (
+        Window.partitionBy(part_col).orderBy(F.col(id_col))
+        if part_col is not None
+        else Window.partitionBy().orderBy(F.col(id_col))
+    )
+    cum = F.sum(token_col).over(w)
+    # explicit floor: Spark's double->long cast truncates but DuckDB's
+    # rounds, so the oracle twin uses floor() on both sides
+    return docs.withColumn("bin", F.floor((cum - F.col(token_col)) / F.lit(budget)))

@@ -190,3 +190,27 @@ def test_dedup_clusters_chain_and_singleton(spark):
     got = {r["doc_id"]: r["cluster"] for r in
            textdedup.dedup_clusters(pairs, ids, "doc_id").collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_mix_sample_deterministic_and_rate_bounded(spark):
+    d = spark.createDataFrame(
+        [(i, "t", "a" if i < 500 else "b") for i in range(1000)],
+        "doc_id long, text string, source string",
+    )
+    r1 = textstats.mix_sample(d, "doc_id", {"a": 0.3}, "source")
+    r2 = textstats.mix_sample(d, "doc_id", {"a": 0.3}, "source")
+    ids1 = sorted(r["doc_id"] for r in r1.collect())
+    assert ids1 == sorted(r["doc_id"] for r in r2.collect())  # reproducible
+    assert all(i < 500 for i in ids1)                          # 'b' dropped (no rate)
+    assert 0.15 < len(ids1) / 500 < 0.45                       # ~30% of 'a'
+
+
+def test_pack_bins_cumulative_budget(spark):
+    d = spark.createDataFrame(
+        [(1, 3000, "s"), (2, 3000, "s"), (3, 3000, "s"), (4, 100, "t")],
+        "doc_id long, n_chars long, source string",
+    )
+    out = {r["doc_id"]: r["bin"] for r in
+           textstats.pack_bins(d, "doc_id", "n_chars", 4096, part_col="source").collect()}
+    # cum-starts: 0, 3000, 6000 -> bins 0, 0, 1; 't' restarts at 0
+    assert out == {1: 0, 2: 0, 3: 1, 4: 0}
