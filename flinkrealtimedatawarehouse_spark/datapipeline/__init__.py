@@ -8,11 +8,16 @@ LLM-data pipeline needs, each designed so its shuffle is bucket-bounded
                    builders shared by the dedup family so every operator
                    has an exact SQL oracle.
 - ``textdedup``  — exact dedup, MinHash+LSH, SimHash, n-gram Jaccard
-                   verify, embedding-cosine near-dup.
-- ``similarity`` — brute-force cosine top-k baseline + integer-hyperplane
-                   LSH-bucketed ANN as the scale path.
+                   verify, embedding-cosine near-dup, benchmark
+                   decontamination (n-gram overlap), dedup cluster
+                   assignment (connected components).
+- ``similarity`` — brute-force cosine top-k baseline (expression and
+                   Arrow/numpy-matmul paths) + integer-hyperplane LSH and
+                   IVF-cell ANN as the scale paths.
 - ``textstats``  — language-ID, quality scoring, token counting, document
-                   fingerprinting over the ``documents`` table.
+                   fingerprinting, repetition signals, PII redaction,
+                   corpus n-grams, training-mix sampling, token-budget
+                   sequence packing over the ``documents`` table.
 - ``multimodal`` — opaque binary columns + typed metadata; decode/feature
                    plumbing as Arrow-batched ``mapInPandas`` (decoder libs
                    not in this container -> deterministic fake behind a
