@@ -303,6 +303,61 @@ FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 3
 """
 
 
+# --- dp22: streaming LLM-data ingest pipeline -----------------------------
+
+def q_dp22(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end streaming training-data ingest — the north-star shape:
+    documents replayed as a stream -> PII redaction (stateless exprs) ->
+    quality gate (length-based) -> stateful exact dedup on the normalized
+    content hash -> merged survivor table. The dedup state is the K3
+    MERGE machinery keyed by content hash with version = -doc_id, so the
+    min-doc_id row wins per hash GLOBALLY — deterministic under any
+    micro-batch split (a plain streaming dropDuplicates keeps an
+    arbitrary within-batch survivor). Planted verbatim copies
+    (doc_id % 5 == 0 at id+10000) are eliminated in-stream.
+    """
+    from flinkrealtimedatawarehouse_spark.benchqueries.pipeline import _docs_with_exact_dups
+    from flinkrealtimedatawarehouse_spark.datapipeline import textdedup, textstats
+
+    docs = _docs_with_exact_dups(spark, sf)
+    in_dir = runner.stage_stream_dir(docs, "doc_id", _N_FILES, "dp22")
+    sdf = runner.parquet_stream(spark, in_dir, docs.schema)
+    cleaned = textstats.pii_redact(sdf, "text")
+    gated = cleaned.filter(F.length("clean_text") >= 50)
+    hashed = gated.select(
+        "doc_id",
+        "source",
+        F.sha2(textdedup.normalize_text(F.col("clean_text")), 256).alias("content_hash"),
+        (-F.col("doc_id")).alias("neg_id"),
+    )
+    sink = sinks.SnapshotMergeSink(
+        runner.scratch_dir("snap_dp22"), "content_hash", "neg_id"
+    )
+    sink.init(spark.createDataFrame([], hashed.schema))
+    runner.run_foreach_batch(hashed, sink.write_batch, "dp22")
+    return sink.current(spark).groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_ct"), F.min("doc_id").alias("min_id")
+    )
+
+SQL_DP22 = """
+WITH a AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text, source FROM documents WHERE doc_id % 5 = 0
+),
+g AS (SELECT * FROM a WHERE length(text) >= 50),
+h AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+    ORDER BY doc_id
+  ) AS rn
+  FROM g
+)
+SELECT source, count(*)::BIGINT AS kept_ct, min(doc_id) AS min_id
+FROM h WHERE rn = 1 GROUP BY 1
+"""
+
+
 REGISTRY: dict = {
     "t1_visitor_stream": (q_t1, SQL_A1),
     "t2_product_stream": (q_t2, SQL_A2),
@@ -313,4 +368,5 @@ REGISTRY: dict = {
     "k3_merge_stream": (q_k3s, SQL_K3S),
     "s2_cdc_stream_apply": (q_s2, SQL_S2),
     "s3_cdc_envelope": (q_s3, SQL_S3),
+    "dp22_stream_ingest": (q_dp22, SQL_DP22),
 }
