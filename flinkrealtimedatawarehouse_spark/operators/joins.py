@@ -26,24 +26,29 @@ def interval_join(
     lower: str,
     upper: str,
     how: str = "inner",
+    lower_exclusive: bool = False,
+    upper_exclusive: bool = False,
 ) -> DataFrame:
     """J1/J2: equi + time-range join.
 
     right.time ∈ [left.time + lower, left.time + upper], bounds inclusive
-    (Flink intervalJoin default — rtest/app/FlinkDSJoinTest.java:40-51 shows
-    the exclusivity knobs; the apps use the inclusive default).
+    by default (the Flink intervalJoin default; the apps all use it) with
+    the same exclusivity knobs Flink exposes —
+    ``exclusiveLower``/``exclusiveUpper``, demonstrated in the reference's
+    join harness rtest/app/FlinkDSJoinTest.java:40-51.
 
     Scale: both sides shuffle on the equi key only — the range predicate
     never widens the exchange. Skewed keys fall to AQE skew-join handling.
     """
     lk, rk = key
     lt, rt = time
-    cond = (
-        (left[lk] == right[rk])
-        & (right[rt] >= left[lt] + F.expr(f"INTERVAL {lower}"))
-        & (right[rt] <= left[lt] + F.expr(f"INTERVAL {upper}"))
+    lo = right[rt] > left[lt] + F.expr(f"INTERVAL {lower}") if lower_exclusive else (
+        right[rt] >= left[lt] + F.expr(f"INTERVAL {lower}")
     )
-    return left.join(right, cond, how)
+    hi = right[rt] < left[lt] + F.expr(f"INTERVAL {upper}") if upper_exclusive else (
+        right[rt] <= left[lt] + F.expr(f"INTERVAL {upper}")
+    )
+    return left.join(right, (left[lk] == right[rk]) & lo & hi, how)
 
 
 def dim_enrich(

@@ -199,3 +199,27 @@ def test_visitor_stats_approx_distinct_shape(spark):
     approx = aggs.visitor_stats_tumble(df, approx_distinct=True).collect()
     assert [r.asDict().keys() for r in exact] == [r.asDict().keys() for r in approx]
     assert approx[0]["uv_ct"] == 5  # HLL is exact at tiny cardinality
+
+
+def test_interval_join_exclusive_bounds(spark):
+    """The reference's exclusivity knobs (FlinkDSJoinTest.java:40-51):
+    exclusive bounds drop the rows sitting exactly on the boundary."""
+    from datetime import datetime
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 1, 0))], "lk long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, 101, datetime(2024, 1, 1, 0, 0, 55)),   # exactly -5s
+         (1, 102, datetime(2024, 1, 1, 0, 1, 5)),    # exactly +5s
+         (1, 103, datetime(2024, 1, 1, 0, 1, 0))],   # interior
+        "rk long, rid long, rts timestamp",
+    )
+    args = (left, right, ("lk", "rk"), ("lts", "rts"), "'-5' SECOND", "'5' SECOND")
+    inclusive = {r["rid"] for r in joins.interval_join(*args).collect()}
+    assert inclusive == {101, 102, 103}
+    both_excl = {r["rid"] for r in joins.interval_join(
+        *args, lower_exclusive=True, upper_exclusive=True).collect()}
+    assert both_excl == {103}
+    lo_excl = {r["rid"] for r in joins.interval_join(*args, lower_exclusive=True).collect()}
+    assert lo_excl == {102, 103}
