@@ -698,6 +698,58 @@ FROM c GROUP BY 1, 2
 """
 
 
+# --- dp23 corpus length quantiles -----------------------------------------
+
+def q_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.length_quantiles(
+        load_table(spark, sf, "documents"), "source", "n_chars"
+    )
+
+SQL_LENGTH_QUANTILES = """
+SELECT source, count(*)::BIGINT AS ct,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.9) AS p90,
+       quantile_cont(n_chars, 0.99) AS p99
+FROM documents GROUP BY 1
+"""
+
+# --- dp24 top-k-per-group curation ----------------------------------------
+
+_CUR_K = 5
+
+def q_topk_quality(spark: SparkSession, sf: str) -> DataFrame:
+    scored = textstats.quality_score(load_table(spark, sf, "documents"), "text")
+    top = textstats.topk_per_group(scored, "source", "quality", "doc_id", _CUR_K)
+    return top.select("source", "rank", "doc_id", "quality")
+
+SQL_TOPK_QUALITY = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         {duck_tokens('text')} AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS alnum
+  FROM documents
+), m AS (
+  SELECT doc_id, source, len(toks) AS n_tokens,
+         CASE WHEN n_chars > 0 THEN alnum::DOUBLE / n_chars ELSE 0.0 END AS alnum_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> t IN ({_EN_STOPS})))::DOUBLE / len(toks)
+              ELSE 0.0 END AS stop_ratio
+  FROM d
+), s AS (
+  SELECT doc_id, source,
+         round(0.4 * least(n_tokens::DOUBLE / 100.0, 1.0)
+             + 0.3 * alnum_ratio
+             + 0.3 * least(stop_ratio * 5.0, 1.0), 6) AS quality
+  FROM m
+)
+SELECT source, rank::INT AS rank, doc_id, quality FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank
+  FROM s
+) WHERE rank <= {_CUR_K}
+"""
+
+
 REGISTRY = {
     "dp1_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dp2_minhash_lsh_neardup": (q_minhash_lsh, SQL_MINHASH_LSH),
@@ -720,4 +772,6 @@ REGISTRY = {
     "dp19_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dp20_mix_sample": (q_mix_sample, SQL_MIX_SAMPLE),
     "dp21_pack_bins": (q_pack_bins, SQL_PACK_BINS),
+    "dp23_length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
+    "dp24_topk_quality": (q_topk_quality, SQL_TOPK_QUALITY),
 }

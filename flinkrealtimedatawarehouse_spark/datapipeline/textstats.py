@@ -248,3 +248,36 @@ def pack_bins(docs: DataFrame, id_col: str, token_col: str, budget: int,
     # explicit floor: Spark's double->long cast truncates but DuckDB's
     # rounds, so the oracle twin uses floor() on both sides
     return docs.withColumn("bin", F.floor((cum - F.col(token_col)) / F.lit(budget)))
+
+
+def length_quantiles(docs: DataFrame, group_col: str, value_col: str,
+                     qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Per-group exact percentiles of a numeric column (corpus length
+    distribution — the first thing a data auditor asks for). Exact
+    ``percentile`` (linear interpolation) rather than approx_percentile so
+    the result is engine-reproducible; at 100 TB swap to
+    ``approx_percentile(…, accuracy)`` when a bounded-error answer is
+    acceptable — one pass instead of a per-group sort."""
+    arr = ", ".join(str(q) for q in qs)
+    out = docs.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, array({arr}))").alias("_p"),
+        F.count(F.lit(1)).alias("ct"),
+    )
+    cols = [F.col(group_col), F.col("ct")]
+    for i, q in enumerate(qs):
+        cols.append(F.col("_p")[i].alias(f"p{int(q * 100)}"))
+    return out.select(*cols)
+
+
+def topk_per_group(docs: DataFrame, group_col: str, order_col: str,
+                   id_col: str, k: int) -> DataFrame:
+    """Curation: keep the top-``k`` rows per group by ``order_col``
+    (quality-score culling per source). Deterministic via the id
+    tiebreak; the physical plan is the partial top-k WindowGroupLimit
+    before the exchange — per-partition pruning, never a global sort."""
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .withColumnRenamed("_rk", "rank")
+    )

@@ -214,3 +214,22 @@ def test_pack_bins_cumulative_budget(spark):
            textstats.pack_bins(d, "doc_id", "n_chars", 4096, part_col="source").collect()}
     # cum-starts: 0, 3000, 6000 -> bins 0, 0, 1; 't' restarts at 0
     assert out == {1: 0, 2: 0, 3: 1, 4: 0}
+
+
+def test_topk_per_group_rank_and_tiebreak(spark):
+    d = spark.createDataFrame(
+        [(1, "a", 0.9), (2, "a", 0.9), (3, "a", 0.1), (4, "b", 0.5)],
+        "doc_id long, source string, quality double",
+    )
+    out = textstats.topk_per_group(d, "source", "quality", "doc_id", 2).collect()
+    got = {(r["source"], r["rank"]): r["doc_id"] for r in out}
+    assert got == {("a", 1): 1, ("a", 2): 2, ("b", 1): 4}  # id breaks the 0.9 tie
+
+
+def test_length_quantiles_exact(spark):
+    d = spark.createDataFrame(
+        [(i, "s", n) for i, n in enumerate([10, 20, 30, 40])],
+        "doc_id long, source string, n_chars long",
+    )
+    row = textstats.length_quantiles(d, "source", "n_chars", (0.5,)).first()
+    assert row["ct"] == 4 and row["p50"] == 25.0  # linear interpolation

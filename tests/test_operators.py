@@ -223,3 +223,14 @@ def test_interval_join_exclusive_bounds(spark):
     assert both_excl == {103}
     lo_excl = {r["rid"] for r in joins.interval_join(*args, lower_exclusive=True).collect()}
     assert lo_excl == {102, 103}
+
+
+def test_upsert_with_schema_evolution(spark):
+    """§7.4(5): updates may carry NEW columns (the reference's all-varchar
+    auto-DDL / Delta mergeSchema analog) — upsert_latest unions with
+    allowMissingColumns, so old rows get NULL for the new column."""
+    base = spark.createDataFrame([(1, "x", 0)], "id long, name string, ver long")
+    upd = spark.createDataFrame([(2, "y", 1, "extra")], "id long, name string, ver long, note string")
+    out = {r["id"]: (r["name"], r["note"]) for r in
+           merge.upsert_latest(base, upd, "id", "ver").collect()}
+    assert out == {1: ("x", None), 2: ("y", "extra")}
