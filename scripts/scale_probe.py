@@ -26,7 +26,9 @@ def amplify(df, id_col, n):
 
 
 def main() -> int:
-    from flinkrealtimedatawarehouse_spark.datapipeline import textdedup, textstats
+    from pyspark.sql import functions as F2
+
+    from flinkrealtimedatawarehouse_spark.datapipeline import similarity, textdedup, textstats
     from flinkrealtimedatawarehouse_spark.session import get_spark
 
     args = sys.argv[1:]
@@ -35,7 +37,8 @@ def main() -> int:
 
     spark = get_spark("scale_probe")
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    base_n = docs.count()
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    base_n, base_e = docs.count(), emb.count()
 
     for m in multiples:
         d = amplify(docs, "doc_id", m)
@@ -45,9 +48,19 @@ def main() -> int:
         t0 = time.time()
         textstats.corpus_ngrams(d, "text", 2, 20).collect()
         t_ng = time.time() - t0
+
+        e = amplify(emb, "vec_id", m)
+        probes = emb.filter(F2.col("vec_id") < 8)  # fixed probe set at every scale
+        t0 = time.time()
+        similarity.ann_topk_lsh(e, probes, "vec_id", "embedding", k=5, n_planes=6).count()
+        t_lsh = time.time() - t0
+        t0 = time.time()
+        similarity.cosine_topk_batch(e, probes, "vec_id", "embedding", k=5).count()
+        t_bf = time.time() - t0
         print(
-            f"x{m} ({base_n * m} docs): minhash_lsh={t_mh:.1f}s ({n_pairs} pairs) "
-            f"corpus_ngrams={t_ng:.1f}s",
+            f"x{m} ({base_n * m} docs / {base_e * m} vecs): "
+            f"minhash_lsh={t_mh:.1f}s ({n_pairs} pairs) corpus_ngrams={t_ng:.1f}s "
+            f"ann_lsh={t_lsh:.1f}s bruteforce_arrow={t_bf:.1f}s",
             flush=True,
         )
     return 0
