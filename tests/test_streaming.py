@@ -246,3 +246,20 @@ def test_fanout_replayed_batch_is_idempotent(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 3  # no duplicates from the replay
     assert sorted(r["id"] for r in back.filter("sink_table = 'a'").collect()) == [1, 3]
+
+
+def test_stream_bounce_exactly_gap_boundary(spark):
+    """T7 boundary: a continuation arriving at EXACTLY +gap is outside the
+    CEP window (within(10s) is exclusive at the edge) -> bounce; at
+    gap-1ms it is inside -> not a bounce. Pins the µs-predicate/ms-timeout
+    alignment in state._bounce_fn."""
+    rows = [
+        (1, 1, ts("2024-01-01 00:00:00"), "view", 0.0, None),
+        (1, 2, ts("2024-01-01 00:00:10"), "click", 0.0, None),          # exactly +10s
+        (2, 3, ts("2024-01-01 00:00:00"), "view", 0.0, None),
+        (2, 4, ts("2024-01-01 00:00:09.999000"), "click", 0.0, None),   # inside
+    ]
+    sdf = _stream_events(spark, rows, 2, "bgap", sentinel_pad="60 seconds")
+    out = runner.run_to_memory(state.bounce_stream(sdf, gap_s=10, delay="1 second"), "bgap")
+    got = {r.event_id: r.is_bounce for r in out.filter("user_id >= 0").collect()}
+    assert got == {1: 1, 3: 0}
