@@ -55,3 +55,22 @@ def test_partitioned_gold_scan_prunes(spark, tmp_path):
     plan = scan._sc._jvm.PythonSQLUtils.explainString(scan._jdf.queryExecution(), "extended")
     assert "PartitionFilters" in plan and "2024-01-01" in plan.split("PartitionFilters", 1)[1][:200]
     assert scan.count() == 2
+
+
+def test_minhash_plan_keeps_md5_out_of_filters(spark):
+    """Regression guard for the round-2 pushdown trap: the row filter in
+    minhash_signatures must stay a cheap token-count predicate — if the
+    hashed-array expression ever gets inlined into a pushed-down Filter,
+    every element_at in the HOF lambda re-evaluates the md5 array per
+    shingle position (measured 13x end-to-end). Assert no Filter node
+    contains an md5 call."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    sigs = textdedup.minhash_signatures(docs, "doc_id", "text", 3, 16)
+    plan = sigs._sc._jvm.PythonSQLUtils.explainString(sigs._jdf.queryExecution(), "simple")
+    filter_lines = [ln for ln in plan.splitlines() if "Filter" in ln]
+    assert filter_lines, "expected a Filter node in the plan"
+    assert all("md5" not in ln for ln in filter_lines), filter_lines
