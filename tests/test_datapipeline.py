@@ -233,3 +233,14 @@ def test_length_quantiles_exact(spark):
     )
     row = textstats.length_quantiles(d, "source", "n_chars", (0.5,)).first()
     assert row["ct"] == 4 and row["p50"] == 25.0  # linear interpolation
+
+
+def test_lang_id_stopword_votes(spark):
+    d = spark.createDataFrame(
+        [(1, "the cat sat of the mat and a dog"),       # en stopwords
+         (2, "el perro y la casa de los gatos en"),     # es stopwords
+         (3, "zzz qqq xxx")],                           # none -> und
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(d, "text").collect()}
+    assert got == {1: "en", 2: "es", 3: "und"}
