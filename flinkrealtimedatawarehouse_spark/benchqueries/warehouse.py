@@ -532,6 +532,38 @@ SELECT l_user, r_id FROM l JOIN r
  AND r_ts <= l_ts + INTERVAL '5' SECOND
 """
 
+# J2 boundary corpus: the asymmetric [-15 min, 0] payment⋈order_wide
+# window (PaymentWideApp.java:99) — payment at exactly order-15min and at
+# exactly order+0 join; 1 ms outside either end does not.
+_J2B_L = [(1, "2024-01-01 01:00:00")]          # payment (left) ts
+_J2B_R = [
+    (1, 201, "2024-01-01 00:45:00"),           # exactly -15min -> in
+    (1, 202, "2024-01-01 01:00:00"),           # exactly 0 -> in
+    (1, 203, "2024-01-01 00:44:59.999"),       # just before -> out
+    (1, 204, "2024-01-01 01:00:00.001"),       # just after -> out
+]
+
+def q_j2b(spark: SparkSession, sf: str) -> DataFrame:
+    left = spark.createDataFrame(_J2B_L, "l_user long, l_s string").select(
+        "l_user", F.to_timestamp("l_s").alias("l_ts")
+    )
+    right = spark.createDataFrame(_J2B_R, "r_user long, r_id long, r_s string").select(
+        "r_user", "r_id", F.to_timestamp("r_s").alias("r_ts")
+    )
+    j = joins.interval_join(
+        left, right, ("l_user", "r_user"), ("l_ts", "r_ts"), "'-15' MINUTE", "'0' SECOND"
+    )
+    return j.select("l_user", "r_id")
+
+SQL_J2B = f"""
+WITH l(l_user, l_ts) AS (VALUES {", ".join(f"({u}, TIMESTAMP '{t}')" for u, t in _J2B_L)}),
+r(r_user, r_id, r_ts) AS (VALUES {", ".join(f"({u}, {i}, TIMESTAMP '{t}')" for u, i, t in _J2B_R)})
+SELECT l_user, r_id FROM l JOIN r
+  ON l_user = r_user
+ AND r_ts >= l_ts - INTERVAL '15' MINUTE
+ AND r_ts <= l_ts
+"""
+
 # W1 boundary corpus: PLANTED events pinning the CEP edge semantics at
 # exactly the gap (UserJumpDetailApp.java:72 within(10s) — a successor at
 # exactly +gap is OUTSIDE the match window, the timeout fires first).
@@ -849,6 +881,7 @@ REGISTRY = {
     "p9_age_derivation": (q_p9, SQL_P9),
     "j1_interval_join_pm5": (q_j1, SQL_J1),
     "j1b_interval_boundary": (q_j1b, SQL_J1B),
+    "j2b_asym_boundary": (q_j2b, SQL_J2B),
     "j2_interval_join_asym": (q_j2, SQL_J2),
     "j3_dim_enrich": (q_j3, SQL_J3),
     "j4_dim_chain_star": (q_j4, SQL_J4),

@@ -106,3 +106,40 @@ def test_upsert_latest_is_idempotent_and_newest_wins(spark, base, updates):
     for i, v in base + updates:
         want[i] = max(want.get(i, -1), v)
     assert dict(as_rows(once)) == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["cat", "dog", "fox", "owl", "bee", "ant"]), min_size=3, max_size=12),
+        min_size=2, max_size=8,
+    ),
+)
+@settings(**_SETTINGS)
+def test_jaccard_verify_matches_python_sets(spark, texts):
+    """dp4's Jaccard over hashed shingle sets equals Python-set Jaccard
+    over string shingles for explicit all-pairs (hash collisions in a
+    30-bit space over <=10 shingles are effectively impossible)."""
+    from flinkrealtimedatawarehouse_spark.datapipeline.textdedup import (
+        jaccard_verify,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", shingle_n=3, k=2)
+    ids = [r["doc_id"] for r in sigs.select("doc_id").collect()]
+    pairs = [(a, b) for a in ids for b in ids if a < b]
+    if not pairs:
+        return
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in jaccard_verify(pdf, sigs, "doc_id").collect()}
+
+    def shingles(toks):
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    for a, b in pairs:
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        want = round(len(sa & sb) / len(sa | sb), 6)
+        assert got[(a, b)] == want, (a, b, got[(a, b)], want)
