@@ -339,16 +339,27 @@ def q_dp22(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("kept_ct"), F.min("doc_id").alias("min_id")
     )
 
-SQL_DP22 = """
+SQL_DP22 = r"""
 WITH a AS (
   SELECT doc_id, text, source FROM documents
   UNION ALL
   SELECT doc_id + 10000, text, source FROM documents WHERE doc_id % 5 = 0
 ),
-g AS (SELECT * FROM a WHERE length(text) >= 50),
+-- mirror of textstats.pii_redact: the gate and the dedup hash run on the
+-- REDACTED text on the Spark side, so the oracle must redact identically
+-- (on this corpus redaction is a no-op, but PII-bearing text must not
+-- silently diverge the two sides)
+r AS (
+  SELECT doc_id, source,
+         regexp_replace(
+           regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+           '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{3,4}', '[PHONE]', 'g') AS clean_text
+  FROM a
+),
+g AS (SELECT * FROM r WHERE length(clean_text) >= 50),
 h AS (
   SELECT *, row_number() OVER (
-    PARTITION BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+    PARTITION BY trim(regexp_replace(lower(clean_text), '[^a-z0-9]+', ' ', 'g'))
     ORDER BY doc_id
   ) AS rn
   FROM g

@@ -717,7 +717,14 @@ def q_u2(spark: SparkSession, sf: str) -> DataFrame:
     measures = ["click_ct", "display_ct", "favor_ct", "cart_ct", "order_ct",
                 "order_amount", "payment_ct", "refund_ct"]
     u = unions.align_union(streams, keys=["item_id"], ts_col="ts", measures=measures)
-    return unions.tumble_sum(u, ["item_id"], "ts", measures, "1 day")
+    try:
+        # materialize the (small, aggregated) result, then release the big
+        # parse cache — otherwise repeated invocations in one session (bench
+        # loop, full gate sweep) accumulate cached blocks forever. In a
+        # persistent pipeline the terminal write would play this role.
+        return unions.tumble_sum(u, ["item_id"], "ts", measures, "1 day").localCheckpoint(eager=True)
+    finally:
+        ev.unpersist()
 
 SQL_U2 = f"""
 WITH e AS (

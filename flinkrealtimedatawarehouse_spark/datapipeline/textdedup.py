@@ -147,8 +147,14 @@ def minhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     sigs = minhash_signatures(docs.repartition(n_part), id_col, text_col, shingle_n, k)
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, k // bands)
-    return jaccard_verify(cands, sigs, id_col).filter(F.col("jaccard") >= threshold)
+    try:
+        cands = lsh_candidate_pairs(sigs, id_col, bands, k // bands)
+        out = jaccard_verify(cands, sigs, id_col).filter(F.col("jaccard") >= threshold)
+        # materialize the (small) pair set, then release the signature
+        # cache — repeated invocations otherwise accumulate cached blocks
+        return out.localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
 
 
 # --- SimHash --------------------------------------------------------------

@@ -66,7 +66,7 @@ def mark_bounces(
     return (
         flagged.filter(F.col("_is_entry") == F.lit(1))
         .withColumn("is_bounce", F.when(survives, F.lit(0)).otherwise(F.lit(1)))
-        .drop("_is_entry", "next_is_entry")
+        .drop("_is_entry", "next_is_entry", "next_ts")
     )
 
 

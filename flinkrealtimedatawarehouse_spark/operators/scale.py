@@ -72,13 +72,20 @@ def salted_broadcast_join(
     key: tuple[str, str],
     n_salts: int = 16,
     how: str = "left",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-safe dim join: the probe side gets a deterministic row-salt,
     the (small) dim side is exploded once per salt value and broadcast —
     every reducer sees an even slice of even the hottest key. Result ==
-    plain join (salt columns are internal)."""
+    plain join (salt columns are internal).
+
+    The salt hashes ``salt_cols`` (default: every probe column), so it is
+    stable across runs and repartitionings — safe to surface in output or
+    checkpointed state. Rows identical in all salt_cols share a salt; a
+    hot key still spreads as long as its rows differ in any hashed column."""
     sk, dk = key
-    probe = skewed.withColumn("_salt", F.pmod(F.xxhash64(F.col(sk)) + F.spark_partition_id(), F.lit(n_salts)))
+    salt_src = [F.col(c) for c in (salt_cols or skewed.columns)]
+    probe = skewed.withColumn("_salt", F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)))
     dim_x = dim.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     out = probe.join(F.broadcast(dim_x), (probe[sk] == dim_x[dk]) & (probe["_salt"] == dim_x["_salt"]), how)
     return out.drop("_salt")

@@ -26,6 +26,11 @@ SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.a
 
 _counter = itertools.count()
 
+# recentProgress of the last completed run_to_memory query — lets tests
+# assert on state-store metrics (e.g. numRowsTotal for eviction checks)
+# without threading the StreamingQuery handle through every helper.
+LAST_PROGRESS: list = []
+
 
 def scratch_dir(tag: str, fresh: bool = True) -> str:
     """Per-run scratch path (checkpoints, staged inputs, sink outputs)."""
@@ -169,6 +174,12 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
+        global LAST_PROGRESS
+        import json as _json
+
+        LAST_PROGRESS = [
+            _json.loads(p.json) if hasattr(p, "json") else p for p in q.recentProgress
+        ]
     return sdf.sparkSession.table(name)
 
 

@@ -42,19 +42,32 @@ def streaming_dedup(
     events: DataFrame,
     key_cols: list[str],
     ts_col: str = "ts",
-    delay: str = "30 seconds",
+    grain: str = "day",
+    delay: str = "25 hours",
 ) -> DataFrame:
-    """Streaming A5/T5: watermark-evicted first-per-key pass-through.
+    """Streaming A5/T5: watermark-evicted first-per-key-per-grain pass-through.
 
-    Emits the key columns of the first-seen row per key (projected to the
-    keys so the result is order-insensitive — which physical row of a
-    dup-group survives a given batch split is not part of the contract,
-    the key set is).
+    Emits the key columns of the first-seen row per (key, event-time grain).
+    Rows emit immediately (streaming dedup is append-on-arrival); the
+    watermark exists purely for STATE EVICTION, mirroring the reference's
+    24 h keyed-state TTL (rt/app/dwd/UniqueVisitApp.java:52-90): the event
+    time is truncated to ``grain``, watermarked with ``delay``, and included
+    in the dropDuplicates subset — Spark only evicts dedup state when the
+    watermarked column is among the subset keys, so state is bounded to
+    ~``delay``/``grain`` grains of keys regardless of stream length.
+
+    Output is projected to the key columns so the result is
+    order-insensitive (which physical row of a dup-group survives a given
+    batch split is not part of the contract, the key set is).
     """
+    grain_ts = "__grain_ts"
+    prepared = events.withColumn(
+        grain_ts, F.date_trunc(grain, F.col(ts_col))
+    ).withWatermark(grain_ts, delay)
     return (
-        events.withWatermark(ts_col, delay)
+        prepared.select(*key_cols, grain_ts)
+        .dropDuplicates(key_cols + [grain_ts])
         .select(*key_cols)
-        .dropDuplicates(key_cols)
     )
 
 

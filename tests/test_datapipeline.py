@@ -244,3 +244,61 @@ def test_lang_id_stopword_votes(spark):
     )
     got = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(d, "text").collect()}
     assert got == {1: "en", 2: "es", 3: "und"}
+
+
+def test_pii_gate_and_dedup_hash_match_oracle_on_pii_text(spark):
+    """dp22's oracle must redact PII exactly like the Spark side before the
+    length gate and the dedup hash — on PII-bearing text the two diverge
+    if either side gates/hashes raw text (ADVICE r2). Docs are built so
+    redaction CHANGES which side of the 50-char gate they land on, and so
+    two docs collide only post-redaction."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        # long email, short replacement: only passes the gate UN-redacted
+        (1, "x" * 30 + " someone.with.long.address@example-corporation.com ok"),
+        # two docs identical only after their (different) emails redact
+        (2, "call me at alice@example.com please " + "y" * 20),
+        (3, "call me at bob-other@sample.org please " + "y" * 20),
+        # no PII, passes gate either way
+        (4, "plain document with no contact information at all " + "z" * 10),
+    ]
+    d = _docs(spark, rows)
+    cleaned = textstats.pii_redact(d, "text")
+    gated = cleaned.filter(F.length("clean_text") >= 50)
+    hashed = gated.select(
+        "doc_id", F.sha2(textdedup.normalize_text(F.col("clean_text")), 256).alias("content_hash")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    spark_survivors = sorted(
+        r.doc_id
+        for r in hashed.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+    )
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    oracle = con.execute(r"""
+        WITH r AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+                   '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{3,4}', '[PHONE]', 'g') AS clean_text
+          FROM docs
+        ),
+        g AS (SELECT * FROM r WHERE length(clean_text) >= 50),
+        h AS (
+          SELECT doc_id, row_number() OVER (
+            PARTITION BY trim(regexp_replace(lower(clean_text), '[^a-z0-9]+', ' ', 'g'))
+            ORDER BY doc_id) AS rn
+          FROM g
+        )
+        SELECT doc_id FROM h WHERE rn = 1 ORDER BY doc_id
+    """).fetchall()
+    assert spark_survivors == [r[0] for r in oracle]
+    # and the PII actually mattered: doc 1 fails the gate post-redaction,
+    # docs 2/3 collide post-redaction
+    assert 1 not in spark_survivors and not {2, 3} <= set(spark_survivors)

@@ -80,6 +80,34 @@ def test_stream_dedup_emits_each_key_once(spark):
     }
 
 
+def test_stream_dedup_state_evicts_old_grains(spark):
+    """T5's state must be bounded: the day-truncated event time is
+    watermarked and part of the dedup subset, so state for days behind
+    the watermark is evicted (the reference's 24 h TTL) instead of
+    growing with stream length."""
+    n_users, n_days = 8, 10
+    rows = [
+        (u, d * n_users + u, ts(f"2024-01-{d + 1:02d} 0{u % 2}:00:00"), "view", 0.0, None)
+        for d in range(n_days)
+        for u in range(n_users)
+    ]
+    sdf = _stream_events(spark, rows, 5, "dedup_evict")
+    keyed = sdf.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+    out = runner.run_to_memory(
+        state.streaming_dedup(keyed, ["user_id", "event_date"]), "dedup_evict"
+    )
+    # emitted result is still the full distinct key set...
+    assert out.count() == n_users * n_days
+    # ...but the final state holds only the un-evicted tail of days, not
+    # all n_days of keys (watermark = max(day) - 25h known at last commit)
+    state_rows = [
+        op["numRowsTotal"]
+        for p in runner.LAST_PROGRESS[-1:]
+        for op in p["stateOperators"]
+    ]
+    assert state_rows and state_rows[0] <= n_users * 4
+
+
 def test_fanout_sink_routes_by_column(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)], "id long, sink_table string, v double"
