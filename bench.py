@@ -17,21 +17,27 @@ import sys
 import time
 
 
-HEADLINE = [
-    "j4_dim_chain_star",
-    "a1_visitor_stats",
-    "a2_product_stats",
-    "a3_province_stats",
-    "a4_keyword_stats",
-    "w1_bounce_detect",
-    "u2_product_union",
-    "dp1_exact_dedup",
-    "dp2_minhash_lsh_neardup",
-    "dp6_cosine_topk",
-    "dp11_fingerprint",
-    "dp16_corpus_ngrams",
-    "dp17_cosine_topk_batch",
-]
+def _headline():
+    # Per-operator functions, NOT the consolidated driver registry — the
+    # registry's tagged-union gate entries bundle several operators per
+    # slot, which would change what each bench name measures across rounds.
+    from flinkrealtimedatawarehouse_spark.benchqueries import pipeline, warehouse
+
+    return {
+        "j4_dim_chain_star": warehouse.q_j4,
+        "a1_visitor_stats": warehouse.q_a1,
+        "a2_product_stats": warehouse.q_a2,
+        "a3_province_stats": warehouse.q_a3,
+        "a4_keyword_stats": warehouse.q_a4,
+        "w1_bounce_detect": warehouse.q_w1,
+        "u2_product_union": warehouse.q_u2,
+        "dp1_exact_dedup": pipeline.q_exact_dedup,
+        "dp2_minhash_lsh_neardup": pipeline.q_minhash_lsh,
+        "dp6_cosine_topk": pipeline.q_cosine_topk,
+        "dp11_fingerprint": pipeline.q_fingerprint,
+        "dp16_corpus_ngrams": pipeline.q_corpus_ngrams,
+        "dp17_cosine_topk_batch": pipeline.q_cosine_topk_batch,
+    }
 
 
 def main() -> int:
@@ -39,20 +45,16 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     from flinkrealtimedatawarehouse_spark.session import get_spark
-    import __spark_entry__ as entry_mod
 
     spark = get_spark("bench")
-    registry = entry_mod.queries()
+    registry = _headline()
 
     # warm the JVM + parquet footer cache so per-query numbers measure the
     # plan, not session startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry.get(name)
-        if fn is None:
-            continue
+    for name, fn in registry.items():
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()

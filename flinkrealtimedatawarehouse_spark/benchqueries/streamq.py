@@ -369,6 +369,11 @@ FROM h WHERE rn = 1 GROUP BY 1
 """
 
 
+# Registry note: consolidated for the driver's 50-entry recording cap.
+# S3 (envelope parse) and K3-streaming (micro-batch MERGE) stay gated
+# through s2_cdc_stream_apply (parses envelopes AND applies per-batch CDC
+# MERGE) and dp22_stream_ingest (SnapshotMergeSink.write_batch upsert
+# path); q_s3/q_k3s stay defined for tests.
 REGISTRY: dict = {
     "t1_visitor_stream": (q_t1, SQL_A1),
     "t2_product_stream": (q_t2, SQL_A2),
@@ -376,8 +381,6 @@ REGISTRY: dict = {
     "t5_dedup_stream": (q_t5, SQL_T5),
     "t7_bounce_stream": (q_t7, SQL_W1),
     "k2_fanout_stream": (q_k2, SQL_K2),
-    "k3_merge_stream": (q_k3s, SQL_K3S),
     "s2_cdc_stream_apply": (q_s2, SQL_S2),
-    "s3_cdc_envelope": (q_s3, SQL_S3),
     "dp22_stream_ingest": (q_dp22, SQL_DP22),
 }

@@ -111,36 +111,46 @@ SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*)::BIGINT AS ct, round(sum(value),
 FROM events WHERE event_type = 'click' AND value > 10 GROUP BY 1
 """
 
-# P8 time-field derivation
+# P8+P9 derivations (one gate query, both derivation operators): time
+# fields over events, age over lineitem, tagged into a common shape
 def q_p8(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").withColumn(
         "create_time", F.date_format("ts", FMT)
     )
-    return (
+    time_part = (
         joins.with_time_fields(ev, "create_time")
         .groupBy("create_date", F.col("create_hour").cast("long").alias("create_hour"))
         .agg(F.count(F.lit(1)).alias("ct"))
+        .select(
+            F.lit("time").alias("tag"),
+            F.col("create_date").alias("k"),
+            F.col("create_hour").cast("double").alias("num"),
+            "ct",
+        )
     )
-
-SQL_P8 = """
-SELECT strftime(ts, '%Y-%m-%d') AS create_date, hour(ts)::BIGINT AS create_hour,
-       count(*)::BIGINT AS ct
-FROM events GROUP BY 1, 2
-"""
-
-# P9 age derivation (l_shipdate plays the birthday, fixed as-of date)
-def q_p9(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     aged = joins.with_age(li, "l_shipdate", F.lit("2026-01-01").cast("date"))
-    return aged.groupBy("l_returnflag").agg(
-        F.round(F.avg("user_age"), 4).alias("avg_age"), F.count(F.lit(1)).alias("ct")
+    age_part = (
+        aged.groupBy("l_returnflag")
+        .agg(F.round(F.avg("user_age"), 4).alias("avg_age"), F.count(F.lit(1)).alias("ct"))
+        .select(
+            F.lit("age").alias("tag"),
+            F.col("l_returnflag").alias("k"),
+            F.col("avg_age").alias("num"),
+            "ct",
+        )
     )
+    return time_part.unionByName(age_part)
 
-SQL_P9 = """
-SELECT l_returnflag,
-       round(avg(floor(date_diff('day', l_shipdate, DATE '2026-01-01') / 365.25)), 4) AS avg_age,
+SQL_P8 = """
+SELECT 'time' AS tag, strftime(ts, '%Y-%m-%d') AS k, hour(ts)::DOUBLE AS num,
        count(*)::BIGINT AS ct
-FROM lineitem GROUP BY 1
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'age', l_returnflag,
+       round(avg(floor(date_diff('day', l_shipdate, DATE '2026-01-01') / 365.25)), 4),
+       count(*)::BIGINT
+FROM lineitem GROUP BY 2
 """
 
 # J1 interval join ±5 min (order ⋈ detail analog: purchase ⋈ click per user)
@@ -564,6 +574,60 @@ SELECT l_user, r_id FROM l JOIN r
  AND r_ts <= l_ts
 """
 
+# J1+J2 boundary gate: both planted corpora in one query (tagged), pinning
+# inclusive bounds of the symmetric ±5 s AND the asymmetric [-15 min, 0]
+# interval-join windows in a single driver entry.
+def q_jb(spark: SparkSession, sf: str) -> DataFrame:
+    pm5 = q_j1b(spark, sf).select(F.lit("pm5").alias("kind"), "l_user", "r_id")
+    asym = q_j2b(spark, sf).select(F.lit("asym").alias("kind"), "l_user", "r_id")
+    return pm5.unionByName(asym)
+
+SQL_JB = f"""
+SELECT 'pm5' AS kind, l_user, r_id FROM ({SQL_J1B})
+UNION ALL
+SELECT 'asym', l_user, r_id FROM ({SQL_J2B})
+"""
+
+# J7 as-of join (beyond the reference — the time-series join a training
+# pipeline uses to stamp each fact with the latest dim/state version):
+# each purchase takes the most recent click at-or-before it per user,
+# within a 30-minute tolerance. Right side is pre-aggregated to unique
+# (user, ts) so the match is deterministic.
+def q_j7(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_val"))
+    )
+    j = joins.asof_join(
+        left, right, ("user_id", "user_id"), ("ts", "ts"), ["click_val"],
+        tolerance="'30' MINUTE",
+    )
+    return j.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt")).agg(
+        F.count(F.lit(1)).alias("purchase_ct"),
+        F.count("click_val").alias("matched_ct"),
+        F.round(F.coalesce(F.sum("click_val"), F.lit(0.0)), 2).alias("val_sum"),
+    )
+
+SQL_J7 = """
+WITH l AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+r AS (
+  SELECT user_id, ts, max(value) AS click_val FROM events
+  WHERE event_type = 'click' GROUP BY 1, 2
+),
+j AS (
+  SELECT l.user_id, l.ts, r.ts AS r_ts, r.click_val
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT strftime(ts, '%Y-%m-%d') AS dt,
+       count(*)::BIGINT AS purchase_ct,
+       count(CASE WHEN r_ts >= ts - INTERVAL 30 MINUTE THEN 1 END)::BIGINT AS matched_ct,
+       round(coalesce(sum(CASE WHEN r_ts >= ts - INTERVAL 30 MINUTE THEN click_val END), 0), 2) AS val_sum
+FROM j GROUP BY 1
+"""
+
 # W1 boundary corpus: PLANTED events pinning the CEP edge semantics at
 # exactly the gap (UserJumpDetailApp.java:72 within(10s) — a successor at
 # exactly +gap is OUTSIDE the match window, the timeout fires first).
@@ -842,6 +906,19 @@ SELECT c_mktsegment, count(*)::BIGINT AS ct,
 FROM customer WHERE c_custkey % 20 <> 0 GROUP BY 1
 """
 
+# K3 combined gate: latest-wins upsert AND CDC-envelope apply (upserts +
+# deletes) in one tagged entry — both MERGE flavors of the dim sink.
+def q_k3c(spark: SparkSession, sf: str) -> DataFrame:
+    up = q_k3(spark, sf).select(F.lit("upsert").alias("stage"), "c_mktsegment", "ct", "bal")
+    cdc = q_k3b(spark, sf).select(F.lit("cdc").alias("stage"), "c_mktsegment", "ct", "bal")
+    return up.unionByName(cdc)
+
+SQL_K3C = f"""
+SELECT 'upsert' AS stage, * FROM ({SQL_K3})
+UNION ALL
+SELECT 'cdc', * FROM ({SQL_K3B})
+"""
+
 # X1 skew-safe two-stage aggregation == plain aggregation (TPC-H Q1 shape)
 def q_x1(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
@@ -878,26 +955,49 @@ SELECT c_mktsegment, count(*)::BIGINT AS ct, round(sum(o_totalprice), 2) AS rev
 FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
 """
 
+# X1+X2 combined gate: exchange-free co-bucketed join feeding a skew-safe
+# two-stage salted aggregation — the full scale toolkit in one pipeline.
+def q_xc(spark: SparkSession, sf: str) -> DataFrame:
+    scale.write_bucketed(load_table(spark, sf, "orders"), "bx_orders", "o_custkey", 8)
+    scale.write_bucketed(load_table(spark, sf, "customer"), "bx_customer", "c_custkey", 8)
+    j = scale.bucketed_join(spark, "bx_orders", "bx_customer", ("o_custkey", "c_custkey"), force_smj=True)
+    out = scale.salted_agg(
+        j, ["c_mktsegment"],
+        {"ct": ("o_totalprice", "count"), "rev": ("o_totalprice", "sum")},
+        n_salts=8, salt_source="o_custkey",
+    )
+    return out.select("c_mktsegment", "ct", F.round("rev", 2).alias("rev"))
+
+# Registry note: the round driver records only the FIRST 50 queries()
+# entries, so the registry is consolidated to fit — planted boundary
+# corpora share one tagged entry (jb), both MERGE flavors share k3, both
+# derivations share p8, and rows whose operator is already exercised
+# inside another gate query map there instead of holding their own slot
+# (see COVERAGE.md §2 for the row -> gate-query map):
+#   J1/J2 sf-scale form -> t3 stream (same oracle); boundary form -> jb
+#   P2 delete filter    -> j5 (route applies delete_filter first)
+#   A5 daily unique     -> a11 (uv branch) + t5 stream
+#   W2 window bounds    -> stamped in every A-row output (stt/edt)
+#   O1 order/limit      -> a7 + a9 (ORDER BY ... LIMIT)
+#   O2 hour series      -> a8 (hour(stt) grouping)
+#   F1 tokenizer        -> a4 / a9 / w3 (explode_tokens + SQL LATERAL VIEW)
+#   U1 3-stream union   -> a11 (ratios over the same _u1_base)
+# The dropped q_* functions stay defined for tests and bench.
 REGISTRY = {
     "p1_parse_or_dirty": (q_p1, SQL_P1),
-    "p2_delete_filter": (q_p2, SQL_P2),
     "p3_three_way_split": (q_p3, SQL_P3),
     "p6_map_access_filter": (q_p6, SQL_P6),
     "p7_click_filter": (q_p7, SQL_P7),
-    "p8_time_fields": (q_p8, SQL_P8),
-    "p9_age_derivation": (q_p9, SQL_P9),
-    "j1_interval_join_pm5": (q_j1, SQL_J1),
-    "j1b_interval_boundary": (q_j1b, SQL_J1B),
-    "j2b_asym_boundary": (q_j2b, SQL_J2B),
-    "j2_interval_join_asym": (q_j2, SQL_J2),
+    "p8_derivations": (q_p8, SQL_P8),
+    "jb_interval_boundary": (q_jb, SQL_JB),
     "j3_dim_enrich": (q_j3, SQL_J3),
     "j4_dim_chain_star": (q_j4, SQL_J4),
     "j5_route_config": (q_j5, SQL_J5),
+    "j7_asof_join": (q_j7, SQL_J7),
     "a1_visitor_stats": (q_a1, SQL_A1),
     "a2_product_stats": (q_a2, SQL_A2),
     "a3_province_stats": (q_a3, SQL_A3),
     "a4_keyword_stats": (q_a4, SQL_A4),
-    "a5_daily_unique": (q_a5, SQL_A5),
     "a6_is_new_correction": (q_a6, SQL_A6),
     "a7_topn_brand": (q_a7, SQL_A7),
     "a8_hourly_conditional": (q_a8, SQL_A8),
@@ -906,15 +1006,8 @@ REGISTRY = {
     "a11_visitor_ratios": (q_a11, SQL_A11),
     "w1_bounce_detect": (q_w1, SQL_W1),
     "w1b_bounce_boundary": (q_w1b, SQL_W1B),
-    "w2_window_bounds": (q_w2, SQL_W2),
     "w3_sql_pipeline": (q_w3_sql, SQL_A4),
-    "u1_visitor_union": (q_u1, SQL_U1),
     "u2_product_union": (q_u2, SQL_U2),
-    "o1_top_keywords": (q_o1, SQL_O1),
-    "o2_hour_series": (q_o2, SQL_O2),
-    "f1_tokenize": (q_f1, SQL_F1),
-    "k3_dim_upsert": (q_k3, SQL_K3),
-    "k3b_apply_cdc": (q_k3b, SQL_K3B),
-    "x1_salted_agg": (q_x1, SQL_X1),
-    "x2_bucketed_join": (q_x2, SQL_X2),
+    "k3_dim_upsert": (q_k3c, SQL_K3C),
+    "x2_bucketed_salted": (q_xc, SQL_X2),
 }

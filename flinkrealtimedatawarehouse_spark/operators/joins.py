@@ -79,6 +79,75 @@ def dim_enrich(
     return out
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: tuple[str, str],
+    time: tuple[str, str],
+    value_cols: list[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the single most recent
+    right row with right.ts <= left.ts on the same key (ties match).
+    ``tolerance``: interval literal (e.g. ``'10' MINUTE``) — matches older
+    than left.ts - tolerance are discarded (nulls remain). Spark has no
+    native as-of join; this is the union-trick form:
+
+    union both sides tagged -> one window per key ordered by
+    (ts, right-first) -> last_value(right cols, ignorenulls) carries the
+    latest right payload forward onto each left row.
+
+    Scale: ONE hash exchange on the key + in-partition sort — same cost
+    as a sort-merge join, with no range-explosion (an interval-join
+    formulation would multiply candidate pairs; this carries exactly one).
+    A hot key serializes its partition sort, the usual salting caveat.
+    """
+    lk, rk = key
+    lt, rt = time
+    from pyspark.sql import Window
+
+    r = right.select(
+        F.col(rk).alias(lk),
+        F.col(rt).alias(lt),
+        F.lit(1).alias("_is_r"),
+        F.col(rt).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    l = left.select(
+        F.col(lk),
+        F.col(lt),
+        F.lit(0).alias("_is_r"),
+        F.lit(None).cast(right.schema[rt].dataType).alias("_r_ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        *[F.col(c) for c in left.columns if c not in (lk, lt)],
+    )
+    u = r.unionByName(l, allowMissingColumns=True)
+    # right rows sort BEFORE left rows at equal ts => at-or-before matches
+    w = (
+        Window.partitionBy(lk)
+        .orderBy(F.col(lt).asc(), F.col("_is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_m_ts"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("_is_r") == 0)
+    if tolerance is not None:
+        in_tol = F.col("_m_ts") >= F.col(lt) - F.expr(f"INTERVAL {tolerance}")
+        matched = [F.when(in_tol, F.col(f"_m_{c}")).alias(c) for c in value_cols]
+        m_ts = F.when(in_tol, F.col("_m_ts")).alias("matched_ts")
+    else:
+        matched = [F.col(f"_m_{c}").alias(c) for c in value_cols]
+        m_ts = F.col("_m_ts").alias("matched_ts")
+    keep = [c for c in left.columns if c not in (lk, lt)]
+    return out.select(F.col(lk), F.col(lt), *keep, m_ts, *matched)
+
+
 def with_time_fields(df: DataFrame, time_str_col: str) -> DataFrame:
     """P8: split 'yyyy-MM-dd HH:mm:ss' into date/hour + epoch
     (OrderWideApp.java:52-63)."""

@@ -19,7 +19,9 @@ def _entry_mod():
 def test_registry_shape_and_oracle_completeness():
     m = _entry_mod()
     qs, oracles = m.queries(), m.oracle_sql()
-    assert len(qs) >= 68
+    # the round driver records only the FIRST 50 entries — the registry
+    # must stay within the cap (consolidated via tagged-union gate queries)
+    assert 40 <= len(qs) <= 50
     assert all(callable(fn) for fn in qs.values())
     # every query is oracle-checked — no rows-only entries anywhere
     assert set(oracles) == set(qs)
