@@ -49,8 +49,19 @@ def main() -> int:
     spark = get_spark("bench")
     registry = _headline()
 
-    # warm the JVM + parquet footer cache so per-query numbers measure the
-    # plan, not session startup
+    # Warm-up (untimed): run every headline query once at sf0.001 so the
+    # timed sf0.1 runs measure steady-state plan execution — whole-stage
+    # codegen classes compiled, Python/Arrow workers forked, parquet
+    # footers cached — not one-time JVM/process startup. This mirrors how
+    # the engine runs in production (long-lived executors), and the warm-up
+    # cost is excluded from the reported metric by construction.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name, fn in registry.items():
+            try:
+                fn(spark, warm_dir).count()
+            except Exception as e:  # warm-up must never fail the bench
+                print(f"# warmup {name} skipped: {e}", file=sys.stderr)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
