@@ -234,3 +234,49 @@ def test_upsert_with_schema_evolution(spark):
     out = {r["id"]: (r["name"], r["note"]) for r in
            merge.upsert_latest(base, upd, "id", "ver").collect()}
     assert out == {1: ("x", None), 2: ("y", "extra")}
+
+
+# --- J7 as-of join (beyond ref: latest-state stamping) ---------------------
+
+def _asof(spark, left, right, tolerance=None):
+    ldf = spark.createDataFrame(left, "k long, ts timestamp, lid long")
+    rdf = spark.createDataFrame(right, "rk long, rts timestamp, val double")
+    out = joins.asof_join(
+        ldf, rdf, ("k", "rk"), ("ts", "rts"), ["val"], tolerance=tolerance
+    )
+    return {r["lid"]: (r["matched_ts"], r["val"]) for r in out.collect()}
+
+
+def test_asof_takes_most_recent_at_or_before(spark):
+    t = lambda s: ts(f"2024-01-01 00:{s}")
+    out = _asof(
+        spark,
+        [(1, t("01:00"), 10)],
+        [(1, t("00:30"), 1.0), (1, t("00:50"), 2.0), (1, t("01:30"), 3.0)],
+    )
+    # most recent at-or-before 01:00 is 00:50; the later 01:30 row never matches
+    assert out[10] == (t("00:50"), 2.0)
+
+
+def test_asof_tie_at_equal_ts_matches(spark):
+    t = lambda s: ts(f"2024-01-01 00:{s}")
+    out = _asof(spark, [(1, t("01:00"), 10)], [(1, t("01:00"), 7.0)])
+    assert out[10] == (t("01:00"), 7.0)
+
+
+def test_asof_no_earlier_row_yields_null(spark):
+    t = lambda s: ts(f"2024-01-01 00:{s}")
+    out = _asof(spark, [(1, t("01:00"), 10)], [(1, t("01:05"), 7.0), (2, t("00:05"), 8.0)])
+    assert out[10] == (None, None)  # right rows: later ts, or other key
+
+
+def test_asof_tolerance_is_inclusive_and_discards_older(spark):
+    t = lambda s: ts(f"2024-01-01 00:{s}")
+    out = _asof(
+        spark,
+        [(1, t("10:00"), 10), (2, t("10:00"), 20)],
+        [(1, t("05:00"), 1.0), (2, t("04:59"), 2.0)],
+        tolerance="'5' MINUTE",
+    )
+    assert out[10] == (t("05:00"), 1.0)  # exactly at ts - 5 min: kept
+    assert out[20] == (None, None)       # 1 s older than tolerance: nulled

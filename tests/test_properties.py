@@ -143,3 +143,50 @@ def test_jaccard_verify_matches_python_sets(spark, texts):
         sa, sb = shingles(texts[a]), shingles(texts[b])
         want = round(len(sa & sb) / len(sa | sb), 6)
         assert got[(a, b)] == want, (a, b, got[(a, b)], want)
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=1, max_size=10),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=0, max_size=10),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """J7 equals pandas.merge_asof(direction='backward') on deduped right
+    keys: per left row, the most recent right value at-or-before its ts."""
+    import pandas as pd
+
+    from flinkrealtimedatawarehouse_spark.operators.joins import asof_join
+
+    # dedupe right on (key, ts) — asof_join documents deterministic matches
+    # only for unique right timestamps per key (same contract as merge_asof)
+    rdict = {(k, s): float(k * 100 + s) for k, s in right}
+    ldf = spark.createDataFrame(
+        [(k, _T0 + timedelta(seconds=s), i) for i, (k, s) in enumerate(left)],
+        "k long, ts timestamp, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _T0 + timedelta(seconds=s), v) for (k, s), v in rdict.items()],
+        "rk long, rts timestamp, val double",
+    )
+    got = {
+        r["lid"]: r["val"]
+        for r in asof_join(ldf, rdf, ("k", "rk"), ("ts", "rts"), ["val"]).collect()
+    }
+
+    lpd = pd.DataFrame(
+        [(k, _T0 + timedelta(seconds=s), i) for i, (k, s) in enumerate(left)],
+        columns=["k", "ts", "lid"],
+    ).sort_values("ts", kind="stable")
+    rpd = pd.DataFrame(
+        [(k, _T0 + timedelta(seconds=s), v) for (k, s), v in rdict.items()],
+        columns=["k", "ts", "val"],
+    ).sort_values("ts", kind="stable")
+    if rpd.empty:
+        want = {int(r.lid): None for r in lpd.itertuples()}
+    else:
+        m = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="backward")
+        want = {
+            int(r.lid): (None if pd.isna(r.val) else float(r.val))
+            for r in m.itertuples()
+        }
+    assert got == want
