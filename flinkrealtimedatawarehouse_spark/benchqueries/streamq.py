@@ -25,6 +25,7 @@ from flinkrealtimedatawarehouse_spark.benchqueries.warehouse import (
     SQL_A1,
     SQL_A2,
     SQL_J1,
+    SQL_J2,
     SQL_W1,
 )
 from flinkrealtimedatawarehouse_spark.streaming import runner, sinks, sources, state, windows
@@ -86,6 +87,29 @@ def q_t3(spark: SparkSession, sf: str) -> DataFrame:
     pairs = runner.run_to_memory(joined, "t3")
     return pairs.groupBy(F.date_format("l_ts", "yyyy-MM-dd").alias("dt")).agg(
         F.count(F.lit(1)).alias("pair_ct"), F.round(F.sum("r_val"), 2).alias("val_sum")
+    )
+
+
+# --- streaming J2: asymmetric [-15 min, 0] stream-stream interval join ----
+
+def q_t3b(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming form of J2 (PaymentWideApp.java:99 — payment looks back
+    [-15 min, 0] for its order): same interval_join_stream operator as t3
+    with asymmetric bounds, proving the state-bound/watermark math holds
+    when the window is one-sided."""
+    sdf = _staged_events_stream(spark, sf, "t3b", None)
+    pay = sdf.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    orderv = sdf.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("o_user"), F.col("ts").alias("o_ts")
+    )
+    joined = windows.interval_join_stream(
+        pay, orderv, ("p_user", "o_user"), ("p_ts", "o_ts"), "'-15' MINUTE", "'0' SECOND"
+    )
+    pairs = runner.run_to_memory(joined, "t3b")
+    return pairs.groupBy(F.date_format("p_ts", "yyyy-MM-dd").alias("dt")).agg(
+        F.count(F.lit(1)).alias("pair_ct")
     )
 
 
@@ -378,6 +402,7 @@ REGISTRY: dict = {
     "t1_visitor_stream": (q_t1, SQL_A1),
     "t2_product_stream": (q_t2, SQL_A2),
     "t3_interval_join_stream": (q_t3, SQL_J1),
+    "t3b_asym_join_stream": (q_t3b, SQL_J2),
     "t5_dedup_stream": (q_t5, SQL_T5),
     "t7_bounce_stream": (q_t7, SQL_W1),
     "k2_fanout_stream": (q_k2, SQL_K2),
