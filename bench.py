@@ -73,7 +73,7 @@ def main() -> int:
     # is the reproducible statistic for plan quality, same methodology as
     # JMH/hyperfine. Every run executes the full plan; nothing is cached
     # between runs (no .persist anywhere in the bench queries).
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for name, fn in registry.items():
         best, n = float("inf"), -1

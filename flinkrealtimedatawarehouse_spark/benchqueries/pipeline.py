@@ -864,6 +864,69 @@ FROM f LEFT JOIN tp USING (doc_id) JOIN q2 USING (doc_id) JOIN lng USING (doc_id
 
 SQL_DOC_METRICS = _sql_doc_metrics()
 
+# dp23+dp24: the corpus-audit/curation pair, one tagged entry — length
+# quantiles per source + top-k-per-group quality culling. Columns are
+# aligned to (kind, source, v1..v4) doubles; each branch keeps its own
+# oracle shape inside the union.
+def q_curation(spark: SparkSession, sf: str) -> DataFrame:
+    quant = q_length_quantiles(spark, sf).select(
+        F.lit("quantiles").alias("kind"), "source",
+        F.col("ct").cast("double").alias("v1"), F.col("p50").alias("v2"),
+        F.col("p90").alias("v3"), F.col("p99").alias("v4"),
+    )
+    topk = q_topk_quality(spark, sf).select(
+        F.lit("topk").alias("kind"), "source",
+        F.col("rank").cast("double").alias("v1"), F.col("doc_id").cast("double").alias("v2"),
+        F.col("quality").alias("v3"), F.lit(0.0).alias("v4"),
+    )
+    return quant.unionByName(topk)
+
+SQL_CURATION = f"""
+SELECT 'quantiles' AS kind, source, ct::DOUBLE AS v1, p50 AS v2, p90 AS v3, p99 AS v4
+FROM ({SQL_LENGTH_QUANTILES})
+UNION ALL
+SELECT 'topk', source, rank::DOUBLE, doc_id::DOUBLE, quality, 0.0
+FROM ({SQL_TOPK_QUALITY})
+"""
+
+# dp25: BM25 term scoring (corpus idf + per-doc tf saturation); output
+# restricted to the sampled docs, corpus statistics computed over ALL docs.
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 3
+
+def q_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    top = textstats.bm25_terms(
+        load_table(spark, sf, "documents"), "doc_id", "text",
+        k1=_BM25_K1, b=_BM25_B, k=_BM25_K,
+    )
+    return top.filter(F.col("doc_id") % 25 == 0)
+
+SQL_BM25 = f"""
+WITH tk AS (
+  SELECT doc_id, toks FROM (
+    SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+  ) WHERE len(toks) > 0
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk
+  ) GROUP BY 1, 2, 3
+),
+st AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM tk),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * tf.dl / st.avgdl)),
+               6) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN st
+)
+SELECT doc_id, rank::INT AS rank, term, tf AS tf_ct, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM sc
+) WHERE rank <= {_BM25_K} AND doc_id % 25 = 0
+"""
+
 # dp20+dp21: mix sampling feeding sequence packing — the composed
 # curation pipeline (sample the training mix, then pack what survived).
 def q_mix_pack(spark: SparkSession, sf: str) -> DataFrame:
@@ -915,6 +978,6 @@ REGISTRY = {
     "dp18_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "dp19_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dp20_mix_pack": (q_mix_pack, SQL_MIX_PACK),
-    "dp23_length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
-    "dp24_topk_quality": (q_topk_quality, SQL_TOPK_QUALITY),
+    "dp23_curation": (q_curation, SQL_CURATION),
+    "dp25_bm25": (q_bm25, SQL_BM25),
 }

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flinkrealtimedatawarehouse_spark.operators import ads, aggs, bounce, dedup, filters, joins, logsplit, merge, routing, scale, unions
+from flinkrealtimedatawarehouse_spark.operators import ads, aggs, bounce, dedup, filters, joins, logsplit, merge, routing, scale, sessions, unions
 from flinkrealtimedatawarehouse_spark.functions.tokenize import explode_tokens
 from flinkrealtimedatawarehouse_spark.schemas import TABLE_PROCESS_SCHEMA
 from flinkrealtimedatawarehouse_spark.tables import load_table
@@ -482,6 +482,88 @@ def q_a10(spark: SparkSession, sf: str) -> DataFrame:
 SQL_A10 = """
 SELECT round(coalesce(sum(o_totalprice), 0), 2) AS gmv
 FROM orders WHERE strftime(o_orderdate, '%Y%m%d') = '19960917'
+"""
+
+# A7+A10 merged ADS-product gate (tagged): top-N by brand + whole-day GMV
+# in one driver entry — both branches keep their own oracle shape.
+def q_a7c(spark: SparkSession, sf: str) -> DataFrame:
+    topn = q_a7(spark, sf).select(
+        F.lit("topn").alias("kind"), F.col("p_brand").alias("dim"),
+        F.col("order_amount").alias("amount"),
+    )
+    gmv = q_a10(spark, sf).select(
+        F.lit("gmv").alias("kind"), F.lit("ALL").alias("dim"), F.col("gmv").alias("amount")
+    )
+    return topn.unionByName(gmv)
+
+SQL_A7C = f"""
+SELECT 'topn' AS kind, p_brand AS dim, order_amount AS amount FROM ({SQL_A7})
+UNION ALL
+SELECT 'gmv', 'ALL', gmv FROM ({SQL_A10})
+"""
+
+# A4+W3+F1 merged keyword gate (tagged): the DataFrame pipeline and the
+# pure-SQL entry point (SURVEY §3.3) must produce identical rows — one
+# entry proves both surfaces against the same oracle.
+def q_a4c(spark: SparkSession, sf: str) -> DataFrame:
+    df_path = q_a4(spark, sf).withColumn("kind", F.lit("df"))
+    sql_path = q_w3_sql(spark, sf).withColumn("kind", F.lit("sql"))
+    return df_path.unionByName(sql_path)
+
+SQL_A4C = f"""
+SELECT *, 'df' AS kind FROM ({SQL_A4})
+UNION ALL
+SELECT *, 'sql' AS kind FROM ({SQL_A4})
+"""
+
+# W4 (beyond ref): gap sessionization — 30-min inactivity gap over events,
+# one row per (user, session) with bounds/duration. See operators/sessions.
+_SESS_GAP = 1800
+
+def q_w4(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    s = sessions.session_stats(ev, "user_id", "ts", _SESS_GAP, tiebreak="event_id")
+    return s.select(
+        "user_id", "session_idx", "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "dur_sec",
+    )
+
+SQL_W4 = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+), f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) >= {_SESS_GAP} THEN 1 ELSE 0 END AS st
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM f
+)
+SELECT user_id, session_idx::BIGINT AS session_idx, count(*)::BIGINT AS n_events,
+       strftime(min(ts), '{DUCK_FMT}') AS session_start,
+       strftime(max(ts), '{DUCK_FMT}') AS session_end,
+       round(epoch(max(ts)) - epoch(min(ts)), 6) AS dur_sec
+FROM s GROUP BY 1, 2
+"""
+
+# A12 (beyond ref): multi-grain GROUPING SETS rollup — every serving grain
+# of the ADS product queries in ONE aggregate pass (see ads.grain_rollup).
+def q_a12(spark: SparkSession, sf: str) -> DataFrame:
+    return ads.grain_rollup(
+        load_table(spark, sf, "orders"), ["o_orderpriority", "o_orderstatus"], "o_totalprice"
+    )
+
+SQL_A12 = """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       round(sum(o_totalprice), 2) AS amount, count(*)::BIGINT AS row_ct
+FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
 """
 
 # W1+U3 bounce detection (entry analog: event_type='view'; gap 300 s)
@@ -982,8 +1064,10 @@ def q_xc(spark: SparkSession, sf: str) -> DataFrame:
 #   W2 window bounds    -> stamped in every A-row output (stt/edt)
 #   O1 order/limit      -> a7 + a9 (ORDER BY ... LIMIT)
 #   O2 hour series      -> a8 (hour(stt) grouping)
-#   F1 tokenizer        -> a4 / a9 / w3 (explode_tokens + SQL LATERAL VIEW)
+#   F1 tokenizer        -> a4 (df + SQL LATERAL VIEW branches) / a9
 #   U1 3-stream union   -> a11 (ratios over the same _u1_base)
+#   A10 whole-day GMV   -> a7 (gmv branch of the tagged ADS union)
+#   W3 SQL pipeline     -> a4 (sql branch — must equal the df branch)
 # The dropped q_* functions stay defined for tests and bench.
 REGISTRY = {
     "p1_parse_or_dirty": (q_p1, SQL_P1),
@@ -999,16 +1083,16 @@ REGISTRY = {
     "a1_visitor_stats": (q_a1, SQL_A1),
     "a2_product_stats": (q_a2, SQL_A2),
     "a3_province_stats": (q_a3, SQL_A3),
-    "a4_keyword_stats": (q_a4, SQL_A4),
+    "a4_keyword_stats": (q_a4c, SQL_A4C),
     "a6_is_new_correction": (q_a6, SQL_A6),
-    "a7_topn_brand": (q_a7, SQL_A7),
+    "a7_ads_product": (q_a7c, SQL_A7C),
     "a8_hourly_conditional": (q_a8, SQL_A8),
     "a9_keyword_score": (q_a9, SQL_A9),
-    "a10_gmv_day": (q_a10, SQL_A10),
     "a11_visitor_ratios": (q_a11, SQL_A11),
+    "a12_grain_rollup": (q_a12, SQL_A12),
     "w1_bounce_detect": (q_w1, SQL_W1),
     "w1b_bounce_boundary": (q_w1b, SQL_W1B),
-    "w3_sql_pipeline": (q_w3_sql, SQL_A4),
+    "w4_session_stats": (q_w4, SQL_W4),
     "u2_product_union": (q_u2, SQL_U2),
     "k3_dim_upsert": (q_k3c, SQL_K3C),
     "x2_bucketed_salted": (q_xc, SQL_X2),

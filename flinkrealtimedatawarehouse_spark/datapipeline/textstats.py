@@ -269,6 +269,68 @@ def length_quantiles(docs: DataFrame, group_col: str, value_col: str,
     return out.select(*cols)
 
 
+def bm25_terms(docs: DataFrame, id_col: str, text_col: str,
+               k1: float = 1.2, b: float = 0.75, k: int = 3) -> DataFrame:
+    """BM25 term scoring over the corpus: for each document, the top-``k``
+    highest-BM25 terms (the retrieval/relevance primitive a training-data
+    pipeline uses for query-document mining and keyword extraction).
+
+    score(d, t) = idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))   (the Robertson form)
+
+    Scale shape (the interesting part):
+    - (doc, term, tf) via explode -> groupBy(doc, term): partial-aggregated
+      map-side, shuffle carries counts not text.
+    - df(term) via a second aggregate over those rows: shuffle bounded by
+      |vocab|, not corpus size.
+    - corpus scalars (N, avgdl) are a 1-row aggregate cross-joined back —
+      a broadcast, never a driver collect.
+    - the df(term) join is left to AQE: broadcastable vocab broadcasts,
+      a 100 TB-scale vocab degrades to a shuffle join on the term key.
+    - top-k per doc = row_number window -> WindowGroupLimit partial top-k
+      before the exchange (same pruning as topk_per_group).
+    """
+    toks = docs.select(F.col(id_col), spark_tokens(F.col(text_col)).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    tf = (
+        toks.select(F.col(id_col), F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("toks")).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "score",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", F.col("tf").alias("tf_ct"), "score")
+    )
+
+
 def topk_per_group(docs: DataFrame, group_col: str, order_col: str,
                    id_col: str, k: int) -> DataFrame:
     """Curation: keep the top-``k`` rows per group by ``order_col``

@@ -1,0 +1,82 @@
+"""Gap-based sessionization (beyond the reference's own operator set).
+
+The reference discusses session windows and rejects them for its bounce
+use case (README:374-384 — a session gap would swallow the single-jump
+visits CEP must catch); it never ships a sessionizer. A training-data /
+analytics pipeline needs one anyway (user-session construction is the
+grouping key for behavior corpora), so this module provides the classic
+event-time gap sessionizer as a pure DataFrame composition.
+
+Semantics match Flink/Spark session windows: an event belongs to the same
+session as its predecessor iff ``ts - prev_ts < gap`` (a predecessor's
+window covers ``[ts, ts + gap)``, so an event at exactly ``+gap`` opens a
+NEW session). First event per key opens session 0.
+
+Scale: one hash exchange on the key plus a per-key sort — the same cost a
+keyed session-window operator pays in any engine; no driver-side state,
+no iteration. Session ids are per-key dense integers (not global), so the
+computation never needs a global ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Stamp each event with ``session_idx`` (0-based per key, ordered by
+    event time) and ``is_session_start``.
+
+    ``tiebreak`` orders equal timestamps deterministically (pass a unique
+    column like an event id whenever duplicates are possible).
+    """
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev_ts = F.lag(ts_col).over(w)
+    # microsecond-exact gap compare: timestamp->double is epoch seconds
+    # with the fractional part, exact in a 53-bit mantissa for epoch ~2^31
+    # + micros (~2^20 more bits... still < 2^53 as a scaled integer), and
+    # identical to DuckDB's epoch(ts) — a long cast would truncate micros
+    # and mis-place events that straddle a whole-second gap boundary
+    is_start = F.when(
+        prev_ts.isNull()
+        | (F.col(ts_col).cast("double") - prev_ts.cast("double") >= F.lit(float(gap_seconds))),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("is_session_start", is_start).withColumn(
+        "session_idx", (F.sum("is_session_start").over(run) - 1).cast("long")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """One row per (key, session): event count, start/end, duration sec.
+
+    Two-phase plan: the sessionize exchange on ``key_col`` is reused by the
+    subsequent groupBy (same partitioning — Catalyst plans no second
+    exchange before the partial agg).
+    """
+    s = sessionize(df, key_col, ts_col, gap_seconds, tiebreak)
+    return s.groupBy(key_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.round(
+            F.max(ts_col).cast("double") - F.min(ts_col).cast("double"), 6
+        ).alias("dur_sec"),
+    )

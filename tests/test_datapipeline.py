@@ -302,3 +302,39 @@ def test_pii_gate_and_dedup_hash_match_oracle_on_pii_text(spark):
     # and the PII actually mattered: doc 1 fails the gate post-redaction,
     # docs 2/3 collide post-redaction
     assert 1 not in spark_survivors and not {2, 3} <= set(spark_survivors)
+
+
+# --- BM25 term scoring -----------------------------------------------------
+
+def test_bm25_scores_match_reference_formula(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry cherry cherry date")],
+        "doc_id long, text string",
+    )
+    out = textstats.bm25_terms(docs, "doc_id", "text", k1=1.2, b=0.75, k=2)
+    rows = {(r.doc_id, r.term): (r.rank, r.tf_ct, r.score) for r in out.collect()}
+
+    def expected(tf, df, dl, n=3, avgdl=3.0, k1=1.2, b=0.75):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return round(idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)), 6)
+
+    assert rows[(1, "apple")] == (1, 2, expected(2, 1, 3))
+    assert rows[(1, "banana")] == (2, 1, expected(1, 2, 3))
+    # rare 'date' (df=1) outscores frequent 'cherry' (df=2) despite tf 1 vs 3
+    assert rows[(3, "date")] == (1, 1, expected(1, 1, 4))
+    assert rows[(3, "cherry")] == (2, 3, expected(3, 2, 4))
+    # every doc emits at most k=2 rows, exactly one of them rank 1
+    assert len([k for k in rows if k[0] == 1]) == 2
+    assert len([k for k in rows if rows[k][0] == 1]) == 3
+
+
+def test_bm25_rare_term_outranks_common_at_equal_tf(spark):
+    docs = spark.createDataFrame(
+        [(1, "common rare"), (2, "common x"), (3, "common y")],
+        "doc_id long, text string",
+    )
+    out = textstats.bm25_terms(docs, "doc_id", "text", k=2)
+    d1 = [r.term for r in out.filter(F.col("doc_id") == 1).orderBy("rank").collect()]
+    assert d1 == ["rare", "common"]  # df(rare)=1 < df(common)=3 => higher idf

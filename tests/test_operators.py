@@ -7,7 +7,7 @@ from datetime import datetime
 
 from pyspark.sql import functions as F
 
-from flinkrealtimedatawarehouse_spark.operators import bounce, dedup, joins, logsplit, merge
+from flinkrealtimedatawarehouse_spark.operators import ads, bounce, dedup, joins, logsplit, merge, sessions
 
 
 def ts(s: str) -> datetime:
@@ -280,3 +280,61 @@ def test_asof_tolerance_is_inclusive_and_discards_older(spark):
     )
     assert out[10] == (t("05:00"), 1.0)  # exactly at ts - 5 min: kept
     assert out[20] == (None, None)       # 1 s older than tolerance: nulled
+
+
+# --- W4 sessionize: gap semantics at exactly the boundary ------------------
+
+def _sessions(spark, rows, gap=10):
+    df = spark.createDataFrame(rows, "mid string, ts timestamp, eid int")
+    out = sessions.sessionize(df, "mid", "ts", gap, tiebreak="eid")
+    return {r.eid: r.session_idx for r in out.collect()}
+
+
+def test_session_gap_boundary_is_new_session(spark):
+    # inactivity window is [ts, ts+gap): an event at exactly +gap opens a
+    # NEW session; one microsecond inside continues the old one
+    out = _sessions(spark, [
+        ("m", ts("2024-01-01 00:00:00"), 1),
+        ("m", ts("2024-01-01 00:00:10"), 2),          # exactly +gap -> new
+        ("m", ts("2024-01-01 00:00:19.999999"), 3),   # +9.999999s -> same
+        ("m", ts("2024-01-01 00:01:00"), 4),          # -> new
+    ])
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_session_per_key_independent(spark):
+    out = _sessions(spark, [
+        ("a", ts("2024-01-01 00:00:00"), 1),
+        ("b", ts("2024-01-01 00:00:01"), 2),
+        ("a", ts("2024-01-01 00:00:05"), 3),
+    ])
+    assert out == {1: 0, 2: 0, 3: 0}
+
+
+def test_session_stats_bounds_and_duration(spark):
+    df = spark.createDataFrame(
+        [("m", ts("2024-01-01 00:00:00"), 1), ("m", ts("2024-01-01 00:00:04.5"), 2),
+         ("m", ts("2024-01-01 00:01:00"), 3)],
+        "mid string, ts timestamp, eid int",
+    )
+    out = sessions.session_stats(df, "mid", "ts", 10, tiebreak="eid").collect()
+    by_idx = {r.session_idx: r for r in out}
+    assert by_idx[0].n_events == 2 and by_idx[0].dur_sec == 4.5
+    assert by_idx[1].n_events == 1 and by_idx[1].dur_sec == 0.0
+
+
+# --- A12 grain rollup: one-pass GROUPING SETS ------------------------------
+
+def test_grain_rollup_grains_and_total(spark):
+    df = spark.createDataFrame(
+        [("p1", "s1", 10.0), ("p1", "s2", 20.0), ("p2", "s1", 5.0)],
+        "prio string, status string, amt double",
+    )
+    out = ads.grain_rollup(df, ["prio", "status"], "amt")
+    rows = {(r.prio, r.status): (r.amount, r.row_ct) for r in out.collect()}
+    assert rows[("p1", "ALL")] == (30.0, 2)
+    assert rows[("p2", "ALL")] == (5.0, 1)
+    assert rows[("ALL", "s1")] == (15.0, 2)
+    assert rows[("ALL", "s2")] == (20.0, 1)
+    assert rows[("ALL", "ALL")] == (35.0, 3)
+    assert len(rows) == 5  # single-dim grains + grand total, no (p, s) grain
