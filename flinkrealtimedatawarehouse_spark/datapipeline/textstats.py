@@ -281,14 +281,20 @@ def bm25_terms(docs: DataFrame, id_col: str, text_col: str,
     Scale shape (the interesting part):
     - (doc, term, tf) via explode -> groupBy(doc, term): partial-aggregated
       map-side, shuffle carries counts not text.
-    - df(term) via a second aggregate over those rows: shuffle bounded by
-      |vocab|, not corpus size.
+    - df(term) = count() over a window partitioned by term — NOT a
+      self-join against a re-aggregated copy: tf has exactly one row per
+      (doc, term), so the per-term row count IS the document frequency,
+      computed on the already-shuffled tf rows. A join formulation makes
+      Catalyst recompute the whole tokenize/explode/agg subtree for the
+      second side (no automatic CSE across a self-join) — tokenizing the
+      corpus twice at 100 TB — and adds a join exchange besides.
     - corpus scalars (N, avgdl) are a 1-row aggregate cross-joined back —
-      a broadcast, never a driver collect.
-    - the df(term) join is left to AQE: broadcastable vocab broadcasts,
-      a 100 TB-scale vocab degrades to a shuffle join on the term key.
+      a broadcast, never a driver collect (this branch re-scans only the
+      pruned text column).
     - top-k per doc = row_number window -> WindowGroupLimit partial top-k
       before the exchange (same pruning as topk_per_group).
+    Total: 3 data exchanges (tf agg, term window, doc window) + the 1-row
+    stats broadcast, independent of corpus size.
     """
     toks = docs.select(F.col(id_col), spark_tokens(F.col(text_col)).alias("toks")).filter(
         F.size("toks") > 0
@@ -302,9 +308,9 @@ def bm25_terms(docs: DataFrame, id_col: str, text_col: str,
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.size("toks")).alias("avgdl"),
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    term_w = Window.partitionBy("term")
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(term_w))
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
