@@ -135,6 +135,49 @@ def q_t7(spark: SparkSession, sf: str) -> DataFrame:
     return runner.run_to_memory(out, "t7").filter(F.col("user_id") >= 0)
 
 
+# --- W4 streaming twin: session_window gap sessionization -----------------
+
+def q_w4c(spark: SparkSession, sf: str) -> DataFrame:
+    """Tagged union proving the batch sessionizer (lag/running-sum windows)
+    and the streaming ``session_window`` aggregation produce IDENTICAL
+    sessions on the same events — same gap semantics (end-inclusive merge),
+    same bounds/duration — against one oracle. The streaming side runs a
+    real watermarked query; the sentinel (> gap + delay past max ts)
+    flushes every open session before the replay drains."""
+    from pyspark.sql import Window
+    from flinkrealtimedatawarehouse_spark.benchqueries.warehouse import q_w4
+
+    batch = q_w4(spark, sf).withColumn("kind", F.lit("batch"))
+
+    sdf = _staged_events_stream(spark, sf, "w4s", "40 minutes")
+    agg = windows.session_stats_stream(sdf, "user_id", "ts", "30 minutes", "30 seconds")
+    out = runner.run_to_memory(agg, "w4s").filter(F.col("user_id") >= 0)
+    idx_w = Window.partitionBy("user_id").orderBy("session_start")
+    stream = out.select(
+        "user_id",
+        (F.row_number().over(idx_w) - 1).cast("long").alias("session_idx"),
+        "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "dur_sec",
+        F.lit("stream").alias("kind"),
+    )
+    return batch.unionByName(stream)
+
+
+def _sql_w4c() -> str:
+    from flinkrealtimedatawarehouse_spark.benchqueries.warehouse import SQL_W4
+
+    return f"""
+SELECT *, 'batch' AS kind FROM ({SQL_W4})
+UNION ALL
+SELECT *, 'stream' AS kind FROM ({SQL_W4})
+"""
+
+
+SQL_W4C = _sql_w4c()
+
+
 # --- K2+T6: broadcast-config routing + dynamic-destination fan-out --------
 
 def q_k2(spark: SparkSession, sf: str) -> DataFrame:
@@ -405,6 +448,7 @@ REGISTRY: dict = {
     "t3b_asym_join_stream": (q_t3b, SQL_J2),
     "t5_dedup_stream": (q_t5, SQL_T5),
     "t7_bounce_stream": (q_t7, SQL_W1),
+    "w4_session_stats": (q_w4c, SQL_W4C),
     "k2_fanout_stream": (q_k2, SQL_K2),
     "s2_cdc_stream_apply": (q_s2, SQL_S2),
     "dp22_stream_ingest": (q_dp22, SQL_DP22),

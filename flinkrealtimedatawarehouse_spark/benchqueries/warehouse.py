@@ -537,7 +537,7 @@ WITH o AS (
   FROM events
 ), f AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) >= {_SESS_GAP} THEN 1 ELSE 0 END AS st
+         CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) > {_SESS_GAP} THEN 1 ELSE 0 END AS st
   FROM o
 ), s AS (
   SELECT user_id, ts,
@@ -1092,7 +1092,7 @@ REGISTRY = {
     "a12_grain_rollup": (q_a12, SQL_A12),
     "w1_bounce_detect": (q_w1, SQL_W1),
     "w1b_bounce_boundary": (q_w1b, SQL_W1B),
-    "w4_session_stats": (q_w4, SQL_W4),
+    # w4_session_stats registers in streamq (tagged batch+stream union)
     "u2_product_union": (q_u2, SQL_U2),
     "k3_dim_upsert": (q_k3c, SQL_K3C),
     "x2_bucketed_salted": (q_xc, SQL_X2),

@@ -7,10 +7,13 @@ analytics pipeline needs one anyway (user-session construction is the
 grouping key for behavior corpora), so this module provides the classic
 event-time gap sessionizer as a pure DataFrame composition.
 
-Semantics match Flink/Spark session windows: an event belongs to the same
-session as its predecessor iff ``ts - prev_ts < gap`` (a predecessor's
-window covers ``[ts, ts + gap)``, so an event at exactly ``+gap`` opens a
-NEW session). First event per key opens session 0.
+Semantics match Spark's built-in ``session_window`` exactly (verified
+empirically — the streaming twin in ``streaming/windows.py`` groups by
+``F.session_window`` and must produce identical sessions): an event
+belongs to the same session as its predecessor iff ``ts - prev_ts <=
+gap`` — the gap is END-INCLUSIVE, an event at exactly ``+gap`` still
+extends the session; the first strictly-later event opens a new one.
+First event per key opens session 0.
 
 Scale: one hash exchange on the key plus a per-key sort — the same cost a
 keyed session-window operator pays in any engine; no driver-side state,
@@ -47,7 +50,7 @@ def sessionize(
     # and mis-place events that straddle a whole-second gap boundary
     is_start = F.when(
         prev_ts.isNull()
-        | (F.col(ts_col).cast("double") - prev_ts.cast("double") >= F.lit(float(gap_seconds))),
+        | (F.col(ts_col).cast("double") - prev_ts.cast("double") > F.lit(float(gap_seconds))),
         1,
     ).otherwise(0)
     run = Window.partitionBy(key_col).orderBy(*order).rowsBetween(

@@ -91,6 +91,50 @@ def product_stats_stream(
     )
 
 
+def session_stats_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    delay: str = "30 seconds",
+) -> DataFrame:
+    """Streaming twin of ``operators.sessions.session_stats`` (W4): gap
+    sessionization via the built-in ``session_window`` grouping.
+
+    The batch operator's gap compare is aligned to this operator's
+    END-INCLUSIVE merge semantics (an event at exactly ``+gap`` extends
+    the session) so both produce identical sessions on the same data.
+
+    ``session_window.start`` is the first event's ts, but its ``.end`` is
+    ``last_event + gap`` — so the true session bounds/duration are
+    aggregated explicitly (min/max of the event time).
+
+    Scale/state: Spark keeps one state row per OPEN session per key and
+    merges/evicts on watermark advance — state is bounded by the number of
+    keys active within (gap + delay) of the watermark, independent of
+    stream length. A session row emits (append mode) once the watermark
+    passes ``last_event + gap``.
+    """
+    return (
+        events.withWatermark(ts_col, delay)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(
+            key_col,
+            "n_events",
+            "session_start",
+            "session_end",
+            F.round(
+                F.col("session_end").cast("double") - F.col("session_start").cast("double"), 6
+            ).alias("dur_sec"),
+        )
+    )
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

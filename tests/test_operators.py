@@ -290,16 +290,16 @@ def _sessions(spark, rows, gap=10):
     return {r.eid: r.session_idx for r in out.collect()}
 
 
-def test_session_gap_boundary_is_new_session(spark):
-    # inactivity window is [ts, ts+gap): an event at exactly +gap opens a
-    # NEW session; one microsecond inside continues the old one
+def test_session_gap_boundary_extends_session(spark):
+    # gap is END-INCLUSIVE (matches F.session_window, verified in
+    # test_streaming): exactly +gap extends; one microsecond past opens new
     out = _sessions(spark, [
         ("m", ts("2024-01-01 00:00:00"), 1),
-        ("m", ts("2024-01-01 00:00:10"), 2),          # exactly +gap -> new
-        ("m", ts("2024-01-01 00:00:19.999999"), 3),   # +9.999999s -> same
+        ("m", ts("2024-01-01 00:00:10"), 2),          # exactly +gap -> same
+        ("m", ts("2024-01-01 00:00:20.000001"), 3),   # +10.000001s -> new
         ("m", ts("2024-01-01 00:01:00"), 4),          # -> new
     ])
-    assert out == {1: 0, 2: 1, 3: 1, 4: 2}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 2}
 
 
 def test_session_per_key_independent(spark):

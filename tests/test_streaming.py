@@ -291,3 +291,36 @@ def test_stream_bounce_exactly_gap_boundary(spark):
     out = runner.run_to_memory(state.bounce_stream(sdf, gap_s=10, delay="1 second"), "bgap")
     got = {r.event_id: r.is_bounce for r in out.filter("user_id >= 0").collect()}
     assert got == {1: 1, 3: 0}
+
+
+def test_stream_session_window_matches_batch_sessionize(spark):
+    """W4 twins: the streaming session_window aggregation and the batch
+    lag/running-sum sessionizer must produce identical sessions,
+    INCLUDING at exactly +gap (end-inclusive merge on both sides)."""
+    from flinkrealtimedatawarehouse_spark.operators import sessions
+
+    rows = [
+        (1, 1, ts("2024-01-01 00:00:00"), "view", 0.0, None),
+        (1, 2, ts("2024-01-01 00:00:10"), "view", 0.0, None),   # exactly +gap: same session
+        (1, 3, ts("2024-01-01 00:00:25"), "view", 0.0, None),   # +15s: new session
+        (2, 4, ts("2024-01-01 00:00:03"), "view", 0.0, None),
+    ]
+    sdf = _stream_events(spark, rows, 2, "w4p", sentinel_pad="60 seconds")
+    streamed = runner.run_to_memory(
+        windows.session_stats_stream(sdf, "user_id", "ts", "10 seconds", "1 second"), "w4p"
+    ).filter("user_id >= 0")
+    got_stream = {
+        (r.user_id, r.session_start): (r.n_events, r.session_end, r.dur_sec)
+        for r in streamed.collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        [(u, e, t) for (u, e, t, *_rest) in rows], "user_id long, event_id long, ts timestamp"
+    )
+    got_batch = {
+        (r.user_id, r.session_start): (r.n_events, r.session_end, r.dur_sec)
+        for r in sessions.session_stats(batch_df, "user_id", "ts", 10, tiebreak="event_id").collect()
+    }
+    assert got_stream == got_batch
+    assert got_stream[(1, ts("2024-01-01 00:00:00"))] == (2, ts("2024-01-01 00:00:10"), 10.0)
+    assert (1, ts("2024-01-01 00:00:25")) in got_stream
