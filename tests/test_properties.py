@@ -190,3 +190,41 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
             for r in m.itertuples()
         }
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60)), min_size=0, max_size=20
+    ),
+    gap=st.integers(1, 15),
+)
+@settings(**_SETTINGS)
+def test_sessionize_matches_python_reference(spark, events, gap):
+    """W4 equals the linear-scan definition: per key, sorted by ts, an
+    event extends the current session iff ts - prev_ts <= gap
+    (end-inclusive, the F.session_window semantics); duplicates at one
+    ts always share a session."""
+    from flinkrealtimedatawarehouse_spark.operators.sessions import sessionize
+
+    df = spark.createDataFrame(
+        [(k, _T0 + timedelta(seconds=s), i) for i, (k, s) in enumerate(events)] or
+        [(0, _T0, 0)],
+        "k long, ts timestamp, eid long",
+    )
+    if not events:
+        df = df.limit(0)
+    got = {r["eid"]: r["session_idx"] for r in sessionize(df, "k", "ts", gap, tiebreak="eid").collect()}
+
+    want: dict[int, int] = {}
+    by_key: dict[int, list] = {}
+    for i, (k, s) in enumerate(events):
+        by_key.setdefault(k, []).append((s, i))
+    for k, evs in by_key.items():
+        evs.sort()  # (ts, eid) — same tiebreak as the operator
+        idx, prev = -1, None
+        for s, i in evs:
+            if prev is None or s - prev > gap:
+                idx += 1
+            want[i] = idx
+            prev = s
+    assert got == want
