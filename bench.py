@@ -73,14 +73,21 @@ def main() -> int:
     # is the reproducible statistic for plan quality, same methodology as
     # JMH/hyperfine. Every run executes the full plan; nothing is cached
     # between runs (no .persist anywhere in the bench queries).
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     timings: dict[str, float] = {}
     for name, fn in registry.items():
         best, n = float("inf"), -1
-        for _ in range(n_runs):
-            t0 = time.time()
-            n = fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
+        try:
+            for _ in range(n_runs):
+                t0 = time.time()
+                n = fn(spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+        except Exception as e:
+            # one broken query must not void the other timings — report it
+            # on stderr and leave it out of the JSON (a missing key is an
+            # explicit signal; Infinity would be invalid JSON)
+            print(f"# {name} FAILED: {e}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s (min of {n_runs})", file=sys.stderr)
 

@@ -312,18 +312,24 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     d = textstats.lang_id(load_table(spark, sf, "documents"), "text")
     return d.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("ct"))
 
-def _sql_lang_id() -> str:
-    toks = duck_tokens("text")
+def _duck_pred_lang(text_col: str = "text") -> str:
+    """The lang-ID stopword-hits CASE expression, built ONCE from
+    LANG_STOPWORDS — shared by every oracle that predicts a language so
+    tie precedence / hit semantics can never diverge between oracles."""
+    toks = duck_tokens(text_col)
     hits = {
         lang: f"len(list_filter({toks}, t -> t IN ({', '.join(repr(w) for w in ws)})))"
         for lang, ws in textstats.LANG_STOPWORDS.items()
     }
     best = "greatest(" + ", ".join(hits.values()) + ")"
-    case = "CASE " + " ".join(
+    return "CASE " + " ".join(
         f"WHEN {h} = {best} AND {best} > 0 THEN '{lang}'" for lang, h in hits.items()
     ) + " ELSE 'und' END"
+
+
+def _sql_lang_id() -> str:
     return f"""
-SELECT lang, {case} AS pred_lang, count(*)::BIGINT AS ct
+SELECT lang, {_duck_pred_lang()} AS pred_lang, count(*)::BIGINT AS ct
 FROM documents GROUP BY 1, 2
 """
 
@@ -660,15 +666,21 @@ def q_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("ct"))
 
-def _sql_mix() -> str:
+def _duck_mix_conds() -> str:
+    """The mix-sampling keep predicate, built ONCE from _MIX_RATES —
+    shared by the dp20 oracle and the composed mix->pack oracle so the
+    hash bucket modulus / rate rounding can never diverge."""
     bucket = f"{duck_phash('doc_id::VARCHAR')} % 10000"
-    conds = " OR ".join(
+    return " OR ".join(
         f"(source = '{s}' AND {bucket} < {int(round(r * 10000))})"
         for s, r in _MIX_RATES.items()
     )
+
+
+def _sql_mix() -> str:
     return f"""
 SELECT source, count(*)::BIGINT AS ct FROM documents
-WHERE {conds} GROUP BY 1
+WHERE {_duck_mix_conds()} GROUP BY 1
 """
 
 SQL_MIX_SAMPLE = _sql_mix()
@@ -685,17 +697,24 @@ def q_pack_bins(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("doc_ct"), F.sum("n_chars").alias("tok_sum")
     )
 
-SQL_PACK_BINS = f"""
+def _duck_pack_sql(src: str) -> str:
+    """The pack-bins cumulative-sum/bin SQL over any source relation —
+    shared by the dp21 oracle and the composed mix->pack oracle so the
+    bin formula lives in exactly one place."""
+    return f"""
 WITH c AS (
   SELECT source, n_chars,
          sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
                             ROWS UNBOUNDED PRECEDING) AS cum
-  FROM documents
+  FROM {src}
 )
 SELECT source, floor((cum - n_chars) / {_PACK_BUDGET})::BIGINT AS bin,
        count(*)::BIGINT AS doc_ct, sum(n_chars)::BIGINT AS tok_sum
 FROM c GROUP BY 1, 2
 """
+
+
+SQL_PACK_BINS = _duck_pack_sql("documents")
 
 
 # --- dp23 corpus length quantiles -----------------------------------------
@@ -811,14 +830,7 @@ def q_doc_metrics(spark: SparkSession, sf: str) -> DataFrame:
 
 def _sql_doc_metrics() -> str:
     toks = duck_tokens("text")
-    hits = {
-        lang: f"len(list_filter({toks}, t -> t IN ({', '.join(repr(w) for w in ws)})))"
-        for lang, ws in textstats.LANG_STOPWORDS.items()
-    }
-    best = "greatest(" + ", ".join(hits.values()) + ")"
-    pred = "CASE " + " ".join(
-        f"WHEN {h} = {best} AND {best} > 0 THEN '{lang}'" for lang, h in hits.items()
-    ) + " ELSE 'und' END"
+    pred = _duck_pred_lang()
     return f"""
 WITH a AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 25 = 0),
 tk AS (SELECT doc_id, text, {toks} AS toks FROM a),
@@ -939,23 +951,8 @@ def q_mix_pack(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 def _sql_mix_pack() -> str:
-    bucket = f"{duck_phash('doc_id::VARCHAR')} % 10000"
-    conds = " OR ".join(
-        f"(source = '{s}' AND {bucket} < {int(round(r * 10000))})"
-        for s, r in _MIX_RATES.items()
-    )
-    return f"""
-WITH kept AS (SELECT * FROM documents WHERE {conds}),
-c AS (
-  SELECT source, n_chars,
-         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-                            ROWS UNBOUNDED PRECEDING) AS cum
-  FROM kept
-)
-SELECT source, floor((cum - n_chars) / {_PACK_BUDGET})::BIGINT AS bin,
-       count(*)::BIGINT AS doc_ct, sum(n_chars)::BIGINT AS tok_sum
-FROM c GROUP BY 1, 2
-"""
+    kept = f"(SELECT * FROM documents WHERE {_duck_mix_conds()})"
+    return _duck_pack_sql(kept)
 
 SQL_MIX_PACK = _sql_mix_pack()
 

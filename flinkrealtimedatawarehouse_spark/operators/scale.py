@@ -79,12 +79,21 @@ def salted_broadcast_join(
     every reducer sees an even slice of even the hottest key. Result ==
     plain join (salt columns are internal).
 
-    The salt hashes ``salt_cols`` (default: every probe column), so it is
+    The salt hashes ``salt_cols`` (default: every HASHABLE probe column —
+    map columns are excluded, ``xxhash64`` rejects MapType), so it is
     stable across runs and repartitionings — safe to surface in output or
     checkpointed state. Rows identical in all salt_cols share a salt; a
-    hot key still spreads as long as its rows differ in any hashed column."""
+    hot key still spreads as long as its rows differ in any hashed column
+    — pass a unique id column as ``salt_cols`` when the probe side can
+    carry fully-identical duplicate rows."""
+    from pyspark.sql.types import MapType
+
     sk, dk = key
-    salt_src = [F.col(c) for c in (salt_cols or skewed.columns)]
+    if salt_cols is None:
+        salt_cols = [f.name for f in skewed.schema.fields if not isinstance(f.dataType, MapType)]
+        if not salt_cols:
+            raise ValueError("no hashable probe columns for the salt; pass salt_cols")
+    salt_src = [F.col(c) for c in salt_cols]
     probe = skewed.withColumn("_salt", F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)))
     dim_x = dim.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     out = probe.join(F.broadcast(dim_x), (probe[sk] == dim_x[dk]) & (probe["_salt"] == dim_x["_salt"]), how)

@@ -48,6 +48,9 @@ def main() -> int:
         t0 = time.time()
         textstats.corpus_ngrams(d, "text", 2, 20).collect()
         t_ng = time.time() - t0
+        t0 = time.time()
+        textstats.bm25_terms(d, "doc_id", "text", k=3).count()
+        t_bm = time.time() - t0
 
         e = amplify(emb, "vec_id", m)
         probes = emb.filter(F2.col("vec_id") < 8)  # fixed probe set at every scale
@@ -57,10 +60,27 @@ def main() -> int:
         t0 = time.time()
         similarity.cosine_topk_batch(e, probes, "vec_id", "embedding", k=5).count()
         t_bf = time.time() - t0
+        from flinkrealtimedatawarehouse_spark.tables import load_table
+
+        ev = load_table(spark, sf, "events")  # handles TIMESTAMP(NANOS)
+        ev_amp = ev
+        # copies get disjoint user_id ranges (base ids are small TPC-H-ish
+        # keys, far below the 1M step), so sessions never merge across
+        # copies even though timestamps are shared
+        for i in range(1, m):
+            ev_amp = ev_amp.unionByName(
+                ev.withColumn("user_id", F2.col("user_id") + i * 1_000_000)
+            )
+        from flinkrealtimedatawarehouse_spark.operators import sessions
+
+        t0 = time.time()
+        n_sess = sessions.session_stats(ev_amp, "user_id", "ts", 1800, tiebreak="event_id").count()
+        t_se = time.time() - t0
         print(
             f"x{m} ({base_n * m} docs / {base_e * m} vecs): "
             f"minhash_lsh={t_mh:.1f}s ({n_pairs} pairs) corpus_ngrams={t_ng:.1f}s "
-            f"ann_lsh={t_lsh:.1f}s bruteforce_arrow={t_bf:.1f}s",
+            f"bm25={t_bm:.1f}s ann_lsh={t_lsh:.1f}s bruteforce_arrow={t_bf:.1f}s "
+            f"sessionize={t_se:.1f}s ({n_sess} sessions)",
             flush=True,
         )
     return 0
