@@ -91,6 +91,37 @@ def product_stats_stream(
     )
 
 
+def sliding_stats_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    size: str = "10 minutes",
+    slide: str = "5 minutes",
+    delay: str = "30 seconds",
+) -> DataFrame:
+    """Sliding (hopping) event-time windows — the other window family the
+    reference discusses alongside sessions (README:374-384) and never
+    ships. Each event lands in ``size/slide`` overlapping windows; a
+    window row emits when the watermark passes its end.
+
+    Scale: Spark expands each row into its windows BEFORE the partial
+    aggregation, so shuffle volume is O(groups x size/slide), still
+    independent of row count; state is one entry per open (window x key).
+    Keep size/slide ratios small (2-4x) — the expansion factor is the cost.
+    """
+    return (
+        events.withWatermark(ts_col, delay)
+        .groupBy(F.window(F.col(ts_col), size, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("pv_ct"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            F.date_format(F.col("window.start"), WINDOW_FMT).alias("stt"),
+            F.date_format(F.col("window.end"), WINDOW_FMT).alias("edt"),
+            "event_type",
+            "pv_ct",
+            "value_sum",
+        )
+    )
+
+
 def session_stats_stream(
     events: DataFrame,
     key_col: str = "user_id",

@@ -324,3 +324,25 @@ def test_stream_session_window_matches_batch_sessionize(spark):
     assert got_stream == got_batch
     assert got_stream[(1, ts("2024-01-01 00:00:00"))] == (2, ts("2024-01-01 00:00:10"), 10.0)
     assert (1, ts("2024-01-01 00:00:25")) in got_stream
+
+
+def test_stream_sliding_windows_overlap_and_close(spark):
+    """T4 sliding: one event falls in size/slide overlapping windows; each
+    window emits once closed, with counts summing events in its span."""
+    rows = [
+        (1, 1, ts("2024-01-01 00:00:05"), "view", 1.0, None),   # windows [-5:00,0:05) x2... see asserts
+        (1, 2, ts("2024-01-01 00:00:14"), "view", 2.0, None),
+        (2, 3, ts("2024-01-01 00:00:21"), "view", 4.0, None),
+    ]
+    sdf = _stream_events(spark, rows, 2, "slide", sentinel_pad="60 seconds")
+    out = runner.run_to_memory(
+        windows.sliding_stats_stream(sdf, size="20 seconds", slide="10 seconds", delay="1 second"),
+        "slide",
+    ).filter("event_type = 'view'")
+    got = {(r.stt[-8:], r.edt[-8:]): (r.pv_ct, r.value_sum) for r in out.collect()}
+    # each event appears in exactly size/slide = 2 windows
+    assert got[("23:59:50", "00:00:10")] == (1, 1.0)            # ev1 only
+    assert got[("00:00:00", "00:00:20")] == (2, 3.0)            # ev1 + ev2
+    assert got[("00:00:10", "00:00:30")] == (2, 6.0)            # ev2 + ev3
+    assert got[("00:00:20", "00:00:40")] == (1, 4.0)            # ev3 only
+    assert len(got) == 4
