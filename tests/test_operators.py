@@ -338,3 +338,31 @@ def test_grain_rollup_grains_and_total(spark):
     assert rows[("ALL", "s2")] == (20.0, 1)
     assert rows[("ALL", "ALL")] == (35.0, 3)
     assert len(rows) == 5  # single-dim grains + grand total, no (p, s) grain
+
+
+# --- HLL sketch rollup: mergeable distincts --------------------------------
+
+def test_hll_rollup_equals_direct_sketch_and_tracks_exact(spark):
+    """union-of-sketches == sketch-of-union: rolling fine sketches up to a
+    coarse grain gives EXACTLY the estimate of sketching the coarse grain
+    directly; and at small cardinality the estimate equals the exact
+    distinct."""
+    from flinkrealtimedatawarehouse_spark.operators import sketches
+
+    rows = [(d, h, f"u{u}") for d in ("d1", "d2") for h in range(3) for u in range(h * 7 + 3)]
+    df = spark.createDataFrame(rows, "day string, hr int, uid string")
+
+    fine = sketches.uv_sketch_fine(df, ["day", "hr"], "uid")
+    rolled = {r.day: r.uv_est for r in sketches.uv_sketch_rollup(fine, ["day"]).collect()}
+    direct = {
+        r.day: r.uv_est
+        for r in sketches.uv_estimate(sketches.uv_sketch_fine(df, ["day"], "uid"), ["day"]).collect()
+    }
+    assert rolled == direct  # sketch algebra: union == direct, exactly
+
+    exact = {r.day: r.ct for r in df.groupBy("day").agg(
+        F.countDistinct("uid").alias("ct")).collect()}
+    assert rolled == exact  # lgk=12 is exact at these cardinalities
+
+    per_hr = {(r.day, r.hr): r.uv_est for r in sketches.uv_estimate(fine, ["day", "hr"]).collect()}
+    assert per_hr[("d1", 2)] == 17  # h*7+3 users in hour h
