@@ -876,6 +876,40 @@ def q_u2(spark: SparkSession, sf: str) -> DataFrame:
     u = unions.align_union(streams, keys=["item_id"], ts_col="ts", measures=measures)
     return unions.tumble_sum(u, ["item_id"], "ts", measures, "1 day")
 
+
+def q_u2_fused(spark: SparkSession, sf: str) -> DataFrame:
+    """One-scan conditional-agg rewrite of q_u2 (unions.fused_union_agg):
+    same rows, ONE events scan instead of 7. The u2 gate hashes both."""
+    ev = (
+        load_table(spark, sf, "events")
+        .withColumn("item_id", F.get_json_object("props", "$.k").cast("int"))
+        .filter(F.col("item_id").isNotNull())
+        .select("item_id", "ts", "event_type", "value")
+    )
+    t = F.col("event_type")
+    v = F.col("value")
+    branches = [
+        (t == "click", {"click_ct": F.lit(1)}),
+        (t == "view", {"display_ct": F.lit(1)}),
+        ((t == "click") & (v > 15), {"favor_ct": F.lit(1)}),
+        ((t == "click") & (v > 5) & (v <= 15), {"cart_ct": F.lit(1)}),
+        (t == "purchase", {"order_ct": F.lit(1), "order_amount": v}),
+        ((t == "purchase") & (v > 10), {"payment_ct": F.lit(1)}),
+        (t == "error", {"refund_ct": F.lit(1)}),
+    ]
+    measures = ["click_ct", "display_ct", "favor_ct", "cart_ct", "order_ct",
+                "order_amount", "payment_ct", "refund_ct"]
+    return unions.fused_union_agg(ev, branches, ["item_id"], "ts", measures, "1 day")
+
+
+def q_u2c(spark: SparkSession, sf: str) -> DataFrame:
+    """Tagged union proving the 7-scan union form and the one-scan fused
+    form produce identical ProductStats rows against one oracle."""
+    return (
+        q_u2(spark, sf).withColumn("kind", F.lit("union"))
+        .unionByName(q_u2_fused(spark, sf).withColumn("kind", F.lit("fused")))
+    )
+
 SQL_U2 = f"""
 WITH e AS (
   SELECT *, CAST(json_extract(props, '$.k') AS INT) AS item_id FROM events
@@ -895,6 +929,12 @@ SELECT strftime(time_bucket(INTERVAL '1 day', ts), '{DUCK_FMT}') AS stt,
        round(sum(CASE WHEN event_type = 'purchase' AND value > 10 THEN 1 ELSE 0 END)::DOUBLE, 2) AS payment_ct,
        round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE, 2) AS refund_ct
 FROM e GROUP BY 1, 2, 3
+"""
+
+SQL_U2C = f"""
+SELECT *, 'union' AS kind FROM ({SQL_U2})
+UNION ALL
+SELECT *, 'fused' AS kind FROM ({SQL_U2})
 """
 
 # O1 top keywords by raw count (order by desc limit)
@@ -1109,7 +1149,7 @@ REGISTRY = {
     "w1_bounce_detect": (q_w1, SQL_W1),
     "w1b_bounce_boundary": (q_w1b, SQL_W1B),
     # w4_session_stats registers in streamq (tagged batch+stream union)
-    "u2_product_union": (q_u2, SQL_U2),
+    "u2_product_union": (q_u2c, SQL_U2C),
     "k3_dim_upsert": (q_k3c, SQL_K3C),
     "x2_bucketed_salted": (q_xc, SQL_X2),
 }

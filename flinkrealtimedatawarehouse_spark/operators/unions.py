@@ -42,6 +42,53 @@ def align_union(
     return out
 
 
+def fused_union_agg(
+    df: DataFrame,
+    branches: list[tuple[Column, dict[str, Column]]],
+    keys: list[str],
+    ts_col: str,
+    measures: list[str],
+    duration: str,
+) -> DataFrame:
+    """ONE-SCAN rewrite of align_union + tumble_sum for the case the
+    reference can't have: all N streams derive from the SAME table by
+    filters. The union form plans N column-pruned scans — each pushes its
+    predicate, but a predicate on a randomly-distributed column (e.g.
+    event_type) prunes no parquet row groups, so N scans decode the data
+    N times. The fused form is one scan + one conditional aggregation:
+    measure m = sum over branches providing m of CASE WHEN cond THEN expr
+    ELSE 0 — a row in k branches contributes to k measures, exactly its k
+    union copies. Group membership = rows matching ANY branch.
+
+    Result-identical to the union form (the u2 gate entry hashes both
+    paths against one oracle); at 100 TB it reads the facts once instead
+    of N times. Use the union form when sources are genuinely distinct
+    (different topics/tables); use this when they're filters of one scan.
+    """
+    from functools import reduce as _reduce
+    from operator import or_ as _or
+
+    base = df.filter(_reduce(_or, (c for c, _ in branches)))
+    totals: dict[str, Column] = {}
+    for cond, provided in branches:
+        for m, expr in provided.items():
+            term = F.when(cond, expr.cast("double")).otherwise(F.lit(0.0))
+            totals[m] = term if m not in totals else totals[m] + term
+    aggs = [
+        F.round(F.sum(totals.get(m, F.lit(0.0))), 2).alias(m) for m in measures
+    ]
+    return (
+        base.groupBy(F.window(F.col(ts_col), duration), *keys)
+        .agg(*aggs)
+        .select(
+            F.date_format(F.col("window.start"), WINDOW_FMT).alias("stt"),
+            F.date_format(F.col("window.end"), WINDOW_FMT).alias("edt"),
+            *keys,
+            *measures,
+        )
+    )
+
+
 def tumble_sum(
     unioned: DataFrame,
     keys: list[str],

@@ -366,3 +366,40 @@ def test_hll_rollup_equals_direct_sketch_and_tracks_exact(spark):
 
     per_hr = {(r.day, r.hr): r.uv_est for r in sketches.uv_estimate(fine, ["day", "hr"]).collect()}
     assert per_hr[("d1", 2)] == 17  # h*7+3 users in hour h
+
+
+# --- U2 fused rewrite == union form ----------------------------------------
+
+def test_fused_union_agg_equals_union_form(spark):
+    """One-scan conditional agg == align_union + tumble_sum, including a
+    row matching TWO branches (contributes to both measures, exactly its
+    two union copies)."""
+    from flinkrealtimedatawarehouse_spark.operators import unions
+
+    df = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "click", 20.0),   # click AND favor (v>15)
+         (1, ts("2024-01-01 11:00:00"), "click", 3.0),    # click only
+         (2, ts("2024-01-01 10:30:00"), "view", 1.0),
+         (1, ts("2024-01-01 09:00:00"), "error", 0.0)],   # no branch -> excluded
+        "item_id int, ts timestamp, event_type string, value double",
+    )
+    t, v = F.col("event_type"), F.col("value")
+    branches = [
+        (t == "click", {"click_ct": F.lit(1)}),
+        (t == "view", {"view_ct": F.lit(1)}),
+        ((t == "click") & (v > 15), {"favor_ct": F.lit(1), "favor_amt": v}),
+    ]
+    measures = ["click_ct", "view_ct", "favor_ct", "favor_amt"]
+
+    fused = unions.fused_union_agg(df, branches, ["item_id"], "ts", measures, "1 day")
+    streams = [(df.filter(c), p) for c, p in branches]
+    u = unions.align_union(streams, ["item_id"], "ts", measures)
+    union_form = unions.tumble_sum(u, ["item_id"], "ts", measures, "1 day")
+
+    key = lambda r: (r.item_id, r.stt)
+    as_map = lambda d: {key(r): (r.click_ct, r.view_ct, r.favor_ct, r.favor_amt) for r in d.collect()}
+    got_f, got_u = as_map(fused), as_map(union_form)
+    assert got_f == got_u
+    assert got_f[(1, "2024-01-01 00:00:00")] == (2.0, 0.0, 1.0, 20.0)
+    # the error row matches no branch: not a group on its own
+    assert set(got_f) == {(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:00")}
