@@ -1,9 +1,16 @@
-"""Scale probe: amplify the documents/embeddings tables N× (id-shifted
-copies — same text distribution, disjoint ids) and time the dedup/ANN
-paths at each multiple. Linear wall-time growth = the bucket-bounded
-candidate generation is holding; superlinear growth would expose an
-all-pairs or recompute pathology. Run: ``python scripts/scale_probe.py
-[sf_dir] [multiples...]``; feeds the table in SCALE.md.
+"""Scale probe: amplify the documents/embeddings/events tables N×
+(id-shifted copies — same value distribution, disjoint ids) and time the
+dedup/ANN/text/session paths at each multiple. Linear wall-time growth =
+the bucket-bounded candidate generation is holding; superlinear growth
+would expose an all-pairs or recompute pathology.
+
+The batch sweep runs first and the streaming-CEP sweep LAST: a stateful
+replay (state-store commits + Arrow transfers) churns the JVM enough
+(GC + C2 deopt) to inflate batch timings taken right after it — measured
+~3-5× on the next multiple's MinHash when interleaved.
+
+Run: ``python scripts/scale_probe.py [sf_dir] [multiples...]``; feeds the
+table in SCALE.md.
 """
 
 from __future__ import annotations
@@ -26,10 +33,12 @@ def amplify(df, id_col, n):
 
 
 def main() -> int:
-    from pyspark.sql import functions as F2
-
     from flinkrealtimedatawarehouse_spark.datapipeline import similarity, textdedup, textstats
+    from flinkrealtimedatawarehouse_spark.operators import sessions
     from flinkrealtimedatawarehouse_spark.session import get_spark
+    from flinkrealtimedatawarehouse_spark.streaming import runner as srunner
+    from flinkrealtimedatawarehouse_spark.streaming import state as sstate
+    from flinkrealtimedatawarehouse_spark.tables import load_table
 
     args = sys.argv[1:]
     sf = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
@@ -38,7 +47,17 @@ def main() -> int:
     spark = get_spark("scale_probe")
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    ev = load_table(spark, sf, "events")  # handles TIMESTAMP(NANOS)
     base_n, base_e = docs.count(), emb.count()
+
+    def amp_events(m):
+        # copies get disjoint user_id ranges (base ids are small TPC-H-ish
+        # keys, far below the 1M step), so sessions never merge across
+        # copies even though timestamps are shared
+        out = ev
+        for i in range(1, m):
+            out = out.unionByName(ev.withColumn("user_id", F.col("user_id") + i * 1_000_000))
+        return out
 
     for m in multiples:
         d = amplify(docs, "doc_id", m)
@@ -53,28 +72,18 @@ def main() -> int:
         t_bm = time.time() - t0
 
         e = amplify(emb, "vec_id", m)
-        probes = emb.filter(F2.col("vec_id") < 8)  # fixed probe set at every scale
+        probes = emb.filter(F.col("vec_id") < 8)  # fixed probe set at every scale
         t0 = time.time()
         similarity.ann_topk_lsh(e, probes, "vec_id", "embedding", k=5, n_planes=6).count()
         t_lsh = time.time() - t0
         t0 = time.time()
         similarity.cosine_topk_batch(e, probes, "vec_id", "embedding", k=5).count()
         t_bf = time.time() - t0
-        from flinkrealtimedatawarehouse_spark.tables import load_table
-
-        ev = load_table(spark, sf, "events")  # handles TIMESTAMP(NANOS)
-        ev_amp = ev
-        # copies get disjoint user_id ranges (base ids are small TPC-H-ish
-        # keys, far below the 1M step), so sessions never merge across
-        # copies even though timestamps are shared
-        for i in range(1, m):
-            ev_amp = ev_amp.unionByName(
-                ev.withColumn("user_id", F2.col("user_id") + i * 1_000_000)
-            )
-        from flinkrealtimedatawarehouse_spark.operators import sessions
 
         t0 = time.time()
-        n_sess = sessions.session_stats(ev_amp, "user_id", "ts", 1800, tiebreak="event_id").count()
+        n_sess = sessions.session_stats(
+            amp_events(m), "user_id", "ts", 1800, tiebreak="event_id"
+        ).count()
         t_se = time.time() - t0
         print(
             f"x{m} ({base_n * m} docs / {base_e * m} vecs): "
@@ -83,6 +92,27 @@ def main() -> int:
             f"sessionize={t_se:.1f}s ({n_sess} sessions)",
             flush=True,
         )
+
+    # streaming CEP bounce (T7, applyInPandasWithState) — the one
+    # Python-state component; its own sweep so the state-store/Arrow churn
+    # can't contaminate the batch timings above
+    for m in multiples:
+        ev_amp = amp_events(m)
+        tag = f"probe_t7_x{m}"
+        in_dir = srunner.stage_stream_dir(ev_amp, "ts", 5, tag)
+        sent = srunner.make_sentinel(
+            ev_amp, "ts", "400 seconds", {"user_id": -1, "event_id": -1, "event_type": "__wm__"}
+        )
+        srunner.append_sentinel_file(in_dir, sent, tag)
+        sdf = srunner.parquet_stream(spark, in_dir, ev_amp.schema)
+        t0 = time.time()
+        n_bounce = (
+            srunner.run_to_memory(sstate.bounce_stream(sdf, gap_s=300), tag)
+            .filter(F.col("user_id") >= 0)
+            .count()
+        )
+        t_cep = time.time() - t0
+        print(f"x{m} cep_stream={t_cep:.1f}s ({n_bounce} bounces)", flush=True)
     return 0
 
 
