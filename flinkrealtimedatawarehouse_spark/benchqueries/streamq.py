@@ -137,6 +137,60 @@ def q_t7(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- W4 streaming twin: session_window gap sessionization -----------------
 
+# Planted boundary corpus: the real events table need not contain pairs at
+# EXACTLY the 1800 s gap, so the end-inclusive merge semantics would be
+# pinned only by unit tests — these rows force the oracle to check it.
+_W4B_ROWS = [
+    (1, 1, "2024-01-01 00:00:00"),         # session 0
+    (1, 2, "2024-01-01 00:30:00"),         # exactly +gap -> SAME session
+    (1, 3, "2024-01-01 01:00:00.000001"),  # +gap+1us -> new session
+    (2, 4, "2024-01-01 00:00:00"),
+    (2, 5, "2024-01-01 00:29:59.999999"),  # inside -> same
+    (3, 6, "2024-01-01 05:00:00"),         # singleton session
+]
+
+
+def q_w4b(spark: SparkSession, sf: str) -> DataFrame:
+    ev = spark.createDataFrame(
+        _W4B_ROWS, "user_id long, event_id long, ts_s string"
+    ).select("user_id", "event_id", F.to_timestamp("ts_s").alias("ts"))
+    from flinkrealtimedatawarehouse_spark.operators import sessions
+
+    s = sessions.session_stats(ev, "user_id", "ts", 1800, tiebreak="event_id")
+    return s.select(
+        "user_id", "session_idx", "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "dur_sec",
+    )
+
+
+_W4B_VALUES = ", ".join(f"({u}, {e}, TIMESTAMP '{t}')" for u, e, t in _W4B_ROWS)
+
+SQL_W4B = f"""
+WITH ev(user_id, event_id, ts) AS (VALUES {_W4B_VALUES}),
+o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM ev
+), f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) > 1800 THEN 1 ELSE 0 END AS st
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM f
+)
+SELECT user_id, session_idx::BIGINT AS session_idx, count(*)::BIGINT AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       round(epoch(max(ts)) - epoch(min(ts)), 6) AS dur_sec
+FROM s GROUP BY 1, 2
+"""
+
+
 def q_w4c(spark: SparkSession, sf: str) -> DataFrame:
     """Tagged union proving the batch sessionizer (lag/running-sum windows)
     and the streaming ``session_window`` aggregation produce IDENTICAL
@@ -162,7 +216,8 @@ def q_w4c(spark: SparkSession, sf: str) -> DataFrame:
         "dur_sec",
         F.lit("stream").alias("kind"),
     )
-    return batch.unionByName(stream)
+    planted = q_w4b(spark, sf).withColumn("kind", F.lit("planted"))
+    return batch.unionByName(stream).unionByName(planted)
 
 
 def _sql_w4c() -> str:
@@ -172,6 +227,8 @@ def _sql_w4c() -> str:
 SELECT *, 'batch' AS kind FROM ({SQL_W4})
 UNION ALL
 SELECT *, 'stream' AS kind FROM ({SQL_W4})
+UNION ALL
+SELECT *, 'planted' AS kind FROM ({SQL_W4B})
 """
 
 
