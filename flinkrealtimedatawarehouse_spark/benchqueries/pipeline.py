@@ -876,10 +876,12 @@ FROM f LEFT JOIN tp USING (doc_id) JOIN q2 USING (doc_id) JOIN lng USING (doc_id
 
 SQL_DOC_METRICS = _sql_doc_metrics()
 
-# dp23+dp24: the corpus-audit/curation pair, one tagged entry — length
-# quantiles per source + top-k-per-group quality culling. Columns are
-# aligned to (kind, source, v1..v4) doubles; each branch keeps its own
-# oracle shape inside the union.
+# dp23+dp24+dp26: the corpus-audit/curation trio, one tagged entry —
+# length quantiles per source + top-k-per-group quality culling + chunking
+# stats. Columns are aligned to (kind, source, v1..v4) doubles; each
+# branch keeps its own oracle shape inside the union.
+_CHUNK_SIZE, _CHUNK_OVERLAP = 500, 100
+
 def q_curation(spark: SparkSession, sf: str) -> DataFrame:
     quant = q_length_quantiles(spark, sf).select(
         F.lit("quantiles").alias("kind"), "source",
@@ -891,7 +893,23 @@ def q_curation(spark: SparkSession, sf: str) -> DataFrame:
         F.col("rank").cast("double").alias("v1"), F.col("doc_id").cast("double").alias("v2"),
         F.col("quality").alias("v3"), F.lit(0.0).alias("v4"),
     )
-    return quant.unionByName(topk)
+    docs = load_table(spark, sf, "documents")
+    chunks = (
+        textstats.chunk_documents(
+            docs.select("doc_id", "source", "text"), "doc_id", "text",
+            _CHUNK_SIZE, _CHUNK_OVERLAP,
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("double").alias("v1"),
+            F.count(F.lit(1)).cast("double").alias("v2"),
+            F.round(F.avg("chunk_len"), 6).alias("v3"),
+            F.max("chunk_len").cast("double").alias("v4"),
+        )
+        .select(F.lit("chunks").alias("kind"), "source", "v1", "v2", "v3", "v4")
+    )
+    return quant.unionByName(topk).unionByName(chunks)
 
 SQL_CURATION = f"""
 SELECT 'quantiles' AS kind, source, ct::DOUBLE AS v1, p50 AS v2, p90 AS v3, p99 AS v4
@@ -899,6 +917,18 @@ FROM ({SQL_LENGTH_QUANTILES})
 UNION ALL
 SELECT 'topk', source, rank::DOUBLE, doc_id::DOUBLE, quality, 0.0
 FROM ({SQL_TOPK_QUALITY})
+UNION ALL
+SELECT 'chunks', source, count(DISTINCT doc_id)::DOUBLE, count(*)::DOUBLE,
+       round(avg(chunk_len), 6), max(chunk_len)::DOUBLE
+FROM (
+  SELECT source, doc_id,
+         length(substr(text, off + 1, {_CHUNK_SIZE})) AS chunk_len
+  FROM (
+    SELECT source, doc_id, text,
+           unnest(range(0, greatest(length(text), 1), {_CHUNK_SIZE - _CHUNK_OVERLAP})) AS off
+    FROM documents
+  )
+) GROUP BY source
 """
 
 # dp25: BM25 term scoring (corpus idf + per-doc tf saturation); output

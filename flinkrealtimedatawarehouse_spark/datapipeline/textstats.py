@@ -349,3 +349,33 @@ def topk_per_group(docs: DataFrame, group_col: str, order_col: str,
         .filter(F.col("_rk") <= k)
         .withColumnRenamed("_rk", "rank")
     )
+
+
+def chunk_documents(docs: DataFrame, id_col: str, text_col: str,
+                    size: int = 500, overlap: int = 100) -> DataFrame:
+    """Split each document into overlapping character chunks — the step
+    before embedding in a training/RAG pipeline. Chunk k covers
+    ``[k*(size-overlap), k*(size-overlap)+size)``; the last chunk may be
+    shorter; an empty/whitespace-only doc yields one empty chunk.
+
+    All JVM-side: sequence(0, len-1, step) -> explode -> substring — no
+    UDF, one Generate node, no shuffle at all (chunking is a narrow op;
+    downstream groupBys pay the only exchange). At 100 TB the explode
+    multiplies rows ~len/step x, but each output row carries only its
+    chunk slice, so bytes grow ~(1 + overlap/size), not len/step.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    step = size - overlap
+    ln = F.length(F.col(text_col))
+    offs = F.sequence(F.lit(0), F.greatest(ln - 1, F.lit(0)), F.lit(step))
+    return (
+        docs.select(F.col(id_col), F.col(text_col), F.explode(offs).alias("chunk_off"))
+        .select(
+            id_col,
+            (F.col("chunk_off") / step).cast("int").alias("chunk_idx"),
+            "chunk_off",
+            F.substring(F.col(text_col), F.col("chunk_off") + 1, size).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )

@@ -338,3 +338,36 @@ def test_bm25_rare_term_outranks_common_at_equal_tf(spark):
     out = textstats.bm25_terms(docs, "doc_id", "text", k=2)
     d1 = [r.term for r in out.filter(F.col("doc_id") == 1).orderBy("rank").collect()]
     assert d1 == ["rare", "common"]  # df(rare)=1 < df(common)=3 => higher idf
+
+
+# --- document chunking ------------------------------------------------------
+
+def test_chunk_documents_offsets_overlap_and_edges(spark):
+    docs = spark.createDataFrame(
+        [(1, "a" * 1001), (2, "b" * 400), (3, ""), (4, "c" * 401)],
+        "doc_id long, text string",
+    )
+    out = textstats.chunk_documents(docs, "doc_id", "text", size=500, overlap=100)
+    rows = {(r.doc_id, r.chunk_idx): (r.chunk_off, r.chunk_len) for r in out.collect()}
+    # doc 1: offsets 0,400,800 — last chunk truncated to 201 chars
+    assert rows[(1, 0)] == (0, 500) and rows[(1, 1)] == (400, 500) and rows[(1, 2)] == (800, 201)
+    # doc 2: exactly one step -> single chunk
+    assert rows[(2, 0)] == (0, 400) and (2, 1) not in rows
+    # doc 3: empty text -> one empty chunk
+    assert rows[(3, 0)] == (0, 0)
+    # doc 4: one char past the step -> second chunk of length 1
+    assert rows[(4, 1)] == (400, 1)
+    # overlap: doc 1 chunk1 starts 100 chars before chunk0 ends
+    assert len(rows) == 3 + 1 + 1 + 2
+
+
+def test_chunk_documents_text_roundtrip(spark):
+    text = "".join(chr(ord("a") + i % 26) for i in range(950))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = textstats.chunk_documents(docs, "doc_id", "text", size=500, overlap=100).collect()
+    by_idx = {r.chunk_idx: r.chunk_text for r in out}
+    assert by_idx[0] == text[0:500]
+    assert by_idx[1] == text[400:900]
+    assert by_idx[2] == text[800:950]
+    # overlapping region agrees
+    assert by_idx[0][400:] == by_idx[1][:100]
