@@ -346,3 +346,23 @@ def test_stream_sliding_windows_overlap_and_close(spark):
     assert got[("00:00:10", "00:00:30")] == (2, 6.0)            # ev2 + ev3
     assert got[("00:00:20", "00:00:40")] == (1, 4.0)            # ev3 only
     assert len(got) == 4
+
+
+def test_additive_gold_sink_folds_batches_and_ignores_replay(spark, tmp_path):
+    """Incremental running totals: two batches folded == one-shot groupBy;
+    replaying an already-applied batch id is a no-op (at-least-once
+    foreachBatch delivery)."""
+    b0 = spark.createDataFrame(
+        [("a", 10.0), ("a", 5.0), ("b", 1.0)], "k string, v double"
+    )
+    b1 = spark.createDataFrame(
+        [("a", 2.0), ("c", 7.0)], "k string, v double"
+    )
+    sink = sinks.AdditiveGoldSink(str(tmp_path / "gold"), ["k"], {"total": ("v", "sum"), "ct": ("v", "count")})
+    sink.write_batch(b0, 0)
+    sink.write_batch(b0, 0)   # replay of batch 0: no-op
+    sink.write_batch(b1, 1)
+    sink.write_batch(b1, 1)   # replay of batch 1: no-op
+
+    got = {r.k: (r.total, r.ct) for r in sink.current(spark).collect()}
+    assert got == {"a": (17.0, 3.0), "b": (1.0, 1.0), "c": (7.0, 1.0)}
