@@ -366,3 +366,43 @@ def test_additive_gold_sink_folds_batches_and_ignores_replay(spark, tmp_path):
 
     got = {r.k: (r.total, r.ct) for r in sink.current(spark).collect()}
     assert got == {"a": (17.0, 3.0), "b": (1.0, 1.0), "c": (7.0, 1.0)}
+
+
+def test_dynamic_config_update_between_batches(spark, tmp_path):
+    """T6 parity with the reference's LIVE config: table_process is itself
+    a CDC stream there (BaseDBApp.java:69-93) — routing rules can change
+    mid-stream. The Spark form re-reads the config snapshot inside each
+    foreachBatch, so an update applied between micro-batches redirects
+    the NEXT batch while earlier batches keep their old routing."""
+    cfg_sink = sinks.SnapshotMergeSink(str(tmp_path / "cfg"), "key", "ver")
+    cfg_sink.init(spark.createDataFrame(
+        [("orders-insert", "orders", "insert", "fact_orders", 0)],
+        "key string, tableName string, type string, sink_table string, ver int",
+    ))
+
+    rows = [(i, "orders", "insert", float(i)) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "id long, tableName string, type string, total double")
+    in_dir = runner.stage_stream_dir(df, "id", 2, "dyncfg")
+    sdf = runner.parquet_stream(spark, in_dir, df.schema)
+
+    out_dir = str(tmp_path / "routed")
+    seen = []
+
+    def route_batch(batch, bid):
+        cfg = cfg_sink.current(batch.sparkSession)  # re-read: live config
+        routed = batch.join(F.broadcast(cfg), ["tableName", "type"], "inner")
+        routed.select("id", "total", "sink_table").write.mode("append").parquet(out_dir)
+        seen.append(bid)
+        if len(seen) == 1:  # config CDC lands between micro-batches
+            cfg_sink.write_batch(batch.sparkSession.createDataFrame(
+                [("orders-insert", "orders", "insert", "dim_orders", 1)],
+                "key string, tableName string, type string, sink_table string, ver int",
+            ), 0)
+
+    runner.run_foreach_batch(sdf, route_batch, "dyncfg")
+    back = spark.read.parquet(out_dir)
+    by_dest = {r.sink_table: sorted(x.id for x in back.filter(F.col("sink_table") == r.sink_table).collect())
+               for r in back.select("sink_table").distinct().collect()}
+    assert len(seen) == 2
+    # batch 0 (ids 1-3) routed by config v0; batch 1 (ids 4-6) by the update
+    assert by_dest == {"fact_orders": [1, 2, 3], "dim_orders": [4, 5, 6]}
