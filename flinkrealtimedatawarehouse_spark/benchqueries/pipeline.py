@@ -899,7 +899,6 @@ def q_curation(spark: SparkSession, sf: str) -> DataFrame:
             docs.select("doc_id", "source", "text"), "doc_id", "text",
             _CHUNK_SIZE, _CHUNK_OVERLAP,
         )
-        .join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(
             F.countDistinct("doc_id").cast("double").alias("v1"),

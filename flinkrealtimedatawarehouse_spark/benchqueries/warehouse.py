@@ -844,51 +844,22 @@ FROM base
 """
 
 # U2 7-stream product union -> daily per-item stats
-def q_u2(spark: SparkSession, sf: str) -> DataFrame:
-    # Each of the 7 branches re-plans this scan independently — deliberately
-    # NOT persisted. In the reference the 7 streams are 7 distinct Kafka
-    # topics (ProductStatsApp.java:83-110), so there is no shared scan to
-    # cache; here each branch is a column-pruned parquet scan with its
-    # event_type predicate pushed to the reader. At 100 TB that is the
-    # winning shape too: a cache of the fact table cannot fit memory, while
-    # pruned+filtered re-scans read only each branch's share. Measured at
-    # sf0.1 the no-cache form is also ~2x faster cold (no cache-encode
-    # materialization job, no eager checkpoint to guard unpersist).
-    ev = (
+# The 7-stream branch spec, defined ONCE: the union form derives its
+# streams from it and the fused form consumes it directly, so the two
+# paths cannot drift predicate-by-predicate (the u2 gate hashes both).
+def _u2_events(spark: SparkSession, sf: str) -> DataFrame:
+    return (
         load_table(spark, sf, "events")
         .withColumn("item_id", F.get_json_object("props", "$.k").cast("int"))
         .filter(F.col("item_id").isNotNull())
         .select("item_id", "ts", "event_type", "value")
     )
-    t = F.col("event_type")
-    v = F.col("value")
-    streams = [
-        (ev.filter(t == "click"), {"click_ct": F.lit(1)}),
-        (ev.filter(t == "view"), {"display_ct": F.lit(1)}),
-        (ev.filter((t == "click") & (v > 15)), {"favor_ct": F.lit(1)}),
-        (ev.filter((t == "click") & (v > 5) & (v <= 15)), {"cart_ct": F.lit(1)}),
-        (ev.filter(t == "purchase"), {"order_ct": F.lit(1), "order_amount": v}),
-        (ev.filter((t == "purchase") & (v > 10)), {"payment_ct": F.lit(1)}),
-        (ev.filter(t == "error"), {"refund_ct": F.lit(1)}),
-    ]
-    measures = ["click_ct", "display_ct", "favor_ct", "cart_ct", "order_ct",
-                "order_amount", "payment_ct", "refund_ct"]
-    u = unions.align_union(streams, keys=["item_id"], ts_col="ts", measures=measures)
-    return unions.tumble_sum(u, ["item_id"], "ts", measures, "1 day")
 
 
-def q_u2_fused(spark: SparkSession, sf: str) -> DataFrame:
-    """One-scan conditional-agg rewrite of q_u2 (unions.fused_union_agg):
-    same rows, ONE events scan instead of 7. The u2 gate hashes both."""
-    ev = (
-        load_table(spark, sf, "events")
-        .withColumn("item_id", F.get_json_object("props", "$.k").cast("int"))
-        .filter(F.col("item_id").isNotNull())
-        .select("item_id", "ts", "event_type", "value")
-    )
+def _u2_branches() -> list:
     t = F.col("event_type")
     v = F.col("value")
-    branches = [
+    return [
         (t == "click", {"click_ct": F.lit(1)}),
         (t == "view", {"display_ct": F.lit(1)}),
         ((t == "click") & (v > 15), {"favor_ct": F.lit(1)}),
@@ -897,9 +868,33 @@ def q_u2_fused(spark: SparkSession, sf: str) -> DataFrame:
         ((t == "purchase") & (v > 10), {"payment_ct": F.lit(1)}),
         (t == "error", {"refund_ct": F.lit(1)}),
     ]
-    measures = ["click_ct", "display_ct", "favor_ct", "cart_ct", "order_ct",
+
+
+_U2_MEASURES = ["click_ct", "display_ct", "favor_ct", "cart_ct", "order_ct",
                 "order_amount", "payment_ct", "refund_ct"]
-    return unions.fused_union_agg(ev, branches, ["item_id"], "ts", measures, "1 day")
+
+
+def q_u2(spark: SparkSession, sf: str) -> DataFrame:
+    # Each of the 7 branches re-plans this scan independently — deliberately
+    # NOT persisted. In the reference the 7 streams are 7 distinct Kafka
+    # topics (ProductStatsApp.java:83-110), so there is no shared scan to
+    # cache; here each branch is a column-pruned parquet scan with its
+    # event_type predicate pushed to the reader. A cache of the fact table
+    # cannot fit memory at 100 TB; for the one-table case the fused form
+    # below beats both. Measured at sf0.1 the no-cache form is also ~2x
+    # faster cold than the round-2 cached form.
+    ev = _u2_events(spark, sf)
+    streams = [(ev.filter(c), p) for c, p in _u2_branches()]
+    u = unions.align_union(streams, keys=["item_id"], ts_col="ts", measures=_U2_MEASURES)
+    return unions.tumble_sum(u, ["item_id"], "ts", _U2_MEASURES, "1 day")
+
+
+def q_u2_fused(spark: SparkSession, sf: str) -> DataFrame:
+    """One-scan conditional-agg rewrite of q_u2 (unions.fused_union_agg):
+    same rows, ONE events scan instead of 7. The u2 gate hashes both."""
+    return unions.fused_union_agg(
+        _u2_events(spark, sf), _u2_branches(), ["item_id"], "ts", _U2_MEASURES, "1 day"
+    )
 
 
 def q_u2c(spark: SparkSession, sf: str) -> DataFrame:
@@ -1070,11 +1065,19 @@ FROM lineitem GROUP BY 1, 2
 # Bucketed-table staging for X2/XC: once per (session, sf). The gate
 # queries are re-evaluated many times in one session (warm-up + timed
 # runs + both check sfs); rewriting two managed tables per evaluation
-# would race concurrent evaluations on the shared fixed names and pay a
-# full rewrite each run. sf-tagged names + a catalog existence check make
-# staging idempotent within a session and distinct across sfs.
+# pays a full rewrite each run. The table tag hashes the ABSOLUTE sf
+# path (two dirs sharing a basename must not collide), and the catalog
+# existence check makes staging idempotent within a session. Assumes the
+# testdata under one path is immutable for the session (true for the
+# read-only driver testdata) and serial gate evaluation (the driver's
+# model); regenerating data at the same path mid-session would require a
+# new SparkSession to re-stage.
 def _bucketed_pair(spark: SparkSession, sf: str) -> tuple[str, str]:
-    tag = os.path.basename(sf.rstrip("/")).replace(".", "_").replace("-", "_")
+    import hashlib
+
+    abspath = os.path.abspath(sf.rstrip("/"))
+    base = os.path.basename(abspath).replace(".", "_").replace("-", "_")
+    tag = f"{base}_{hashlib.md5(abspath.encode()).hexdigest()[:8]}"
     bo, bc = f"bx_orders_{tag}", f"bx_customer_{tag}"
     if not spark.catalog.tableExists(bo):
         scale.write_bucketed(load_table(spark, sf, "orders"), bo, "o_custkey", 8)

@@ -363,16 +363,21 @@ def chunk_documents(docs: DataFrame, id_col: str, text_col: str,
     downstream groupBys pay the only exchange). At 100 TB the explode
     multiplies rows ~len/step x, but each output row carries only its
     chunk slice, so bytes grow ~(1 + overlap/size), not len/step.
+
+    Every input column except ``text_col`` passes through (metadata like
+    source/lang rides along on the narrow op — cheaper than a join back
+    over the exploded rows to recover it).
     """
     if overlap >= size:
         raise ValueError("overlap must be < size")
     step = size - overlap
     ln = F.length(F.col(text_col))
     offs = F.sequence(F.lit(0), F.greatest(ln - 1, F.lit(0)), F.lit(step))
+    keep = [id_col] + [c for c in docs.columns if c not in (id_col, text_col)]
     return (
-        docs.select(F.col(id_col), F.col(text_col), F.explode(offs).alias("chunk_off"))
+        docs.select(*keep, F.col(text_col), F.explode(offs).alias("chunk_off"))
         .select(
-            id_col,
+            *keep,
             (F.col("chunk_off") / step).cast("int").alias("chunk_idx"),
             "chunk_off",
             F.substring(F.col(text_col), F.col("chunk_off") + 1, size).alias("chunk_text"),

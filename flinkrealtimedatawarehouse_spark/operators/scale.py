@@ -86,11 +86,21 @@ def salted_broadcast_join(
     hot key still spreads as long as its rows differ in any hashed column
     — pass a unique id column as ``salt_cols`` when the probe side can
     carry fully-identical duplicate rows."""
-    from pyspark.sql.types import MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _hashable(dt) -> bool:
+        # xxhash64 rejects MapType ANYWHERE in the type tree
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _hashable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        return True
 
     sk, dk = key
     if salt_cols is None:
-        salt_cols = [f.name for f in skewed.schema.fields if not isinstance(f.dataType, MapType)]
+        salt_cols = [f.name for f in skewed.schema.fields if _hashable(f.dataType)]
         if not salt_cols:
             raise ValueError("no hashable probe columns for the salt; pass salt_cols")
     salt_src = [F.col(c) for c in salt_cols]

@@ -72,7 +72,11 @@ def fused_union_agg(
     totals: dict[str, Column] = {}
     for cond, provided in branches:
         for m, expr in provided.items():
-            term = F.when(cond, expr.cast("double")).otherwise(F.lit(0.0))
+            # coalesce the expr: a NULL measure value contributes nothing in
+            # the union form (sum skips that copy, zero-filled copies keep
+            # the sum non-NULL) — without it, NULL + other-branch-term
+            # would poison the row's ENTIRE per-measure contribution
+            term = F.when(cond, F.coalesce(expr.cast("double"), F.lit(0.0))).otherwise(F.lit(0.0))
             totals[m] = term if m not in totals else totals[m] + term
     aggs = [
         F.round(F.sum(totals.get(m, F.lit(0.0))), 2).alias(m) for m in measures

@@ -22,6 +22,7 @@ equivalents are micro-batch writers:
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -107,10 +108,13 @@ class AdditiveGoldSink:
     associative folds — what can be merged batch-by-batch without
     reprocessing history).
 
-    Replay-safe: foreachBatch can re-deliver a batch after restart
-    (at-least-once); the sink records the last applied batch_id in its
-    snapshot version marker and makes re-application a no-op — same
-    contract Delta's txn-log gives MERGE, emulated on parquet snapshots.
+    Replay-safe ACROSS RESTARTS: the (version, last_batch_id) marker is a
+    JSON file under base_dir, written only AFTER the snapshot parquet
+    lands, and recovered on construction — a re-delivered batch after a
+    driver restart is a no-op, and a crash between snapshot write and
+    marker write leaves the marker at the previous consistent state (the
+    replay simply overwrites the orphaned snapshot). Same contract
+    Delta's txn-log gives MERGE, emulated on parquet snapshots.
     Scale: the per-batch partial agg collapses the batch to |keys| rows
     before the merge join; the running table is keyed and small relative
     to the facts.
@@ -122,9 +126,25 @@ class AdditiveGoldSink:
         self.measures = measures
         self.version = -1
         self.last_bid = -1
+        marker = self._marker_path()
+        if os.path.exists(marker):  # restart: recover committed state
+            with open(marker) as f:
+                state = json.load(f)
+            self.version = state["version"]
+            self.last_bid = state["last_bid"]
 
     def _path(self, v: int) -> str:
         return os.path.join(self.base_dir, f"v{v}")
+
+    def _marker_path(self) -> str:
+        return os.path.join(self.base_dir, "_committed.json")
+
+    def _commit(self) -> None:
+        os.makedirs(self.base_dir, exist_ok=True)
+        tmp = self._marker_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": self.version, "last_bid": self.last_bid}, f)
+        os.replace(tmp, self._marker_path())  # atomic on POSIX
 
     def current(self, spark: SparkSession) -> DataFrame | None:
         if self.version < 0:
@@ -158,9 +178,13 @@ class AdditiveGoldSink:
                 for m in self.measures
             ]
             merged = a.join(b, cond, "full_outer").select(*key_cols, *add_cols)
-        self.version += 1
-        merged.write.mode("overwrite").parquet(self._path(self.version))
+        # write the snapshot FIRST; only then commit the marker — a crash
+        # in between leaves the previous (version, last_bid) consistent
+        next_v = self.version + 1
+        merged.write.mode("overwrite").parquet(self._path(next_v))
+        self.version = next_v
         self.last_bid = batch_id
+        self._commit()
 
 
 def gold_append_sink(sdf: DataFrame, out_dir: str, tag: str) -> str:

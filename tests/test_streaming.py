@@ -367,6 +367,19 @@ def test_additive_gold_sink_folds_batches_and_ignores_replay(spark, tmp_path):
     got = {r.k: (r.total, r.ct) for r in sink.current(spark).collect()}
     assert got == {"a": (17.0, 3.0), "b": (1.0, 1.0), "c": (7.0, 1.0)}
 
+    # RESTART: a fresh sink object recovers (version, last_bid) from the
+    # committed marker — the replayed batch 1 is still a no-op and the
+    # accumulated totals survive
+    sink2 = sinks.AdditiveGoldSink(
+        str(tmp_path / "gold"), ["k"], {"total": ("v", "sum"), "ct": ("v", "count")}
+    )
+    sink2.write_batch(b1, 1)  # redelivered after restart: no-op
+    got2 = {r.k: (r.total, r.ct) for r in sink2.current(spark).collect()}
+    assert got2 == got
+    b2 = spark.createDataFrame([("b", 4.0)], "k string, v double")
+    sink2.write_batch(b2, 2)  # new batch folds on top of recovered state
+    assert {r.k: r.total for r in sink2.current(spark).collect()}["b"] == 5.0
+
 
 def test_dynamic_config_update_between_batches(spark, tmp_path):
     """T6 parity with the reference's LIVE config: table_process is itself
