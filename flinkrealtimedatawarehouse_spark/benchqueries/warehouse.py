@@ -658,18 +658,75 @@ SELECT l_user, r_id FROM l JOIN r
  AND r_ts <= l_ts
 """
 
-# J1+J2 boundary gate: both planted corpora in one query (tagged), pinning
-# inclusive bounds of the symmetric ±5 s AND the asymmetric [-15 min, 0]
-# interval-join windows in a single driver entry.
+# J8 range (band) join — planted boundary corpus through the CHUNKED
+# scale path (chunk=4: band 1 spans 3 cells, band 3 is sub-chunk, bands 1/2
+# share a cell edge). Pins half-open [lo, hi) semantics exactly at the
+# edges and left-join survival of out-of-band facts.
+_RNGB_BANDS = [(1, 0.0, 10.0), (2, 10.0, 25.0), (3, 25.0, 25.5)]
+_RNGB_FACTS = [
+    (1, 0.0),    # == lo of band 1 -> in
+    (2, 10.0),   # band 1's hi == band 2's lo -> band 2 only
+    (3, 9.999),  # just under the edge -> band 1
+    (4, 25.0),   # narrow band 3
+    (5, 25.5),   # == hi of band 3 (exclusive) -> null
+    (6, -0.5),   # below every band -> null
+]
+
+def q_rngb(spark: SparkSession, sf: str) -> DataFrame:
+    facts = spark.createDataFrame(_RNGB_FACTS, "fact_id long, v double")
+    bands = spark.createDataFrame(_RNGB_BANDS, "band_id long, lo double, hi double")
+    j = joins.range_join(facts, bands, "v", "lo", "hi", chunk=4.0, how="left")
+    return j.select("fact_id", F.col("band_id").cast("long").alias("band_id"))
+
+SQL_RNGB = f"""
+WITH f(fact_id, v) AS (VALUES {", ".join(f"({i}, {v})" for i, v in _RNGB_FACTS)}),
+b(band_id, lo, hi) AS (VALUES {", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in _RNGB_BANDS)})
+SELECT fact_id, band_id FROM f LEFT JOIN b ON f.v >= b.lo AND f.v < b.hi
+"""
+
+# J8 at sf scale: events.value -> planted value tiers (8 bands of width
+# 64), chunked equi-join, rollup per tier.
+_RNG_TIERS = [(i, i * 64.0, (i + 1) * 64.0) for i in range(8)]
+
+def q_rng_sf(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("event_id", "value")
+    tiers = spark.createDataFrame(_RNG_TIERS, "tier_id long, lo double, hi double")
+    j = joins.range_join(ev, tiers, "value", "lo", "hi", chunk=16.0)
+    return j.groupBy("tier_id").agg(F.count(F.lit(1)).alias("ct"))
+
+SQL_RNG_SF = f"""
+WITH t(tier_id, lo, hi) AS (VALUES {", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in _RNG_TIERS)})
+SELECT tier_id, count(*)::BIGINT AS ct
+FROM events e JOIN t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY tier_id
+"""
+
+# J1+J2+J8 boundary gate: the planted interval-join corpora plus both
+# range-join branches in one tagged entry, pinning inclusive interval
+# bounds, half-open band edges, and the chunked path's sf-scale rollup.
 def q_jb(spark: SparkSession, sf: str) -> DataFrame:
     pm5 = q_j1b(spark, sf).select(F.lit("pm5").alias("kind"), "l_user", "r_id")
     asym = q_j2b(spark, sf).select(F.lit("asym").alias("kind"), "l_user", "r_id")
-    return pm5.unionByName(asym)
+    rng = q_rngb(spark, sf).select(
+        F.lit("rng").alias("kind"),
+        F.col("fact_id").alias("l_user"),
+        F.col("band_id").alias("r_id"),
+    )
+    rngsf = q_rng_sf(spark, sf).select(
+        F.lit("rngsf").alias("kind"),
+        F.col("tier_id").alias("l_user"),
+        F.col("ct").alias("r_id"),
+    )
+    return pm5.unionByName(asym).unionByName(rng).unionByName(rngsf)
 
 SQL_JB = f"""
 SELECT 'pm5' AS kind, l_user, r_id FROM ({SQL_J1B})
 UNION ALL
 SELECT 'asym', l_user, r_id FROM ({SQL_J2B})
+UNION ALL
+SELECT 'rng', fact_id, band_id FROM ({SQL_RNGB})
+UNION ALL
+SELECT 'rngsf', tier_id, ct FROM ({SQL_RNG_SF})
 """
 
 # J7 as-of join (beyond the reference — the time-series join a training

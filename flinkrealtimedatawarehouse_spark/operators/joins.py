@@ -148,6 +148,57 @@ def asof_join(
     return out.select(F.col(lk), F.col(lt), *keep, m_ts, *matched)
 
 
+def range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    chunk: float | None = None,
+    how: str = "inner",
+    lo_inclusive: bool = True,
+    hi_inclusive: bool = False,
+) -> DataFrame:
+    """Band (range) join: match each fact row to every band row whose
+    [lo, hi) interval contains fact.value — the IP→geo / value→tier /
+    score→bucket lookup shape (beyond the reference, which only has keyed
+    interval joins; same non-equi predicate family as
+    rtest/app/FlinkDSJoinTest.java's windowed joins but on a value domain).
+
+    Bounds are half-open [lo, hi) by default (standard banding: a value at
+    one band's hi is the next band's lo); both ends have inclusivity knobs.
+    Overlapping bands emit one row per matching band.
+
+    Scale: a plain non-equi join has no equi key, so Catalyst can only
+    pick BroadcastNestedLoopJoin (fine while the band table is small — it
+    usually is) and degrades to a cartesian product when it is not.
+    ``chunk`` enables the scale path: quantize the value domain into
+    fixed-width cells, explode each band to the cells it overlaps
+    (ceil(width/chunk) rows), stamp each fact with its single cell, and
+    equi-join on the cell with the exact range predicate re-applied as a
+    post-filter. The shuffle is a plain hash join on the cell key —
+    O(facts + bands × width/chunk) rows, AQE/skew-handled like any
+    equi-join — instead of O(facts × bands) comparisons. Pick ``chunk``
+    near the median band width so most bands explode to 1-2 cells.
+    """
+    v = F.col(value_col)
+    lo_ok = v >= F.col(lo_col) if lo_inclusive else v > F.col(lo_col)
+    hi_ok = v <= F.col(hi_col) if hi_inclusive else v < F.col(hi_col)
+    if chunk is None:
+        return fact.join(bands, lo_ok & hi_ok, how)
+    b = bands.withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(chunk)),
+                F.floor(F.col(hi_col) / F.lit(chunk)),
+            )
+        ),
+    )
+    f = fact.withColumn("_cell", F.floor(v / F.lit(chunk)))
+    return f.join(b, (f["_cell"] == b["_cell"]) & lo_ok & hi_ok, how).drop("_cell")
+
+
 def with_time_fields(df: DataFrame, time_str_col: str) -> DataFrame:
     """P8: split 'yyyy-MM-dd HH:mm:ss' into date/hour + epoch
     (OrderWideApp.java:52-63)."""

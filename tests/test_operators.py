@@ -403,3 +403,52 @@ def test_fused_union_agg_equals_union_form(spark):
     assert got_f[(1, "2024-01-01 00:00:00")] == (2.0, 0.0, 1.0, 20.0)
     # the error row matches no branch: not a group on its own
     assert set(got_f) == {(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:00")}
+
+
+# --- J8 range (band) join ---------------------------------------------------
+
+_BANDS = [(1, 0.0, 10.0), (2, 10.0, 25.0), (3, 25.0, 25.5)]
+_FACTS = [(1, 0.0), (2, 10.0), (3, 9.999), (4, 25.0), (5, 25.5), (6, -0.5)]
+
+
+def _range_matches(spark, chunk, lo_inc=True, hi_inc=False):
+    f = spark.createDataFrame(_FACTS, "fact_id long, v double")
+    b = spark.createDataFrame(_BANDS, "band_id long, lo double, hi double")
+    j = joins.range_join(f, b, "v", "lo", "hi", chunk=chunk, how="left",
+                         lo_inclusive=lo_inc, hi_inclusive=hi_inc)
+    return {r.fact_id: r.band_id for r in j.collect()}
+
+
+def test_range_join_half_open_edges(spark):
+    # v == lo is in, v == hi belongs to the NEXT band (half-open default)
+    expect = {1: 1, 2: 2, 3: 1, 4: 3, 5: None, 6: None}
+    assert _range_matches(spark, chunk=None) == expect
+
+
+def test_range_join_chunked_equals_naive(spark):
+    # chunk smaller than, comparable to, and larger than band widths
+    naive = _range_matches(spark, chunk=None)
+    for chunk in (0.25, 4.0, 100.0):
+        assert _range_matches(spark, chunk=chunk) == naive
+
+
+def test_range_join_inclusive_hi(spark):
+    out = _range_matches(spark, chunk=4.0, hi_inc=True)
+    # v == 25.5 now matches band 3; v == 10.0 matches bands 1 AND 2 ->
+    # fact 2 appears twice, dict keeps one — count rows instead
+    f = spark.createDataFrame(_FACTS, "fact_id long, v double")
+    b = spark.createDataFrame(_BANDS, "band_id long, lo double, hi double")
+    j = joins.range_join(f, b, "v", "lo", "hi", chunk=4.0, how="left", hi_inclusive=True)
+    # facts 2 (v=10) and 4 (v=25) each hit two now-overlapping bands,
+    # fact 5 matches band 3, fact 6 stays null => 1+2+1+2+1+1
+    assert j.count() == 8
+    assert out[5] == 3
+
+
+def test_range_join_chunked_plan_is_hash_join(spark):
+    """The chunked path must plan as an equi (hash/sort-merge) join; the
+    naive path on an un-broadcastable side would be BroadcastNestedLoop."""
+    f = spark.createDataFrame(_FACTS, "fact_id long, v double")
+    b = spark.createDataFrame(_BANDS, "band_id long, lo double, hi double")
+    plan = joins.range_join(f, b, "v", "lo", "hi", chunk=4.0)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
