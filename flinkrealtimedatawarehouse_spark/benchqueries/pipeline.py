@@ -968,20 +968,52 @@ SELECT doc_id, rank::INT AS rank, term, tf AS tf_ct, score FROM (
 ) WHERE rank <= {_BM25_K} AND doc_id % 25 = 0
 """
 
-# dp20+dp21: mix sampling feeding sequence packing — the composed
-# curation pipeline (sample the training mix, then pack what survived).
+# dp20+dp21+dp27: mix sampling feeding sequence packing, plus the
+# train/val/test split assignment — the composed curation pipeline
+# (sample the training mix, pack what survived, and stamp every surviving
+# doc's split). Tagged union: (kind, source, key, doc_ct, tok_sum).
+_SPLITS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+
 def q_mix_pack(spark: SparkSession, sf: str) -> DataFrame:
     kept = textstats.mix_sample(
         load_table(spark, sf, "documents"), "doc_id", _MIX_RATES, "source"
     )
     packed = textstats.pack_bins(kept, "doc_id", "n_chars", _PACK_BUDGET, part_col="source")
-    return packed.groupBy("source", "bin").agg(
+    pack_branch = packed.groupBy("source", "bin").agg(
         F.count(F.lit(1)).alias("doc_ct"), F.sum("n_chars").alias("tok_sum")
+    ).select(
+        F.lit("pack").alias("kind"), "source",
+        F.col("bin").cast("string").alias("key"), "doc_ct", "tok_sum",
     )
+    split_branch = (
+        textstats.split_assign(kept, "doc_id", _SPLITS)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("doc_ct"), F.sum("n_chars").alias("tok_sum"))
+        .select(F.lit("split").alias("kind"), "source",
+                F.col("split").alias("key"), "doc_ct", "tok_sum")
+    )
+    return pack_branch.unionByName(split_branch)
+
+def _duck_split_case() -> str:
+    """The split_assign bucket CASE, mirrored from textstats.split_assign:
+    bucket = phash(id || '_split') % 10000, closed-open cumulative ranges
+    in declaration order, remainder -> last split."""
+    bucket = duck_phash("doc_id::VARCHAR || '_split'") + " % 10000"
+    hi, arms = 0, []
+    for name, rate in _SPLITS[:-1]:
+        hi += int(round(rate * 10000))
+        arms.append(f"WHEN {bucket} < {hi} THEN '{name}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{_SPLITS[-1][0]}' END"
 
 def _sql_mix_pack() -> str:
     kept = f"(SELECT * FROM documents WHERE {_duck_mix_conds()})"
-    return _duck_pack_sql(kept)
+    return f"""
+SELECT 'pack' AS kind, source, bin::VARCHAR AS key, doc_ct, tok_sum
+FROM ({_duck_pack_sql(kept)})
+UNION ALL
+SELECT 'split', source, {_duck_split_case()}, count(*)::BIGINT, sum(n_chars)::BIGINT
+FROM {kept} GROUP BY 1, 2, 3
+"""
 
 SQL_MIX_PACK = _sql_mix_pack()
 

@@ -225,6 +225,39 @@ def mix_sample(docs: DataFrame, id_col: str, rates: dict[str, float],
     return docs.filter(keep if keep is not None else F.lit(False))
 
 
+def split_assign(docs: DataFrame, id_col: str,
+                 splits: tuple[tuple[str, float], ...] = (
+                     ("train", 0.8), ("val", 0.1), ("test", 0.1)),
+                 salt: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets a ``split``
+    label from a hash bucket of (id, salt) against the cumulative split
+    ranges. Unlike mix_sample (a keep/drop filter), this is a total
+    multi-way assignment — every row lands in exactly one split.
+
+    The bucket is a pure function of the id and the salt, so (a) the
+    split is reproducible across runs, engines, and re-partitioning,
+    (b) re-running on a grown corpus never moves an old row between
+    splits (no leakage of former-train docs into test), and (c) changing
+    the salt re-draws the assignment wholesale. Map-only: no shuffle, no
+    RNG, no driver state; at 100 TB this is a free extra projection on
+    any pass that already reads the id.
+
+    Ranges are closed-open on a 10,000-bucket space in declaration order;
+    any remainder bucket (rates summing < 1) falls into the LAST split.
+    """
+    bucket = spark_phash(F.concat(F.col(id_col).cast("string"), F.lit("_" + salt))) % F.lit(10_000)
+    hi, conds = 0, []
+    for name, rate in splits:
+        hi += int(round(rate * 10_000))
+        conds.append((name, hi))
+    expr = None
+    for name, upper in conds[:-1]:
+        expr = (F.when(bucket < upper, F.lit(name)) if expr is None
+                else expr.when(bucket < upper, F.lit(name)))
+    expr = F.lit(splits[-1][0]) if expr is None else expr.otherwise(F.lit(splits[-1][0]))
+    return docs.withColumn("split", expr)
+
+
 def pack_bins(docs: DataFrame, id_col: str, token_col: str, budget: int,
               part_col: str | None = None) -> DataFrame:
     """Sequence packing: assign docs to fixed-token-budget training bins.

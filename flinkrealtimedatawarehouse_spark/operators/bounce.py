@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flinkrealtimedatawarehouse_spark.timeutil import epoch_seconds_col
+
 
 def mark_bounces(
     events: DataFrame,
@@ -57,7 +59,10 @@ def mark_bounces(
         flagged.withColumn("next_ts", F.lead(ts_col).over(w))
         .withColumn("next_is_entry", F.lead("_is_entry").over(w))
     )
-    delta = F.col("next_ts").cast("double") - F.col(ts_col).cast("double")
+    ts_type = dict(events.dtypes).get(ts_col)
+    delta = epoch_seconds_col(F.col("next_ts"), ts_type) - epoch_seconds_col(
+        F.col(ts_col), ts_type
+    )
     survives = (
         F.col("next_ts").isNotNull()
         & (delta < F.lit(float(gap_seconds)))

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flinkrealtimedatawarehouse_spark.timeutil import epoch_seconds_col
+
 
 def sessionize(
     df: DataFrame,
@@ -43,14 +45,20 @@ def sessionize(
     order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
     w = Window.partitionBy(key_col).orderBy(*order)
     prev_ts = F.lag(ts_col).over(w)
-    # microsecond-exact gap compare: timestamp->double is epoch seconds
-    # with the fractional part, exact in a 53-bit mantissa for epoch ~2^31
-    # + micros (~2^20 more bits... still < 2^53 as a scaled integer), and
-    # identical to DuckDB's epoch(ts) — a long cast would truncate micros
-    # and mis-place events that straddle a whole-second gap boundary
+    # microsecond-exact gap compare via timeutil.epoch_seconds_col (handles
+    # timestamp / timestamp_ntz / numeric inputs): epoch seconds with the
+    # fractional part is exact in a 53-bit mantissa for epoch ~2^31 +
+    # micros, and identical to DuckDB's epoch(ts) — a long cast would
+    # truncate micros and mis-place events that straddle a whole-second
+    # gap boundary
+    ts_type = dict(df.dtypes).get(ts_col)
     is_start = F.when(
         prev_ts.isNull()
-        | (F.col(ts_col).cast("double") - prev_ts.cast("double") > F.lit(float(gap_seconds))),
+        | (
+            epoch_seconds_col(F.col(ts_col), ts_type)
+            - epoch_seconds_col(prev_ts, ts_type)
+            > F.lit(float(gap_seconds))
+        ),
         1,
     ).otherwise(0)
     run = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
@@ -75,11 +83,14 @@ def session_stats(
     exchange before the partial agg).
     """
     s = sessionize(df, key_col, ts_col, gap_seconds, tiebreak)
+    ts_type = dict(df.dtypes).get(ts_col)
     return s.groupBy(key_col, "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         F.round(
-            F.max(ts_col).cast("double") - F.min(ts_col).cast("double"), 6
+            epoch_seconds_col(F.max(ts_col), ts_type)
+            - epoch_seconds_col(F.min(ts_col), ts_type),
+            6,
         ).alias("dur_sec"),
     )

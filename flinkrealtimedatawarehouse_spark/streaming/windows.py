@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flinkrealtimedatawarehouse_spark.operators.aggs import WINDOW_FMT
+from flinkrealtimedatawarehouse_spark.timeutil import epoch_seconds_col
 
 
 def visitor_stats_stream(
@@ -146,6 +147,7 @@ def session_stats_stream(
     stream length. A session row emits (append mode) once the watermark
     passes ``last_event + gap``.
     """
+    ts_type = dict(events.dtypes).get(ts_col)
     return (
         events.withWatermark(ts_col, delay)
         .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
@@ -160,7 +162,9 @@ def session_stats_stream(
             "session_start",
             "session_end",
             F.round(
-                F.col("session_end").cast("double") - F.col("session_start").cast("double"), 6
+                epoch_seconds_col(F.col("session_end"), ts_type)
+                - epoch_seconds_col(F.col("session_start"), ts_type),
+                6,
             ).alias("dur_sec"),
         )
     )

@@ -39,13 +39,33 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
+def _normalize_event_time(df: DataFrame) -> DataFrame:
+    """Normalize every TIMESTAMP_NTZ column to plain TIMESTAMP (LTZ).
+
+    Spark 4's parquet reader infers ``timestamp[us]`` columns with no
+    UTC-adjustment flag as TIMESTAMP_NTZ
+    (``spark.sql.parquet.inferTimestampNTZ.enabled`` default true), but
+    NTZ cannot carry a streaming watermark (EVENT_TIME_IS_NOT_ON_TIMESTAMP_
+    TYPE) or cast to double for gap arithmetic. The session pins UTC
+    (session.py), so NTZ -> LTZ is a pure reinterpretation — bit-exact
+    micros, no DST folds — and every downstream operator sees one canonical
+    event-time type regardless of how the parquet was written.
+    """
+    for col_name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects by default — read the nanos as long (legacy conf)
-        # and convert to a proper timestamp (exact: source is micros).
+        # Historical testdata shipped events.ts as TIMESTAMP(NANOS), which
+        # Spark's parquet reader rejects by default — read the nanos as
+        # long (legacy conf) and convert (exact: source is micros).
+        # Current testdata ships timestamp[us], which reads as NTZ and is
+        # normalized to LTZ below; both shapes land on identical TIMESTAMP.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
@@ -55,8 +75,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer DIV: epoch-ns ~1.7e18 exceeds double's exact range, so
             # float division would wobble the microsecond value by ±1
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return _normalize_event_time(df)
+    return _normalize_event_time(
+        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

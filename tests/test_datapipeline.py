@@ -371,3 +371,41 @@ def test_chunk_documents_text_roundtrip(spark):
     assert by_idx[2] == text[800:950]
     # overlapping region agrees
     assert by_idx[0][400:] == by_idx[1][:100]
+
+
+def test_split_assign_total_deterministic_and_ratioed(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(2000)], "doc_id long, text string"
+    )
+    out = textstats.split_assign(docs, "doc_id")
+    rows = out.collect()
+    # total assignment: every row, exactly one split label
+    assert len(rows) == 2000
+    counts = {r["split"]: 0 for r in rows}
+    for r in rows:
+        counts[r["split"]] += 1
+    assert set(counts) == {"train", "val", "test"}
+    # hash-bucket ratios converge loosely at n=2000
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    assert 0.05 < counts["val"] / 2000 < 0.15
+    # deterministic: same ids -> same assignment, independent of row order
+    again = {r["doc_id"]: r["split"] for r in textstats.split_assign(
+        docs.orderBy(F.desc("doc_id")), "doc_id").collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)
+
+
+def test_split_assign_growth_never_moves_old_rows(spark):
+    small = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    grown = spark.createDataFrame([(i,) for i in range(1500)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in textstats.split_assign(small, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in textstats.split_assign(grown, "doc_id").collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_split_assign_salt_redraws(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in textstats.split_assign(docs, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in textstats.split_assign(
+        docs, "doc_id", salt="v2").collect()}
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert moved > 100  # a re-salt reshuffles a large fraction
