@@ -493,6 +493,89 @@ FROM h WHERE rn = 1 GROUP BY 1
 """
 
 
+# --- dp28: streaming MinHash-LSH near-dup ingest --------------------------
+
+def q_dp28(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming near-dedup: documents replayed id-ordered -> per-batch
+    MinHash band keys -> flag vs the accumulated band-key state (smaller
+    doc_id wins) -> state absorbs the batch. See streaming/neardup.py for
+    the scale contract; under the id-ordered replay the flags equal the
+    batch directional-LSH relation, which is what the oracle encodes.
+    """
+    from flinkrealtimedatawarehouse_spark.benchqueries.pipeline import (
+        _MH_BANDS,
+        _MH_K,
+        _MH_N,
+        _docs_with_near_dups,
+    )
+    from flinkrealtimedatawarehouse_spark.streaming import neardup
+
+    docs = _docs_with_near_dups(spark, sf).select("doc_id", "text", "source")
+    in_dir = runner.stage_stream_dir(docs, "doc_id", _N_FILES, "dp28")
+    sdf = runner.parquet_stream(spark, in_dir, docs.schema)
+    sink = neardup.BandStateNearDupSink(
+        runner.scratch_dir("nd_dp28"), "doc_id", "text",
+        shingle_n=_MH_N, k=_MH_K, bands=_MH_BANDS,
+    )
+    sink.init(spark)
+    runner.run_foreach_batch(sdf, sink.write_batch, "dp28")
+    return (
+        sink.flags(spark)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("is_near_dup").cast("long").alias("dup_ct"),
+            F.count(F.lit(1)).cast("long").alias("doc_ct"),
+        )
+    )
+
+
+# dp22+dp28: the streaming ingest pair, one tagged gate entry —
+# exact-dedup MERGE ingest and band-state near-dup flagging.
+def q_dp22c(spark: SparkSession, sf: str) -> DataFrame:
+    ingest = q_dp22(spark, sf).select(
+        F.lit("ingest").alias("kind"), "source",
+        F.col("kept_ct").alias("v1"), F.col("min_id").alias("v2"),
+    )
+    nd = q_dp28(spark, sf).select(
+        F.lit("neardup").alias("kind"), "source",
+        F.col("dup_ct").alias("v1"), F.col("doc_ct").alias("v2"),
+    )
+    return ingest.unionByName(nd)
+
+
+def _sql_dp22c() -> str:
+    from flinkrealtimedatawarehouse_spark.benchqueries.pipeline import (
+        _MH_BANDS,
+        _sql_sigs_cte,
+    )
+
+    return f"""
+SELECT 'ingest' AS kind, source, kept_ct AS v1, min_id AS v2 FROM ({SQL_DP22})
+UNION ALL
+SELECT 'neardup', source, sum(isdup)::BIGINT, count(*)::BIGINT FROM (
+  WITH {_sql_sigs_cte()},
+  bd AS (
+    SELECT doc_id, bi.band_idx,
+           concat_ws('_', sig[2 * bi.band_idx + 1], sig[2 * bi.band_idx + 2]) AS band_key
+    FROM ms CROSS JOIN (SELECT unnest(generate_series(0, {_MH_BANDS - 1})) AS band_idx) bi
+  ),
+  mn AS (SELECT band_idx, band_key, min(doc_id) AS mid FROM bd GROUP BY 1, 2),
+  fl AS (
+    SELECT bd.doc_id, max(CASE WHEN mn.mid < bd.doc_id THEN 1 ELSE 0 END) AS isdup
+    FROM bd JOIN mn USING (band_idx, band_key) GROUP BY 1
+  ),
+  src AS (
+    SELECT doc_id, source FROM documents
+    UNION ALL
+    SELECT doc_id + 20000, source FROM documents WHERE doc_id % 7 = 0
+  )
+  SELECT src.doc_id, src.source, coalesce(fl.isdup, 0) AS isdup
+  FROM src LEFT JOIN fl USING (doc_id)
+) GROUP BY 2
+"""
+
+
 # Registry note: consolidated for the driver's 50-entry recording cap.
 # S3 (envelope parse) and K3-streaming (micro-batch MERGE) stay gated
 # through s2_cdc_stream_apply (parses envelopes AND applies per-batch CDC
@@ -508,5 +591,5 @@ REGISTRY: dict = {
     "w4_session_stats": (q_w4c, SQL_W4C),
     "k2_fanout_stream": (q_k2, SQL_K2),
     "s2_cdc_stream_apply": (q_s2, SQL_S2),
-    "dp22_stream_ingest": (q_dp22, SQL_DP22),
+    "dp22_stream_ingest": (q_dp22c, _sql_dp22c()),
 }

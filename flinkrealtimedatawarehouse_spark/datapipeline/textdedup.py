@@ -81,13 +81,12 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
-    """Banded LSH: signature -> ``bands`` keys of ``rows_per_band`` values;
-    candidate pair = same (band_idx, band_key). The self-join key is the
-    band bucket, so the shuffle is bucket-bounded. Returns distinct
-    (id_a, id_b) with id_a < id_b."""
-    band_key = None
-    exploded = sigs.select(
+def lsh_band_rows(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode each signature into its ``bands`` LSH band rows
+    ``(id, band_idx, band_key)`` — the bucket-join key for candidate
+    generation (shared by the batch self-join below and the streaming
+    band-state sink in ``streaming/neardup.py``)."""
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -101,6 +100,14 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str, bands: int, rows_per_band:
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_key")
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    """Banded LSH: signature -> ``bands`` keys of ``rows_per_band`` values;
+    candidate pair = same (band_idx, band_key). The self-join key is the
+    band bucket, so the shuffle is bucket-bounded. Returns distinct
+    (id_a, id_b) with id_a < id_b."""
+    exploded = lsh_band_rows(sigs, id_col, bands, rows_per_band)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

@@ -419,3 +419,47 @@ def test_dynamic_config_update_between_batches(spark, tmp_path):
     assert len(seen) == 2
     # batch 0 (ids 1-3) routed by config v0; batch 1 (ids 4-6) by the update
     assert by_dest == {"fact_orders": [1, 2, 3], "dim_orders": [4, 5, 6]}
+
+
+def test_band_state_neardup_split_invariant_and_matches_batch_lsh(spark, tmp_path):
+    """Streaming near-dup flags must (a) not depend on how the id-ordered
+    stream is split into micro-batches and (b) equal the directional batch
+    LSH relation (dup iff a smaller-id doc shares a band)."""
+    from flinkrealtimedatawarehouse_spark.streaming import neardup
+    from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),            # near-dup of 1 (shares bands)
+        (3, "completely different words about spark catalyst tungsten engines"),
+        (4, base),                        # exact text of 1 -> dup
+        (5, "tiny"),                      # too few tokens: no bands, never dup
+        (6, "completely different words about spark catalyst tungsten engine room"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(splits, tag):
+        sink = neardup.BandStateNearDupSink(
+            str(tmp_path / tag), "doc_id", "text", shingle_n=3, k=16, bands=8
+        )
+        sink.init(spark)
+        for i, ids in enumerate(splits):
+            sink.write_batch(docs.filter(F.col("doc_id").isin(ids)), i)
+        return {r.doc_id: r.is_near_dup for r in sink.flags(spark).collect()}
+
+    one = run([[1, 2, 3, 4, 5, 6]], "nd_one")
+    many = run([[1], [2, 3], [4, 5], [6]], "nd_many")
+    assert one == many
+
+    # directional batch-LSH reference over the same corpus
+    sigs = textdedup.minhash_signatures(docs, "doc_id", "text", 3, 16)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in textdedup.lsh_candidate_pairs(sigs, "doc_id", 8, 2).collect()
+    }
+    expect = {d: 0 for d, _ in rows}
+    for a, b in pairs:
+        expect[max(a, b)] = 1
+    assert one == expect
+    assert one[4] == 1 and one[5] == 0
