@@ -1,0 +1,90 @@
+"""Table layout for scan pruning (the write-side half of 100 TB reads).
+
+Predicate pushdown only pays when the physical layout lets the reader
+skip data. Two mechanisms, both free at write time:
+
+- **Partition pruning** (directory level): ``partitionBy(date_col)`` at
+  write -> a reader filtering on the partition column never lists, opens,
+  or decodes the other directories. This is the coarse knife: at 100 TB a
+  day-partitioned events table turns a one-day query from a full scan
+  into ~1/365th of the data, before a single byte is read.
+- **Min/max (row-group) pruning** (file level): ``repartitionByRange`` +
+  ``sortWithinPartitions`` on the secondary filter column clusters values
+  so each parquet file/row-group covers a narrow range; the reader drops
+  whole files/groups on their min-max statistics. Without the clustering
+  the same statistics exist but span the full domain per file — nothing
+  prunes.
+
+The reference has no table-layout story (its serving store is ClickHouse,
+whose ORDER BY key plays the same role — SURVEY.md §2.9); this module is
+the Spark-native equivalent for the parquet/Delta lakehouse the engine
+writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_clustered(
+    df: DataFrame,
+    out_dir: str,
+    partition_cols: list[str],
+    cluster_col: str | None = None,
+    n_files_per_partition: int = 4,
+) -> None:
+    """Write ``df`` partitioned by ``partition_cols`` (directory pruning)
+    and, if ``cluster_col`` is given, range-clustered + sorted on it
+    within each partition (min/max file pruning).
+
+    The range repartition keys on (partition_cols, cluster_col) so rows of
+    one partition land together and are split into roughly equal
+    ``cluster_col`` ranges; the within-partition sort tightens each
+    written file's min-max envelope. At cluster scale tune file count via
+    ``spark.sql.files.maxRecordsPerFile`` instead of a fixed N.
+    """
+    if cluster_col is not None:
+        keys = [F.col(c) for c in partition_cols] + [F.col(cluster_col)]
+        df = df.repartitionByRange(
+            max(n_files_per_partition, 1) * max(_approx_npartitions(df, partition_cols), 1),
+            *keys,
+        ).sortWithinPartitions(*keys)
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(out_dir)
+
+
+def _approx_npartitions(df: DataFrame, partition_cols: list[str]) -> int:
+    """Distinct partition-tuple count (driver-side, small by construction:
+    partition columns are low-cardinality by design — a high-cardinality
+    partition column is a layout bug at any scale)."""
+    return df.select(*partition_cols).distinct().count()
+
+
+def scan_report(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Execute a filtered read of ``path`` and report what the scan
+    actually touched: the FileSourceScan's ``numPartitions``/``numFiles``
+    metrics AFTER partition pruning, against the table's totals.
+    (``DataFrame.inputFiles()`` lists the pre-pruning FileIndex and cannot
+    show pruning — the runtime scan metrics are the ground truth.) The
+    assertion material for layout tests and plan audits."""
+    full = spark.read.parquet(path)
+    filtered = full.filter(predicate)
+    filtered.collect()  # execute THIS plan so its scan metrics populate
+    plan_j = filtered._jdf.queryExecution().executedPlan()
+    metrics: dict[str, int] = {}
+    leaves = plan_j.collectLeaves()
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        for key in ("numFiles", "numPartitions"):
+            opt = m.get(key)
+            if opt.isDefined():
+                metrics[key] = metrics.get(key, 0) + opt.get().value()
+    plan = plan_j.toString()
+    return {
+        "n_files_total": len(full.inputFiles()),
+        "n_files_scanned": metrics.get("numFiles", -1),
+        "n_partitions_scanned": metrics.get("numPartitions", -1),
+        "plan_has_partition_filters": "PartitionFilters: [" in plan
+        and not plan.split("PartitionFilters: [", 1)[1].startswith("]"),
+        "plan": plan,
+    }

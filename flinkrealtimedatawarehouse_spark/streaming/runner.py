@@ -31,6 +31,40 @@ _counter = itertools.count()
 # without threading the StreamingQuery handle through every helper.
 LAST_PROGRESS: list = []
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession, enable: bool = True) -> None:
+    """Switch the state store for subsequently-started streaming queries.
+
+    The default HDFS-backed provider keeps every state row on the JVM
+    heap — fine for the test-scale corpora here, fatal at 100 TB where
+    keyed state (dedup keys, open sessions, join buffers) exceeds
+    executor memory. RocksDB keeps state off-heap/on-disk with block
+    cache + bloom filters, and changelog checkpointing uploads only each
+    batch's delta instead of re-snapshotting the full store — the
+    standard production configuration for large-state Structured
+    Streaming. Results are provider-invariant (asserted in
+    test_streaming.py); only the memory/checkpoint profile changes.
+
+    Session-level conf: applies to queries started AFTER the call; running
+    queries keep the provider they started with (provider is pinned in the
+    checkpoint, so a restarted query also keeps its original choice).
+    """
+    if enable:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
+
 
 def scratch_dir(tag: str, fresh: bool = True) -> str:
     """Per-run scratch path (checkpoints, staged inputs, sink outputs)."""

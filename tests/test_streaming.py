@@ -463,3 +463,41 @@ def test_band_state_neardup_split_invariant_and_matches_batch_lsh(spark, tmp_pat
         expect[max(a, b)] = 1
     assert one == expect
     assert one[4] == 1 and one[5] == 0
+
+
+def test_rocksdb_state_store_results_match_default(spark, tmp_path):
+    """The RocksDB provider (the 100 TB state configuration) must produce
+    byte-identical results to the default heap provider on the same
+    stateful query — watermarked streaming dedup with composite keys."""
+    rows = [
+        (u, e, f"2024-01-01 00:{m:02d}:{s:02d}")
+        for e, (u, m, s) in enumerate(
+            [(1, 0, 0), (1, 0, 0), (2, 0, 5), (1, 1, 0), (2, 1, 30), (3, 2, 0),
+             (1, 0, 0), (2, 0, 5), (3, 2, 59)]
+        )
+    ]
+
+    def run(tag, rocks):
+        df = spark.createDataFrame(rows, "user_id long, event_id long, ts_s string") \
+            .select("user_id", "event_id", F.to_timestamp("ts_s").alias("ts"))
+        src = str(tmp_path / f"in_{tag}")
+        df.coalesce(3).write.mode("overwrite").parquet(src)
+        runner.use_rocksdb_state(spark, rocks)
+        try:
+            sdf = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+            dedup = sdf.withWatermark("ts", "10 minutes").dropDuplicates(["user_id", "ts"])
+            q = (dedup.writeStream.format("memory").queryName(f"rdb_{tag}")
+                 .outputMode("append")
+                 .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
+        finally:
+            runner.use_rocksdb_state(spark, False)
+        return sorted(
+            (r.user_id, str(r.ts)) for r in spark.sql(f"select * from rdb_{tag}").collect()
+        )
+
+    default = run("heap", rocks=False)
+    rocksdb = run("rocks", rocks=True)
+    assert default == rocksdb
+    assert len(rocksdb) == 6  # 3 duplicate (user_id, ts) pairs dropped
