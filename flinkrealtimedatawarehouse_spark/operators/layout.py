@@ -23,6 +23,8 @@ writes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,6 +60,82 @@ def _approx_npartitions(df: DataFrame, partition_cols: list[str]) -> int:
     partition columns are low-cardinality by design — a high-cardinality
     partition column is a layout bug at any scale)."""
     return df.select(*partition_cols).distinct().count()
+
+
+def compact_dir(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+    cluster_col: str | None = None,
+) -> dict:
+    """Bin-pack a small-file table into ~``target_file_bytes`` files.
+
+    Streaming sinks and frequent micro-batch appends leave thousands of
+    KB-scale files per partition; at 100 TB the scan then pays a metadata
+    list + open + footer read per file and loses row-group pruning (one
+    tiny row group each). Compaction = read -> coalesce to
+    ceil(bytes/target) -> rewrite; with ``cluster_col`` the rewrite also
+    re-sorts (re-establishing min-max envelopes that append order
+    destroyed). Writes to ``out_path`` (atomic swap/replace is the table
+    format's job — Delta OPTIMIZE; on raw parquet the caller swaps dirs).
+
+    Returns {files_before, files_after, bytes_total}.
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    files = df.inputFiles()
+    bytes_total = 0
+    for f in files:
+        local = f.removeprefix("file:")
+        if os.path.exists(local):
+            bytes_total += os.path.getsize(local)
+    n_out = max(1, math.ceil(bytes_total / target_file_bytes))
+    if cluster_col is not None:
+        keys = [F.col(c) for c in (partition_cols or [])] + [F.col(cluster_col)]
+        df = df.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
+    else:
+        # coalesce, not repartition: merging files needs no shuffle
+        df = df.coalesce(n_out)
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(out_path)
+    return {
+        "files_before": len(files),
+        "files_after": len(spark.read.parquet(out_path).inputFiles()),
+        "bytes_total": bytes_total,
+    }
+
+
+def zorder_value(cols: list, bits: int = 16) -> F.Column:
+    """Z-order (Morton) interleave of N numeric columns — ONE cluster key
+    that preserves locality in EVERY input dimension, so range-clustering
+    on it lets min-max pruning work for predicates on any of the columns
+    (single-column sort prunes only its own column; the columns sorted
+    after it are shuffled within each prefix and their envelopes span the
+    full domain).
+
+    Each column must already be scaled to a non-negative integer rank in
+    [0, 2^bits) — use ``ntile``/``percent_rank`` or a linear rescale
+    first; interleaving raw skewed values wastes bits. Pure JVM bit
+    arithmetic (shifts/masks via bitwise expressions), no UDF:
+    bit j of column i lands at position ``j * n_cols + i``.
+
+    bits * n_cols must stay <= 63 (the result is a signed long).
+    """
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError(f"bits*n_cols = {bits * n} exceeds a signed long")
+    out = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        v = F.col(c).cast("long") if isinstance(c, str) else c.cast("long")
+        for j in range(bits):
+            bit = F.shiftright(v, j).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, j * n + i))
+    return out
 
 
 def scan_report(spark: SparkSession, path: str, predicate: str) -> dict:

@@ -509,3 +509,103 @@ def test_write_clustered_files_have_narrow_minmax_envelopes(spark, tmp_path):
     assert len(files) >= 3
     assert all(s <= domain / 2 for s in spans)
     assert sum(spans) <= domain * 1.5  # envelopes are nearly disjoint
+
+
+def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
+    """Z-order interleave as the cluster key must tighten per-file min-max
+    envelopes on BOTH dimensions; a single-column sort only on its own."""
+    import pyarrow.parquet as pq
+
+    from flinkrealtimedatawarehouse_spark.operators import layout
+
+    def spans(out, col):
+        tot = 0.0
+        files = spark.read.parquet(out).inputFiles()
+        for f in files:
+            md = pq.ParquetFile(f.removeprefix("file:")).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            tot += max(maxs) - min(mins)
+        return tot / len(files)  # mean per-file envelope width
+
+    # two independent uniform dims in [0, 256): x = hashed id, y = reversed
+    bits, dom = 8, 256
+    df = spark.range(0, 20000).select(
+        F.col("id"), F.lit("d").alias("dt"),
+        F.pmod(F.xxhash64("id"), F.lit(dom)).alias("x"),
+        F.pmod(F.xxhash64(F.col("id") + 1), F.lit(dom)).alias("y"),
+    )
+    zdf = df.withColumn("z", layout.zorder_value(["x", "y"], bits=bits))
+
+    z_out, x_out = str(tmp_path / "zord"), str(tmp_path / "xsort")
+    layout.write_clustered(zdf, z_out, ["dt"], cluster_col="z", n_files_per_partition=16)
+    layout.write_clustered(df, x_out, ["dt"], cluster_col="x", n_files_per_partition=16)
+
+    # x-sorted layout: x prunes hard, y not at all
+    assert spans(x_out, "x") < dom * 0.2
+    assert spans(x_out, "y") > dom * 0.8
+    # z-ordered layout: BOTH dimensions substantially narrowed
+    assert spans(z_out, "x") < dom * 0.6
+    assert spans(z_out, "y") < dom * 0.6
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from flinkrealtimedatawarehouse_spark.operators import layout
+
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 5)], "x int, y int")
+    got = [r.z for r in df.select(layout.zorder_value(["x", "y"], bits=3).alias("z")).collect()]
+    # bit j of x -> position 2j; bit j of y -> position 2j+1
+    # (3,5) = x:011, y:101 -> z bits: p0=1,p1=1,p2=1,p3=0,p4=0,p5=1 = 100111b = 39
+    assert got == [0, 1, 2, 39]
+
+
+def test_compact_dir_merges_small_files(spark, tmp_path):
+    from flinkrealtimedatawarehouse_spark.operators import layout
+
+    src, out = str(tmp_path / "small"), str(tmp_path / "compacted")
+    # 40 tiny files (micro-batch append residue)
+    spark.range(0, 4000).select(
+        F.col("id"), (F.col("id") % 100).alias("v")
+    ).repartition(40).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) == 40
+
+    stats = layout.compact_dir(spark, src, out, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 4000
+    assert back.agg(F.sum("v")).collect()[0][0] == \
+        spark.read.parquet(src).agg(F.sum("v")).collect()[0][0]
+
+
+def test_compact_dir_with_cluster_restores_envelopes(spark, tmp_path):
+    """Append order destroys min-max locality; compaction with a cluster
+    column must restore it."""
+    import pyarrow.parquet as pq
+
+    from flinkrealtimedatawarehouse_spark.operators import layout
+
+    src, out = str(tmp_path / "appended"), str(tmp_path / "reclustered")
+    spark.range(0, 8000).select(
+        F.col("id"), F.pmod(F.xxhash64("id"), F.lit(1000)).alias("v")
+    ).repartition(20).write.parquet(src)  # v scattered across every file
+
+    layout.compact_dir(spark, src, out, target_file_bytes=40_000, cluster_col="v")
+    files = spark.read.parquet(out).inputFiles()
+    assert len(files) >= 2
+    for f in files:
+        md = pq.ParquetFile(f.removeprefix("file:")).metadata
+        c = next(
+            md.row_group(0).column(i)
+            for i in range(md.row_group(0).num_columns)
+            if md.row_group(0).column(i).path_in_schema == "v"
+        )
+        # each compacted file covers a narrow v-range again
+        assert c.statistics.max - c.statistics.min <= 1000 / len(files) * 2
