@@ -995,14 +995,12 @@ def q_mix_pack(spark: SparkSession, sf: str) -> DataFrame:
     return pack_branch.unionByName(split_branch)
 
 def _duck_split_case() -> str:
-    """The split_assign bucket CASE, mirrored from textstats.split_assign:
-    bucket = phash(id || '_split') % 10000, closed-open cumulative ranges
-    in declaration order, remainder -> last split."""
-    bucket = duck_phash("doc_id::VARCHAR || '_split'") + " % 10000"
-    hi, arms = 0, []
-    for name, rate in _SPLITS[:-1]:
-        hi += int(round(rate * 10000))
-        arms.append(f"WHEN {bucket} < {hi} THEN '{name}'")
+    """The split_assign bucket CASE — bucket space and cumulative ranges
+    come from textstats (SPLIT_BUCKET_SPACE / split_ranges), the single
+    spec split_assign itself uses, so the two sides cannot diverge."""
+    bucket = duck_phash("doc_id::VARCHAR || '_split'") + f" % {textstats.SPLIT_BUCKET_SPACE}"
+    conds = textstats.split_ranges(_SPLITS)
+    arms = [f"WHEN {bucket} < {hi} THEN '{name}'" for name, hi in conds[:-1]]
     return "CASE " + " ".join(arms) + f" ELSE '{_SPLITS[-1][0]}' END"
 
 def _sql_mix_pack() -> str:

@@ -547,9 +547,15 @@ def q_dp22c(spark: SparkSession, sf: str) -> DataFrame:
 def _sql_dp22c() -> str:
     from flinkrealtimedatawarehouse_spark.benchqueries.pipeline import (
         _MH_BANDS,
+        _R,
         _sql_sigs_cte,
     )
 
+    # band key from _R (= rows per band), never a hardcoded stride — the
+    # Spark sink derives it from the same _MH_K/_MH_BANDS constants
+    band_elems = ", ".join(
+        f"sig[{_R} * bi.band_idx + {r + 1}]" for r in range(_R)
+    )
     return f"""
 SELECT 'ingest' AS kind, source, kept_ct AS v1, min_id AS v2 FROM ({SQL_DP22})
 UNION ALL
@@ -557,7 +563,7 @@ SELECT 'neardup', source, sum(isdup)::BIGINT, count(*)::BIGINT FROM (
   WITH {_sql_sigs_cte()},
   bd AS (
     SELECT doc_id, bi.band_idx,
-           concat_ws('_', sig[2 * bi.band_idx + 1], sig[2 * bi.band_idx + 2]) AS band_key
+           concat_ws('_', {band_elems}) AS band_key
     FROM ms CROSS JOIN (SELECT unnest(generate_series(0, {_MH_BANDS - 1})) AS band_idx) bi
   ),
   mn AS (SELECT band_idx, band_key, min(doc_id) AS mid FROM bd GROUP BY 1, 2),

@@ -225,6 +225,22 @@ def mix_sample(docs: DataFrame, id_col: str, rates: dict[str, float],
     return docs.filter(keep if keep is not None else F.lit(False))
 
 
+# Bucket space + range arithmetic for split_assign, factored so the
+# engine and the DuckDB oracle (benchqueries.pipeline._duck_split_case)
+# share ONE spec — the modulus and rate rounding can never diverge.
+SPLIT_BUCKET_SPACE = 10_000
+
+
+def split_ranges(splits: tuple[tuple[str, float], ...]) -> list[tuple[str, int]]:
+    """Cumulative closed-open upper bounds per split over the bucket
+    space, in declaration order; the remainder falls to the LAST split."""
+    hi, out = 0, []
+    for name, rate in splits:
+        hi += int(round(rate * SPLIT_BUCKET_SPACE))
+        out.append((name, hi))
+    return out
+
+
 def split_assign(docs: DataFrame, id_col: str,
                  splits: tuple[tuple[str, float], ...] = (
                      ("train", 0.8), ("val", 0.1), ("test", 0.1)),
@@ -245,11 +261,10 @@ def split_assign(docs: DataFrame, id_col: str,
     Ranges are closed-open on a 10,000-bucket space in declaration order;
     any remainder bucket (rates summing < 1) falls into the LAST split.
     """
-    bucket = spark_phash(F.concat(F.col(id_col).cast("string"), F.lit("_" + salt))) % F.lit(10_000)
-    hi, conds = 0, []
-    for name, rate in splits:
-        hi += int(round(rate * 10_000))
-        conds.append((name, hi))
+    bucket = spark_phash(
+        F.concat(F.col(id_col).cast("string"), F.lit("_" + salt))
+    ) % F.lit(SPLIT_BUCKET_SPACE)
+    conds = split_ranges(splits)
     expr = None
     for name, upper in conds[:-1]:
         expr = (F.when(bucket < upper, F.lit(name)) if expr is None

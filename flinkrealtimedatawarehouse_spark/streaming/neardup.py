@@ -142,5 +142,10 @@ class BandStateNearDupSink:
             .partitionBy("_bid")
             .parquet(self.flags_dir)
         )
+        # write the snapshot FIRST, bump the pointer only after it landed —
+        # a failed write leaves self.version at the last complete snapshot,
+        # so a foreachBatch retry re-reads consistent state and simply
+        # overwrites the orphaned v{n+1} dir (same discipline as
+        # AdditiveGoldSink's marker ordering).
+        new_state.write.mode("overwrite").parquet(self._state_path(self.version + 1))
         self.version += 1
-        new_state.write.mode("overwrite").parquet(self._state_path(self.version))

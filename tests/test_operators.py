@@ -487,7 +487,7 @@ def test_write_clustered_files_have_narrow_minmax_envelopes(spark, tmp_path):
         F.col("id"), F.lit("d1").alias("dt"), (F.col("id") % 1000).alias("v")
     )
     out = str(tmp_path / "clustered")
-    layout.write_clustered(df, out, ["dt"], cluster_col="v", n_files_per_partition=4)
+    layout.write_clustered(df, out, ["dt"], cluster_col="v", n_files=4)
 
     files = spark.read.parquet(out).inputFiles()
     spans = []
@@ -545,8 +545,8 @@ def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
     zdf = df.withColumn("z", layout.zorder_value(["x", "y"], bits=bits))
 
     z_out, x_out = str(tmp_path / "zord"), str(tmp_path / "xsort")
-    layout.write_clustered(zdf, z_out, ["dt"], cluster_col="z", n_files_per_partition=16)
-    layout.write_clustered(df, x_out, ["dt"], cluster_col="x", n_files_per_partition=16)
+    layout.write_clustered(zdf, z_out, ["dt"], cluster_col="z", n_files=16)
+    layout.write_clustered(df, x_out, ["dt"], cluster_col="x", n_files=16)
 
     # x-sorted layout: x prunes hard, y not at all
     assert spans(x_out, "x") < dom * 0.2

@@ -6,6 +6,7 @@ the engine must produce identical results from every shape.
 
 from __future__ import annotations
 
+import os
 from datetime import datetime
 
 from pyspark.sql import functions as F
@@ -14,7 +15,10 @@ from flinkrealtimedatawarehouse_spark import tables
 from flinkrealtimedatawarehouse_spark.operators import bounce, sessions
 from flinkrealtimedatawarehouse_spark.timeutil import epoch_seconds
 
-SF = "/root/testdata/sf0.001"
+# smallest sf next to whatever tree the env points at
+SF = os.path.join(
+    os.path.dirname(tables.DEFAULT_SF_DIR.rstrip("/")), "sf0.001"
+)
 
 
 def _ntz_events(spark):
