@@ -8,20 +8,27 @@ Layout (see SURVEY.md for the operator inventory this covers):
 - ``tables``       — parquet table catalog over the testdata star schema.
 - ``schemas``      — StructType constants for the gmall-domain inputs
                      (behavior log, CDC envelope, config table).
+- ``timeutil``     — type-agnostic event-time arithmetic (timestamp /
+                     timestamp_ntz / numeric inputs).
 - ``operators``    — batch/DataFrame re-expressions of every reference
                      operator: log split (P1-P3), routing (P4/P5/J5),
-                     filters (P6/P7), joins (J1-J4, P8/P9), aggs (A1-A4,
-                     W2/W3), dedup (A5), is_new (A6), bounce (W1/U3),
-                     unions (U1/U2), ADS layer (A7-A11, O1/O2), MERGE
-                     upsert (K3).
+                     filters (P6/P7), joins (J1-J4, P8/P9, as-of/range),
+                     aggs (A1-A4, W2/W3, GROUPING SETS), dedup (A5),
+                     is_new (A6), bounce (W1/U3), sessions (W4), unions +
+                     fused rewrite (U1/U2), ADS layer (A7-A11, O1/O2),
+                     MERGE upsert (K3), HLL sketches, skew salting,
+                     table layout (partition/Z-order/compaction).
 - ``functions``    — F1 tokenizer (built-in split + CJK-bigram fallback).
 - ``streaming``    — Structured Streaming forms: sources/sinks (S1/S6,
                      K1-K5), watermarked aggregations and joins (T1-T3),
-                     stateful dedup/bounce (T5/T7), foreachBatch routing +
-                     upsert (K2/K3), checkpointing (T9).
+                     stateful dedup/bounce (T5/T7), session windows,
+                     foreachBatch routing + upsert (K2/K3), streaming
+                     near-dup band state, checkpointing (T9), RocksDB
+                     state store option.
 - ``datapipeline`` — large-scale training-data ops: dedup (exact/MinHash/
                      SimHash/Jaccard/embedding), ANN similarity, text
-                     analysis, multimodal column plumbing.
+                     analysis, PII redaction, decontamination, mix/pack/
+                     split curation, multimodal column plumbing.
 
 Everything here is plain PySpark DataFrame/SQL — Catalyst owns the physical
 plan; Python UDFs appear only where built-ins cannot express the semantics
