@@ -186,6 +186,42 @@ class AdditiveGoldSink:
         self.last_bid = batch_id
         self._commit()
 
+    def backfill(self, corrected: DataFrame, keys_df: DataFrame | None = None) -> None:
+        """Repair a slice of the running totals: REPLACE (not add) the
+        affected keys' gold rows with aggregates recomputed from
+        ``corrected`` — the full corrected fact history for those keys,
+        not a delta. The warehouse-operations path the incremental sink
+        needs when late corrections land in silver (a bad batch already
+        folded in, a restated partner feed): additive folding can absorb
+        new facts but can never un-count wrong ones.
+
+        ``keys_df`` selects which gold keys are being repaired; it
+        defaults to the distinct keys present in ``corrected``. Pass it
+        explicitly to DELETE a key outright (key in ``keys_df``, no rows
+        in ``corrected``).
+
+        Scale: one agg over the corrected slice + one anti-join against
+        the snapshot on the gold key — cost is O(slice + |gold|), never a
+        re-read of unaffected fact history. Versioned like write_batch
+        (snapshot first, marker after), so a crash mid-backfill leaves
+        the previous consistent state; replay delivery ids are untouched.
+        """
+        spark = corrected.sparkSession
+        part = self._partial(corrected)
+        if keys_df is None:
+            keys_df = corrected.select(*self.keys).distinct()
+        cur = self.current(spark)
+        if cur is None:
+            merged = part
+        else:
+            a, k = cur.alias("a"), keys_df.alias("k")
+            cond = [a[c].eqNullSafe(k[c]) for c in self.keys]
+            merged = a.join(k, cond, "left_anti").unionByName(part)
+        next_v = self.version + 1
+        merged.write.mode("overwrite").parquet(self._path(next_v))
+        self.version = next_v
+        self._commit()
+
 
 def gold_append_sink(sdf: DataFrame, out_dir: str, tag: str) -> str:
     """K4: append each micro-batch to the gold table path."""

@@ -501,3 +501,41 @@ def test_rocksdb_state_store_results_match_default(spark, tmp_path):
     rocksdb = run("rocks", rocks=True)
     assert default == rocksdb
     assert len(rocksdb) == 6  # 3 duplicate (user_id, ts) pairs dropped
+
+
+def test_additive_gold_backfill_replaces_slice(spark, tmp_path):
+    """Late corrections: backfill recomputes the affected keys from the
+    corrected history and replaces (not re-adds) their gold rows;
+    untouched keys keep their incrementally-folded totals, and an
+    explicit empty correction deletes a key."""
+    sink = sinks.AdditiveGoldSink(
+        str(tmp_path / "gold"), ["k"], {"total": ("v", "sum"), "ct": ("v", "count")}
+    )
+    sink.write_batch(
+        spark.createDataFrame([("a", 10.0), ("b", 1.0)], "k string, v double"), 0
+    )
+    sink.write_batch(
+        spark.createDataFrame([("a", 90.0), ("c", 7.0)], "k string, v double"), 1
+    )
+    # 'a' turns out to have been double-counted: corrected history is one row
+    sink.backfill(spark.createDataFrame([("a", 10.0)], "k string, v double"))
+    got = {r.k: (r.total, r.ct) for r in sink.current(spark).collect()}
+    assert got == {"a": (10.0, 1.0), "b": (1.0, 1.0), "c": (7.0, 1.0)}
+
+    # delete 'c' outright: key listed, no corrected rows
+    sink.backfill(
+        spark.createDataFrame([], "k string, v double"),
+        keys_df=spark.createDataFrame([("c",)], "k string"),
+    )
+    got = {r.k: (r.total, r.ct) for r in sink.current(spark).collect()}
+    assert got == {"a": (10.0, 1.0), "b": (1.0, 1.0)}
+
+    # streaming continues on the repaired snapshot, replay ids intact
+    sink.write_batch(
+        spark.createDataFrame([("a", 5.0)], "k string, v double"), 1
+    )  # replay: no-op
+    sink.write_batch(
+        spark.createDataFrame([("a", 5.0)], "k string, v double"), 2
+    )
+    got = {r.k: (r.total, r.ct) for r in sink.current(spark).collect()}
+    assert got == {"a": (15.0, 2.0), "b": (1.0, 1.0)}
