@@ -530,6 +530,52 @@ def q_dp28(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- dp29: streaming incremental top-k similarity -------------------------
+
+def q_dp6_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """Embeddings replayed as a stream; a fixed probe set's top-k is
+    merged incrementally per batch (streaming/simsearch.py). Final state
+    must equal the batch brute-force top-k over the full corpus — same
+    oracle as the batch dp6 branches."""
+    from flinkrealtimedatawarehouse_spark.benchqueries.pipeline import _TK_K, _TK_PROBES
+    from flinkrealtimedatawarehouse_spark.streaming import simsearch
+
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _TK_PROBES)
+    in_dir = runner.stage_stream_dir(emb, "vec_id", _N_FILES, "dp6s")
+    sdf = runner.parquet_stream(spark, in_dir, emb.schema)
+    sink = simsearch.IncrementalTopKSink(
+        runner.scratch_dir("topk_dp6s"), probes, "vec_id", "embedding", k=_TK_K
+    )
+    sink.init(spark)
+    runner.run_foreach_batch(sdf, sink.write_batch, "dp6s")
+    return sink.current(spark)
+
+
+# dp6+dp6b+dp29: all three top-k paths (HOF expressions, Arrow matmul,
+# incremental streaming merge) hash against ONE oracle — overrides the
+# pipeline registry's two-branch entry (streamq merges last).
+def q_dp6c(spark: SparkSession, sf: str) -> DataFrame:
+    from flinkrealtimedatawarehouse_spark.benchqueries.pipeline import q_cosine_topk_both
+
+    both = q_cosine_topk_both(spark, sf)
+    stream = q_dp6_stream(spark, sf).withColumn("method", F.lit("stream"))
+    return both.unionByName(stream)
+
+
+def _sql_dp6c() -> str:
+    from flinkrealtimedatawarehouse_spark.benchqueries.pipeline import (
+        SQL_COSINE_TOPK,
+        SQL_COSINE_TOPK_BOTH,
+    )
+
+    return f"""
+{SQL_COSINE_TOPK_BOTH}
+UNION ALL
+SELECT *, 'stream' AS method FROM ({SQL_COSINE_TOPK})
+"""
+
+
 # dp22+dp28: the streaming ingest pair, one tagged gate entry —
 # exact-dedup MERGE ingest and band-state near-dup flagging.
 def q_dp22c(spark: SparkSession, sf: str) -> DataFrame:
@@ -598,4 +644,5 @@ REGISTRY: dict = {
     "k2_fanout_stream": (q_k2, SQL_K2),
     "s2_cdc_stream_apply": (q_s2, SQL_S2),
     "dp22_stream_ingest": (q_dp22c, _sql_dp22c()),
+    "dp6_cosine_topk": (q_dp6c, _sql_dp6c()),
 }

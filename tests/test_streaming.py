@@ -539,3 +539,36 @@ def test_additive_gold_backfill_replaces_slice(spark, tmp_path):
     )
     got = {r.k: (r.total, r.ct) for r in sink.current(spark).collect()}
     assert got == {"a": (15.0, 2.0), "b": (1.0, 1.0)}
+
+
+def test_incremental_topk_equals_batch_for_any_split(spark, tmp_path):
+    """Monotone merge: the running top-k must equal the batch brute-force
+    top-k over the full corpus regardless of micro-batch boundaries."""
+    import random
+
+    from flinkrealtimedatawarehouse_spark.datapipeline.similarity import cosine_topk
+    from flinkrealtimedatawarehouse_spark.streaming import simsearch
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.filter(F.col("vec_id") < 3)
+
+    want = sorted(
+        (r.probe_id, r.rank, r.neighbor_id, r.cosine)
+        for r in cosine_topk(emb, probes, "vec_id", "embedding", k=4).collect()
+    )
+
+    for tag, splits in (("even", [range(0, 20), range(20, 40), range(40, 60)]),
+                        ("skew", [range(0, 3), range(3, 50), range(50, 60)])):
+        sink = simsearch.IncrementalTopKSink(
+            str(tmp_path / f"tk_{tag}"), probes, "vec_id", "embedding", k=4
+        )
+        sink.init(spark)
+        for i, ids in enumerate(splits):
+            sink.write_batch(emb.filter(F.col("vec_id").isin(list(ids))), i)
+        got = sorted(
+            (r.probe_id, r.rank, r.neighbor_id, r.cosine)
+            for r in sink.current(spark).collect()
+        )
+        assert got == want, tag
