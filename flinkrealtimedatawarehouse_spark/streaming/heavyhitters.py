@@ -1,0 +1,108 @@
+"""Streaming heavy hitters: mergeable Misra-Gries summaries over a
+keyed stream (beyond the reference: its top-N queries re-aggregate the
+full gold table per request — exact, but state is O(distinct keys),
+which at 100 TB of URLs/tokens/user-agents does not fit anywhere).
+
+Batch-merge Misra-Gries (the mergeable-summaries formulation): keep at
+most ``m`` (key, count) counters. Per micro-batch, fold the batch's
+EXACT counts additively into the counters; if more than ``m`` keys
+survive, subtract the (m+1)-th largest count from every counter and drop
+the non-positive ones. Guarantees after any number of merges over a
+stream of n items:
+
+- every reported count UNDER-estimates its true count by at most the sum
+  of the decrements D, and D <= n / (m + 1);
+- therefore every key with true frequency > n/(m+1) is present in the
+  summary (a true heavy hitter can never be evicted);
+- the summary is a pure function of the multiset seen so far — the same
+  stream in any micro-batch split yields counters within the same error
+  envelope, and in the EXACT regime (distinct keys <= m, no decrement
+  ever fires) the counts equal a batch groupBy().count() exactly.
+
+Scale: state is O(m) rows regardless of key cardinality. The per-batch
+work is one groupBy over the batch plus a full-outer fold against m
+rows; the (m+1)-th-largest selection runs on m+batch_keys rows, never
+the corpus. For sharded operation at cluster scale, run one summary per
+``pmod(hash(key), S)`` shard and merge the S summaries at read — the
+decrement bound adds across shards (also from the mergeable-summaries
+result).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class MisraGriesSink:
+    """foreachBatch sink holding an m-counter Misra-Gries summary.
+
+    Versioned parquet snapshots (snapshot written first, pointer bumped
+    after — crash-safe like the other sinks). ``total_decrement`` rides
+    in the snapshot so readers can report the error bound alongside the
+    estimates.
+    """
+
+    def __init__(self, base_dir: str, key_cols: list[str], m: int = 100):
+        self.base_dir = base_dir
+        self.key_cols = key_cols
+        self.m = m
+        self.version = -1
+
+    def _path(self, v: int) -> str:
+        return os.path.join(self.base_dir, f"v{v}")
+
+    def init(self, spark: SparkSession, key_schema: str) -> None:
+        """``key_schema``: DDL for the key columns, e.g. ``"k string"``."""
+        self.version = 0
+        empty = spark.createDataFrame(
+            [], f"{key_schema}, count_est long, total_decrement long"
+        )
+        empty.write.mode("overwrite").parquet(self._path(0))
+
+    def current(self, spark: SparkSession) -> DataFrame:
+        """(keys..., count_est, total_decrement): for every reported key,
+        true_count - total_decrement <= count_est <= true_count."""
+        return spark.read.parquet(self._path(self.version))
+
+    def write_batch(self, batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        state = self.current(spark)
+        prev_decrement = (
+            state.agg(F.max("total_decrement")).collect()[0][0] or 0
+            if state.head(1)
+            else 0
+        )
+        batch_counts = batch.groupBy(*self.key_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("b_ct")
+        )
+        a, b = state.alias("a"), batch_counts.alias("b")
+        cond = [a[k].eqNullSafe(b[k]) for k in self.key_cols]
+        folded = a.join(b, cond, "full_outer").select(
+            *[F.coalesce(a[k], b[k]).alias(k) for k in self.key_cols],
+            (
+                F.coalesce(a["count_est"], F.lit(0))
+                + F.coalesce(b["b_ct"], F.lit(0))
+            ).alias("count_est"),
+        )
+        # Misra-Gries reduction: if > m counters, subtract the (m+1)-th
+        # largest count from all and keep the positive remainder. offset(m)
+        # on a count-desc sort gives that pivot; an empty tail means no
+        # reduction. Driver-side single value — the frame is at most
+        # m + |batch keys| rows, never the corpus.
+        pivot_row = (
+            folded.orderBy(F.col("count_est").desc())
+            .offset(self.m)
+            .select("count_est")
+            .head(1)
+        )
+        d = pivot_row[0][0] if pivot_row else 0
+        reduced = (
+            folded.withColumn("count_est", F.col("count_est") - F.lit(d))
+            .filter(F.col("count_est") > 0)
+            .withColumn("total_decrement", F.lit(prev_decrement + d))
+        )
+        reduced.write.mode("overwrite").parquet(self._path(self.version + 1))
+        self.version += 1

@@ -572,3 +572,56 @@ def test_incremental_topk_equals_batch_for_any_split(spark, tmp_path):
             for r in sink.current(spark).collect()
         )
         assert got == want, tag
+
+
+def test_misra_gries_exact_regime_equals_groupby(spark, tmp_path):
+    """With distinct keys <= m no reduction ever fires: counts equal a
+    batch groupBy().count() exactly, for any micro-batch split."""
+    from flinkrealtimedatawarehouse_spark.streaming import heavyhitters
+
+    rows = [(f"k{i % 5}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string")
+    sink = heavyhitters.MisraGriesSink(str(tmp_path / "mg_exact"), ["k"], m=10)
+    sink.init(spark, "k string")
+    third = len(rows) // 3
+    for i, sl in enumerate((rows[:third], rows[third:2 * third], rows[2 * third:])):
+        sink.write_batch(spark.createDataFrame(sl, "k string"), i)
+    got = {r.k: (r.count_est, r.total_decrement) for r in sink.current(spark).collect()}
+    want = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    assert {k: v[0] for k, v in got.items()} == want
+    assert all(v[1] == 0 for v in got.values())
+
+
+def test_misra_gries_bounds_hold_under_eviction(spark, tmp_path):
+    """Approximate regime (m << distinct): every estimate under-counts by
+    at most total_decrement, total_decrement <= n/(m+1), and a true heavy
+    hitter can never be evicted."""
+    import random
+
+    from flinkrealtimedatawarehouse_spark.streaming import heavyhitters
+
+    rng = random.Random(13)
+    # one heavy key (30% of stream) + a long tail of near-unique keys
+    stream = []
+    for i in range(1200):
+        stream.append(("hot",) if rng.random() < 0.3 else (f"tail{rng.randrange(400)}",))
+    n, m = len(stream), 20
+    true = {}
+    for (k,) in stream:
+        true[k] = true.get(k, 0) + 1
+
+    sink = heavyhitters.MisraGriesSink(str(tmp_path / "mg_approx"), ["k"], m=m)
+    sink.init(spark, "k string")
+    for i in range(4):
+        sl = stream[i * n // 4:(i + 1) * n // 4]
+        sink.write_batch(spark.createDataFrame(sl, "k string"), i)
+
+    rows = sink.current(spark).collect()
+    assert rows and len(rows) <= m
+    d = rows[0].total_decrement
+    assert d <= n / (m + 1)
+    for r in rows:
+        assert r.count_est <= true[r.k]          # never over-counts
+        assert r.count_est >= true[r.k] - d      # bounded under-count
+    # the heavy hitter (freq 0.3 >> 1/(m+1)) must be present
+    assert any(r.k == "hot" for r in rows)
