@@ -228,3 +228,45 @@ def test_sessionize_matches_python_reference(spark, events, gap):
             want[i] = idx
             prev = s
     assert got == want
+
+
+@given(
+    stream=st.lists(st.integers(0, 15), min_size=1, max_size=60),
+    cuts=st.lists(st.integers(1, 59), min_size=0, max_size=3, unique=True),
+    m=st.integers(3, 20),
+)
+@settings(**_SETTINGS)
+def test_misra_gries_invariants_any_stream_any_split(spark, tmp_path_factory, stream, cuts, m):
+    """For arbitrary streams, capacities, and micro-batch splits: estimates
+    never over-count, under-count by at most total_decrement, the
+    decrement respects n/(m+1), and distinct<=m means exact counts."""
+    from flinkrealtimedatawarehouse_spark.streaming import heavyhitters
+
+    base = str(tmp_path_factory.mktemp("mg"))
+    bounds = sorted({c for c in cuts if c < len(stream)})
+    slices, prev = [], 0
+    for c in bounds + [len(stream)]:
+        if c > prev:
+            slices.append(stream[prev:c])
+            prev = c
+
+    sink = heavyhitters.MisraGriesSink(base, ["k"], m=m)
+    sink.init(spark, "k bigint")
+    for i, sl in enumerate(slices):
+        sink.write_batch(
+            spark.createDataFrame([(v,) for v in sl], "k bigint"), i
+        )
+    rows = sink.current(spark).collect()
+    true = {}
+    for v in stream:
+        true[v] = true.get(v, 0) + 1
+
+    assert len(rows) <= m
+    d = rows[0].total_decrement if rows else 0
+    assert d <= len(stream) / (m + 1)
+    for r in rows:
+        assert r.count_est <= true[r.k]
+        assert r.count_est >= true[r.k] - d
+    if len(true) <= m:
+        assert d == 0
+        assert {r.k: r.count_est for r in rows} == true
