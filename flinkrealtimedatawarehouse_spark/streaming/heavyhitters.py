@@ -30,51 +30,49 @@ result).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flinkrealtimedatawarehouse_spark.streaming.snapshots import VersionedSnapshotSink
 
-class MisraGriesSink:
+
+class MisraGriesSink(VersionedSnapshotSink):
     """foreachBatch sink holding an m-counter Misra-Gries summary.
 
-    Versioned parquet snapshots (snapshot written first, pointer bumped
-    after — crash-safe like the other sinks). ``total_decrement`` rides
-    in the snapshot so readers can report the error bound alongside the
-    estimates.
+    Durability/replay from VersionedSnapshotSink (snapshot-then-marker,
+    restart recovery, at-least-once batch-id guard — a redelivered batch
+    must NOT double-fold, or estimates would over-count and break the
+    central guarantee). ``total_decrement`` is carried in the COMMITTED
+    MARKER, not the counter rows: a reduction can evict every counter
+    (all counts equal the pivot), and a per-row decrement would vanish
+    with the rows, silently shrinking the reported error envelope.
+    ``current()`` stamps it back onto the rows for readers.
     """
 
     def __init__(self, base_dir: str, key_cols: list[str], m: int = 100):
-        self.base_dir = base_dir
+        super().__init__(base_dir)
         self.key_cols = key_cols
         self.m = m
-        self.version = -1
-
-    def _path(self, v: int) -> str:
-        return os.path.join(self.base_dir, f"v{v}")
 
     def init(self, spark: SparkSession, key_schema: str) -> None:
         """``key_schema``: DDL for the key columns, e.g. ``"k string"``."""
-        self.version = 0
-        empty = spark.createDataFrame(
-            [], f"{key_schema}, count_est long, total_decrement long"
+        self.snapshot_init(
+            spark.createDataFrame([], f"{key_schema}, count_est long")
         )
-        empty.write.mode("overwrite").parquet(self._path(0))
 
     def current(self, spark: SparkSession) -> DataFrame:
         """(keys..., count_est, total_decrement): for every reported key,
         true_count - total_decrement <= count_est <= true_count."""
-        return spark.read.parquet(self._path(self.version))
-
-    def write_batch(self, batch: DataFrame, _batch_id: int) -> None:
-        spark = batch.sparkSession
-        state = self.current(spark)
-        prev_decrement = (
-            state.agg(F.max("total_decrement")).collect()[0][0] or 0
-            if state.head(1)
-            else 0
+        return super().current(spark).withColumn(
+            "total_decrement", F.lit(int(self.meta.get("total_decrement", 0)))
         )
+
+    def write_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if self.seen(batch_id):  # at-least-once redelivery: no-op
+            return
+        spark = batch.sparkSession
+        state = VersionedSnapshotSink.current(self, spark)
+        prev_decrement = int(self.meta.get("total_decrement", 0))
         batch_counts = batch.groupBy(*self.key_cols).agg(
             F.count(F.lit(1)).cast("long").alias("b_ct")
         )
@@ -99,10 +97,9 @@ class MisraGriesSink:
             .head(1)
         )
         d = pivot_row[0][0] if pivot_row else 0
-        reduced = (
-            folded.withColumn("count_est", F.col("count_est") - F.lit(d))
-            .filter(F.col("count_est") > 0)
-            .withColumn("total_decrement", F.lit(prev_decrement + d))
+        reduced = folded.withColumn(
+            "count_est", F.col("count_est") - F.lit(d)
+        ).filter(F.col("count_est") > 0)
+        self.commit_snapshot(
+            reduced, batch_id, total_decrement=prev_decrement + d
         )
-        reduced.write.mode("overwrite").parquet(self._path(self.version + 1))
-        self.version += 1

@@ -50,53 +50,45 @@ from flinkrealtimedatawarehouse_spark.datapipeline.textdedup import (
     lsh_band_rows,
     minhash_signatures,
 )
+from flinkrealtimedatawarehouse_spark.streaming.snapshots import VersionedSnapshotSink
 
 
-class BandStateNearDupSink:
+class BandStateNearDupSink(VersionedSnapshotSink):
     """foreachBatch sink: maintains the band-key -> min-doc-id state and
     appends per-doc ``is_near_dup`` flags for every micro-batch.
 
-    Layout under ``base_dir``: versioned state snapshots ``state/v{n}``
-    (atomic swap, same discipline as SnapshotMergeSink) and an append-only
-    ``flags`` dir sub-partitioned by micro-batch id with dynamic
-    partition overwrite — a replayed batch rewrites exactly its own
-    ``_bid`` directory, so flags stay exactly-once under foreachBatch's
-    at-least-once contract.
+    Durability/replay from VersionedSnapshotSink (state snapshots live
+    under ``base_dir/state``). The state fold (min per band key) is
+    idempotent and flags use per-``_bid`` dynamic overwrite, so a
+    redelivered batch would be harmless anyway — the batch-id guard just
+    skips the wasted work.
     """
 
     def __init__(self, base_dir: str, id_col: str, text_col: str,
                  shingle_n: int = 3, k: int = 16, bands: int = 8):
-        self.base_dir = base_dir
+        super().__init__(os.path.join(base_dir, "state"))
+        self.flags_dir = os.path.join(base_dir, "flags")
         self.id_col = id_col
         self.text_col = text_col
         self.shingle_n = shingle_n
         self.k = k
         self.bands = bands
-        self.version = -1
-
-    # -- state snapshots ---------------------------------------------------
-    def _state_path(self, v: int) -> str:
-        return os.path.join(self.base_dir, "state", f"v{v}")
-
-    @property
-    def flags_dir(self) -> str:
-        return os.path.join(self.base_dir, "flags")
 
     def init(self, spark: SparkSession) -> None:
-        self.version = 0
-        empty = spark.createDataFrame(
+        self.snapshot_init(spark.createDataFrame(
             [], "band_idx int, band_key string, min_id long"
-        )
-        empty.write.mode("overwrite").parquet(self._state_path(0))
+        ))
 
     def state(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self._state_path(self.version))
+        return self.current(spark)
 
     def flags(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.flags_dir).drop("_bid")
 
     # -- per-batch ---------------------------------------------------------
     def write_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if self.seen(batch_id):  # at-least-once redelivery: no-op
+            return
         spark = batch.sparkSession
         sigs = minhash_signatures(
             batch, self.id_col, self.text_col, self.shingle_n, self.k
@@ -142,10 +134,4 @@ class BandStateNearDupSink:
             .partitionBy("_bid")
             .parquet(self.flags_dir)
         )
-        # write the snapshot FIRST, bump the pointer only after it landed —
-        # a failed write leaves self.version at the last complete snapshot,
-        # so a foreachBatch retry re-reads consistent state and simply
-        # overwrites the orphaned v{n+1} dir (same discipline as
-        # AdditiveGoldSink's marker ordering).
-        new_state.write.mode("overwrite").parquet(self._state_path(self.version + 1))
-        self.version += 1
+        self.commit_snapshot(new_state, batch_id)

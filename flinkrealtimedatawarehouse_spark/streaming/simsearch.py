@@ -21,45 +21,40 @@ as every batch path.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flinkrealtimedatawarehouse_spark.datapipeline.similarity import cosine_topk
+from flinkrealtimedatawarehouse_spark.streaming.snapshots import VersionedSnapshotSink
 
 
-class IncrementalTopKSink:
+class IncrementalTopKSink(VersionedSnapshotSink):
     """foreachBatch sink holding the running top-k per probe.
 
-    Versioned parquet snapshots under ``base_dir`` (snapshot written
-    FIRST, version pointer bumped after — a failed write leaves the
-    previous consistent answer and the retry overwrites the orphan).
+    Durability/replay from VersionedSnapshotSink. Two replay defenses: the
+    batch-id guard skips redelivered batches outright, and the merge
+    dedups on (probe_id, neighbor_id) — a duplicate neighbor row would
+    occupy ranks r AND r+1 and push the true k-th neighbor out (top-k is
+    over a SET of neighbors; the duplicate carries identical values, so
+    which copy survives is immaterial).
     """
 
     def __init__(self, base_dir: str, probes: DataFrame, id_col: str,
                  vec_col: str, k: int = 5):
-        self.base_dir = base_dir
+        super().__init__(base_dir)
         self.probes = probes
         self.id_col = id_col
         self.vec_col = vec_col
         self.k = k
-        self.version = -1
-
-    def _path(self, v: int) -> str:
-        return os.path.join(self.base_dir, f"v{v}")
 
     def init(self, spark: SparkSession) -> None:
-        self.version = 0
-        empty = spark.createDataFrame(
+        self.snapshot_init(spark.createDataFrame(
             [], "probe_id long, neighbor_id long, cosine double, rank int"
-        )
-        empty.write.mode("overwrite").parquet(self._path(0))
+        ))
 
-    def current(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self._path(self.version))
-
-    def write_batch(self, batch: DataFrame, _batch_id: int) -> None:
+    def write_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if self.seen(batch_id):  # at-least-once redelivery: no-op
+            return
         spark = batch.sparkSession
         batch_topk = cosine_topk(
             batch, self.probes, self.id_col, self.vec_col, k=self.k
@@ -70,10 +65,10 @@ class IncrementalTopKSink:
         merged = (
             self.current(spark)
             .unionByName(batch_topk)
+            .dropDuplicates(["probe_id", "neighbor_id"])
             .withColumn("new_rank", F.row_number().over(w))
             .filter(F.col("new_rank") <= self.k)
             .select("probe_id", "neighbor_id", "cosine",
                     F.col("new_rank").alias("rank"))
         )
-        merged.write.mode("overwrite").parquet(self._path(self.version + 1))
-        self.version += 1
+        self.commit_snapshot(merged, batch_id)

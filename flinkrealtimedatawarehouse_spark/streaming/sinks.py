@@ -207,9 +207,17 @@ class AdditiveGoldSink:
         the previous consistent state; replay delivery ids are untouched.
         """
         spark = corrected.sparkSession
-        part = self._partial(corrected)
         if keys_df is None:
             keys_df = corrected.select(*self.keys).distinct()
+        else:
+            # an explicit key set SCOPES the repair: corrected rows for
+            # keys outside it must not be folded in, or an un-repaired
+            # key would end up with two gold rows (old + recomputed)
+            c, k = corrected.alias("c"), keys_df.alias("k")
+            corrected = c.join(
+                k, [c[col].eqNullSafe(k[col]) for col in self.keys], "left_semi"
+            )
+        part = self._partial(corrected)
         cur = self.current(spark)
         if cur is None:
             merged = part

@@ -1,0 +1,89 @@
+"""Shared durability machinery for foreachBatch snapshot sinks.
+
+Every stateful sink in this package maintains a versioned parquet
+snapshot; this base class makes the durability contract UNIFORM instead
+of five hand-rolled copies drifting apart:
+
+- **write-then-commit**: the new snapshot is written BEFORE the marker
+  (version pointer + replay watermark + sink metadata) is atomically
+  replaced — a crash in between leaves the previous consistent state and
+  the retry overwrites the orphaned directory;
+- **restart recovery**: a fresh sink object on the same ``base_dir``
+  resumes from the committed marker instead of silently re-initializing;
+- **at-least-once replay guard**: foreachBatch redelivers a batch whose
+  checkpoint commit didn't land; ``seen(batch_id)`` makes the redelivery
+  a no-op so non-idempotent folds (additive counts, top-k unions) never
+  double-apply.
+
+Same contract Delta's transaction log gives MERGE, emulated on parquet
+(`operators/merge.py` is the MERGE itself; this is the log).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedSnapshotSink:
+    """Base: versioned snapshots under ``base_dir`` with a committed
+    marker carrying (version, last_bid, meta)."""
+
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+        self.version = -1
+        self.last_bid = -1
+        self.meta: dict = {}
+        marker = self._marker_path()
+        if os.path.exists(marker):  # restart: resume committed state
+            with open(marker) as f:
+                state = json.load(f)
+            self.version = state["version"]
+            self.last_bid = state["last_bid"]
+            self.meta = state.get("meta", {})
+
+    def _path(self, v: int) -> str:
+        return os.path.join(self.base_dir, f"v{v}")
+
+    def _marker_path(self) -> str:
+        return os.path.join(self.base_dir, "_committed.json")
+
+    def _commit(self) -> None:
+        os.makedirs(self.base_dir, exist_ok=True)
+        tmp = self._marker_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": self.version, "last_bid": self.last_bid, "meta": self.meta},
+                f,
+            )
+        os.replace(tmp, self._marker_path())  # atomic on POSIX
+
+    def snapshot_init(self, empty: DataFrame) -> None:
+        """Write the v0 snapshot — unless a committed marker was recovered
+        in __init__, in which case the existing state stands (a restarted
+        job must not clobber its own history)."""
+        if self.version >= 0:
+            return
+        self.version = 0
+        empty.write.mode("overwrite").parquet(self._path(0))
+        self._commit()
+
+    def current(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._path(self.version))
+
+    def seen(self, batch_id: int) -> bool:
+        """True iff this batch id was already folded in (replay)."""
+        return batch_id <= self.last_bid
+
+    def commit_snapshot(self, df: DataFrame, batch_id: int, **meta) -> None:
+        """Write ``df`` as the next snapshot, then commit the marker with
+        the batch id and any sink metadata (crash between the two leaves
+        the previous consistent state)."""
+        next_v = self.version + 1
+        df.write.mode("overwrite").parquet(self._path(next_v))
+        self.version = next_v
+        self.last_bid = batch_id
+        self.meta.update(meta)
+        self._commit()

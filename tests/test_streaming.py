@@ -625,3 +625,74 @@ def test_misra_gries_bounds_hold_under_eviction(spark, tmp_path):
         assert r.count_est >= true[r.k] - d      # bounded under-count
     # the heavy hitter (freq 0.3 >> 1/(m+1)) must be present
     assert any(r.k == "hot" for r in rows)
+
+
+def test_misra_gries_full_eviction_keeps_decrement(spark, tmp_path):
+    """Review repro: a reduction that evicts EVERY counter must not lose
+    the accumulated decrement (it rides in the committed marker, not the
+    rows) — otherwise later estimates report a false error envelope."""
+    from flinkrealtimedatawarehouse_spark.streaming import heavyhitters
+
+    sink = heavyhitters.MisraGriesSink(str(tmp_path / "mg_evict"), ["k"], m=3)
+    sink.init(spark, "k bigint")
+    sink.write_batch(spark.createDataFrame([(0,), (1,), (2,), (3,)], "k bigint"), 0)
+    assert sink.current(spark).count() == 0  # all four counters evicted
+    sink.write_batch(spark.createDataFrame([(0,)], "k bigint"), 1)
+    r = sink.current(spark).collect()[0]
+    # true count of key 0 is 2; est=1 is only valid with decrement=1
+    assert (r.k, r.count_est, r.total_decrement) == (0, 1, 1)
+    assert r.count_est >= 2 - r.total_decrement
+
+
+def test_snapshot_sinks_replay_and_restart(spark, tmp_path):
+    """The shared durability contract: a redelivered batch id is a no-op
+    (no double-fold/over-count), and a fresh sink object on the same dir
+    resumes the committed state instead of clobbering it."""
+    from flinkrealtimedatawarehouse_spark.streaming import heavyhitters, simsearch
+
+    mg = heavyhitters.MisraGriesSink(str(tmp_path / "mg_replay"), ["k"], m=8)
+    mg.init(spark, "k string")
+    b = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    mg.write_batch(b, 0)
+    mg.write_batch(b, 0)  # redelivery: must not double-count
+    assert {r.k: r.count_est for r in mg.current(spark).collect()} == {"a": 2, "b": 1}
+
+    # restart: recovered object continues, replayed id still a no-op
+    mg2 = heavyhitters.MisraGriesSink(str(tmp_path / "mg_replay"), ["k"], m=8)
+    mg2.init(spark, "k string")  # must NOT clobber recovered state
+    mg2.write_batch(b, 0)        # still a replay
+    mg2.write_batch(spark.createDataFrame([("b",)], "k string"), 1)
+    assert {r.k: r.count_est for r in mg2.current(spark).collect()} == {"a": 2, "b": 2}
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], "vec_id long, embedding array<float>"
+    )
+    probes = emb.filter(F.col("vec_id") < 2)
+    tk = simsearch.IncrementalTopKSink(str(tmp_path / "tk_replay"), probes,
+                                       "vec_id", "embedding", k=3)
+    tk.init(spark)
+    tk.write_batch(emb, 0)
+    before = sorted((r.probe_id, r.rank, r.neighbor_id) for r in tk.current(spark).collect())
+    tk.write_batch(emb, 0)  # redelivery: duplicate neighbors must not evict true top-k
+    after = sorted((r.probe_id, r.rank, r.neighbor_id) for r in tk.current(spark).collect())
+    assert before == after
+
+
+def test_backfill_explicit_keys_scope_the_repair(spark, tmp_path):
+    """Corrected rows for keys OUTSIDE an explicit keys_df must be
+    ignored — not folded in as duplicate gold rows."""
+    sink = sinks.AdditiveGoldSink(
+        str(tmp_path / "gold_scope"), ["k"], {"total": ("v", "sum")}
+    )
+    sink.write_batch(
+        spark.createDataFrame([("a", 10.0), ("b", 5.0)], "k string, v double"), 0
+    )
+    # corrected history mentions both a and b, but only a is being repaired
+    sink.backfill(
+        spark.createDataFrame([("a", 1.0), ("b", 99.0)], "k string, v double"),
+        keys_df=spark.createDataFrame([("a",)], "k string"),
+    )
+    rows = sink.current(spark).collect()
+    assert len(rows) == 2  # exactly one row per key — no duplicate for b
+    got = {r.k: r.total for r in rows}
+    assert got == {"a": 1.0, "b": 5.0}
