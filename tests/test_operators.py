@@ -609,3 +609,51 @@ def test_compact_dir_with_cluster_restores_envelopes(spark, tmp_path):
         )
         # each compacted file covers a narrow v-range again
         assert c.statistics.max - c.statistics.min <= 1000 / len(files) * 2
+
+
+def test_subsequence_match_vs_numpy_reference(spark):
+    """Windowed z-normalized distance must equal a numpy sliding-window
+    reference on random series (amplitude/offset invariance included)."""
+    import random
+
+    import numpy as np
+
+    from flinkrealtimedatawarehouse_spark.operators import tsmatch
+
+    rng = random.Random(42)
+    pattern = [0.0, 1.0, 2.0, 1.0]
+    rows = []
+    for key in (1, 2):
+        for t in range(30):
+            rows.append((key, t, rng.uniform(-5, 5)))
+    # plant a scaled+shifted copy of the pattern in key 1 at t=10
+    for i, p in enumerate(pattern):
+        rows[10 + i] = (1, 10 + i, 40.0 + 7.0 * p)
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+
+    got = {
+        (r.k, r.rank): (r.window_start, r.dist)
+        for r in tsmatch.subsequence_match(df, "k", "t", "v", pattern, k=2).collect()
+    }
+
+    def ref_best(series, pat, k):
+        pat = np.asarray(pat, dtype=float)
+        pz = (pat - pat.mean()) / pat.std()
+        out = []
+        for s in range(len(series) - len(pat) + 1):
+            w = np.asarray(series[s:s + len(pat)], dtype=float)
+            if w.std() == 0:
+                out.append((s, float("inf")))
+                continue
+            wz = (w - w.mean()) / w.std()
+            out.append((s, round(float(np.sqrt(((wz - pz) ** 2).sum())), 6)))
+        out.sort(key=lambda x: (x[1], x[0]))
+        return out[:k]
+
+    for key in (1, 2):
+        series = [v for kk, _, v in rows if kk == key]
+        for rank, (s, dist) in enumerate(ref_best(series, pattern, 2), start=1):
+            assert got[(key, rank)][0] == s
+            assert abs(got[(key, rank)][1] - dist) < 1e-4
+    # the planted (scaled, shifted) copy is an exact z-norm match
+    assert got[(1, 1)] == (10, 0.0)
