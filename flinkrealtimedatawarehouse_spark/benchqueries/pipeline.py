@@ -908,7 +908,20 @@ def q_curation(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(F.lit("chunks").alias("kind"), "source", "v1", "v2", "v3", "v4")
     )
-    return quant.unionByName(topk).unionByName(chunks)
+    lm = (
+        textstats.lm_quality(docs, "doc_id", "text")
+        .filter(F.col("n_bigrams") > 0)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("v1"),
+            F.round(F.avg("lm_logprob"), 6).alias("v2"),
+            F.round(F.min("lm_logprob"), 6).alias("v3"),
+            F.round(F.max("lm_logprob"), 6).alias("v4"),
+        )
+        .select(F.lit("lm").alias("kind"), "source", "v1", "v2", "v3", "v4")
+    )
+    return quant.unionByName(topk).unionByName(chunks).unionByName(lm)
 
 SQL_CURATION = f"""
 SELECT 'quantiles' AS kind, source, ct::DOUBLE AS v1, p50 AS v2, p90 AS v3, p99 AS v4
@@ -928,6 +941,30 @@ FROM (
     FROM documents
   )
 ) GROUP BY source
+UNION ALL
+SELECT 'lm', source, count(*)::DOUBLE, round(avg(lm), 6), round(min(lm), 6), round(max(lm), 6)
+FROM (
+  WITH tkq AS (SELECT doc_id, {duck_tokens('text')} AS t FROM documents),
+  uniq AS (
+    SELECT w, count(*)::BIGINT AS c1
+    FROM (SELECT unnest(t) AS w FROM tkq) GROUP BY 1
+  ),
+  vq AS (SELECT count(*) AS v FROM uniq),
+  gq AS (
+    SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM (
+      SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS bg
+      FROM tkq WHERE len(t) >= 2
+    )
+  ),
+  biq AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM gq GROUP BY 1, 2)
+  SELECT gq.doc_id,
+         round(avg(ln((biq.c2 + 1)::DOUBLE / (uniq.c1 + vq.v)::DOUBLE)), 6) AS lm
+  FROM gq
+  JOIN biq USING (w1, w2)
+  JOIN uniq ON uniq.w = gq.w1
+  CROSS JOIN vq
+  GROUP BY 1
+) JOIN documents USING (doc_id) GROUP BY 2
 """
 
 # dp25: BM25 term scoring (corpus idf + per-doc tf saturation); output

@@ -225,6 +225,74 @@ def mix_sample(docs: DataFrame, id_col: str, rates: dict[str, float],
     return docs.filter(keep if keep is not None else F.lit(False))
 
 
+def lm_quality(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-internal n-gram LM quality score (the KenLM-style filter of
+    training pipelines, self-trained): per-doc mean add-one-smoothed
+    bigram log-probability against the CORPUS's own bigram statistics,
+
+        score(d) = mean over bigrams (w1,w2) of
+                   ln( (c(w1,w2) + 1) / (c(w1) + V) )
+
+    where c() are corpus counts and V the corpus vocabulary size.
+    Fluent, typical text scores high; gibberish, boilerplate-free keyword
+    stuffing, and wrong-language docs score low. Deterministic (integer
+    counts, one ln per bigram type) and oracle-exact.
+
+    Output: (id, n_bigrams, lm_logprob). Docs with < 2 tokens get
+    ``n_bigrams = 0`` and NULL lm_logprob (no evidence ≠ low quality).
+
+    Scale: two corpus aggregations (unigram + bigram counts — shuffles
+    carry counts, not text) and one join of per-doc bigram instances to
+    the bigram-count table, keyed on the bigram: every stage is
+    O(tokens), no all-pairs anywhere. The unigram/vocab table is tiny
+    and broadcasts; at 100 TB the bigram join is the only real exchange.
+    """
+    toks = (
+        docs.select(F.col(id_col), spark_tokens(F.col(text_col)).alias("_t"))
+    )
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    uni = toks.select(F.explode("_t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    vocab = uni.count()
+    bi = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+
+    # unigram table: small here, but web-scale vocabularies (typos, ids)
+    # can reach 10^8 types — leave the broadcast decision to AQE
+    scored = (
+        grams.join(bi, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .withColumn(
+            "_lp",
+            F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.lit(vocab)).cast("double")),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("_lp"), 6).alias("lm_logprob"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "lm_logprob",
+        )
+    )
+
+
 # Bucket space + range arithmetic for split_assign, factored so the
 # engine and the DuckDB oracle (benchqueries.pipeline._duck_split_case)
 # share ONE spec — the modulus and rate rounding can never diverge.

@@ -409,3 +409,44 @@ def test_split_assign_salt_redraws(spark):
         docs, "doc_id", salt="v2").collect()}
     moved = sum(1 for k in a if a[k] != b[k])
     assert moved > 100  # a re-salt reshuffles a large fraction
+
+
+def test_lm_quality_matches_python_reference(spark):
+    """Per-doc smoothed bigram log-prob must equal a dict-based Python
+    reference; fluent repeated phrasing outscores shuffled gibberish."""
+    import math
+    import re
+    from collections import Counter
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "mat the on sat cat rug"),   # same words, shuffled order
+        (4, "zq xv qpl"),                # unseen-ish unigrams
+        (5, "single"),                   # < 2 tokens -> no bigrams
+        (6, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.lm_logprob)
+           for r in textstats.lm_quality(df, "doc_id", "text").collect()}
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    uni, bi = Counter(), Counter()
+    for _, t in docs:
+        ws = toks(t)
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    V = len(uni)
+    for did, t in docs:
+        ws = toks(t)
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            assert got[did] == (0, None)
+            continue
+        lp = sum(math.log((bi[p] + 1) / (uni[p[0]] + V)) for p in pairs) / len(pairs)
+        assert got[did][0] == len(pairs)
+        assert abs(got[did][1] - round(lp, 6)) < 1e-6
+    # fluent docs sharing bigrams beat the shuffled copy of the same words
+    assert got[1][1] > got[3][1] and got[2][1] > got[3][1]
