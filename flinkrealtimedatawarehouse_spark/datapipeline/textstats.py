@@ -241,11 +241,15 @@ def lm_quality(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Output: (id, n_bigrams, lm_logprob). Docs with < 2 tokens get
     ``n_bigrams = 0`` and NULL lm_logprob (no evidence ≠ low quality).
 
-    Scale: two corpus aggregations (unigram + bigram counts — shuffles
-    carry counts, not text) and one join of per-doc bigram instances to
-    the bigram-count table, keyed on the bigram: every stage is
-    O(tokens), no all-pairs anywhere. The unigram/vocab table is tiny
-    and broadcasts; at 100 TB the bigram join is the only real exchange.
+    Scale: one unigram aggregation (shuffles carry counts, not text), a
+    window count over the bigram instances for c(w1,w2) — no
+    bigram-table self-join, same rationale as ``bm25_terms``'s df — and
+    one join of the instances to the unigram table, keyed on w1: every
+    stage is O(tokens), no all-pairs anywhere. The vocabulary size joins
+    in lazily as a 1-row broadcast cross join (an eager ``count()`` here
+    would fire a hidden Spark job at plan-construction time). The
+    unigram table is left to AQE's broadcast decision — web-scale
+    vocabularies (typos, ids) can reach 10^8 types.
     """
     toks = (
         docs.select(F.col(id_col), spark_tokens(F.col(text_col)).alias("_t"))
@@ -264,17 +268,17 @@ def lm_quality(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     uni = toks.select(F.explode("_t").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("c1")
     )
-    vocab = uni.count()
-    bi = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vocab_df = uni.agg(F.count(F.lit(1)).alias("_v"))
 
-    # unigram table: small here, but web-scale vocabularies (typos, ids)
-    # can reach 10^8 types — leave the broadcast decision to AQE
     scored = (
-        grams.join(bi, ["w1", "w2"])
+        grams.withColumn(
+            "c2", F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+        )
         .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab_df))
         .withColumn(
             "_lp",
-            F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.lit(vocab)).cast("double")),
+            F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("_v")).cast("double")),
         )
         .groupBy(id_col)
         .agg(

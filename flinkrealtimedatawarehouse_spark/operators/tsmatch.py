@@ -29,31 +29,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _znorm_dist(win: F.Column, pattern: list[float]) -> F.Column:
-    """Euclidean distance between the z-normalized window array and the
-    (pre-normalized, literal) pattern."""
-    m = len(pattern)
-    mean = sum(pattern) / m
-    var = sum((p - mean) ** 2 for p in pattern) / m
-    std = math.sqrt(var) if var > 0 else 1.0
-    pat = F.array(*[F.lit((p - mean) / std) for p in pattern])
-
-    w_mean = F.aggregate(win, F.lit(0.0), lambda a, x: a + x) / F.lit(float(m))
-    w_var = (
-        F.aggregate(win, F.lit(0.0), lambda a, x: a + (x - w_mean) * (x - w_mean))
-        / F.lit(float(m))
-    )
-    w_std = F.sqrt(w_var)
-    zwin = F.transform(win, lambda x: (x - w_mean) / w_std)
-    sq = F.aggregate(
-        F.zip_with(zwin, pat, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    # zero-variance window: no shape to match — infinite distance
-    return F.when(w_var > 0, F.sqrt(sq)).otherwise(F.lit(float("inf")))
-
-
 def subsequence_match(
     df: DataFrame,
     key_col: str,
@@ -64,20 +39,66 @@ def subsequence_match(
     tiebreak: str | None = None,
 ) -> DataFrame:
     """Top-k best-matching windows per key: (key, window_start_ts, dist,
-    rank). ``pattern`` must have length >= 2 (z-normalization needs a
-    shape); windows shorter than the pattern (series tail) are skipped.
+    rank). ``pattern`` must have length >= 2 and non-zero variance
+    (z-normalization needs a shape — a constant pattern would make every
+    window equidistant and the "matches" meaningless, so it raises).
+
+    Windows shorter than the pattern are skipped — the series tail, and
+    any window overlapping a NULL value (``collect_list`` drops NULLs, so
+    the gapped window falls short of m and is filtered). Skipping is the
+    conservative choice: stitching values across a gap would fabricate a
+    continuity that isn't in the data. Pre-interpolate NULLs upstream if
+    gap-bridging is wanted.
     """
     m = len(pattern)
     if m < 2:
         raise ValueError("pattern needs length >= 2")
+    p_mean = sum(pattern) / m
+    p_var = sum((p - p_mean) ** 2 for p in pattern) / m
+    if p_var <= 0:
+        raise ValueError("pattern needs non-zero variance (a constant has no shape)")
+    p_std = math.sqrt(p_var)
+    pat = F.array(*[F.lit((p - p_mean) / p_std) for p in pattern])
+
     order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
     frame = (
         Window.partitionBy(key_col).orderBy(*order).rowsBetween(0, m - 1)
     )
+    # mean/var/std are hoisted into their own projections: HOF lambdas are
+    # evaluated per element with no loop-invariant hoisting, so embedding
+    # the O(m) mean fold inside the variance/transform lambdas would make
+    # the distance O(m^2) per row
+    win = F.col("_win")
+    w_mean = F.col("_wmean")
+    sq = F.aggregate(
+        F.zip_with(
+            F.transform(win, lambda x: (x - w_mean) / F.col("_wstd")),
+            pat,
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     windowed = (
         df.withColumn("_win", F.collect_list(F.col(val_col).cast("double")).over(frame))
         .filter(F.size("_win") == m)
-        .withColumn("dist", F.round(_znorm_dist(F.col("_win"), pattern), 6))
+        .withColumn(
+            "_wmean", F.aggregate(win, F.lit(0.0), lambda a, x: a + x) / F.lit(float(m))
+        )
+        .withColumn(
+            "_wvar",
+            F.aggregate(win, F.lit(0.0), lambda a, x: a + (x - w_mean) * (x - w_mean))
+            / F.lit(float(m)),
+        )
+        .withColumn("_wstd", F.sqrt(F.col("_wvar")))
+        .withColumn(
+            "dist",
+            F.round(
+                # zero-variance window: no shape to match — infinite distance
+                F.when(F.col("_wvar") > 0, F.sqrt(sq)).otherwise(F.lit(float("inf"))),
+                6,
+            ),
+        )
     )
     rank_w = Window.partitionBy(key_col).orderBy(
         F.col("dist").asc(), F.col(ts_col).asc()

@@ -49,8 +49,9 @@ class MisraGriesSink(VersionedSnapshotSink):
     ``current()`` stamps it back onto the rows for readers.
     """
 
-    def __init__(self, base_dir: str, key_cols: list[str], m: int = 100):
-        super().__init__(base_dir)
+    def __init__(self, base_dir: str, key_cols: list[str], m: int = 100,
+                 lineage: str | None = None):
+        super().__init__(base_dir, lineage)
         self.key_cols = key_cols
         self.m = m
 

@@ -65,8 +65,9 @@ class BandStateNearDupSink(VersionedSnapshotSink):
     """
 
     def __init__(self, base_dir: str, id_col: str, text_col: str,
-                 shingle_n: int = 3, k: int = 16, bands: int = 8):
-        super().__init__(os.path.join(base_dir, "state"))
+                 shingle_n: int = 3, k: int = 16, bands: int = 8,
+                 lineage: str | None = None):
+        super().__init__(os.path.join(base_dir, "state"), lineage)
         self.flags_dir = os.path.join(base_dir, "flags")
         self.id_col = id_col
         self.text_col = text_col

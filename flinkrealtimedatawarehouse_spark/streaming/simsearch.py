@@ -40,8 +40,8 @@ class IncrementalTopKSink(VersionedSnapshotSink):
     """
 
     def __init__(self, base_dir: str, probes: DataFrame, id_col: str,
-                 vec_col: str, k: int = 5):
-        super().__init__(base_dir)
+                 vec_col: str, k: int = 5, lineage: str | None = None):
+        super().__init__(base_dir, lineage)
         self.probes = probes
         self.id_col = id_col
         self.vec_col = vec_col

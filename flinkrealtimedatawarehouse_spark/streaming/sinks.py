@@ -22,14 +22,12 @@ equivalents are micro-batch writers:
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flinkrealtimedatawarehouse_spark.operators.merge import upsert_latest
 from flinkrealtimedatawarehouse_spark.streaming.runner import run_foreach_batch
+from flinkrealtimedatawarehouse_spark.streaming.snapshots import VersionedSnapshotSink
 
 
 def fanout_sink(sdf: DataFrame, sink_col: str, out_dir: str, tag: str,
@@ -70,33 +68,30 @@ def fanout_batch_writer(sink_col: str, out_dir: str, exactly_once: bool = True):
     return write_batch
 
 
-class SnapshotMergeSink:
-    """K3: versioned-snapshot MERGE upsert (Delta MERGE INTO stand-in)."""
+class SnapshotMergeSink(VersionedSnapshotSink):
+    """K3: versioned-snapshot MERGE upsert (Delta MERGE INTO stand-in).
+    Durability/replay from VersionedSnapshotSink (the MERGE itself is
+    idempotent per batch — the version column picks the winner — so the
+    replay guard only saves the wasted rewrite)."""
 
-    def __init__(self, base_dir: str, pk: str, version_col: str):
-        self.base_dir = base_dir
+    def __init__(self, base_dir: str, pk: str, version_col: str,
+                 lineage: str | None = None):
+        super().__init__(base_dir, lineage)
         self.pk = pk
         self.version_col = version_col
-        self.version = -1
-
-    def _path(self, v: int) -> str:
-        return os.path.join(self.base_dir, f"v{v}")
 
     def init(self, snapshot: DataFrame) -> None:
-        self.version = 0
-        snapshot.write.mode("overwrite").parquet(self._path(0))
+        self.snapshot_init(snapshot)
 
-    def current(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self._path(self.version))
-
-    def write_batch(self, batch: DataFrame, _batch_id: int) -> None:
+    def write_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if self.seen(batch_id):  # at-least-once redelivery: no-op
+            return
         spark = batch.sparkSession
         merged = upsert_latest(self.current(spark), batch, self.pk, self.version_col)
-        self.version += 1
-        merged.write.mode("overwrite").parquet(self._path(self.version))
+        self.commit_snapshot(merged, batch_id)
 
 
-class AdditiveGoldSink:
+class AdditiveGoldSink(VersionedSnapshotSink):
     """Incremental gold-table maintenance: each micro-batch folds its
     partial aggregates ADDITIVELY into the running table (sum/count per
     key), instead of appending window rows (gold_append_sink) or
@@ -120,36 +115,16 @@ class AdditiveGoldSink:
     to the facts.
     """
 
-    def __init__(self, base_dir: str, keys: list[str], measures: dict[str, tuple[str, str]]):
-        self.base_dir = base_dir
+    def __init__(self, base_dir: str, keys: list[str], measures: dict[str, tuple[str, str]],
+                 lineage: str | None = None):
+        super().__init__(base_dir, lineage)
         self.keys = keys
         self.measures = measures
-        self.version = -1
-        self.last_bid = -1
-        marker = self._marker_path()
-        if os.path.exists(marker):  # restart: recover committed state
-            with open(marker) as f:
-                state = json.load(f)
-            self.version = state["version"]
-            self.last_bid = state["last_bid"]
-
-    def _path(self, v: int) -> str:
-        return os.path.join(self.base_dir, f"v{v}")
-
-    def _marker_path(self) -> str:
-        return os.path.join(self.base_dir, "_committed.json")
-
-    def _commit(self) -> None:
-        os.makedirs(self.base_dir, exist_ok=True)
-        tmp = self._marker_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": self.version, "last_bid": self.last_bid}, f)
-        os.replace(tmp, self._marker_path())  # atomic on POSIX
 
     def current(self, spark: SparkSession) -> DataFrame | None:
         if self.version < 0:
             return None
-        return spark.read.parquet(self._path(self.version))
+        return super().current(spark)
 
     def _partial(self, batch: DataFrame) -> DataFrame:
         aggs = []
@@ -163,7 +138,7 @@ class AdditiveGoldSink:
         return batch.groupBy(*self.keys).agg(*aggs)
 
     def write_batch(self, batch: DataFrame, batch_id: int) -> None:
-        if batch_id <= self.last_bid:  # replayed batch: already applied
+        if self.seen(batch_id):  # replayed batch: already applied
             return
         part = self._partial(batch)
         cur = self.current(batch.sparkSession)
@@ -178,13 +153,7 @@ class AdditiveGoldSink:
                 for m in self.measures
             ]
             merged = a.join(b, cond, "full_outer").select(*key_cols, *add_cols)
-        # write the snapshot FIRST; only then commit the marker — a crash
-        # in between leaves the previous (version, last_bid) consistent
-        next_v = self.version + 1
-        merged.write.mode("overwrite").parquet(self._path(next_v))
-        self.version = next_v
-        self.last_bid = batch_id
-        self._commit()
+        self.commit_snapshot(merged, batch_id)
 
     def backfill(self, corrected: DataFrame, keys_df: DataFrame | None = None) -> None:
         """Repair a slice of the running totals: REPLACE (not add) the
@@ -225,10 +194,9 @@ class AdditiveGoldSink:
             a, k = cur.alias("a"), keys_df.alias("k")
             cond = [a[c].eqNullSafe(k[c]) for c in self.keys]
             merged = a.join(k, cond, "left_anti").unionByName(part)
-        next_v = self.version + 1
-        merged.write.mode("overwrite").parquet(self._path(next_v))
-        self.version = next_v
-        self._commit()
+        # keep last_bid unchanged: a backfill is out-of-band repair, not a
+        # delivery — replay ids belong to the streaming lineage
+        self.commit_snapshot(merged, self.last_bid)
 
 
 def gold_append_sink(sdf: DataFrame, out_dir: str, tag: str) -> str:

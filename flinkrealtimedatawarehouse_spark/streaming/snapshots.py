@@ -29,17 +29,35 @@ from pyspark.sql import DataFrame, SparkSession
 
 class VersionedSnapshotSink:
     """Base: versioned snapshots under ``base_dir`` with a committed
-    marker carrying (version, last_bid, meta)."""
+    marker carrying (version, last_bid, lineage, meta).
 
-    def __init__(self, base_dir: str):
+    CAVEAT — the replay guard is only sound within ONE streaming-query
+    lineage: foreachBatch batch ids restart at 0 under a fresh
+    checkpoint, so a sink dir reused across checkpoints would silently
+    drop the new query's first ``last_bid+1`` batches. Manage the sink
+    dir and the checkpoint as one unit (create/destroy together — the
+    harness's per-run scratch dirs do), or pass ``lineage`` (e.g. the
+    checkpoint path) so a mismatched reuse fails loudly instead.
+    """
+
+    def __init__(self, base_dir: str, lineage: str | None = None):
         self.base_dir = base_dir
         self.version = -1
         self.last_bid = -1
+        self.lineage = lineage
         self.meta: dict = {}
         marker = self._marker_path()
         if os.path.exists(marker):  # restart: resume committed state
             with open(marker) as f:
                 state = json.load(f)
+            committed = state.get("lineage")
+            if lineage is not None and committed is not None and committed != lineage:
+                raise ValueError(
+                    f"snapshot dir {self.base_dir!r} belongs to lineage "
+                    f"{committed!r}, not {lineage!r}: batch-id replay guards "
+                    "do not transfer across streaming checkpoints — use a "
+                    "fresh sink dir for a new query"
+                )
             self.version = state["version"]
             self.last_bid = state["last_bid"]
             self.meta = state.get("meta", {})
@@ -55,7 +73,12 @@ class VersionedSnapshotSink:
         tmp = self._marker_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
-                {"version": self.version, "last_bid": self.last_bid, "meta": self.meta},
+                {
+                    "version": self.version,
+                    "last_bid": self.last_bid,
+                    "lineage": self.lineage,
+                    "meta": self.meta,
+                },
                 f,
             )
         os.replace(tmp, self._marker_path())  # atomic on POSIX

@@ -696,3 +696,23 @@ def test_backfill_explicit_keys_scope_the_repair(spark, tmp_path):
     assert len(rows) == 2  # exactly one row per key — no duplicate for b
     got = {r.k: r.total for r in rows}
     assert got == {"a": 1.0, "b": 5.0}
+
+
+def test_snapshot_sink_lineage_mismatch_fails_loudly(spark, tmp_path):
+    """Batch-id replay guards are only sound within one streaming
+    checkpoint lineage; reusing a sink dir under a different declared
+    lineage must raise instead of silently dropping the new query's
+    first batches."""
+    import pytest as _pytest
+
+    from flinkrealtimedatawarehouse_spark.streaming import heavyhitters
+
+    d = str(tmp_path / "mg_lineage")
+    a = heavyhitters.MisraGriesSink(d, ["k"], m=4, lineage="ckpt-A")
+    a.init(spark, "k string")
+    a.write_batch(spark.createDataFrame([("x",)], "k string"), 0)
+    with _pytest.raises(ValueError, match="lineage"):
+        heavyhitters.MisraGriesSink(d, ["k"], m=4, lineage="ckpt-B")
+    # same lineage resumes fine
+    again = heavyhitters.MisraGriesSink(d, ["k"], m=4, lineage="ckpt-A")
+    assert again.last_bid == 0
