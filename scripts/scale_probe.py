@@ -113,6 +113,46 @@ def main() -> int:
         )
         t_cep = time.time() - t0
         print(f"x{m} cep_stream={t_cep:.1f}s ({n_bounce} bounces)", flush=True)
+
+    # incremental-sink sweep: band-state near-dup and Misra-Gries heavy
+    # hitters, driven batch-by-batch (4 batches per multiple) — measures
+    # the per-increment cost and the state growth the streaming-ingest
+    # story depends on (state ~ O(corpus bands) for near-dup, O(m) flat
+    # for MG regardless of scale)
+    from flinkrealtimedatawarehouse_spark.streaming import heavyhitters, neardup
+
+    for m in multiples:
+        d = amplify(docs, "doc_id", m).select("doc_id", "text")
+        nd = neardup.BandStateNearDupSink(
+            srunner.scratch_dir(f"probe_nd_x{m}"), "doc_id", "text"
+        )
+        nd.init(spark)
+        lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+        step = (hi - lo + 1) // 4 + 1
+        t0 = time.time()
+        for i in range(4):
+            nd.write_batch(
+                d.filter((F.col("doc_id") >= lo + i * step) & (F.col("doc_id") < lo + (i + 1) * step)),
+                i,
+            )
+        t_nd = time.time() - t0
+        n_state = nd.state(spark).count()
+        n_dup = nd.flags(spark).agg(F.sum("is_near_dup")).collect()[0][0]
+
+        evm = amp_events(m).select(F.col("event_type").alias("k"))
+        mg = heavyhitters.MisraGriesSink(
+            srunner.scratch_dir(f"probe_mg_x{m}"), ["k"], m=16
+        )
+        mg.init(spark, "k string")
+        t0 = time.time()
+        for i in range(4):
+            mg.write_batch(evm.filter(F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(4)) == i), i)
+        t_mg = time.time() - t0
+        print(
+            f"x{m} neardup_ingest={t_nd:.1f}s ({n_state} band keys, {n_dup} dups) "
+            f"mg_heavyhitters={t_mg:.1f}s (state {mg.current(spark).count()} rows)",
+            flush=True,
+        )
     return 0
 
 
