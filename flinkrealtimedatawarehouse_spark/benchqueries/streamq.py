@@ -530,6 +530,73 @@ def q_dp28(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- j7 streaming twin: temporal dim enrichment per micro-batch -----------
+
+def q_j7_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming J7: purchase facts replayed as a stream; every micro-batch
+    is as-of enriched against the (static) click history — each fact gets
+    the dim version valid AT ITS EVENT TIME, the temporally-correct form
+    of the reference's processing-time async dim lookup
+    (rt/app/dwd/OrderWideApp.java:108-136). With a static right side the
+    result is batch-split invariant and equals the batch as-of join, which
+    is what the shared oracle checks. Flags write per-``_bid`` with
+    dynamic overwrite (replayed batches rewrite their own slice).
+    """
+    from flinkrealtimedatawarehouse_spark.operators import joins
+
+    ev = load_table(spark, sf, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_val"))
+    )
+    in_dir = runner.stage_stream_dir(left, "ts", _N_FILES, "j7s")
+    sdf = runner.parquet_stream(spark, in_dir, left.schema)
+    out_dir = runner.scratch_dir("out_j7s")
+
+    def enrich_batch(batch, batch_id):
+        (
+            joins.asof_join(
+                batch, right, ("user_id", "user_id"), ("ts", "ts"),
+                ["click_val"], tolerance="'30' MINUTE",
+            )
+            .withColumn("_bid", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bid")
+            .parquet(out_dir)
+        )
+
+    runner.run_foreach_batch(sdf, enrich_batch, "j7s")
+    enriched = spark.read.parquet(out_dir)
+    return enriched.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt")).agg(
+        F.count(F.lit(1)).alias("purchase_ct"),
+        F.count("click_val").alias("matched_ct"),
+        F.round(F.coalesce(F.sum("click_val"), F.lit(0.0)), 2).alias("val_sum"),
+    )
+
+
+# j7 batch + stream, one tagged gate entry sharing the ASOF oracle —
+# overrides the warehouse registry's batch-only entry (streamq merges last).
+def q_j7c(spark: SparkSession, sf: str) -> DataFrame:
+    from flinkrealtimedatawarehouse_spark.benchqueries.warehouse import q_j7
+
+    batch = q_j7(spark, sf).withColumn("mode", F.lit("batch"))
+    stream = q_j7_stream(spark, sf).withColumn("mode", F.lit("stream"))
+    return batch.unionByName(stream)
+
+
+def _sql_j7c() -> str:
+    from flinkrealtimedatawarehouse_spark.benchqueries.warehouse import SQL_J7
+
+    return f"""
+SELECT *, 'batch' AS mode FROM ({SQL_J7})
+UNION ALL
+SELECT *, 'stream' AS mode FROM ({SQL_J7})
+"""
+
+
 # --- dp29: streaming incremental top-k similarity -------------------------
 
 def q_dp6_stream(spark: SparkSession, sf: str) -> DataFrame:
@@ -645,4 +712,5 @@ REGISTRY: dict = {
     "s2_cdc_stream_apply": (q_s2, SQL_S2),
     "dp22_stream_ingest": (q_dp22c, _sql_dp22c()),
     "dp6_cosine_topk": (q_dp6c, _sql_dp6c()),
+    "j7_asof_join": (q_j7c, _sql_j7c()),
 }
