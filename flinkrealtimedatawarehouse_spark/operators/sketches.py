@@ -18,7 +18,7 @@ sketch per fine-grain group, independent of row count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -51,3 +51,55 @@ def uv_sketch_rollup(
 def uv_estimate(fine: DataFrame, dims: list[str]) -> DataFrame:
     """Estimates at the fine grain itself: ``dims + [uv_est]``."""
     return fine.select(*dims, F.hll_sketch_estimate("uv_sketch").alias("uv_est"))
+
+
+# --- mergeable histogram quantiles ----------------------------------------
+
+def histogram_bins(df: DataFrame, value_col: str, width: float,
+                   group_cols: list[str] | None = None) -> DataFrame:
+    """Fixed-width histogram counts: one row per (group..., bin). The
+    counts are ADDITIVE — fold them incrementally micro-batch by
+    micro-batch (AdditiveGoldSink with a count measure keyed on the bin)
+    and the running histogram equals the batch histogram; state is
+    O(range/width) rows per group regardless of stream length. The
+    bounded-state streaming answer to "value distribution so far", where
+    an exact percentile would need every value retained.
+    """
+    keys = (group_cols or []) + ["bin"]
+    return (
+        df.withColumn("bin", F.floor(F.col(value_col) / F.lit(float(width))).cast("long"))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bin_ct"))
+    )
+
+
+def quantiles_from_histogram(hist: DataFrame, width: float, qs: list[float],
+                             group_cols: list[str] | None = None) -> DataFrame:
+    """Read-side quantile estimates from fixed-width bin counts: for each
+    q, the smallest bin whose cumulative count reaches q*total, estimated
+    at that bin's upper edge — error is bounded by one bin width, by
+    construction, against the exact percentile of the underlying values.
+    One window over O(bins) rows per group; never touches raw values.
+    """
+    gc = group_cols or []
+    w_cum = Window.partitionBy(*gc).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy(*gc)
+    cum = hist.withColumn("cum", F.sum("bin_ct").over(w_cum)).withColumn(
+        "total", F.sum("bin_ct").over(w_tot)
+    )
+    out = None
+    for q in qs:
+        hit = (
+            cum.filter(F.col("cum") >= F.lit(q) * F.col("total"))
+            .groupBy(*gc)
+            .agg(F.min("bin").alias("qbin"))
+            .select(
+                *gc,
+                F.lit(q).alias("q"),
+                ((F.col("qbin") + 1) * F.lit(float(width))).alias("q_est"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

@@ -657,3 +657,44 @@ def test_subsequence_match_vs_numpy_reference(spark):
             assert abs(got[(key, rank)][1] - dist) < 1e-4
     # the planted (scaled, shifted) copy is an exact z-norm match
     assert got[(1, 1)] == (10, 0.0)
+
+
+def test_histogram_quantiles_incremental_and_bounded_error(spark, tmp_path):
+    """Bin counts folded batch-by-batch through the additive sink must
+    equal the batch histogram, and the derived quantile estimates must be
+    within one bin width of the exact percentiles."""
+    import random
+
+    from flinkrealtimedatawarehouse_spark.operators import sketches
+    from flinkrealtimedatawarehouse_spark.streaming import sinks as ssinks
+
+    rng = random.Random(99)
+    vals = [rng.uniform(0, 100) for _ in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    width = 5.0
+
+    # incremental: three batches of bin counts into the additive sink
+    sink = ssinks.AdditiveGoldSink(
+        str(tmp_path / "hist"), ["bin"], {"bin_ct": ("one", "count")}
+    )
+    for i in range(3):
+        sl = vals[i * 1000:(i + 1) * 1000]
+        b = spark.createDataFrame([(v,) for v in sl], "v double")
+        binned = b.withColumn("bin", F.floor(F.col("v") / width).cast("long")) \
+                  .withColumn("one", F.lit(1))
+        sink.write_batch(binned, i)
+    running = sink.current(spark).select(
+        "bin", F.col("bin_ct").cast("long").alias("bin_ct")
+    )
+
+    batch_hist = sketches.histogram_bins(df, "v", width)
+    assert sorted(map(tuple, running.collect())) == \
+        sorted(map(tuple, batch_hist.collect()))
+
+    qs = [0.5, 0.9, 0.99]
+    est = {r.q: r.q_est for r in
+           sketches.quantiles_from_histogram(running, width, qs).collect()}
+    exact = sorted(vals)
+    for q in qs:
+        true = exact[int(q * len(vals)) - 1]
+        assert abs(est[q] - true) <= width + 1e-9, (q, est[q], true)
