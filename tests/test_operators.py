@@ -698,3 +698,20 @@ def test_histogram_quantiles_incremental_and_bounded_error(spark, tmp_path):
     for q in qs:
         true = exact[int(q * len(vals)) - 1]
         assert abs(est[q] - true) <= width + 1e-9, (q, est[q], true)
+
+
+def test_layer_registry_is_consistent():
+    """Every inter-stage name is defined once with a known layer; the
+    reference's dwd_/dwm_ mismatch pairs resolve to a single constant."""
+    from flinkrealtimedatawarehouse_spark import layers
+
+    names = [v for k, v in vars(layers).items() if k.isupper() and isinstance(v, str)]
+    assert len(names) == len(set(names))  # no duplicate table names
+    for n in names:
+        assert n in layers.LAYER_OF, n
+        assert layers.LAYER_OF[n] in {"bronze", "silver", "gold"}
+        prefix = n.split("_")[0]
+        want = {"ods": "bronze", "dwd": "silver", "dwm": "silver", "dws": "gold"}[prefix]
+        assert layers.LAYER_OF[n] == want, n
+    for canonical, aliases in layers.REFERENCE_ALIASES.items():
+        assert canonical in aliases  # the fix keeps one of the two spellings
