@@ -22,6 +22,8 @@ equivalents are micro-batch writers:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -228,3 +230,42 @@ def kafka_sink(sdf: DataFrame, brokers: str, topic: str | None, checkpoint: str)
 def console_sink(sdf: DataFrame, n_rows: int = 20):
     """K5: debug print sink (.print() — e.g. BaseLogApp.java:138-140)."""
     return sdf.writeStream.format("console").option("numRows", str(n_rows)).option("truncate", "false")
+
+
+def multi_sink(branches: dict[str, "callable"], out_root: str):
+    """SURVEY §7.2 item 7 — one foreachBatch serving SEVERAL destinations
+    with DIFFERENT schemas (the reference's BaseLogApp side-output pattern:
+    P1/P3 write start/page/display + dirty to distinct topics from one
+    operator). ``fanout_sink`` handles the same-schema per-row-destination
+    case; this handles distinct per-branch transformations.
+
+    ``branches``: {name: fn(batch_df) -> DataFrame}. Per micro-batch the
+    input is persisted once, every branch's transform writes into
+    ``{out_root}/{name}`` under the batch's own ``_bid`` partition with
+    dynamic overwrite (a replayed batch rewrites exactly its own slice in
+    EVERY branch — so the multi-destination write is idempotent per batch
+    even though parquet gives no cross-directory transaction), then the
+    input is unpersisted.
+
+    Scale note: persisting the micro-batch (bounded by trigger size, not
+    the stream) is the one cache in the streaming layer that always pays
+    for itself — every branch re-reads it instead of re-pulling the
+    source N times.
+    """
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            for name, fn in branches.items():
+                (
+                    fn(batch)
+                    .withColumn("_bid", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_bid")
+                    .parquet(os.path.join(out_root, name))
+                )
+        finally:
+            batch.unpersist()
+
+    return write_batch

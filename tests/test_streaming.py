@@ -716,3 +716,34 @@ def test_snapshot_sink_lineage_mismatch_fails_loudly(spark, tmp_path):
     # same lineage resumes fine
     again = heavyhitters.MisraGriesSink(d, ["k"], m=4, lineage="ckpt-A")
     assert again.last_bid == 0
+
+
+def test_multi_sink_splits_schemas_and_replays_idempotently(spark, tmp_path):
+    """One foreachBatch, three destinations with different schemas
+    (the BaseLogApp side-output pattern); a replayed batch rewrites its
+    own slice in every branch instead of duplicating."""
+    rows = [
+        (1, "s1", None, 1.0),
+        (2, None, "p1", 2.0),
+        (3, None, "p2", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, start string, page string, v double")
+    out = str(tmp_path / "split")
+    writer = sinks.multi_sink(
+        {
+            "start": lambda b: b.filter(F.col("start").isNotNull()).select("id", "start"),
+            "page": lambda b: b.filter(F.col("page").isNotNull()).select("id", "page", "v"),
+            "all_sum": lambda b: b.groupBy().agg(F.sum("v").alias("v_sum")),
+        },
+        out,
+    )
+    writer(df, 0)
+    writer(df, 0)  # replay: must not duplicate any branch
+    start = spark.read.parquet(f"{out}/start")
+    page = spark.read.parquet(f"{out}/page")
+    s = spark.read.parquet(f"{out}/all_sum")
+    assert sorted(r.id for r in start.collect()) == [1]
+    assert sorted(r.id for r in page.collect()) == [2, 3]
+    assert set(start.columns) == {"id", "start", "_bid"}
+    assert set(page.columns) == {"id", "page", "v", "_bid"}
+    assert s.count() == 1 and s.collect()[0].v_sum == 6.0
