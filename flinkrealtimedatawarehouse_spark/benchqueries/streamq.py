@@ -556,16 +556,13 @@ def q_j7_stream(spark: SparkSession, sf: str) -> DataFrame:
     out_dir = runner.scratch_dir("out_j7s")
 
     def enrich_batch(batch, batch_id):
-        (
+        sinks.write_bid_slice(
             joins.asof_join(
                 batch, right, ("user_id", "user_id"), ("ts", "ts"),
                 ["click_val"], tolerance="'30' MINUTE",
-            )
-            .withColumn("_bid", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_bid")
-            .parquet(out_dir)
+            ),
+            batch_id,
+            out_dir,
         )
 
     runner.run_foreach_batch(sdf, enrich_batch, "j7s")

@@ -6,9 +6,10 @@ The reference has a live topic-name mismatch: `OrderWideApp` WRITES
 (rt/app/dws/ProvinceStatsSQLApp.java:49); its README likewise calls the
 unique-visit / user-jump outputs ``dwm_*`` while the apps write
 ``dwd_*``. Working by string convention across nine separate JVMs is
-exactly how that happens. Here every inter-stage name is defined ONCE —
-producers and consumers both import the constant, so a rename is one
-edit and a mismatch cannot compile.
+exactly how that happens. Here every inter-stage name is defined ONCE;
+pipeline compositions route writes and reads through these constants
+(see tests/test_gmall_log_pipeline.py's multi_sink stage), so a rename
+is one edit and a producer/consumer mismatch cannot arise silently.
 
 Chosen names follow the reference's intended semantics (``dwm_`` for the
 derived middle-layer streams, per its own README) mapped onto medallion

@@ -67,7 +67,11 @@ def histogram_bins(df: DataFrame, value_col: str, width: float,
     """
     keys = (group_cols or []) + ["bin"]
     return (
-        df.withColumn("bin", F.floor(F.col(value_col) / F.lit(float(width))).cast("long"))
+        # NULL values carry no position in the distribution — without the
+        # filter they'd form a NULL bin that sorts first in the cumulative
+        # window and shifts every quantile toward the low end
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("bin", F.floor(F.col(value_col) / F.lit(float(width))).cast("long"))
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("bin_ct"))
     )
@@ -81,6 +85,8 @@ def quantiles_from_histogram(hist: DataFrame, width: float, qs: list[float],
     construction, against the exact percentile of the underlying values.
     One window over O(bins) rows per group; never touches raw values.
     """
+    if not qs:
+        raise ValueError("qs must name at least one quantile")
     gc = group_cols or []
     w_cum = Window.partitionBy(*gc).orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -89,17 +95,17 @@ def quantiles_from_histogram(hist: DataFrame, width: float, qs: list[float],
     cum = hist.withColumn("cum", F.sum("bin_ct").over(w_cum)).withColumn(
         "total", F.sum("bin_ct").over(w_tot)
     )
-    out = None
-    for q in qs:
-        hit = (
-            cum.filter(F.col("cum") >= F.lit(q) * F.col("total"))
-            .groupBy(*gc)
-            .agg(F.min("bin").alias("qbin"))
-            .select(
-                *gc,
-                F.lit(q).alias("q"),
-                ((F.col("qbin") + 1) * F.lit(float(width))).alias("q_est"),
+    # all quantiles in ONE pass: explode the q list against the cumulative
+    # rows (a per-q filter/union loop would re-execute the hist lineage and
+    # both windows once per quantile)
+    return (
+        cum.crossJoin(
+            F.broadcast(
+                cum.sparkSession.createDataFrame([(q,) for q in qs], "q double")
             )
         )
-        out = hit if out is None else out.unionByName(hit)
-    return out
+        .filter(F.col("cum") >= F.col("q") * F.col("total"))
+        .groupBy(*gc, "q")
+        .agg(F.min("bin").alias("qbin"))
+        .select(*gc, "q", ((F.col("qbin") + 1) * F.lit(float(width))).alias("q_est"))
+    )

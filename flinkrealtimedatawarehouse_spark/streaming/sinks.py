@@ -32,6 +32,34 @@ from flinkrealtimedatawarehouse_spark.streaming.runner import run_foreach_batch
 from flinkrealtimedatawarehouse_spark.streaming.snapshots import VersionedSnapshotSink
 
 
+def write_bid_slice(df: DataFrame, batch_id: int, out_dir: str,
+                    extra_partitions: tuple[str, ...] = ()) -> None:
+    """THE idempotent micro-batch write: stamp ``_bid`` and dynamically
+    overwrite exactly this batch's partition directories — a replayed
+    batch rewrites its own slice instead of appending duplicates
+    (foreachBatch is at-least-once by contract). Every sink that appends
+    per-batch output routes through here so the replay contract lives in
+    one place. A zero-row slice still writes a schema-bearing empty file
+    under its ``_bid`` dir so the destination stays readable before the
+    branch ever matches a row."""
+    if df.isEmpty():
+        # partitionBy with 0 rows writes nothing at all — no schema, and
+        # spark.read.parquet(out_dir) would fail; write the empty frame
+        # (schema included) directly into the batch's partition dir
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, *[f"{p}=__empty__" for p in extra_partitions],
+                         f"_bid={batch_id}")
+        )
+        return
+    (
+        df.withColumn("_bid", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*extra_partitions, "_bid")
+        .parquet(out_dir)
+    )
+
+
 def fanout_sink(sdf: DataFrame, sink_col: str, out_dir: str, tag: str,
                 exactly_once: bool = True) -> str:
     """K2: run ``sdf`` to completion, writing every micro-batch into
@@ -57,13 +85,7 @@ def fanout_batch_writer(sink_col: str, out_dir: str, exactly_once: bool = True):
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         if exactly_once:
-            (
-                batch.withColumn("_bid", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(sink_col, "_bid")
-                .parquet(out_dir)
-            )
+            write_bid_slice(batch, batch_id, out_dir, extra_partitions=(sink_col,))
         else:
             batch.write.mode("append").partitionBy(sink_col).parquet(out_dir)
 
@@ -257,14 +279,7 @@ def multi_sink(branches: dict[str, "callable"], out_root: str):
         batch.persist()
         try:
             for name, fn in branches.items():
-                (
-                    fn(batch)
-                    .withColumn("_bid", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("_bid")
-                    .parquet(os.path.join(out_root, name))
-                )
+                write_bid_slice(fn(batch), batch_id, os.path.join(out_root, name))
         finally:
             batch.unpersist()
 

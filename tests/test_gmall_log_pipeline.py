@@ -107,3 +107,36 @@ def test_visitor_stats_native_keys_union(spark):
            for r in out.collect()}
     assert got[("110", "app", "v1", "1")] == (2.0, 1.0, 1.0, 1.0, 3000.0)
     assert got[("130", "web", "v2", "0")] == (1.0, 1.0, 1.0, 1.0, 500.0)
+
+
+def test_log_split_lands_in_canonical_layer_tables(spark, tmp_path):
+    """The BaseLogApp multi-destination write, end to end: the 3-way
+    split flows through one multi_sink into the CANONICAL silver table
+    names (layers.py) — producers and this consumer import the same
+    constants, the mismatch class the reference suffers from
+    (dwd_order_wide written, dwm_order_wide read) cannot arise."""
+    from flinkrealtimedatawarehouse_spark import layers
+    from flinkrealtimedatawarehouse_spark.streaming import sinks
+
+    raw = _raw_logs(spark)
+    clean, _dirty = logsplit.parse_or_dirty(raw, "value", LOG_EVENT_SCHEMA)
+    flat = clean.select(
+        F.col("common.mid").alias("mid"), "page", "start", "displays"
+    )
+    out = str(tmp_path / "silver")
+    writer = sinks.multi_sink(
+        {
+            layers.DWD_START_LOG: lambda b: logsplit.three_way_split(b, F.col("start"))[0]
+                .select("mid", "start.entry"),
+            layers.DWD_PAGE_LOG: lambda b: logsplit.three_way_split(b, F.col("start"))[1]
+                .select("mid", "page.page_id"),
+            layers.DWD_DISPLAY_LOG: lambda b: logsplit.three_way_split(b, F.col("start"))[2]
+                .select("mid", "display.item"),
+        },
+        out,
+    )
+    writer(flat, 0)
+    # consumer side reads THROUGH the same constants
+    assert spark.read.parquet(f"{out}/{layers.DWD_START_LOG}").count() == 1
+    assert spark.read.parquet(f"{out}/{layers.DWD_PAGE_LOG}").count() == 3
+    assert spark.read.parquet(f"{out}/{layers.DWD_DISPLAY_LOG}").count() == 2

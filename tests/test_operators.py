@@ -673,16 +673,15 @@ def test_histogram_quantiles_incremental_and_bounded_error(spark, tmp_path):
     df = spark.createDataFrame([(v,) for v in vals], "v double")
     width = 5.0
 
-    # incremental: three batches of bin counts into the additive sink
+    # incremental: three batches through the OPERATOR's own binning (so
+    # this test pins histogram_bins itself), summed by the additive sink
     sink = ssinks.AdditiveGoldSink(
-        str(tmp_path / "hist"), ["bin"], {"bin_ct": ("one", "count")}
+        str(tmp_path / "hist"), ["bin"], {"bin_ct": ("bin_ct", "sum")}
     )
     for i in range(3):
         sl = vals[i * 1000:(i + 1) * 1000]
         b = spark.createDataFrame([(v,) for v in sl], "v double")
-        binned = b.withColumn("bin", F.floor(F.col("v") / width).cast("long")) \
-                  .withColumn("one", F.lit(1))
-        sink.write_batch(binned, i)
+        sink.write_batch(sketches.histogram_bins(b, "v", width), i)
     running = sink.current(spark).select(
         "bin", F.col("bin_ct").cast("long").alias("bin_ct")
     )
