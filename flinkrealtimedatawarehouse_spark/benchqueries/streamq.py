@@ -113,6 +113,69 @@ def q_t3b(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_t3o(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming LEFT OUTER interval join — beyond the reference (Flink's
+    interval join is inner-only; rtest/app/FlinkDSJoinTest.java:40-51 only
+    exercises inner bounds). A purchase with no view in its [-15 min, 0]
+    lookback emits with NULL right columns once the watermark proves no
+    partner can still arrive.
+
+    Harness notes: the watermark sentinel must pass BOTH side filters (a
+    pushable ``event_type = 'purchase'`` predicate would prune the sentinel
+    file at the scan before the watermark node sees it), so each side keeps
+    its own events OR the ``__wm__`` marker; sentinel rows key to user -1
+    and are dropped after the sink. Sentinel pad > interval + delay flushes
+    every pending unmatched-left state row.
+    """
+    sdf = _staged_events_stream(spark, sf, "t3o", "32 minutes")
+    is_sent = F.col("event_type") == "__wm__"
+    pay = sdf.filter((F.col("event_type") == "purchase") | is_sent).select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    orderv = sdf.filter((F.col("event_type") == "view") | is_sent).select(
+        F.col("user_id").alias("o_user"), F.col("ts").alias("o_ts")
+    )
+    joined = windows.interval_join_stream(
+        pay, orderv, ("p_user", "o_user"), ("p_ts", "o_ts"),
+        "'-15' MINUTE", "'0' SECOND", how="leftOuter",
+    )
+    pairs = runner.run_to_memory(joined, "t3o").filter(F.col("p_user") != -1)
+    return pairs.groupBy(F.date_format("p_ts", "yyyy-MM-dd").alias("dt")).agg(
+        F.count(F.lit(1)).alias("pair_ct"),
+        F.count("o_user").alias("matched_ct"),
+    )
+
+
+SQL_T3O = """
+SELECT strftime(p.ts, '%Y-%m-%d') AS dt, count(*)::BIGINT AS pair_ct,
+       count(o.user_id)::BIGINT AS matched_ct
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') o
+  ON p.user_id = o.user_id
+ AND o.ts >= p.ts - INTERVAL 15 MINUTE AND o.ts <= p.ts
+GROUP BY 1
+"""
+
+
+# t3b combined gate: inner + left-outer streaming interval joins, one
+# tagged entry (the outer branch's matched_ct must equal the inner
+# branch's pair_ct row-for-row — both are hashed against the oracle).
+def q_t3c(spark: SparkSession, sf: str) -> DataFrame:
+    inner = q_t3b(spark, sf).select(
+        F.lit("inner").alias("kind"), "dt", "pair_ct", F.col("pair_ct").alias("matched_ct")
+    )
+    outer = q_t3o(spark, sf).select(F.lit("outer").alias("kind"), "dt", "pair_ct", "matched_ct")
+    return inner.unionByName(outer)
+
+
+def _sql_t3c() -> str:
+    return f"""
+SELECT 'inner' AS kind, dt, pair_ct, pair_ct AS matched_ct FROM ({SQL_J2})
+UNION ALL
+SELECT 'outer', dt, pair_ct, matched_ct FROM ({SQL_T3O})
+"""
+
+
 # --- T5: streaming dedup (first per key, watermark-evicted state) ---------
 
 def q_t5(spark: SparkSession, sf: str) -> DataFrame:
@@ -701,7 +764,7 @@ REGISTRY: dict = {
     "t1_visitor_stream": (q_t1, SQL_A1),
     "t2_product_stream": (q_t2, SQL_A2),
     "t3_interval_join_stream": (q_t3, SQL_J1),
-    "t3b_asym_join_stream": (q_t3b, SQL_J2),
+    "t3b_asym_join_stream": (q_t3c, _sql_t3c()),
     "t5_dedup_stream": (q_t5, SQL_T5),
     "t7_bounce_stream": (q_t7, SQL_W1),
     "w4_session_stats": (q_w4c, SQL_W4C),

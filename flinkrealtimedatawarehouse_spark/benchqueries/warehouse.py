@@ -454,6 +454,75 @@ SELECT hour(stt)::BIGINT AS hr,
 FROM vs GROUP BY 1
 """
 
+# A8r (beyond ref): rolling trend metrics over the daily GMV series —
+# 7-day moving average (RANGE frame over epoch-day) + running cumulative.
+def q_a8r(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("dt")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("amount")
+    )
+    out = ads.rolling_metrics(daily, "dt", "amount", 7)
+    return out.select(
+        F.date_format("dt", "yyyy-MM-dd").alias("k"),
+        F.col("amount").alias("v1"), F.col("ma7").alias("v2"), F.col("cume").alias("v3"),
+    )
+
+SQL_A8R = """
+WITH d AS (
+  SELECT o_orderdate::DATE AS dt, round(sum(o_totalprice), 2) AS amount
+  FROM orders GROUP BY 1
+)
+SELECT strftime(dt, '%Y-%m-%d') AS k, amount AS v1,
+       round(avg(amount) OVER (ORDER BY dt RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                               AND CURRENT ROW), 2) AS v2,
+       round(sum(amount) OVER (ORDER BY dt ROWS UNBOUNDED PRECEDING), 2) AS v3
+FROM d
+"""
+
+# A8p (beyond ref): pivoted hour x event-type serving matrix — the wide
+# dashboard grid, computed as one conditional hash agg (explicit value
+# list => stable schema, no distinct-discovery pass).
+_PIVOT_TYPES = ["click", "view", "purchase"]
+
+def q_a8p(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").withColumn("hr", F.hour("ts"))
+    wide = ads.pivot_matrix(ev, "hr", "event_type", _PIVOT_TYPES)
+    return wide.select(
+        F.col("hr").cast("string").alias("k"),
+        *[F.coalesce(F.col(t), F.lit(0)).cast("double").alias(f"v{i+1}")
+          for i, t in enumerate(_PIVOT_TYPES)],
+    )
+
+SQL_A8P = """
+SELECT hour(ts)::VARCHAR AS k,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE AS v1,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::DOUBLE AS v2,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE AS v3
+FROM events GROUP BY 1
+"""
+
+# A8 combined gate (tagged): the mapper's hour series + the two serving
+# shapes the reference lacks (rolling frames, pivot matrix) in one entry.
+def q_a8c(spark: SparkSession, sf: str) -> DataFrame:
+    hourly = q_a8(spark, sf).select(
+        F.lit("hourly").alias("branch"), F.col("hr").cast("string").alias("k"),
+        F.col("new_uv").cast("double").alias("v1"),
+        F.col("uv_ct").cast("double").alias("v2"),
+        F.col("pv_ct").cast("double").alias("v3"),
+    )
+    rolling = q_a8r(spark, sf).select(F.lit("rolling").alias("branch"), "k", "v1", "v2", "v3")
+    pivot = q_a8p(spark, sf).select(F.lit("pivot").alias("branch"), "k", "v1", "v2", "v3")
+    return hourly.unionByName(rolling).unionByName(pivot)
+
+SQL_A8C = f"""
+SELECT 'hourly' AS branch, hr::VARCHAR AS k, new_uv::DOUBLE AS v1,
+       uv_ct::DOUBLE AS v2, pv_ct::DOUBLE AS v3 FROM ({SQL_A8})
+UNION ALL
+SELECT 'rolling', k, v1, v2, v3 FROM ({SQL_A8R})
+UNION ALL
+SELECT 'pivot', k, v1, v2, v3 FROM ({SQL_A8P})
+"""
+
 # A9 weighted keyword scoring (multiIf) over documents sources
 def q_a9(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
@@ -1084,17 +1153,118 @@ SELECT c_mktsegment, count(*)::BIGINT AS ct,
 FROM customer WHERE c_custkey % 20 <> 0 GROUP BY 1
 """
 
-# K3 combined gate: latest-wins upsert AND CDC-envelope apply (upserts +
-# deletes) in one tagged entry — both MERGE flavors of the dim sink.
+# K3s SCD2 dim history: three change waves (insert-all v0, update every
+# 10th at v1, delete every 20th at v2) -> versioned history with
+# valid_from/valid_to/is_current. m2 pins the interval stamping (a wrong
+# valid_to flips the checksum even when counts/balances agree).
+def q_k3s(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    ch = (
+        cust.withColumn("v", F.lit(0)).withColumn("type", F.lit("insert"))
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 10 == 0)
+            .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 1000, 2))
+            .withColumn("v", F.lit(1)).withColumn("type", F.lit("update"))
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 20 == 0)
+            .withColumn("v", F.lit(2)).withColumn("type", F.lit("delete"))
+        )
+    )
+    hist = merge.scd2_history(ch, "c_custkey", "v", type_col="type")
+    return hist.groupBy(F.col("c_mktsegment").alias("dim")).agg(
+        F.count(F.lit(1)).alias("ct"),
+        F.round(F.sum(F.when(F.col("is_current"), F.col("c_acctbal")).otherwise(0)), 2).alias("bal"),
+        F.sum(F.coalesce(F.col("valid_to"), F.lit(-1))).cast("long").alias("m2"),
+    )
+
+SQL_K3S = """
+WITH ch AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal, 0 AS v, 'insert' AS type FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, round(c_acctbal + 1000, 2), 1, 'update'
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_acctbal, 2, 'delete'
+  FROM customer WHERE c_custkey % 20 = 0
+), h AS (
+  SELECT *, lead(v) OVER (PARTITION BY c_custkey ORDER BY v) AS valid_to FROM ch
+)
+SELECT c_mktsegment AS dim, count(*)::BIGINT AS ct,
+       round(sum(CASE WHEN valid_to IS NULL THEN c_acctbal ELSE 0 END), 2) AS bal,
+       sum(coalesce(valid_to, -1))::BIGINT AS m2
+FROM h WHERE type <> 'delete' GROUP BY 1
+"""
+
+# K3d changelog emission (CDF-style snapshot diff — inverse of apply_cdc):
+# old vs new snapshot -> insert/update/delete rows, unchanged rows dropped.
+_DIFF_KEY_SHIFT = 100_000_000
+
+def q_k3d(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    new = (
+        cust.filter(F.col("c_custkey") % 20 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 10 == 0, F.round(F.col("c_acctbal") + 500, 2))
+            .otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 7 == 0)
+            .withColumn("c_custkey", F.col("c_custkey") + _DIFF_KEY_SHIFT)
+        )
+    )
+    d = merge.snapshot_diff(cust, new, "c_custkey", ["c_mktsegment", "c_acctbal"])
+    return d.groupBy(F.col("change_type").alias("dim")).agg(
+        F.count(F.lit(1)).alias("ct"),
+        F.round(F.sum("c_acctbal"), 2).alias("bal"),
+        F.lit(0).cast("long").alias("m2"),
+    )
+
+SQL_K3D = f"""
+WITH newt AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 500, 2) ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 20 <> 0
+  UNION ALL
+  SELECT c_custkey + {_DIFF_KEY_SHIFT}, c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 7 = 0
+), d AS (
+  SELECT CASE WHEN o.c_custkey IS NULL THEN 'insert'
+              WHEN n.c_custkey IS NULL THEN 'delete'
+              ELSE 'update' END AS change_type,
+         CASE WHEN n.c_custkey IS NULL THEN o.c_acctbal ELSE n.c_acctbal END AS bal2
+  FROM newt n FULL OUTER JOIN customer o ON n.c_custkey = o.c_custkey
+  WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+        OR n.c_acctbal IS DISTINCT FROM o.c_acctbal
+        OR n.c_mktsegment IS DISTINCT FROM o.c_mktsegment
+)
+SELECT change_type AS dim, count(*)::BIGINT AS ct, round(sum(bal2), 2) AS bal, 0::BIGINT AS m2
+FROM d GROUP BY 1
+"""
+
+# K3 combined gate: latest-wins upsert, CDC-envelope apply, SCD2 history
+# build, and changelog emission — all four MERGE/changelog flavors of the
+# dim layer in one tagged entry.
 def q_k3c(spark: SparkSession, sf: str) -> DataFrame:
-    up = q_k3(spark, sf).select(F.lit("upsert").alias("stage"), "c_mktsegment", "ct", "bal")
-    cdc = q_k3b(spark, sf).select(F.lit("cdc").alias("stage"), "c_mktsegment", "ct", "bal")
-    return up.unionByName(cdc)
+    zero = F.lit(0).cast("long").alias("m2")
+    up = q_k3(spark, sf).select(
+        F.lit("upsert").alias("stage"), F.col("c_mktsegment").alias("dim"), "ct", "bal", zero
+    )
+    cdc = q_k3b(spark, sf).select(
+        F.lit("cdc").alias("stage"), F.col("c_mktsegment").alias("dim"), "ct", "bal", zero
+    )
+    scd2 = q_k3s(spark, sf).select(F.lit("scd2").alias("stage"), "dim", "ct", "bal", "m2")
+    diff = q_k3d(spark, sf).select(F.lit("diff").alias("stage"), "dim", "ct", "bal", "m2")
+    return up.unionByName(cdc).unionByName(scd2).unionByName(diff)
 
 SQL_K3C = f"""
-SELECT 'upsert' AS stage, * FROM ({SQL_K3})
+SELECT 'upsert' AS stage, c_mktsegment AS dim, ct, bal, 0::BIGINT AS m2 FROM ({SQL_K3})
 UNION ALL
-SELECT 'cdc', * FROM ({SQL_K3B})
+SELECT 'cdc', c_mktsegment, ct, bal, 0::BIGINT FROM ({SQL_K3B})
+UNION ALL
+SELECT 'scd2', dim, ct, bal, m2 FROM ({SQL_K3S})
+UNION ALL
+SELECT 'diff', dim, ct, bal, m2 FROM ({SQL_K3D})
 """
 
 # X1 skew-safe two-stage aggregation == plain aggregation (TPC-H Q1 shape)
@@ -1202,7 +1372,7 @@ REGISTRY = {
     "a4_keyword_stats": (q_a4c, SQL_A4C),
     "a6_is_new_correction": (q_a6, SQL_A6),
     "a7_ads_product": (q_a7c, SQL_A7C),
-    "a8_hourly_conditional": (q_a8, SQL_A8),
+    "a8_hourly_conditional": (q_a8c, SQL_A8C),
     "a9_keyword_score": (q_a9, SQL_A9),
     "a11_visitor_ratios": (q_a11, SQL_A11),
     "a12_grain_rollup": (q_a12, SQL_A12),

@@ -105,6 +105,63 @@ def grain_rollup(stats: DataFrame, dims: list[str], amount_col: str) -> DataFram
     return agg.select(*out_cols, "amount", "row_ct")
 
 
+def rolling_metrics(
+    daily: DataFrame,
+    date_col: str,
+    amount_col: str,
+    n_days: int = 7,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rolling serving metrics over a daily series: N-day moving average
+    (a true time-RANGE frame over the epoch-day, so calendar gaps count as
+    missing days — not a row frame) and the running cumulative total.
+
+    Beyond the reference: its dashboards re-query whole-day aggregates per
+    request (pub/mapper/ProductStatsMapper.java:15-16); trend lines need
+    frames, which the reference has nowhere (SURVEY §2.6: no frame specs).
+
+    Scale: frames run inside one exchange on ``partition_cols``. An
+    unpartitioned series funnels through a single task — acceptable only
+    because the input is an already-aggregated daily table (rows = days);
+    for per-key trends pass ``partition_cols`` and the window parallelizes
+    per key.
+    """
+    from pyspark.sql import Window
+
+    part = partition_cols or []
+    dayn = F.datediff(F.col(date_col), F.lit("1970-01-01"))
+    d = daily.withColumn("_dayn", dayn)
+    w_ma = Window.partitionBy(*part).orderBy("_dayn").rangeBetween(-(n_days - 1), 0)
+    w_cum = Window.partitionBy(*part).orderBy("_dayn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        d.withColumn(f"ma{n_days}", F.round(F.avg(amount_col).over(w_ma), 2))
+        .withColumn("cume", F.round(F.sum(amount_col).over(w_cum), 2))
+        .drop("_dayn")
+    )
+
+
+def pivot_matrix(
+    events: DataFrame,
+    row_col,
+    pivot_col: str,
+    values: list[str],
+    agg_col: str | None = None,
+) -> DataFrame:
+    """Serving matrix: one row per ``row_col``, one column per pivot value
+    — the wide shape dashboards consume directly (hour x event-type grid).
+
+    ``values`` is mandatory by design: an explicit value list keeps the
+    output schema stable at any scale AND skips the extra
+    distinct-discovery job Spark otherwise runs over the full input.
+    Physically a pivot is a plain hash agg with |values| conditional
+    measures — one scan, one exchange, no other shuffle.
+    """
+    gp = events.groupBy(row_col).pivot(pivot_col, values)
+    return gp.count() if agg_col is None else gp.agg(F.round(F.sum(agg_col), 2))
+
+
 def visitor_ratios(visitor_stats: DataFrame, uj_col: str, sv_col: str,
                    dur_col: str, pv_col: str) -> DataFrame:
     """A11: derived ratio metrics the reference computes in the bean

@@ -15,6 +15,8 @@ DataFrame shape below is unchanged, only the writer differs.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -41,6 +43,86 @@ def upsert_latest(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    pk: str,
+    version_col: str,
+    type_col: str | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change stream.
+
+    The reference's dim sink keeps only the latest row per key
+    (rt/app/function/DimSinkFunction.java:44-75 — Phoenix UPSERT). A
+    warehouse at scale usually wants the full history instead: one row per
+    accepted change, stamped ``valid_from`` (its version), ``valid_to``
+    (the next change's version for the same key; NULL = still open) and
+    ``is_current``. A delete (``type_col`` == 'delete') closes the open
+    interval without emitting a row of its own, so a deleted key has no
+    current row.
+
+    Scale: one hash exchange on ``pk`` + per-key sort for the ``lead``
+    window — the same shuffle any keyed CDC apply pays; no driver-side
+    state, no data-dependent skew beyond the key distribution itself.
+    """
+    w = Window.partitionBy(pk).orderBy(F.col(version_col).asc())
+    hist = (
+        changes.withColumn("valid_from", F.col(version_col))
+        .withColumn("valid_to", F.lead(version_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+    if type_col is not None:
+        hist = hist.filter(F.col(type_col) != "delete").drop(type_col)
+    return hist
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    pk: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Emit a CDC changelog from two dim snapshots — the inverse of
+    ``apply_cdc`` (Delta's Change Data Feed produces this natively; here it
+    is a plain full-outer join). Output = ``new``'s columns (old values for
+    deletes) + ``change_type`` in {insert, update, delete}; unchanged rows
+    are dropped.
+
+    Scale: a single co-partitioned full-outer shuffle join on the pk; with
+    bucketed snapshots (operators/scale.write_bucketed) the exchange
+    disappears entirely.
+    """
+    o = old.select(pk, *compare_cols).withColumnRenamed(pk, "_opk")
+    for c in compare_cols:
+        o = o.withColumnRenamed(c, f"_o_{c}")
+    n = new.select(pk, *compare_cols)
+    j = n.join(o, n[pk] == o["_opk"], "full_outer")
+    changed = [
+        ~F.col(f"_o_{c}").eqNullSafe(F.col(c)) for c in compare_cols
+    ]
+    diff = j.withColumn(
+        "change_type",
+        F.when(F.col("_opk").isNull(), "insert")
+        .when(F.col(pk).isNull(), "delete")
+        .otherwise("update"),
+    ).filter(
+        F.col("_opk").isNull()
+        | F.col(pk).isNull()
+        | functools.reduce(lambda a, b: a | b, changed)
+    )
+    # deletes carry the old values so downstream consumers see the row
+    out_cols = [
+        F.coalesce(F.col(pk), F.col("_opk")).alias(pk),
+        *[
+            F.when(F.col("change_type") == "delete", F.col(f"_o_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in compare_cols
+        ],
+        F.col("change_type"),
+    ]
+    return diff.select(*out_cols)
 
 
 def apply_cdc(

@@ -178,12 +178,19 @@ def interval_join_stream(
     lower: str,
     upper: str,
     delay: str = "30 seconds",
+    how: str = "inner",
 ) -> DataFrame:
     """Streaming J1/J2 (rt/app/dwd/OrderWideApp.java:80-88,
-    PaymentWideApp.java:97-105): watermarked stream-stream inner interval
-    join. Matches emit on arrival; the watermark + range bound the join
-    state on both sides (state eviction horizon = interval width + delay),
-    which is exactly how Flink's interval join bounds its buffers.
+    PaymentWideApp.java:97-105): watermarked stream-stream interval join.
+    Matches emit on arrival; the watermark + range bound the join state on
+    both sides (state eviction horizon = interval width + delay), which is
+    exactly how Flink's interval join bounds its buffers.
+
+    ``how="leftOuter"`` extends the reference (Flink's interval join is
+    inner-only): a left row with no partner inside the interval emits with
+    NULL right columns once the watermark proves no partner can still
+    arrive — the same time-range condition is what makes the outer form
+    legal in Spark (an unbounded outer stream-stream join is rejected).
     """
     lk, rk = keys
     lts, rts = ts_cols
@@ -194,4 +201,4 @@ def interval_join_stream(
         & (F.col(rts) >= F.expr(f"{lts} + INTERVAL {lower}"))
         & (F.col(rts) <= F.expr(f"{lts} + INTERVAL {upper}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)

@@ -714,3 +714,108 @@ def test_layer_registry_is_consistent():
         assert layers.LAYER_OF[n] == want, n
     for canonical, aliases in layers.REFERENCE_ALIASES.items():
         assert canonical in aliases  # the fix keeps one of the two spellings
+
+
+# --- K3 extensions: SCD2 history + CDF-style snapshot diff -----------------
+
+def test_scd2_history_intervals_and_delete_closure(spark):
+    ch = spark.createDataFrame(
+        [
+            (1, "a", 0, "insert"),
+            (1, "b", 1, "update"),
+            (2, "x", 0, "insert"),
+            (2, "x", 1, "delete"),
+            (3, "q", 5, "insert"),
+        ],
+        "pk long, val string, v int, type string",
+    )
+    hist = {
+        (r.pk, r.valid_from): (r.valid_to, r.is_current, r.val)
+        for r in merge.scd2_history(ch, "pk", "v", type_col="type").collect()
+    }
+    # key 1: v0 closed by v1; v1 open and current
+    assert hist[(1, 0)] == (1, False, "a")
+    assert hist[(1, 1)] == (None, True, "b")
+    # key 2: the delete closes v0 (valid_to=1) and emits no row itself —
+    # a deleted key has NO current row
+    assert hist[(2, 0)] == (1, False, "x")
+    assert (2, 1) not in hist
+    # key 3: single insert, open interval
+    assert hist[(3, 5)] == (None, True, "q")
+
+
+def test_snapshot_diff_emits_minimal_changelog(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "pk long, seg string, bal double"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (4, "d", 40.0)], "pk long, seg string, bal double"
+    )
+    d = {
+        r.pk: (r.change_type, r.seg, r.bal)
+        for r in merge.snapshot_diff(old, new, "pk", ["seg", "bal"]).collect()
+    }
+    assert d == {
+        2: ("update", "b", 25.0),   # changed value
+        3: ("delete", "c", 30.0),   # delete carries the OLD values
+        4: ("insert", "d", 40.0),
+    }  # pk 1 unchanged => absent
+
+
+def test_snapshot_diff_null_safe_compare(spark):
+    old = spark.createDataFrame([(1, None)], "pk long, seg string")
+    new_same = spark.createDataFrame([(1, None)], "pk long, seg string")
+    new_set = spark.createDataFrame([(1, "x")], "pk long, seg string")
+    assert merge.snapshot_diff(old, new_same, "pk", ["seg"]).count() == 0
+    rows = merge.snapshot_diff(old, new_set, "pk", ["seg"]).collect()
+    assert [(r.pk, r.change_type, r.seg) for r in rows] == [(1, "update", "x")]
+
+
+# --- A8 extensions: rolling RANGE-frame metrics + pivot matrix -------------
+
+def test_rolling_metrics_range_frame_respects_calendar_gaps(spark):
+    # days 1,2,3 then a jump to day 10: the 3-day MA at day 10 must NOT
+    # include day 3 (a ROWS frame would) — RANGE over epoch-day excludes it.
+    daily = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1), 10.0),
+            (datetime(2024, 1, 2), 20.0),
+            (datetime(2024, 1, 3), 30.0),
+            (datetime(2024, 1, 10), 40.0),
+        ],
+        "dt timestamp, amount double",
+    )
+    out = {
+        r.dt.strftime("%m-%d"): (r.ma3, r.cume)
+        for r in ads.rolling_metrics(daily, "dt", "amount", 3).collect()
+    }
+    assert out["01-01"] == (10.0, 10.0)
+    assert out["01-02"] == (15.0, 30.0)
+    assert out["01-03"] == (20.0, 60.0)
+    assert out["01-10"] == (40.0, 100.0)  # alone in its 3-day range window
+
+
+def test_rolling_metrics_partitioned_series(spark):
+    daily = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), 1.0), ("a", datetime(2024, 1, 2), 3.0),
+         ("b", datetime(2024, 1, 1), 100.0)],
+        "k string, dt timestamp, amount double",
+    )
+    out = {
+        (r.k, r.dt.day): r.ma7
+        for r in ads.rolling_metrics(daily, "dt", "amount", 7, ["k"]).collect()
+    }
+    assert out[("a", 2)] == 2.0  # avg(1,3) — b's rows never leak in
+    assert out[("b", 1)] == 100.0
+
+
+def test_pivot_matrix_stable_schema_and_zero_fill(spark):
+    ev = spark.createDataFrame(
+        [(0, "click"), (0, "click"), (1, "view")], "hr int, event_type string"
+    )
+    wide = ads.pivot_matrix(ev, "hr", "event_type", ["click", "view", "purchase"])
+    # explicit value list => 'purchase' column exists even with no rows
+    assert wide.columns == ["hr", "click", "view", "purchase"]
+    got = {r.hr: (r.click, r.view, r.purchase) for r in wide.collect()}
+    assert got[0] == (2, None, None)
+    assert got[1] == (None, 1, None)

@@ -747,3 +747,30 @@ def test_multi_sink_splits_schemas_and_replays_idempotently(spark, tmp_path):
     assert set(start.columns) == {"id", "start", "_bid"}
     assert set(page.columns) == {"id", "page", "v", "_bid"}
     assert s.count() == 1 and s.collect()[0].v_sum == 6.0
+
+
+def test_stream_left_outer_interval_join_emits_null_for_unmatched(spark):
+    # u1's purchase has a view 2 min earlier (inside [-15m, 0]) => matched;
+    # u2's purchase has only a view 20 min earlier (outside) => emits with
+    # NULL right side once the watermark passes the interval horizon.
+    rows = [
+        (2, 1, ts("2024-01-01 00:00:00"), "view", 0.0, None),
+        (1, 2, ts("2024-01-01 00:18:00"), "view", 0.0, None),
+        (1, 3, ts("2024-01-01 00:20:00"), "purchase", 0.0, None),
+        (2, 4, ts("2024-01-01 00:20:00"), "purchase", 0.0, None),
+    ]
+    sdf = _stream_events(spark, rows, 2, "loj", sentinel_pad="20 minutes")
+    is_sent = F.col("event_type") == "__wm__"
+    pay = sdf.filter((F.col("event_type") == "purchase") | is_sent).select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    views = sdf.filter((F.col("event_type") == "view") | is_sent).select(
+        F.col("user_id").alias("o_user"), F.col("ts").alias("o_ts")
+    )
+    joined = windows.interval_join_stream(
+        pay, views, ("p_user", "o_user"), ("p_ts", "o_ts"),
+        "'-15' MINUTE", "'0' SECOND", how="leftOuter", delay="1 minute",
+    )
+    out = runner.run_to_memory(joined, "loj").filter("p_user >= 0")
+    got = {r.p_user: r.o_user for r in out.collect()}
+    assert got == {1: 1, 2: None}
