@@ -270,3 +270,55 @@ def test_misra_gries_invariants_any_stream_any_split(spark, tmp_path_factory, st
     if len(true) <= m:
         assert d == 0
         assert {r.k: r.count_est for r in rows} == true
+
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(0, 3),              # pk
+            st.integers(0, 50),             # value payload
+            st.sampled_from(["u", "u", "u", "d"]),  # mostly upserts, some deletes
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@settings(**_SETTINGS)
+def test_scd2_current_rows_equal_sequential_fold(spark, changes):
+    """SCD2 invariant: for ANY change sequence, the history's is_current
+    rows equal folding the changes in version order over a Python dict
+    (delete removes the key; a later upsert revives it), and every
+    non-final change per key is closed by exactly the next version.
+
+    (apply_cdc is NOT the reference here: it applies a batch's deletes
+    after its upserts regardless of version order — the reference filters
+    deletes upstream (P2), so in-batch delete-then-revive never reaches
+    it; SCD2 must still order them correctly.)"""
+    from flinkrealtimedatawarehouse_spark.operators.merge import scd2_history
+
+    rows = [
+        (pk, val, v, "delete" if op == "d" else "update")
+        for v, (pk, val, op) in enumerate(changes)
+    ]
+    if not rows:
+        return
+    ch = spark.createDataFrame(rows, "pk long, val long, v long, type string")
+    hist = scd2_history(ch, "pk", "v", type_col="type").collect()
+
+    got = {(r.pk, r.val) for r in hist if r.is_current}
+    state: dict[int, int] = {}
+    next_v: dict[int, list[int]] = {}
+    for pk, val, v, typ in rows:
+        next_v.setdefault(pk, []).append(v)
+        if typ == "delete":
+            state.pop(pk, None)
+        else:
+            state[pk] = val
+    assert got == set(state.items())
+
+    # interval chaining: valid_to of change v is the key's next version
+    for r in hist:
+        seq = next_v[r.pk]
+        i = seq.index(r.valid_from)
+        want_to = seq[i + 1] if i + 1 < len(seq) else None
+        assert r.valid_to == want_to
