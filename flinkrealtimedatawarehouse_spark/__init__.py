@@ -29,6 +29,10 @@ Layout (see SURVEY.md for the operator inventory this covers):
                      SimHash/Jaccard/embedding), ANN similarity, text
                      analysis, PII redaction, decontamination, mix/pack/
                      split curation, multimodal column plumbing.
+- ``serving``      — the reference's SQL-only ADS surface as Spark SQL
+                     views (``register_serving_views``): every mapper
+                     query runnable via ``spark.sql`` with no DataFrame
+                     code.
 
 Everything here is plain PySpark DataFrame/SQL — Catalyst owns the physical
 plan; Python UDFs appear only where built-ins cannot express the semantics

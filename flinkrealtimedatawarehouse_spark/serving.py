@@ -1,0 +1,106 @@
+"""SQL serving surface — the reference's ADS layer as Spark SQL views.
+
+The reference serves every dashboard query as SQL (MyBatis mappers over
+ClickHouse: pub/mapper/ProductStatsMapper.java, VisitorStatsMapper.java,
+KeywordStatsMapper.java, wired by pub/controller/SugarController.java).
+``register_serving_views`` reproduces that surface: after one call, a SQL
+user runs the same queries via ``spark.sql("SELECT ... FROM ads_*")`` with
+no DataFrame code — the second of the two APIs over one runtime that the
+reference demonstrates (SURVEY.md §3.3: DataStream ops + SQL on Blink ==
+DataFrame + spark.sql on Catalyst).
+
+Views are lazy: each is a logical plan over the base tables; Catalyst
+prunes/pushes through them exactly as for the DataFrame twins (asserted in
+tests — view results hash-equal the DataFrame functions). At cluster scale
+these would be defined once in the metastore over gold Delta tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from flinkrealtimedatawarehouse_spark.tables import register_views
+
+# Each entry: view name -> SQL over the base-table views (and earlier ads_
+# views — definition order matters only for readability; resolution is
+# lazy). Kept as ANSI-ish Spark SQL mirroring the mapper queries.
+SERVING_VIEWS: dict[str, str] = {
+    # A10 (ProductStatsMapper.java:15-16) — per-day GMV; the mapper's
+    # #{date} parameter becomes a WHERE on the view
+    "ads_gmv_day": """
+        SELECT date_format(o_orderdate, 'yyyyMMdd') AS dt,
+               round(sum(o_totalprice), 2) AS gmv
+        FROM orders GROUP BY 1
+    """,
+    # A7/O1 (ProductStatsMapper.java:21-41) — top-N by brand
+    "ads_top_brand": """
+        SELECT p_brand, round(sum(l_extendedprice), 2) AS order_amount
+        FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand HAVING order_amount > 0
+        ORDER BY order_amount DESC, p_brand LIMIT 10
+    """,
+    # A8/O2 (VisitorStatsMapper.java:22-25) — hour series w/ conditional agg
+    "ads_hourly": """
+        WITH vs AS (
+          SELECT window(ts, '1 hour').start AS stt,
+                 CASE WHEN event_type = 'signup' THEN '1' ELSE '0' END AS is_new,
+                 count(DISTINCT user_id) AS uv_ct, count(*) AS pv_ct
+          FROM events GROUP BY 1, 2
+        )
+        SELECT hour(stt) AS hr,
+               sum(IF(is_new = '1', uv_ct, 0)) AS new_uv,
+               sum(uv_ct) AS uv_ct, sum(pv_ct) AS pv_ct
+        FROM vs GROUP BY hr ORDER BY hr
+    """,
+    # A9 (KeywordStatsMapper.java:15-20) — multiIf weighted scoring over
+    # tokenized documents (F1 tokenizer as a SQL LATERAL VIEW)
+    "ads_keyword_score": """
+        WITH toks AS (
+          SELECT source, word
+          FROM documents
+          LATERAL VIEW explode(
+            filter(split(lower(text), '[^a-z0-9]+'), s -> length(s) > 0)
+          ) t AS word
+        ), k AS (
+          SELECT word, source, count(*) AS ct FROM toks GROUP BY 1, 2
+        )
+        SELECT word AS keyword,
+               sum(ct * CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 3
+                                    WHEN 'src2' THEN 2 WHEN 'src3' THEN 1
+                                    ELSE 0 END) AS ct
+        FROM k GROUP BY 1 ORDER BY ct DESC, keyword LIMIT 20
+    """,
+    # Rolling trend (beyond ref; ads.rolling_metrics twin): 7-day moving
+    # average over the daily GMV series + running cumulative
+    "ads_rolling_gmv": """
+        WITH d AS (
+          SELECT to_date(o_orderdate) AS dt,
+                 datediff(to_date(o_orderdate), DATE '1970-01-01') AS dayn,
+                 round(sum(o_totalprice), 2) AS amount
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT date_format(dt, 'yyyy-MM-dd') AS dt, amount,
+               round(avg(amount) OVER (ORDER BY dayn
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7,
+               round(sum(amount) OVER (ORDER BY dayn
+                     ROWS UNBOUNDED PRECEDING), 2) AS cume
+        FROM d
+    """,
+    # Pivot matrix (beyond ref; ads.pivot_matrix twin): hour x event-type
+    "ads_hour_matrix": """
+        SELECT * FROM (
+          SELECT hour(ts) AS hr, event_type FROM events
+        ) PIVOT (
+          count(*) FOR event_type IN ('click', 'view', 'purchase')
+        )
+    """,
+}
+
+
+def register_serving_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register the base tables + every ADS serving view; returns the view
+    names. Idempotent (CREATE OR REPLACE)."""
+    register_views(spark, sf_dir)
+    for name, sql in SERVING_VIEWS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
+    return list(SERVING_VIEWS)

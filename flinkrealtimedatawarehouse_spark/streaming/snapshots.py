@@ -96,6 +96,22 @@ class VersionedSnapshotSink:
     def current(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self._path(self.version))
 
+    def versions(self) -> list[int]:
+        """Committed snapshot versions available for time travel (every
+        version up to the committed marker; orphaned post-crash dirs above
+        it are excluded by construction)."""
+        return list(range(self.version + 1)) if self.version >= 0 else []
+
+    def read_version(self, spark: SparkSession, version: int) -> DataFrame:
+        """Time travel: the table as of snapshot ``version`` — the parquet
+        container's stand-in for Delta's ``VERSION AS OF`` (each micro-batch
+        commit created one version, so this is also *as of batch N*)."""
+        if version < 0 or version > self.version:
+            raise ValueError(
+                f"version {version} not committed (have 0..{self.version})"
+            )
+        return spark.read.parquet(self._path(version))
+
     def seen(self, batch_id: int) -> bool:
         """True iff this batch id was already folded in (replay)."""
         return batch_id <= self.last_bid
