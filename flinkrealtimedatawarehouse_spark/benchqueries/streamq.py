@@ -90,6 +90,60 @@ def q_t3(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_t3m(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-stateful streaming: interval join CHAINED INTO a watermarked
+    daily tumble in ONE query (join state + agg state in the same
+    micro-batch pipeline). The reference cannot express this inside one
+    job — every join->agg chain crosses a Kafka topic between separate
+    Flink apps (OrderWideApp -> dwd_order_wide -> ProvinceStatsSQLApp,
+    SURVEY §3.2); Spark 4's multiple-stateful-operator support runs it as
+    one checkpointed query.
+
+    Harness: sentinel passes both side filters (pushable-predicate rule,
+    see q_t3o) and is padded 2 days + 2 h so its self-join pair lands in
+    its own day window (never polluting a real group) AND its watermark
+    closes the last real day window; the sentinel group is cut post-sink
+    by the real max date.
+    """
+    sdf = _staged_events_stream(spark, sf, "t3m", "50 hours")
+    is_sent = F.col("event_type") == "__wm__"
+    left = sdf.filter((F.col("event_type") == "purchase") | is_sent).select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts")
+    )
+    right = sdf.filter((F.col("event_type") == "click") | is_sent).select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"), F.col("value").alias("r_val")
+    )
+    joined = windows.interval_join_stream(
+        left, right, ("l_user", "r_user"), ("l_ts", "r_ts"), "'-5' MINUTE", "'5' MINUTE"
+    )
+    daily = (
+        joined.groupBy(F.window("l_ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("pair_ct"), F.round(F.sum("r_val"), 2).alias("val_sum"))
+        .select(F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("dt"),
+                "pair_ct", "val_sum")
+    )
+    out = runner.run_to_memory(daily, "t3m")
+    max_dt = _real_max_stt(spark, sf)[:10]
+    return out.filter(F.col("dt") <= max_dt)
+
+
+# t3 combined gate: the same join aggregated post-sink (q_t3) AND chained
+# in-stream through a second stateful operator (q_t3m) — both tagged
+# branches must hash-equal the one batch oracle.
+def q_t3c2(spark: SparkSession, sf: str) -> DataFrame:
+    post = q_t3(spark, sf).withColumn("kind", F.lit("post"))
+    chained = q_t3m(spark, sf).withColumn("kind", F.lit("chained"))
+    return post.unionByName(chained)
+
+
+def _sql_t3c2() -> str:
+    return f"""
+SELECT *, 'post' AS kind FROM ({SQL_J1})
+UNION ALL
+SELECT *, 'chained' AS kind FROM ({SQL_J1})
+"""
+
+
 # --- streaming J2: asymmetric [-15 min, 0] stream-stream interval join ----
 
 def q_t3b(spark: SparkSession, sf: str) -> DataFrame:
@@ -763,7 +817,7 @@ SELECT 'neardup', source, sum(isdup)::BIGINT, count(*)::BIGINT FROM (
 REGISTRY: dict = {
     "t1_visitor_stream": (q_t1, SQL_A1),
     "t2_product_stream": (q_t2, SQL_A2),
-    "t3_interval_join_stream": (q_t3, SQL_J1),
+    "t3_interval_join_stream": (q_t3c2, _sql_t3c2()),
     "t3b_asym_join_stream": (q_t3c, _sql_t3c()),
     "t5_dedup_stream": (q_t5, SQL_T5),
     "t7_bounce_stream": (q_t7, SQL_W1),

@@ -844,3 +844,39 @@ def test_scd2_sink_replay_and_restart(spark, tmp_path):
     got = _scd2_got(resumed, spark)
     assert got[(3, 4)] == (7, False, "q")
     assert got[(3, 7)] == (None, True, "r")
+
+
+def test_stream_join_chained_into_windowed_agg(spark):
+    """Multi-stateful: interval join -> watermarked tumble in ONE query.
+    The reference crosses a Kafka topic between jobs for this chain
+    (OrderWideApp -> ProvinceStatsSQLApp); Spark runs both stateful
+    operators in the same checkpointed pipeline."""
+    rows = [
+        (1, 1, ts("2024-01-01 00:02:00"), "click", 5.0, None),
+        (1, 2, ts("2024-01-01 00:04:00"), "purchase", 0.0, None),   # joins eid 1
+        (2, 3, ts("2024-01-01 00:30:00"), "click", 7.0, None),
+        (2, 4, ts("2024-01-01 00:40:00"), "purchase", 0.0, None),   # 10 min gap: no join
+        (3, 5, ts("2024-01-02 00:00:30"), "click", 9.0, None),
+        (3, 6, ts("2024-01-02 00:01:00"), "purchase", 0.0, None),   # joins eid 5, day 2
+    ]
+    sdf = _stream_events(spark, rows, 3, "chain", sentinel_pad="50 hours")
+    is_sent = F.col("event_type") == "__wm__"
+    left = sdf.filter((F.col("event_type") == "purchase") | is_sent).select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts")
+    )
+    right = sdf.filter((F.col("event_type") == "click") | is_sent).select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_val"),
+    )
+    joined = windows.interval_join_stream(
+        left, right, ("l_user", "r_user"), ("l_ts", "r_ts"), "'-5' MINUTE", "'5' MINUTE"
+    )
+    daily = (
+        joined.groupBy(F.window("l_ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("pair_ct"), F.round(F.sum("r_val"), 2).alias("val_sum"))
+        .select(F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("dt"),
+                "pair_ct", "val_sum")
+    )
+    out = runner.run_to_memory(daily, "chain").filter("dt <= '2024-01-02'")
+    got = {r.dt: (r.pair_ct, r.val_sum) for r in out.collect()}
+    assert got == {"2024-01-01": (1, 5.0), "2024-01-02": (1, 9.0)}
