@@ -14,7 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flinkrealtimedatawarehouse_spark.operators import ads, aggs, bounce, dedup, filters, joins, logsplit, merge, routing, scale, sessions, unions
+from flinkrealtimedatawarehouse_spark.operators import ads, aggs, bounce, dedup, filters, joins, logsplit, merge, quality, routing, scale, sessions, unions
 from flinkrealtimedatawarehouse_spark.functions.tokenize import explode_tokens
 from flinkrealtimedatawarehouse_spark.schemas import TABLE_PROCESS_SCHEMA
 from flinkrealtimedatawarehouse_spark.tables import load_table
@@ -39,6 +39,77 @@ SELECT count(*)::BIGINT AS clean_ct,
        sum(CAST(json_extract(props, '$.k') AS INT))::BIGINT AS k_sum,
        0::BIGINT AS dirty_ct
 FROM events
+"""
+
+# P1q table-level expectations (beyond ref: P1's routing generalized to
+# declarative rules — DLT/dbt-test pattern) + referential integrity.
+def q_p1q(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    rules = {
+        "user_pos": F.col("user_id") > 0,
+        "value_cap": F.col("value") <= 15,
+        "props_has_k": F.get_json_object("props", "$.k").isNotNull(),
+    }
+    valid, viol, report = quality.check_constraints(ev, rules)
+    counts = valid.agg(F.count(F.lit(1)).alias("violation_ct")).select(
+        F.lit("valid_rows").alias("rule"), "violation_ct",
+        F.col("violation_ct").alias("total_ct"),
+    )
+    # RI probe against a punctured parent set => a known orphan population
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer").filter(F.col("c_custkey") % 3 != 0)
+    orphans = quality.ri_violations(orders, cust, "o_custkey", "c_custkey")
+    ri = orphans.agg(F.count(F.lit(1)).alias("violation_ct")).crossJoin(
+        orders.agg(F.count(F.lit(1)).alias("total_ct"))
+    ).select(F.lit("ri_orders_custkey").alias("rule"), "violation_ct", "total_ct")
+    return (
+        report.select("rule", "violation_ct", F.col("total_ct"))
+        .unionByName(counts.withColumn("violation_ct", F.col("violation_ct").cast("long"))
+                     .withColumn("total_ct", F.col("total_ct").cast("long")))
+        .unionByName(ri.withColumn("violation_ct", F.col("violation_ct").cast("long"))
+                     .withColumn("total_ct", F.col("total_ct").cast("long")))
+    )
+
+SQL_P1Q = """
+WITH f AS (
+  SELECT CASE WHEN NOT coalesce(user_id > 0, FALSE) THEN 1 ELSE 0 END AS f_user,
+         CASE WHEN NOT coalesce(value <= 15, FALSE) THEN 1 ELSE 0 END AS f_val,
+         CASE WHEN NOT coalesce(json_extract(props, '$.k') IS NOT NULL, FALSE)
+              THEN 1 ELSE 0 END AS f_props
+  FROM events
+)
+SELECT 'user_pos' AS rule, sum(f_user)::BIGINT AS violation_ct, count(*)::BIGINT AS total_ct FROM f
+UNION ALL
+SELECT 'value_cap', sum(f_val)::BIGINT, count(*)::BIGINT FROM f
+UNION ALL
+SELECT 'props_has_k', sum(f_props)::BIGINT, count(*)::BIGINT FROM f
+UNION ALL
+SELECT 'valid_rows', sum(CASE WHEN f_user + f_val + f_props = 0 THEN 1 ELSE 0 END)::BIGINT,
+       sum(CASE WHEN f_user + f_val + f_props = 0 THEN 1 ELSE 0 END)::BIGINT FROM f
+UNION ALL
+SELECT 'ri_orders_custkey',
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey % 3 <> 0 AND c.c_custkey = o.o_custkey))::BIGINT,
+       (SELECT count(*) FROM orders)::BIGINT
+"""
+
+# P1 combined gate (tagged): parse-or-dirty routing + table-level
+# expectations report + referential-integrity probe.
+def q_p1c(spark: SparkSession, sf: str) -> DataFrame:
+    parse = q_p1(spark, sf).select(
+        F.lit("parse").alias("branch"), F.lit("all").alias("rule"),
+        F.col("clean_ct").alias("violation_ct"), F.col("k_sum").alias("total_ct"),
+    )
+    dq = q_p1q(spark, sf).select(F.lit("dq").alias("branch"), "rule",
+                                 "violation_ct", "total_ct")
+    return parse.unionByName(dq)
+
+SQL_P1C = f"""
+SELECT 'parse' AS branch, 'all' AS rule, clean_ct AS violation_ct, k_sum AS total_ct
+FROM ({SQL_P1})
+UNION ALL
+SELECT 'dq', rule, violation_ct, total_ct FROM ({SQL_P1Q})
 """
 
 # P2 delete-op filter (CDC analog: event_type='error' plays op=delete)
@@ -1356,7 +1427,7 @@ def q_xc(spark: SparkSession, sf: str) -> DataFrame:
 #   W3 SQL pipeline     -> a4 (sql branch — must equal the df branch)
 # The dropped q_* functions stay defined for tests and bench.
 REGISTRY = {
-    "p1_parse_or_dirty": (q_p1, SQL_P1),
+    "p1_parse_or_dirty": (q_p1c, SQL_P1C),
     "p3_three_way_split": (q_p3, SQL_P3),
     "p6_map_access_filter": (q_p6, SQL_P6),
     "p7_click_filter": (q_p7, SQL_P7),

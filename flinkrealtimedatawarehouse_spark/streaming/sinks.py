@@ -173,8 +173,15 @@ class Scd2HistorySink(VersionedSnapshotSink):
         touched_changes = cur.join(affected, self.pk, "left_semi").drop(
             "valid_from", "valid_to", "is_current"
         )
-        restamped = self._stamp(touched_changes.unionByName(batch))
-        self.commit_snapshot(untouched.unionByName(restamped), batch_id)
+        # allowMissingColumns: dim schema evolution (the reference's config
+        # table adds sink_columns over time, TableProcessFunction.java:84-111)
+        # — historical rows carry NULL for attributes born later
+        restamped = self._stamp(
+            touched_changes.unionByName(batch, allowMissingColumns=True)
+        )
+        self.commit_snapshot(
+            untouched.unionByName(restamped, allowMissingColumns=True), batch_id
+        )
 
     def history(self, spark: SparkSession) -> DataFrame:
         """The public SCD2 table: interval rows, tombstones excluded."""

@@ -819,3 +819,33 @@ def test_pivot_matrix_stable_schema_and_zero_fill(spark):
     got = {r.hr: (r.click, r.view, r.purchase) for r in wide.collect()}
     assert got[0] == (2, None, None)
     assert got[1] == (None, 1, None)
+
+
+# --- Data-quality expectations (beyond ref: P1 generalized) ----------------
+
+def test_check_constraints_split_and_report(spark):
+    from flinkrealtimedatawarehouse_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (-1, 3.0), (3, 99.0)], "uid long, val double"
+    )
+    rules = {
+        "uid_pos": F.col("uid") > 0,
+        "val_small": F.col("val") < 10,   # NULL val => violation (SQL CHECK)
+    }
+    valid, viol, report = quality.check_constraints(df, rules)
+    assert {r.uid for r in valid.collect()} == {1}
+    got_viol = {r.uid: sorted(r.failed_rules) for r in viol.collect()}
+    assert got_viol == {2: ["val_small"], -1: ["uid_pos"], 3: ["val_small"]}
+    rep = {r.rule: (r.violation_ct, r.total_ct) for r in report.collect()}
+    assert rep == {"uid_pos": (1, 4), "val_small": (2, 4)}
+
+
+def test_ri_violations_finds_orphans_and_null_fks(spark):
+    from flinkrealtimedatawarehouse_spark.operators import quality
+
+    child = spark.createDataFrame([(1, 10), (2, 20), (3, None), (4, 99)],
+                                  "id long, fk int")
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+    orphans = sorted(r.id for r in quality.ri_violations(child, parent, "fk", "pk").collect())
+    assert orphans == [3, 4]  # missing parent AND NULL fk are both orphans

@@ -880,3 +880,20 @@ def test_stream_join_chained_into_windowed_agg(spark):
     out = runner.run_to_memory(daily, "chain").filter("dt <= '2024-01-02'")
     got = {r.dt: (r.pair_ct, r.val_sum) for r in out.collect()}
     assert got == {"2024-01-01": (1, 5.0), "2024-01-02": (1, 9.0)}
+
+
+def test_scd2_sink_schema_evolution_adds_column(spark, tmp_path):
+    """Dim schema evolution: a later batch carries a NEW attribute column;
+    historical rows surface it as NULL (the reference's config-driven
+    sink_columns grow over time, TableProcessFunction.java:84-111)."""
+    v1 = spark.createDataFrame([(1, "a", 0, "insert")],
+                               "pk long, val string, v long, type string")
+    v2 = spark.createDataFrame([(1, "b", 1, "update", "x")],
+                               "pk long, val string, v long, type string, extra string")
+    sink = sinks.Scd2HistorySink(str(tmp_path / "evo"), "pk", "v")
+    sink.init(v1)
+    sink.write_batch(v1, 0)
+    sink.write_batch(v2, 1)
+    got = {r.valid_from: (r.val, r.extra, r.is_current)
+           for r in sink.history(spark).collect()}
+    assert got == {0: ("a", None, False), 1: ("b", "x", True)}
