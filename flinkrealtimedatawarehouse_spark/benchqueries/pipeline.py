@@ -558,6 +558,83 @@ r AS (
 SELECT doc_id, n_emails, n_phones, clean_len FROM r WHERE n_emails + n_phones > 0
 """
 
+# --- dp15b line-level corpus dedup (C4 cleaning rule) ---------------------
+# The synthetic corpus is single-line word soup, so the GATE first builds
+# multi-line docs by chunking each text into 10-word lines (done
+# identically on both sides); the operator itself is the general
+# newline-split form. Duplicate texts in the corpus (dp1 finds them) then
+# share every line, so later copies dedup down to empty.
+
+_LD_WPL = 10  # words per synthetic line
+
+def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), r"\s+")
+    nl = F.greatest(F.ceil(F.size(toks) / _LD_WPL).cast("int"), F.lit(1))
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * _LD_WPL + 1, _LD_WPL)),
+    )
+    multi = docs.withColumn("text", F.concat_ws("\n", lines))
+    out = textdedup.line_dedup(multi, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_kept", F.col("n_lines").cast("long").alias("n_lines"),
+        F.length("text").cast("long").alias("new_len"),
+    )
+
+SQL_LINE_DEDUP = f"""
+WITH src AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(range(0, greatest(cast(ceil(len(toks) / {_LD_WPL}.0) AS INT), 1)),
+                          i -> array_to_string(toks[i*{_LD_WPL}+1 : i*{_LD_WPL}+{_LD_WPL}], ' ')),
+           chr(10)) AS text
+  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents)
+), l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM src
+), k AS (
+  SELECT doc_id, pos, line, lower(trim(line)) AS norm,
+         row_number() OVER (PARTITION BY lower(trim(line)) ORDER BY doc_id, pos) AS rn
+  FROM l
+), kept AS (
+  SELECT doc_id, pos, line FROM k WHERE rn = 1 OR norm = ''
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         length(string_agg(line, chr(10) ORDER BY pos)) AS new_len
+  FROM kept GROUP BY 1
+), nlc AS (
+  SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM src
+)
+SELECT nlc.doc_id, coalesce(n_kept, 0)::BIGINT AS n_kept, n_lines::BIGINT AS n_lines,
+       coalesce(new_len, 0)::BIGINT AS new_len
+FROM nlc LEFT JOIN agg ON nlc.doc_id = agg.doc_id
+"""
+
+# dp15 combined gate (tagged): PII redaction + line-level corpus dedup —
+# the two text-cleaning transforms in one entry.
+def q_dp15c(spark: SparkSession, sf: str) -> DataFrame:
+    pii = q_pii_redact(spark, sf).select(
+        F.lit("pii").alias("branch"), "doc_id",
+        F.col("n_emails").cast("long").alias("v1"),
+        F.col("n_phones").cast("long").alias("v2"),
+        F.col("clean_len").cast("long").alias("v3"),
+    )
+    ld = q_line_dedup(spark, sf).select(
+        F.lit("linededup").alias("branch"), "doc_id",
+        F.col("n_kept").cast("long").alias("v1"),
+        F.col("n_lines").alias("v2"), F.col("new_len").alias("v3"),
+    )
+    return pii.unionByName(ld)
+
+SQL_DP15C = f"""
+SELECT 'pii' AS branch, doc_id, n_emails::BIGINT AS v1, n_phones::BIGINT AS v2,
+       clean_len::BIGINT AS v3 FROM ({SQL_PII})
+UNION ALL
+SELECT 'linededup', doc_id, n_kept, n_lines, new_len FROM ({SQL_LINE_DEDUP})
+"""
+
 # --- dp16 corpus-level top-k n-grams --------------------------------------
 
 _NG_N, _NG_K = 2, 20
@@ -1066,7 +1143,7 @@ REGISTRY = {
     "dp8_doc_metrics": (q_doc_metrics, SQL_DOC_METRICS),
     "dp11_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "dp12_multimodal_features": (q_multimodal, SQL_MULTIMODAL),
-    "dp15_pii_redact": (q_pii_redact, SQL_PII),
+    "dp15_pii_redact": (q_dp15c, SQL_DP15C),
     "dp16_corpus_ngrams": (q_corpus_ngrams, SQL_CORPUS_NGRAMS),
     "dp18_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "dp19_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

@@ -387,3 +387,56 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str,
     result = result.localCheckpoint(eager=True)
     labels.unpersist()
     return result
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-level corpus dedup (the C4 cleaning rule): across the WHOLE
+    corpus, keep only the first occurrence of each distinct normalized
+    line — first by (``id_col``, line position) — then reassemble each
+    document from its surviving lines in order. Whitespace-only lines are
+    structural, not content, and are always kept.
+
+    Output: one row per input doc — ``id_col``, deduped ``text``,
+    ``n_kept``/``n_lines`` line counts (a doc whose every line was seen
+    earlier keeps only its blank lines, possibly an empty text).
+
+    Scale: one exchange on the normalized line (first-occurrence window —
+    same shuffle an exact line-groupBy pays; hot lines like boilerplate
+    headers make ONE big group each, the window only reads min per group
+    so AQE skew-split applies) + one exchange on the doc id to
+    reassemble. Never an all-pairs comparison.
+    """
+    lines = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
+    )
+    norm = F.lower(F.trim(F.col("line")))
+    w = Window.partitionBy(norm).orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    kept = (
+        lines.withColumn("_norm", norm)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) | (F.col("_norm") == ""))
+    )
+    n_lines = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("n_lines")
+    )
+    out = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return n_lines.join(out, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        "n_lines",
+    )

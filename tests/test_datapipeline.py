@@ -450,3 +450,26 @@ def test_lm_quality_matches_python_reference(spark):
         assert abs(got[did][1] - round(lp, 6)) < 1e-6
     # fluent docs sharing bigrams beat the shuffled copy of the same words
     assert got[1][1] > got[3][1] and got[2][1] > got[3][1]
+
+
+def test_line_dedup_keeps_first_occurrence_and_blanks(spark):
+    from flinkrealtimedatawarehouse_spark.datapipeline.textdedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\ngamma\n\nALPHA BETA"),   # self-dup (case-insensitive)
+            (2, "gamma\nfresh line"),                  # 'gamma' seen in doc 1
+            (3, "alpha beta"),                         # fully duplicate of doc 1's line
+            (4, ""),                                   # empty doc survives as blank
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.text, r.n_kept, r.n_lines) for r in line_dedup(docs).collect()}
+    # doc 1: dup of its own first line dropped; blank kept
+    assert out[1] == ("alpha beta\ngamma\n", 3, 4)
+    # doc 2: 'gamma' seen earlier; keeps only its fresh line
+    assert out[2] == ("fresh line", 1, 2)
+    # doc 3: nothing left
+    assert out[3] == ("", 0, 1)
+    # doc 4: its single empty line is structural => kept
+    assert out[4] == ("", 1, 1)
