@@ -217,6 +217,34 @@ def run_to_memory(
     return sdf.sparkSession.table(name)
 
 
+def observe_metrics(sdf: DataFrame, name: str, **aggs) -> DataFrame:
+    """Attach named per-micro-batch metrics to a streaming DataFrame
+    (``df.observe``): each aggregate is computed on the rows the batch
+    actually processed and surfaces in the query progress
+    (``observedMetrics`` — readable from LAST_PROGRESS after a
+    run_to_memory / run_foreach_batch run).
+
+    This is the monitoring surface the reference lacks entirely (its only
+    observability is ``.print()`` sinks, K5): row counts, sums, and
+    null-rate expectations ride along with ZERO extra passes — the
+    observation is a streaming-safe accumulator inside the existing plan,
+    not a second aggregation.
+    """
+    exprs = [col.alias(alias) for alias, col in aggs.items()]
+    return sdf.observe(name, *exprs)
+
+
+def observed(name: str) -> list[dict]:
+    """The observed-metrics rows named ``name`` from the last completed
+    run, one dict per micro-batch that carried data."""
+    out = []
+    for p in LAST_PROGRESS:
+        m = (p.get("observedMetrics") or {}).get(name)
+        if m:
+            out.append(m)
+    return out
+
+
 def run_foreach_batch(
     sdf: DataFrame,
     batch_fn,
@@ -233,3 +261,9 @@ def run_foreach_batch(
             .start()
         )
         q.awaitTermination()
+        global LAST_PROGRESS
+        import json as _json
+
+        LAST_PROGRESS = [
+            _json.loads(p.json) if hasattr(p, "json") else p for p in q.recentProgress
+        ]

@@ -298,6 +298,73 @@ class AdditiveGoldSink(VersionedSnapshotSink):
         self.commit_snapshot(merged, self.last_bid)
 
 
+class LateQuarantineSink(VersionedSnapshotSink):
+    """T8 upgraded: capture late data instead of silently dropping it.
+
+    The reference drops everything behind the watermark with no side
+    output (SURVEY §2.10 T8 — no allowedLateness anywhere), and Spark's
+    stateful operators do the same. This foreachBatch sink splits each
+    micro-batch BEFORE any stateful operator sees it: rows older than
+    ``high_watermark - delay`` go to ``late/``, the rest to ``main/`` —
+    so a downstream aggregation over ``main/`` sees exactly what a
+    watermarked operator would keep, while the late rows stay queryable
+    for monitoring/backfill (AdditiveGoldSink.backfill consumes them).
+
+    The high watermark is the max event time of all PRIOR batches
+    (current batch excluded — the same one-batch lag Spark's watermark
+    has), persisted in the marker meta so restarts resume it. Writes are
+    batch-id-sliced (write_bid_slice) => replay-idempotent.
+
+    Scale: the split is one map-side comparison per row; the only driver
+    state is a single timestamp in the marker.
+    """
+
+    def __init__(self, base_dir: str, ts_col: str, delay_s: float,
+                 lineage: str | None = None):
+        super().__init__(base_dir, lineage)
+        self.ts_col = ts_col
+        self.delay_s = delay_s
+
+    def _hwm(self):
+        return self.meta.get("hwm_epoch")
+
+    def write_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if self.seen(batch_id):
+            return
+        ts_sec = F.col(self.ts_col).cast("double")
+        hwm = self._hwm()
+        is_late = (
+            F.lit(False) if hwm is None else ts_sec < F.lit(hwm - self.delay_s)
+        )
+        tagged = batch.withColumn("_late", is_late)
+        write_bid_slice(
+            tagged.filter(~F.col("_late")).drop("_late"), batch_id,
+            os.path.join(self.base_dir, "main"),
+        )
+        write_bid_slice(
+            tagged.filter(F.col("_late")).drop("_late"), batch_id,
+            os.path.join(self.base_dir, "late"),
+        )
+        mx = batch.agg(F.max(ts_sec)).first()[0]
+        new_hwm = hwm if mx is None else max(hwm or float("-inf"), mx)
+        self.last_bid = batch_id
+        if new_hwm is not None:
+            self.meta["hwm_epoch"] = new_hwm
+        self._commit()
+
+    def main(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.base_dir, "main"))
+
+    def late(self, spark: SparkSession) -> DataFrame:
+        """Late rows captured so far; empty (with main's schema) if no
+        batch has produced any yet."""
+        path = os.path.join(self.base_dir, "late")
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return self.main(spark).limit(0)
+
+
 def gold_append_sink(sdf: DataFrame, out_dir: str, tag: str) -> str:
     """K4: append each micro-batch to the gold table path."""
 

@@ -897,3 +897,55 @@ def test_scd2_sink_schema_evolution_adds_column(spark, tmp_path):
     got = {r.valid_from: (r.val, r.extra, r.is_current)
            for r in sink.history(spark).collect()}
     assert got == {0: ("a", None, False), 1: ("b", "x", True)}
+
+
+def test_late_quarantine_sink_splits_by_high_watermark(spark, tmp_path):
+    """T8 upgraded: a row older than (prior batches' max ts - delay) is
+    captured in late/ instead of silently dropped; on-time rows flow to
+    main/. The hwm lags one batch, matching Spark's watermark."""
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double, props string"
+    b0 = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01 01:00:00"), "view", 1.0, None),
+         (1, 2, ts("2024-01-01 02:00:00"), "view", 1.0, None)], schema
+    )
+    b1 = spark.createDataFrame(
+        [(1, 3, ts("2024-01-01 02:01:00"), "view", 1.0, None),   # on time
+         (1, 4, ts("2024-01-01 00:10:00"), "view", 1.0, None),   # 1h50m late
+         (1, 5, ts("2024-01-01 01:59:30"), "view", 1.0, None)],  # within delay
+        schema,
+    )
+    sink = sinks.LateQuarantineSink(str(tmp_path / "q"), "ts", delay_s=60.0)
+    sink.write_batch(b0, 0)   # no hwm yet: everything on time
+    sink.write_batch(b1, 1)   # hwm = 02:00:00
+    assert sorted(r.event_id for r in sink.main(spark).collect()) == [1, 2, 3, 5]
+    assert [r.event_id for r in sink.late(spark).collect()] == [4]
+    # replay of batch 1 is a no-op
+    sink.write_batch(b1, 1)
+    assert sink.late(spark).count() == 1
+    # restart resumes the hwm from the marker
+    resumed = sinks.LateQuarantineSink(str(tmp_path / "q"), "ts", delay_s=60.0)
+    b2 = spark.createDataFrame(
+        [(1, 6, ts("2024-01-01 01:00:00"), "view", 1.0, None)], schema  # late vs 02:01
+    )
+    resumed.write_batch(b2, 2)
+    assert sorted(r.event_id for r in resumed.late(spark).collect()) == [4, 6]
+
+
+def test_observe_metrics_per_batch(spark):
+    """Observed metrics ride the existing plan (no second aggregation)
+    and land in the query progress for every data-carrying batch."""
+    rows = [
+        (1, 1, ts("2024-01-01 00:00:01"), "view", 2.0, None),
+        (1, 2, ts("2024-01-01 00:10:00"), "view", 3.0, None),
+        (2, 3, ts("2024-01-01 01:00:00"), "view", 5.0, None),
+    ]
+    sdf = _stream_events(spark, rows, 3, "obs")
+    metered = runner.observe_metrics(
+        sdf, "ingest", row_ct=F.count(F.lit(1)), val_sum=F.sum("value"),
+        null_props=F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)),
+    )
+    runner.run_to_memory(metered, "obs")
+    got = runner.observed("ingest")
+    assert sum(m["row_ct"] for m in got) == 3
+    assert sum(m["val_sum"] for m in got) == 10.0
+    assert sum(m["null_props"] for m in got) == 3
