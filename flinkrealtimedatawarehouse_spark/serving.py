@@ -70,6 +70,16 @@ SERVING_VIEWS: dict[str, str] = {
                                     ELSE 0 END) AS ct
         FROM k GROUP BY 1 ORDER BY ct DESC, keyword LIMIT 20
     """,
+    # ProvinceStatsMapper.java:12-14 — province map widget: sum(order_amount)
+    # by province for one day; the view exposes (day, province) and the
+    # consumer filters the day like the mapper's #{date}
+    "ads_province": """
+        SELECT date_format(o_orderdate, 'yyyyMMdd') AS dt, n_name AS province_name,
+               round(sum(o_totalprice), 2) AS order_amount
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    """,
     # Rolling trend (beyond ref; ads.rolling_metrics twin): 7-day moving
     # average over the daily GMV series + running cumulative
     "ads_rolling_gmv": """

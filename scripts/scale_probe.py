@@ -70,6 +70,11 @@ def main() -> int:
         t0 = time.time()
         textstats.bm25_terms(d, "doc_id", "text", k=3).count()
         t_bm = time.time() - t0
+        # amplified copies duplicate every line m times — worst-case skew
+        # for the first-occurrence window (one giant group per line)
+        t0 = time.time()
+        textdedup.line_dedup(d, "doc_id", "text").count()
+        t_ld = time.time() - t0
 
         e = amplify(emb, "vec_id", m)
         probes = emb.filter(F.col("vec_id") < 8)  # fixed probe set at every scale
@@ -88,8 +93,8 @@ def main() -> int:
         print(
             f"x{m} ({base_n * m} docs / {base_e * m} vecs): "
             f"minhash_lsh={t_mh:.1f}s ({n_pairs} pairs) corpus_ngrams={t_ng:.1f}s "
-            f"bm25={t_bm:.1f}s ann_lsh={t_lsh:.1f}s bruteforce_arrow={t_bf:.1f}s "
-            f"sessionize={t_se:.1f}s ({n_sess} sessions)",
+            f"bm25={t_bm:.1f}s line_dedup={t_ld:.1f}s ann_lsh={t_lsh:.1f}s "
+            f"bruteforce_arrow={t_bf:.1f}s sessionize={t_se:.1f}s ({n_sess} sessions)",
             flush=True,
         )
 

@@ -71,3 +71,29 @@ def test_snapshot_time_travel(spark, tmp_path):
 
     with pytest.raises(ValueError):
         sink.read_version(spark, 3)
+
+
+def test_province_view_matches_dataframe_star_join(spark):
+    """ProvinceStatsMapper.java:12-14 — the province/day serving grid must
+    equal the equivalent DataFrame star join."""
+    from pyspark.sql import functions as F
+
+    from flinkrealtimedatawarehouse_spark import serving
+    from flinkrealtimedatawarehouse_spark.tables import load_table
+
+    serving.register_serving_views(spark, SF)
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    n = load_table(spark, SF, "nation")
+    want = _rows(
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.date_format("o_orderdate", "yyyyMMdd").alias("dt"),
+            F.col("n_name").alias("province_name"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("order_amount")),
+        ["dt", "province_name", "order_amount"],
+    )
+    got = _rows(spark.sql("SELECT * FROM ads_province"), ["dt", "province_name", "order_amount"])
+    assert got == want and len(got) > 0
