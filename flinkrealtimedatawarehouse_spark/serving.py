@@ -70,6 +70,23 @@ SERVING_VIEWS: dict[str, str] = {
                                     ELSE 0 END) AS ct
         FROM k GROUP BY 1 ORDER BY ct DESC, keyword LIMIT 20
     """,
+    # ProductStatsMapper.java:38-41 — spu top-N carries TWO measures
+    # (sum(order_amount) AND sum(order_ct)); part plays the spu dim
+    "ads_top_part": """
+        SELECT p_partkey, round(sum(l_extendedprice), 2) AS order_amount,
+               count(*) AS order_ct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_partkey HAVING order_amount > 0
+        ORDER BY order_amount DESC, p_partkey LIMIT 10
+    """,
+    # VisitorStatsMapper.java:12-14 — new-vs-returning rollup: every
+    # measure summed, grouped only by the is_new flag
+    "ads_visitor_newflag": """
+        SELECT CASE WHEN event_type = 'signup' THEN '1' ELSE '0' END AS is_new,
+               count(DISTINCT user_id) AS uv_ct, count(*) AS pv_ct,
+               round(sum(value), 2) AS value_sum
+        FROM events GROUP BY 1
+    """,
     # ProvinceStatsMapper.java:12-14 — province map widget: sum(order_amount)
     # by province for one day; the view exposes (day, province) and the
     # consumer filters the day like the mapper's #{date}

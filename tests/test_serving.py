@@ -97,3 +97,27 @@ def test_province_view_matches_dataframe_star_join(spark):
     )
     got = _rows(spark.sql("SELECT * FROM ads_province"), ["dt", "province_name", "order_amount"])
     assert got == want and len(got) > 0
+
+
+def test_two_measure_topn_and_newflag_views(spark):
+    """ProductStatsMapper.java:38-41 (two-measure spu top-N) and
+    VisitorStatsMapper.java:12-14 (new-vs-returning rollup) as views."""
+    from flinkrealtimedatawarehouse_spark import serving
+
+    serving.register_serving_views(spark, SF)
+    top = spark.sql("SELECT * FROM ads_top_part").collect()
+    assert len(top) == 10
+    amounts = [r.order_amount for r in top]
+    assert amounts == sorted(amounts, reverse=True)
+    assert all(r.order_ct >= 1 for r in top)
+
+    flags = {r.is_new: (r.uv_ct, r.pv_ct) for r in spark.sql(
+        "SELECT * FROM ads_visitor_newflag").collect()}
+    assert set(flags) == {"0", "1"}
+    # cross-check against a direct aggregate
+    from pyspark.sql import functions as F
+    from flinkrealtimedatawarehouse_spark.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    want_pv = ev.count()
+    assert flags["0"][1] + flags["1"][1] == want_pv
