@@ -246,3 +246,100 @@ def cosine_topk_batch(emb: DataFrame, probes: DataFrame, id_col: str, vec_col: s
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    out_dir: str,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    quant: int = QUANT,
+) -> None:
+    """Persist an IVF index: the quantized corpus written PARTITIONED BY
+    its cell (one directory per inverted-file cell) plus the tiny centroid
+    table. Indexing runs once; every later search scans only its probed
+    cells' directories — the table-layout form of ``ivf_topk``'s runtime
+    cell filter, and the reason IVF works at 100 TB: the search cost is
+    the probed cells' bytes, not the corpus's.
+    """
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("cell"),
+        quantized(F.col(vec_col), quant).alias("qn"),
+    )
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(f"{out_dir}/corpus")
+    pos = corpus.select("cell", F.posexplode(F.col("qn")).alias("pos", "qv"))
+    cent = (
+        pos.groupBy("cell", "pos")
+        .agg(F.sum("qv").alias("s"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("s")))),
+                lambda x: x["s"],
+            ).alias("cvec")
+        )
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/centroids")
+
+
+def probed_cells(
+    spark,
+    index_dir: str,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_probe: int = 2,
+    quant: int = QUANT,
+) -> DataFrame:
+    """Per probe: its ``n_probe`` centroid-nearest cells (the pruning
+    predicate for a persisted-index search)."""
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    probe_q = probes.select(
+        F.col(id_col).alias("probe_id"), quantized(F.col(vec_col), quant).alias("qp")
+    )
+    cw = Window.partitionBy("probe_id").orderBy(F.col("ccos").desc(), F.col("cell").asc())
+    return (
+        probe_q.join(F.broadcast(cent))
+        .select("probe_id", "qp", "cell",
+                _exact_cosine(F.col("qp"), F.col("cvec")).alias("ccos"))
+        .withColumn("crank", F.row_number().over(cw))
+        .filter(F.col("crank") <= n_probe)
+        .select("probe_id", "qp", F.col("cell").alias("probe_cell"))
+    )
+
+
+def ivf_index_topk(
+    spark,
+    index_dir: str,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_probe: int = 2,
+    quant: int = QUANT,
+) -> DataFrame:
+    """Search a persisted IVF index (``build_ivf_index``): rank cells by
+    centroid cosine per probe, then scan ONLY the probed cells' partition
+    directories for the exact re-rank. Result is identical to the
+    in-memory ``ivf_topk`` on the same assignments (parity-tested).
+
+    The probed-cell list is collected to the driver — bounded by
+    |probes| x n_probe ids (the probe set is small by contract; this is
+    the partition-pruning predicate, not data movement).
+    """
+    probe_cells = probed_cells(spark, index_dir, probes, id_col, vec_col,
+                               n_probe, quant)
+    cells = [r.probe_cell for r in probe_cells.select("probe_cell").distinct().collect()]
+    corpus = spark.read.parquet(f"{index_dir}/corpus").filter(F.col("cell").isin(cells))
+    scored = corpus.join(
+        F.broadcast(probe_cells),
+        (F.col("cell") == F.col("probe_cell")) & (F.col("probe_id") != F.col("neighbor_id")),
+    ).select("probe_id", "neighbor_id", _exact_cosine(F.col("qp"), F.col("qn")).alias("cosine"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )

@@ -473,3 +473,44 @@ def test_line_dedup_keeps_first_occurrence_and_blanks(spark):
     assert out[3] == ("", 0, 1)
     # doc 4: its single empty line is structural => kept
     assert out[4] == ("", 1, 1)
+
+
+def test_ivf_index_parity_and_partition_pruning(spark, tmp_path):
+    """The persisted IVF index must return exactly what the in-memory
+    ivf_topk returns on the same cell assignments, while scanning only
+    the probed cells' partition directories."""
+    from pyspark.sql import functions as F
+
+    from flinkrealtimedatawarehouse_spark.datapipeline import similarity
+    from flinkrealtimedatawarehouse_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 4)
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, idx, "vec_id", "embedding", "label")
+
+    got = similarity.ivf_index_topk(spark, idx, probes, "vec_id", "embedding",
+                                    k=5, n_probe=2)
+    want = similarity.ivf_topk(emb, probes, "vec_id", "embedding", "label",
+                               k=5, n_probe=2)
+    key = lambda df: sorted(  # noqa: E731
+        (r.probe_id, r.rank, r.neighbor_id, r.cosine) for r in df.collect()
+    )
+    assert key(got) == key(want) and got.count() > 0
+
+    # pruning: a single probe with n_probe=2 scans only its 2 cell dirs
+    # (executed-scan metrics via scan_report — inputFiles() can't show it)
+    from flinkrealtimedatawarehouse_spark.operators.layout import scan_report
+
+    one_probe = emb.filter(F.col("vec_id") == 0)
+    pc = similarity.probed_cells(spark, idx, one_probe, "vec_id", "embedding", 2)
+    cells = sorted(r.probe_cell for r in pc.select("probe_cell").distinct().collect())
+    assert len(cells) == 2
+    rep = scan_report(spark, f"{idx}/corpus",
+                      f"cell IN ({', '.join(str(c) for c in cells)})")
+    n_cells = emb.select("label").distinct().count()
+    assert rep["plan_has_partition_filters"]
+    assert 0 < rep["n_partitions_scanned"] < n_cells
+    # the index still holds the full corpus
+    assert spark.read.parquet(f"{idx}/corpus").count() == emb.count()
