@@ -255,6 +255,7 @@ def build_ivf_index(
     vec_col: str,
     label_col: str,
     quant: int = QUANT,
+    meta_cols: list[str] | None = None,
 ) -> None:
     """Persist an IVF index: the quantized corpus written PARTITIONED BY
     its cell (one directory per inverted-file cell) plus the tiny centroid
@@ -262,11 +263,16 @@ def build_ivf_index(
     cells' directories — the table-layout form of ``ivf_topk``'s runtime
     cell filter, and the reason IVF works at 100 TB: the search cost is
     the probed cells' bytes, not the corpus's.
+
+    ``meta_cols`` are carried into the index rows so searches can apply
+    metadata predicates (filtered vector search — see ``ivf_index_topk``'s
+    ``corpus_filter``).
     """
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("cell"),
         quantized(F.col(vec_col), quant).alias("qn"),
+        *[F.col(c) for c in (meta_cols or [])],
     )
     corpus.write.mode("overwrite").partitionBy("cell").parquet(f"{out_dir}/corpus")
     pos = corpus.select("cell", F.posexplode(F.col("qn")).alias("pos", "qv"))
@@ -319,11 +325,19 @@ def ivf_index_topk(
     k: int = 5,
     n_probe: int = 2,
     quant: int = QUANT,
+    corpus_filter=None,
 ) -> DataFrame:
     """Search a persisted IVF index (``build_ivf_index``): rank cells by
     centroid cosine per probe, then scan ONLY the probed cells' partition
     directories for the exact re-rank. Result is identical to the
     in-memory ``ivf_topk`` on the same assignments (parity-tested).
+
+    ``corpus_filter`` (an optional Column predicate over the index's
+    corpus columns, e.g. a metadata column carried into the index) makes
+    this FILTERED vector search: the predicate composes with the cell
+    pruning — partition pruning first, then the row filter pushed into
+    the pruned scan — and the top-k ranks only qualifying neighbors
+    (post-filtering a wider unfiltered top-k would under-fill k).
 
     The probed-cell list is collected to the driver — bounded by
     |probes| x n_probe ids (the probe set is small by contract; this is
@@ -333,6 +347,8 @@ def ivf_index_topk(
                                n_probe, quant)
     cells = [r.probe_cell for r in probe_cells.select("probe_cell").distinct().collect()]
     corpus = spark.read.parquet(f"{index_dir}/corpus").filter(F.col("cell").isin(cells))
+    if corpus_filter is not None:
+        corpus = corpus.filter(corpus_filter)
     scored = corpus.join(
         F.broadcast(probe_cells),
         (F.col("cell") == F.col("probe_cell")) & (F.col("probe_id") != F.col("neighbor_id")),

@@ -514,3 +514,37 @@ def test_ivf_index_parity_and_partition_pruning(spark, tmp_path):
     assert 0 < rep["n_partitions_scanned"] < n_cells
     # the index still holds the full corpus
     assert spark.read.parquet(f"{idx}/corpus").count() == emb.count()
+
+
+def test_filtered_vector_search_matches_filtered_bruteforce(spark, tmp_path):
+    """Filtered vector search: a metadata predicate carried in the index
+    restricts the neighbor set BEFORE ranking, so top-k stays full for
+    qualifying rows (post-filtering a wider top-k would under-fill)."""
+    from pyspark.sql import functions as F
+
+    from flinkrealtimedatawarehouse_spark.datapipeline import similarity
+    from flinkrealtimedatawarehouse_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    idx = str(tmp_path / "ivf_f")
+    similarity.build_ivf_index(emb, idx, "vec_id", "embedding", "label",
+                               meta_cols=["label"])
+
+    pred = F.col("label") % 2 == 0
+    got = similarity.ivf_index_topk(
+        spark, idx, probes, "vec_id", "embedding", k=3,
+        n_probe=10,  # all cells: the filter, not the cells, is under test
+        corpus_filter=pred,
+    )
+    want = similarity.cosine_topk(
+        emb.filter(F.col("label") % 2 == 0), probes.drop("label"),
+        "vec_id", "embedding", k=3,
+    )
+    # brute-force over the filtered corpus computes probe-vs-filtered —
+    # but cosine_topk takes probes from its emb arg; feed probes explicitly
+    key = lambda df: sorted(  # noqa: E731
+        (r.probe_id, r.rank, r.neighbor_id, r.cosine) for r in df.collect()
+    )
+    assert key(got) == key(want) and got.count() == 9
