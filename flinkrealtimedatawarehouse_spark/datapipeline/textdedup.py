@@ -404,6 +404,8 @@ def line_dedup(
     Output: one row per input doc — ``id_col``, deduped ``text``,
     ``n_kept``/``n_lines`` line counts (a doc whose every line was seen
     earlier keeps only its blank lines, possibly an empty text).
+    ``sep`` is a regex (Spark ``split`` semantics); the default matches
+    literal newlines.
 
     Scale: one exchange on the normalized line (first-occurrence window —
     same shuffle an exact line-groupBy pays; hot lines like boilerplate
@@ -413,14 +415,20 @@ def line_dedup(
     """
     lines = docs.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
-    )
-    norm = F.lower(F.trim(F.col("line")))
-    w = Window.partitionBy(norm).orderBy(F.col(id_col).asc(), F.col("pos").asc())
-    kept = (
-        lines.withColumn("_norm", norm)
+    ).withColumn("_norm", F.lower(F.trim(F.col("line"))))
+    # blanks bypass the window entirely: they are always kept, and routing
+    # them through row_number would funnel EVERY blank line in the corpus
+    # into one window partition (single-task sort) — the one skew no
+    # salting fixes because the group genuinely is one key
+    blanks = lines.filter(F.col("_norm") == "")
+    w = Window.partitionBy("_norm").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    content_first = (
+        lines.filter(F.col("_norm") != "")
         .withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) | (F.col("_norm") == ""))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
+    kept = blanks.unionByName(content_first)
     n_lines = docs.select(
         F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("n_lines")
     )

@@ -93,6 +93,8 @@ def snapshot_diff(
     bucketed snapshots (operators/scale.write_bucketed) the exchange
     disappears entirely.
     """
+    if not compare_cols:
+        raise ValueError("snapshot_diff needs at least one compare column")
     o = old.select(pk, *compare_cols).withColumnRenamed(pk, "_opk")
     for c in compare_cols:
         o = o.withColumnRenamed(c, f"_o_{c}")

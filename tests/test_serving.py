@@ -121,3 +121,13 @@ def test_two_measure_topn_and_newflag_views(spark):
     ev = load_table(spark, SF, "events")
     want_pv = ev.count()
     assert flags["0"][1] + flags["1"][1] == want_pv
+
+
+def test_keyword_score_view_matches_dataframe_twin(spark):
+    from flinkrealtimedatawarehouse_spark import serving
+    from flinkrealtimedatawarehouse_spark.benchqueries import warehouse
+
+    serving.register_serving_views(spark, SF)
+    got = _rows(spark.sql("SELECT * FROM ads_keyword_score"), ["keyword", "ct"])
+    want = _rows(warehouse.q_a9(spark, SF), ["keyword", "ct"])
+    assert got == want and len(got) == 20
