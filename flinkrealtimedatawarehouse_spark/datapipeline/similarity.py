@@ -359,3 +359,75 @@ def ivf_index_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 5,
+    quant: int = QUANT,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over the quantized vectors — the
+    coarse quantizer that feeds ``build_ivf_index``'s cell assignment
+    (its docstring's "on a real deployment"). Returns (``id_col``,
+    ``cell``).
+
+    Determinism contract (reproducible across runs AND engines):
+    - init = the ``k`` lowest-``id_col`` vectors;
+    - distance = squared euclidean, accumulated LEFT-TO-RIGHT over the
+      dimensions (``F.aggregate`` is a sequential fold, so a plain Python
+      loop reproduces the IEEE double stream bit-for-bit — pinned in
+      tests);
+    - argmin ties break to the lowest centroid index
+      (``array_position`` finds the first minimum);
+    - an emptied cell keeps its previous centroid.
+
+    Scale: each iteration is one map-side assignment pass (k distance
+    expressions inside whole-stage codegen — no shuffle) plus one
+    (cell, dim) aggregation; only the k x dim centroid matrix ever
+    reaches the driver. Iterations are a driver loop, the standard shape
+    for fixed-iteration algorithms on Spark.
+    """
+    q = emb.select(F.col(id_col), quantized(F.col(vec_col), quant).alias("qn"))
+    cents: list[list[float]] = [
+        [float(v) for v in r.qn]
+        for r in q.orderBy(F.col(id_col).asc()).limit(k).collect()
+    ]
+
+    def assign(frame: DataFrame) -> DataFrame:
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qn"),
+                        F.array(*[F.lit(c) for c in cent]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for cent in cents
+            ]
+        )
+        return frame.withColumn(
+            "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+
+    for _ in range(iters):
+        sums = (
+            assign(q)
+            .select("cell", F.posexplode("qn").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.s / r.c
+        for j in range(k):
+            if j in by_cell:  # emptied cells keep their previous centroid
+                cents[j] = [by_cell[j][p] for p in sorted(by_cell[j])]
+
+    return assign(q).select(F.col(id_col), "cell")

@@ -548,3 +548,56 @@ def test_filtered_vector_search_matches_filtered_bruteforce(spark, tmp_path):
         (r.probe_id, r.rank, r.neighbor_id, r.cosine) for r in df.collect()
     )
     assert key(got) == key(want) and got.count() == 9
+
+
+def test_kmeans_assign_matches_sequential_reference(spark):
+    """kmeans_assign's determinism contract: a plain Python loop applying
+    the same init / left-to-right fold / first-min tie-break / empty-cell
+    rules reproduces every assignment exactly."""
+    from pyspark.sql import functions as F
+
+    from flinkrealtimedatawarehouse_spark.datapipeline import similarity
+    from flinkrealtimedatawarehouse_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 150
+    )
+    k, iters = 4, 3
+    got = {r.vec_id: r.cell
+           for r in similarity.kmeans_assign(emb, "vec_id", "embedding", k, iters).collect()}
+
+    rows = sorted(
+        (r.vec_id, list(r.qn))
+        for r in emb.select(
+            "vec_id", similarity.quantized(F.col("embedding")).alias("qn")
+        ).collect()
+    )
+    cents = [[float(v) for v in qn] for _, qn in rows[:k]]
+
+    def assign_all():
+        out = {}
+        for vid, qn in rows:
+            dists = []
+            for cent in cents:
+                acc = 0.0
+                for a, b in zip(qn, cent):      # left-to-right IEEE fold
+                    acc = acc + (a - b) * (a - b)
+                dists.append(acc)
+            out[vid] = dists.index(min(dists))  # first minimum wins
+        return out
+
+    for _ in range(iters):
+        a = assign_all()
+        sums = {}
+        for vid, qn in rows:
+            s, c = sums.setdefault(a[vid], [[0] * len(qn), 0])
+            for i, v in enumerate(qn):
+                s[i] += v
+            sums[a[vid]][1] = c + 1
+        for j in range(k):
+            if j in sums:
+                s, c = sums[j]
+                cents[j] = [x / c for x in s]
+
+    assert got == assign_all()
+    assert len(set(got.values())) > 1  # the clustering actually split
