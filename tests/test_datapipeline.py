@@ -601,3 +601,48 @@ def test_kmeans_assign_matches_sequential_reference(spark):
 
     assert got == assign_all()
     assert len(set(got.values())) > 1  # the clustering actually split
+
+
+def test_ann_recall_measured_against_bruteforce(spark):
+    """The approximate paths' recall@k is MEASURED, not assumed — on a
+    planted-cluster corpus where high recall is achievable (the testdata
+    embeddings are near-random, where NO candidate generator can beat the
+    bucket-occupancy baseline: measured LSH recall there ≈ 0.03, exactly
+    the (1-θ/π)^planes prediction for orthogonal vectors)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flinkrealtimedatawarehouse_spark.datapipeline import similarity
+
+    rng = random.Random(11)
+    dim, n_clusters, per = 16, 5, 40
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = []
+    for c, center in enumerate(centers):
+        for i in range(per):
+            rows.append(
+                (c * per + i,
+                 [v + rng.uniform(-0.05, 0.05) for v in center])
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.filter(F.col("vec_id") % per == 0)  # one probe per cluster
+    k = 5
+    exact = similarity.cosine_topk(emb, probes, "vec_id", "embedding", k=k)
+
+    lsh = similarity.ann_topk_lsh(emb, probes, "vec_id", "embedding", k=k, n_planes=4)
+    r_lsh = similarity.recall_at_k(lsh, exact, k)
+    mean_lsh = r_lsh.agg(F.avg("recall")).first()[0]
+
+    cells = similarity.kmeans_assign(emb, "vec_id", "embedding", k=n_clusters, iters=4)
+    ivf = similarity.ivf_topk(
+        emb.join(cells, "vec_id"), probes, "vec_id", "embedding", "cell",
+        k=k, n_probe=2,
+    )
+    mean_ivf = similarity.recall_at_k(ivf, exact, k).agg(F.avg("recall")).first()[0]
+
+    assert r_lsh.count() == n_clusters
+    # tight clusters: a probe's true neighbors share its cluster, so both
+    # candidate generators must recover (nearly) all of them
+    assert mean_lsh >= 0.9, mean_lsh
+    assert mean_ivf >= 0.9, mean_ivf
