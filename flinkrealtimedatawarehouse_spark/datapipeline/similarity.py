@@ -391,33 +391,44 @@ def kmeans_assign(
     for fixed-iteration algorithms on Spark.
     """
     q = emb.select(F.col(id_col), quantized(F.col(vec_col), quant).alias("qn"))
+    cents = _lloyd(q, id_col, k, iters)
+    return _assign_to(q, cents, "cell").select(F.col(id_col), "cell")
+
+
+def _assign_to(frame: DataFrame, cents: list[list[float]], out_col: str,
+               qn_col: str = "qn") -> DataFrame:
+    """Argmin squared-euclidean assignment of ``qn_col`` to ``cents``
+    (left-to-right fold, first-minimum tie-break)."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(qn_col),
+                    F.array(*[F.lit(c) for c in cent]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for cent in cents
+        ]
+    )
+    return frame.withColumn(
+        out_col, (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+
+
+def _lloyd(q: DataFrame, id_col: str, k: int, iters: int) -> list[list[float]]:
+    """The Lloyd iteration loop over (``id_col``, ``qn``) rows; returns
+    the final k x dim centroid matrix (kmeans_assign's determinism
+    contract applies)."""
     cents: list[list[float]] = [
         [float(v) for v in r.qn]
         for r in q.orderBy(F.col(id_col).asc()).limit(k).collect()
     ]
-
-    def assign(frame: DataFrame) -> DataFrame:
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col("qn"),
-                        F.array(*[F.lit(c) for c in cent]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for cent in cents
-            ]
-        )
-        return frame.withColumn(
-            "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
-
     for _ in range(iters):
         sums = (
-            assign(q)
+            _assign_to(q, cents, "cell")
             .select("cell", F.posexplode("qn").alias("pos", "v"))
             .groupBy("cell", "pos")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
@@ -429,8 +440,7 @@ def kmeans_assign(
         for j in range(k):
             if j in by_cell:  # emptied cells keep their previous centroid
                 cents[j] = [by_cell[j][p] for p in sorted(by_cell[j])]
-
-    return assign(q).select(F.col(id_col), "cell")
+    return cents
 
 
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
@@ -459,3 +469,112 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
         )
     )
     return per_probe
+
+
+def pq_train(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 4,
+    quant: int = QUANT,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: the vector is split into
+    ``m`` contiguous subvectors and each subspace gets its own ``ksub``
+    Lloyd's codebook (same determinism contract as ``kmeans_assign``).
+    Returns ``codebooks[m][ksub][dim/m]`` — driver-side, m*ksub*(dim/m)
+    floats = exactly one full-dimension matrix of ksub rows, tiny at any
+    corpus size.
+
+    PQ compresses each vector to ``m`` small codes (here m bytes for
+    ksub<=256): at 100 TB the encoded corpus is ~dim*4/m x smaller than
+    the raw embeddings, which is what makes exhaustive ADC scans feasible.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = emb.select(
+            F.col(id_col),
+            quantized(F.slice(F.col(vec_col), j * dsub + 1, dsub), quant).alias("qn"),
+        )
+        books.append(_lloyd(sub, id_col, ksub, iters))
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    quant: int = QUANT,
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest-codeword indices:
+    (``id_col``, ``codes`` array<int> of length m). Map-only — no shuffle."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    out = emb.select(F.col(id_col), F.col(vec_col))
+    for j in range(m):
+        sub_qn = quantized(F.slice(F.col(vec_col), j * dsub + 1, dsub), quant)
+        out = _assign_to(out.withColumn("qn", sub_qn), codebooks[j], f"_c{j}")
+    return out.select(
+        F.col(id_col), F.array(*[F.col(f"_c{j}") for j in range(m)]).alias("codes")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    probes: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    quant: int = QUANT,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: the probe
+    keeps full precision, each corpus vector is its m codes, and the
+    approximate squared distance is the sum of m table lookups
+    (probe-subvector -> codeword distances).
+
+    Spark shape: the distance tables are a |probes| x m x ksub row
+    DataFrame (tiny — broadcast); the corpus explodes to m rows per
+    vector, equi-joins the tables on (subspace, code), and re-sums per
+    (probe, vector). Shuffle is O(corpus x m) narrow rows of ids+doubles
+    — never the raw vectors, which is the entire point of PQ at scale.
+    """
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    spark = codes.sparkSession
+    prows = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col)).collect()
+    table_rows = []
+    for pr in prows:
+        vec = list(pr[vec_col])
+        for j in range(m):
+            sub = vec[j * dsub : (j + 1) * dsub]
+            qsub = [float(round(float(x) * quant)) for x in sub]
+            for c in range(ksub):
+                acc = 0.0
+                for a, b in zip(qsub, codebooks[j][c]):  # left-to-right fold
+                    acc = acc + (a - b) * (a - b)
+                table_rows.append((pr["probe_id"], j, c, acc))
+    tables = spark.createDataFrame(table_rows, "probe_id long, j int, code int, d double")
+
+    expanded = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("j", "code")
+    )
+    scored = (
+        expanded.join(F.broadcast(tables), ["j", "code"])
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "adc_dist", "rank")
+    )
