@@ -735,3 +735,44 @@ def test_pq_adc_exact_when_corpus_lies_on_codewords(spark):
             for a, b in zip(qp, full):
                 acc = acc + (a - b) * (a - b)
             assert got[(pid, i)] == round(acc, 6), (pid, i)
+
+
+def test_ivfpq_composition_prunes_then_ranks(spark):
+    """IVF-PQ composition from existing parts: k-means cells prune the
+    candidate set, PQ codes rank within it — the ADC scan touches only
+    the probed cells' codes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flinkrealtimedatawarehouse_spark.datapipeline import similarity
+
+    rng = random.Random(31)
+    dim, n_clusters, per = 16, 4, 25
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = [
+        (c * per + i, [v + rng.uniform(-0.05, 0.05) for v in center])
+        for c, center in enumerate(centers)
+        for i in range(per)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.filter(F.col("vec_id") % per == 0)
+    k = 5
+
+    cells = similarity.kmeans_assign(emb, "vec_id", "embedding", k=n_clusters, iters=3)
+    books = similarity.pq_train(emb, "vec_id", "embedding", m=4, ksub=8, iters=3)
+    codes = similarity.pq_encode(emb, "vec_id", "embedding", books).join(cells, "vec_id")
+
+    # prune: keep only codes in each probe's own cell, then ADC-rank
+    probe_cells = probes.select(F.col("vec_id").alias("probe_id")).join(
+        cells.withColumnRenamed("vec_id", "probe_id"), "probe_id"
+    )
+    pruned = codes.join(
+        probe_cells.select(F.col("cell").alias("pcell")).distinct(),
+        F.col("cell") == F.col("pcell"),
+    ).select("vec_id", "codes")
+    out = similarity.pq_topk(pruned, probes, books, "vec_id", "embedding", k=k)
+    exact = similarity.cosine_topk(emb, probes, "vec_id", "embedding", k=k)
+    r = similarity.recall_at_k(out, exact, k).agg(F.avg("recall")).first()[0]
+    assert out.count() == n_clusters * k
+    assert r >= 0.3, r  # PQ 12-bit resolution floor, same as the flat test
