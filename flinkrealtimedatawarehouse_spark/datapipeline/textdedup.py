@@ -32,18 +32,35 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
 
 
-def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Exact dedup via content-hash groupBy: one survivor (min id) per
-    normalized text. Returns docs + ``content_hash``/``is_duplicate``.
+def exact_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefer_col: str | None = None,
+) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one survivor per normalized
+    text. Returns docs + ``content_hash``/``is_duplicate``.
+
+    Survivor choice: min id by default; with ``prefer_col``, the HIGHEST
+    value of that column wins (id-tiebroken) — real pipelines keep the
+    best-quality duplicate (richest metadata, highest quality score), not
+    the first-crawled one.
 
     Scale: grouping happens on the 64-char sha2, not the document body —
     the exchange carries ids+hashes only after the aggregate is pushed
-    map-side. The survivor choice (min id) is deterministic.
+    map-side. The survivor choice is deterministic either way.
     """
     hashed = docs.withColumn("content_hash", F.sha2(normalize_text(F.col(text_col)), 256))
-    w = Window.partitionBy("content_hash")
+    if prefer_col is None:
+        w = Window.partitionBy("content_hash")
+        return hashed.withColumn(
+            "is_duplicate", (F.col(id_col) != F.min(id_col).over(w)).cast("int")
+        )
+    wr = Window.partitionBy("content_hash").orderBy(
+        F.col(prefer_col).desc(), F.col(id_col).asc()
+    )
     return hashed.withColumn(
-        "is_duplicate", (F.col(id_col) != F.min(id_col).over(w)).cast("int")
+        "is_duplicate", (F.row_number().over(wr) != 1).cast("int")
     )
 
 

@@ -776,3 +776,16 @@ def test_ivfpq_composition_prunes_then_ranks(spark):
     r = similarity.recall_at_k(out, exact, k).agg(F.avg("recall")).first()[0]
     assert out.count() == n_clusters * k
     assert r >= 0.3, r  # PQ 12-bit resolution floor, same as the flat test
+
+
+def test_exact_dedup_prefer_col_keeps_best_duplicate(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text", 0.2), (2, "Same  TEXT!", 0.9), (3, "same text", 0.9),
+         (4, "other", 0.1)],
+        "doc_id long, text string, quality double",
+    )
+    out = {r.doc_id: r.is_duplicate
+           for r in textdedup.exact_dedup(docs, "doc_id", "text",
+                                          prefer_col="quality").collect()}
+    # highest quality wins; quality tie broken to the lower id
+    assert out == {1: 1, 2: 0, 3: 1, 4: 0}

@@ -949,3 +949,22 @@ def test_observe_metrics_per_batch(spark):
     assert sum(m["row_ct"] for m in got) == 3
     assert sum(m["val_sum"] for m in got) == 10.0
     assert sum(m["null_props"] for m in got) == 3
+
+
+def test_update_mode_reemits_growing_aggregates(spark):
+    """T10's sibling: UPDATE output mode re-emits a group's row whenever a
+    batch changes it — the changelog shape the reference pushes to
+    ClickHouse row-by-row; the memory sink accumulates one row per
+    revision, latest value last."""
+    rows = [
+        (1, 1, ts("2024-01-01 00:00:01"), "view", 1.0, None),
+        (1, 2, ts("2024-01-01 00:00:02"), "view", 2.0, None),
+        (1, 3, ts("2024-01-01 00:00:03"), "view", 4.0, None),
+    ]
+    sdf = _stream_events(spark, rows, 3, "updm")  # one row per micro-batch
+    agg = sdf.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("ct"), F.sum("value").alias("v")
+    )
+    out = runner.run_to_memory(agg, "updm", output_mode="update")
+    revisions = sorted((r.ct, r.v) for r in out.collect())
+    assert revisions == [(1, 1.0), (2, 3.0), (3, 7.0)]
