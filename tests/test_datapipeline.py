@@ -789,3 +789,59 @@ def test_exact_dedup_prefer_col_keeps_best_duplicate(spark):
                                           prefer_col="quality").collect()}
     # highest quality wins; quality tie broken to the lower id
     assert out == {1: 1, 2: 0, 3: 1, 4: 0}
+
+
+def test_bpe_train_and_encode_match_classic_reference(spark):
+    """The distributed BPE must reproduce the classic single-machine
+    algorithm exactly: same ordered merge list (max count, lex-smallest
+    tie) and same token streams."""
+    from collections import Counter
+
+    from flinkrealtimedatawarehouse_spark.datapipeline import bpe
+
+    texts = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new lower"),
+        (3, "low new low new slow"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    n_merges = 8
+    got_merges = bpe.bpe_train(docs, "text", n_merges)
+
+    # plain-Python reference (Sennrich-style word-frequency BPE)
+    wc = Counter(w for _, t in texts for w in t.lower().split())
+    vocab = {w: [*w, bpe.END] for w in wc}
+
+    def ref_merges():
+        out = []
+        for _ in range(n_merges):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += wc[w]
+            if not pc:
+                break
+            # deterministic: max count, then lexicographically smallest pair
+            top_ct = max(pc.values())
+            best = min(p for p, c in pc.items() if c == top_ct)
+            out.append(best)
+            for w in vocab:
+                vocab[w] = bpe.merge_symbols(vocab[w], *best)
+        return out
+
+    want_merges = ref_merges()
+    assert got_merges == want_merges
+
+    enc = {r.doc_id: (list(r.tokens), r.n_tokens)
+           for r in bpe.bpe_encode(docs, "doc_id", "text", got_merges).collect()}
+    for did, text in texts:
+        want = []
+        for w in text.lower().split():
+            s = [*w, bpe.END]
+            for a, b in want_merges:
+                s = bpe.merge_symbols(s, a, b)
+            want.extend(s)
+        assert enc[did] == (want, len(want)), did
+    # merges actually compressed: fewer tokens than chars+end markers
+    raw_len = sum(len(w) + 1 for _, t in texts for w in t.lower().split())
+    assert sum(n for _, n in enc.values()) < raw_len
