@@ -141,7 +141,10 @@ def bpe_encode(
         return col.apply(enc)
 
     encoded = vocab.withColumn("syms", apply_all("syms"))
-    joined = toks.join(F.broadcast(encoded), "w")
+    # no broadcast hint: a web-scale corpus has hundreds of millions of
+    # distinct words — AQE broadcasts small vocabularies and falls back
+    # to a shuffle join on the word key otherwise
+    joined = toks.join(encoded, "w")
     return (
         joined.groupBy(id_col)
         .agg(
