@@ -572,8 +572,43 @@ SELECT hour(ts)::VARCHAR AS k,
 FROM events GROUP BY 1
 """
 
-# A8 combined gate (tagged): the mapper's hour series + the two serving
-# shapes the reference lacks (rolling frames, pivot matrix) in one entry.
+# A8g (beyond ref): calendar gap-filling — the daily GMV series with
+# every 5th day-of-month punched out, re-densified with forward fill.
+def q_a8g(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("dt"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("amount"))
+        .filter(F.dayofmonth("dt") % 5 != 0)  # planted gaps
+    )
+    out = ads.fill_gaps(daily, "dt", "amount")
+    return out.select(
+        F.date_format("dt", "yyyy-MM-dd").alias("k"),
+        F.col("amount").alias("v1"),
+        F.col("is_filled").cast("double").alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+
+SQL_A8G = """
+WITH d AS (
+  SELECT o_orderdate::DATE AS dt, round(sum(o_totalprice), 2) AS amount
+  FROM orders GROUP BY 1
+), g AS (
+  SELECT * FROM d WHERE day(dt) % 5 <> 0
+), cal AS (
+  SELECT unnest(generate_series((SELECT min(dt) FROM g), (SELECT max(dt) FROM g),
+                INTERVAL 1 DAY))::DATE AS dt
+)
+SELECT strftime(cal.dt, '%Y-%m-%d') AS k,
+       last_value(g.amount IGNORE NULLS)
+         OVER (ORDER BY cal.dt ROWS UNBOUNDED PRECEDING) AS v1,
+       (CASE WHEN g.amount IS NULL THEN 1 ELSE 0 END)::DOUBLE AS v2,
+       0.0 AS v3
+FROM cal LEFT JOIN g ON cal.dt = g.dt
+"""
+
+# A8 combined gate (tagged): the mapper's hour series + the three serving
+# shapes the reference lacks (rolling frames, pivot matrix, gap filling).
 def q_a8c(spark: SparkSession, sf: str) -> DataFrame:
     hourly = q_a8(spark, sf).select(
         F.lit("hourly").alias("branch"), F.col("hr").cast("string").alias("k"),
@@ -583,7 +618,8 @@ def q_a8c(spark: SparkSession, sf: str) -> DataFrame:
     )
     rolling = q_a8r(spark, sf).select(F.lit("rolling").alias("branch"), "k", "v1", "v2", "v3")
     pivot = q_a8p(spark, sf).select(F.lit("pivot").alias("branch"), "k", "v1", "v2", "v3")
-    return hourly.unionByName(rolling).unionByName(pivot)
+    gaps = q_a8g(spark, sf).select(F.lit("gapfill").alias("branch"), "k", "v1", "v2", "v3")
+    return hourly.unionByName(rolling).unionByName(pivot).unionByName(gaps)
 
 SQL_A8C = f"""
 SELECT 'hourly' AS branch, hr::VARCHAR AS k, new_uv::DOUBLE AS v1,
@@ -592,6 +628,8 @@ UNION ALL
 SELECT 'rolling', k, v1, v2, v3 FROM ({SQL_A8R})
 UNION ALL
 SELECT 'pivot', k, v1, v2, v3 FROM ({SQL_A8P})
+UNION ALL
+SELECT 'gapfill', k, v1, v2, v3 FROM ({SQL_A8G})
 """
 
 # A9 weighted keyword scoring (multiIf) over documents sources

@@ -12,7 +12,7 @@ want at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -126,8 +126,6 @@ def rolling_metrics(
     for per-key trends pass ``partition_cols`` and the window parallelizes
     per key.
     """
-    from pyspark.sql import Window
-
     part = partition_cols or []
     dayn = F.datediff(F.col(date_col), F.lit("1970-01-01"))
     d = daily.withColumn("_dayn", dayn)
@@ -139,6 +137,49 @@ def rolling_metrics(
         d.withColumn(f"ma{n_days}", F.round(F.avg(amount_col).over(w_ma), 2))
         .withColumn("cume", F.round(F.sum(amount_col).over(w_cum), 2))
         .drop("_dayn")
+    )
+
+
+def fill_gaps(
+    daily: DataFrame,
+    date_col: str,
+    value_col: str,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Calendar gap filling for a daily series: emit one row per day
+    between each partition's min and max date, forward-filling
+    ``value_col`` from the last observed day and flagging synthesized
+    rows with ``is_filled``. Dashboards and window frames both need a
+    dense axis; the reference has no gap handling at all (a missing
+    ClickHouse row simply vanishes from the chart).
+
+    Scale: the calendar is generated per partition with ``sequence``
+    (rows = days in range — tiny next to the fact data), joined back on
+    (partition, day); the forward fill is ``last(ignorenulls)`` inside
+    the same per-partition exchange the join already made.
+    """
+    part = partition_cols or []
+    bounds = daily.groupBy(*part).agg(
+        F.min(F.to_date(date_col)).alias("_mn"), F.max(F.to_date(date_col)).alias("_mx")
+    )
+    cal = bounds.select(
+        *part,
+        F.explode(F.sequence("_mn", "_mx", F.expr("INTERVAL 1 DAY"))).alias(date_col),
+    )
+    src = daily.select(
+        *part, F.to_date(date_col).alias(date_col), F.col(value_col)
+    )
+    joined = cal.join(src, [*part, date_col], "left")
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *part,
+        date_col,
+        F.last(value_col, ignorenulls=True).over(w).alias(value_col),
+        F.when(F.col(value_col).isNull(), 1).otherwise(0).alias("is_filled"),
     )
 
 

@@ -849,3 +849,18 @@ def test_ri_violations_finds_orphans_and_null_fks(spark):
     parent = spark.createDataFrame([(10,), (20,)], "pk int")
     orphans = sorted(r.id for r in quality.ri_violations(child, parent, "fk", "pk").collect())
     assert orphans == [3, 4]  # missing parent AND NULL fk are both orphans
+
+
+def test_fill_gaps_densifies_and_forward_fills(spark):
+    daily = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), 10.0), ("a", datetime(2024, 1, 4), 40.0),
+         ("b", datetime(2024, 1, 2), 7.0)],
+        "k string, dt timestamp, amount double",
+    )
+    out = {(r.k, r.dt.day): (r.amount, r.is_filled)
+           for r in ads.fill_gaps(daily, "dt", "amount", ["k"]).collect()}
+    assert out == {
+        ("a", 1): (10.0, 0), ("a", 2): (10.0, 1), ("a", 3): (10.0, 1),
+        ("a", 4): (40.0, 0),
+        ("b", 2): (7.0, 0),   # single-day partition: no synthesis
+    }
