@@ -23,6 +23,8 @@ id tiebreak — fully deterministic ranking.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -112,11 +114,19 @@ def ivf_topk(emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str,
         F.col(label_col).alias("cell"),
         quantized(F.col(vec_col), quant).alias("qn"),
     )
-    # element-wise integer sum per cell
-    pos = corpus.select(
-        "cell", F.posexplode(F.col("qn")).alias("pos", "qv")
+    probe_q = probes.select(
+        F.col(id_col).alias("probe_id"), quantized(F.col(vec_col), quant).alias("qp")
     )
-    cent = (
+    probe_cells = _rank_probe_cells(probe_q, _cell_centroids(corpus), n_probe)
+    return _cell_rerank(corpus, probe_cells, k)
+
+
+def _cell_centroids(corpus: DataFrame) -> DataFrame:
+    """Element-wise integer-sum centroid per cell over (cell, qn) rows —
+    THE centroid definition every IVF path (in-memory, persisted index)
+    shares, so the parity contract lives in one place."""
+    pos = corpus.select("cell", F.posexplode(F.col("qn")).alias("pos", "qv"))
+    return (
         pos.groupBy("cell", "pos")
         .agg(F.sum("qv").alias("s"))
         .groupBy("cell")
@@ -127,17 +137,24 @@ def ivf_topk(emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str,
             ).alias("cvec")
         )
     )
-    probe_q = probes.select(
-        F.col(id_col).alias("probe_id"), quantized(F.col(vec_col), quant).alias("qp")
-    )
+
+
+def _rank_probe_cells(probe_q: DataFrame, cent: DataFrame, n_probe: int) -> DataFrame:
+    """Per probe: its n_probe centroid-nearest cells (cosine desc, cell
+    asc tie-break) — shared by every IVF path."""
     cw = Window.partitionBy("probe_id").orderBy(F.col("ccos").desc(), F.col("cell").asc())
-    probe_cells = (
+    return (
         probe_q.join(F.broadcast(cent))
-        .select("probe_id", "qp", "cell", _exact_cosine(F.col("qp"), F.col("cvec")).alias("ccos"))
+        .select("probe_id", "qp", "cell",
+                _exact_cosine(F.col("qp"), F.col("cvec")).alias("ccos"))
         .withColumn("crank", F.row_number().over(cw))
         .filter(F.col("crank") <= n_probe)
         .select("probe_id", "qp", F.col("cell").alias("probe_cell"))
     )
+
+
+def _cell_rerank(corpus: DataFrame, probe_cells: DataFrame, k: int) -> DataFrame:
+    """Exact cosine re-rank of corpus rows inside each probe's cells."""
     scored = corpus.join(
         F.broadcast(probe_cells),
         (F.col("cell") == F.col("probe_cell")) & (F.col("probe_id") != F.col("neighbor_id")),
@@ -275,19 +292,9 @@ def build_ivf_index(
         *[F.col(c) for c in (meta_cols or [])],
     )
     corpus.write.mode("overwrite").partitionBy("cell").parquet(f"{out_dir}/corpus")
-    pos = corpus.select("cell", F.posexplode(F.col("qn")).alias("pos", "qv"))
-    cent = (
-        pos.groupBy("cell", "pos")
-        .agg(F.sum("qv").alias("s"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("s")))),
-                lambda x: x["s"],
-            ).alias("cvec")
-        )
+    _cell_centroids(corpus).coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/centroids"
     )
-    cent.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/centroids")
 
 
 def probed_cells(
@@ -305,15 +312,7 @@ def probed_cells(
     probe_q = probes.select(
         F.col(id_col).alias("probe_id"), quantized(F.col(vec_col), quant).alias("qp")
     )
-    cw = Window.partitionBy("probe_id").orderBy(F.col("ccos").desc(), F.col("cell").asc())
-    return (
-        probe_q.join(F.broadcast(cent))
-        .select("probe_id", "qp", "cell",
-                _exact_cosine(F.col("qp"), F.col("cvec")).alias("ccos"))
-        .withColumn("crank", F.row_number().over(cw))
-        .filter(F.col("crank") <= n_probe)
-        .select("probe_id", "qp", F.col("cell").alias("probe_cell"))
-    )
+    return _rank_probe_cells(probe_q, cent, n_probe)
 
 
 def ivf_index_topk(
@@ -349,16 +348,7 @@ def ivf_index_topk(
     corpus = spark.read.parquet(f"{index_dir}/corpus").filter(F.col("cell").isin(cells))
     if corpus_filter is not None:
         corpus = corpus.filter(corpus_filter)
-    scored = corpus.join(
-        F.broadcast(probe_cells),
-        (F.col("cell") == F.col("probe_cell")) & (F.col("probe_id") != F.col("neighbor_id")),
-    ).select("probe_id", "neighbor_id", _exact_cosine(F.col("qp"), F.col("qn")).alias("cosine"))
-    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cosine", "rank")
-    )
+    return _cell_rerank(corpus, probe_cells, k)
 
 
 def kmeans_assign(
@@ -422,6 +412,9 @@ def _lloyd(q: DataFrame, id_col: str, k: int, iters: int) -> list[list[float]]:
     """The Lloyd iteration loop over (``id_col``, ``qn``) rows; returns
     the final k x dim centroid matrix (kmeans_assign's determinism
     contract applies)."""
+    # materialize once: without this, every iteration (and the caller's
+    # final assignment) re-scans the source and re-evaluates quantized()
+    q = q.localCheckpoint(eager=True)
     cents: list[list[float]] = [
         [float(v) for v in r.qn]
         for r in q.orderBy(F.col(id_col).asc()).limit(k).collect()
@@ -446,8 +439,8 @@ def _lloyd(q: DataFrame, id_col: str, k: int, iters: int) -> list[list[float]]:
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     """Measured recall@k of an approximate top-k result against the exact
     brute-force result (same (probe_id, neighbor_id, rank) schema as the
-    topk functions here): per probe, |approx∩exact| / k, plus the macro
-    average as a one-row summary joined on ``probe_id IS NULL``.
+    topk functions here): one row per probe with its |approx∩exact| / k;
+    aggregate ``avg(recall)`` for the macro average.
 
     Evaluation is a per-probe set intersection — one equi-join on
     (probe_id, neighbor_id), no pairwise math; run it on a sampled probe
@@ -555,7 +548,13 @@ def pq_topk(
         vec = list(pr[vec_col])
         for j in range(m):
             sub = vec[j * dsub : (j + 1) * dsub]
-            qsub = [float(round(float(x) * quant)) for x in sub]
+            # HALF_UP away from zero — Spark F.round's rule; Python's
+            # built-in round() is half-to-even and would disagree with
+            # quantized() on exact .5 values
+            qsub = [
+                float(math.copysign(math.floor(abs(float(x) * quant) + 0.5), float(x) * quant))
+                for x in sub
+            ]
             for c in range(ksub):
                 acc = 0.0
                 for a, b in zip(qsub, codebooks[j][c]):  # left-to-right fold

@@ -66,15 +66,35 @@ def scd2_history(
     window — the same shuffle any keyed CDC apply pays; no driver-side
     state, no data-dependent skew beyond the key distribution itself.
     """
-    w = Window.partitionBy(pk).orderBy(F.col(version_col).asc())
-    hist = (
-        changes.withColumn("valid_from", F.col(version_col))
-        .withColumn("valid_to", F.lead(version_col).over(w))
-        .withColumn("is_current", F.col("valid_to").isNull())
-    )
+    hist = stamp_intervals(changes, pk, version_col, type_col)
     if type_col is not None:
         hist = hist.filter(F.col(type_col) != "delete").drop(type_col)
     return hist
+
+
+def stamp_intervals(
+    changes: DataFrame,
+    pk: str,
+    version_col: str,
+    type_col: str | None = None,
+) -> DataFrame:
+    """THE SCD2 interval stamping — shared by the batch operator above and
+    the streaming ``Scd2HistorySink`` so their equivalence is structural,
+    not asserted: valid_from = own version, valid_to = the key's next
+    version (lead), is_current = open interval and not a delete.
+    Tombstone rows are retained (callers decide whether to filter them)."""
+    w = Window.partitionBy(pk).orderBy(F.col(version_col).asc())
+    open_interval = F.lead(version_col).over(w).isNull()
+    is_current = (
+        open_interval
+        if type_col is None
+        else open_interval & (F.col(type_col) != "delete")
+    )
+    return (
+        changes.withColumn("valid_from", F.col(version_col))
+        .withColumn("valid_to", F.lead(version_col).over(w))
+        .withColumn("is_current", is_current)
+    )
 
 
 def snapshot_diff(

@@ -208,13 +208,19 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
-        global LAST_PROGRESS
-        import json as _json
-
-        LAST_PROGRESS = [
-            _json.loads(p.json) if hasattr(p, "json") else p for p in q.recentProgress
-        ]
+        _capture_progress(q)
     return sdf.sparkSession.table(name)
+
+
+def _capture_progress(q) -> None:
+    """Record the completed query's progress into LAST_PROGRESS (shared by
+    both run paths so observed()/state assertions behave identically)."""
+    global LAST_PROGRESS
+    import json as _json
+
+    LAST_PROGRESS = [
+        _json.loads(p.json) if hasattr(p, "json") else p for p in q.recentProgress
+    ]
 
 
 def observe_metrics(sdf: DataFrame, name: str, **aggs) -> DataFrame:
@@ -261,9 +267,4 @@ def run_foreach_batch(
             .start()
         )
         q.awaitTermination()
-        global LAST_PROGRESS
-        import json as _json
-
-        LAST_PROGRESS = [
-            _json.loads(p.json) if hasattr(p, "json") else p for p in q.recentProgress
-        ]
+        _capture_progress(q)

@@ -148,17 +148,9 @@ class Scd2HistorySink(VersionedSnapshotSink):
         self.type_col = type_col
 
     def _stamp(self, changes: DataFrame) -> DataFrame:
-        from pyspark.sql import Window
+        from flinkrealtimedatawarehouse_spark.operators.merge import stamp_intervals
 
-        w = Window.partitionBy(self.pk).orderBy(F.col(self.version_col).asc())
-        return (
-            changes.withColumn("valid_from", F.col(self.version_col))
-            .withColumn("valid_to", F.lead(self.version_col).over(w))
-            .withColumn(
-                "is_current",
-                F.col("valid_to").isNull() & (F.col(self.type_col) != "delete"),
-            )
-        )
+        return stamp_intervals(changes, self.pk, self.version_col, self.type_col)
 
     def init(self, empty_changes: DataFrame) -> None:
         self.snapshot_init(self._stamp(empty_changes.limit(0)))
@@ -346,7 +338,11 @@ class LateQuarantineSink(VersionedSnapshotSink):
             os.path.join(self.base_dir, "late"),
         )
         mx = batch.agg(F.max(ts_sec)).first()[0]
-        new_hwm = hwm if mx is None else max(hwm or float("-inf"), mx)
+        # explicit None check: an hwm of exactly 0.0 (the epoch) is a real
+        # committed watermark, not "absent" — `or` would regress it
+        new_hwm = (
+            hwm if mx is None else (mx if hwm is None else max(hwm, mx))
+        )
         self.last_bid = batch_id
         if new_hwm is not None:
             self.meta["hwm_epoch"] = new_hwm
