@@ -16,8 +16,10 @@ Layout (see SURVEY.md for the operator inventory this covers):
                      aggs (A1-A4, W2/W3, GROUPING SETS), dedup (A5),
                      is_new (A6), bounce (W1/U3), sessions (W4), unions +
                      fused rewrite (U1/U2), ADS layer (A7-A11, O1/O2),
-                     MERGE upsert (K3), HLL sketches, skew salting,
-                     table layout (partition/Z-order/compaction).
+                     MERGE upsert + SCD2 history + changelog diff (K3),
+                     data-quality expectations, gap filling, HLL sketches,
+                     skew salting, table layout (partition/Z-order/
+                     compaction).
 - ``functions``    — F1 tokenizer (built-in split + CJK-bigram fallback).
 - ``streaming``    — Structured Streaming forms: sources/sinks (S1/S6,
                      K1-K5), watermarked aggregations and joins (T1-T3),
@@ -26,7 +28,9 @@ Layout (see SURVEY.md for the operator inventory this covers):
                      near-dup band state, checkpointing (T9), RocksDB
                      state store option.
 - ``datapipeline`` — large-scale training-data ops: dedup (exact/MinHash/
-                     SimHash/Jaccard/embedding), ANN similarity, text
+                     SimHash/Jaccard/embedding/line-level), ANN similarity
+                     (brute-force/LSH/IVF/PQ, persisted index, k-means,
+                     measured recall), BPE tokenizer training, text
                      analysis, PII redaction, decontamination, mix/pack/
                      split curation, multimodal column plumbing.
 - ``serving``      — the reference's SQL-only ADS surface as Spark SQL
