@@ -322,3 +322,99 @@ def test_scd2_current_rows_equal_sequential_fold(spark, changes):
         i = seq.index(r.valid_from)
         want_to = seq[i + 1] if i + 1 < len(seq) else None
         assert r.valid_to == want_to
+
+
+@given(
+    old_rows=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 3)), max_size=8,
+                      unique_by=lambda t: t[0]),
+    new_rows=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 3)), max_size=8,
+                      unique_by=lambda t: t[0]),
+)
+@settings(**_SETTINGS)
+def test_snapshot_diff_roundtrip_reconstructs_new(spark, old_rows, new_rows):
+    """Changelog invariant: applying snapshot_diff(old, new) to old must
+    reconstruct new exactly, for ANY pair of keyed snapshots."""
+    from flinkrealtimedatawarehouse_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(old_rows or [(99, 0)], "pk long, v long")
+    new = spark.createDataFrame(new_rows or [(98, 0)], "pk long, v long")
+    diff = snapshot_diff(old, new, "pk", ["v"]).collect()
+
+    state = {pk: v for pk, v in (old_rows or [(99, 0)])}
+    for r in diff:
+        if r.change_type == "delete":
+            state.pop(r.pk)
+        else:
+            state[r.pk] = r.v
+    assert state == {pk: v for pk, v in (new_rows or [(98, 0)])}
+    # and the changelog is minimal: no row for an unchanged pk
+    unchanged = {pk for pk, v in (old_rows or [(99, 0)])} & {
+        pk for pk, v in (new_rows or [(98, 0)])
+    }
+    for r in diff:
+        if r.change_type == "update":
+            assert dict(old_rows)[r.pk] != dict(new_rows)[r.pk]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", ""]), max_size=5),
+        min_size=1, max_size=6,
+    ),
+)
+@settings(**_SETTINGS)
+def test_line_dedup_preserves_distinct_lines_exactly(spark, docs):
+    """line_dedup invariants for ANY corpus: every distinct non-blank
+    normalized line survives exactly once; blanks all survive; surviving
+    lines keep their original doc/position order."""
+    from flinkrealtimedatawarehouse_spark.datapipeline.textdedup import line_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    out = {r.doc_id: r.text for r in
+           line_dedup(spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+
+    seen: set[str] = set()
+    for i, lines in enumerate(docs):
+        # reference first-occurrence walk in (doc_id, pos) order; a doc's
+        # text round-trips through the same "\n" join/split
+        want = []
+        for ln in ("\n".join(lines)).split("\n"):
+            norm = ln.strip().lower()
+            if norm == "":
+                want.append(ln)
+            elif norm not in seen:
+                want.append(ln)
+                seen.add(norm)
+        assert out[i] == "\n".join(want), (i, out[i], want)
+
+
+
+
+@given(
+    days=st.lists(st.tuples(st.integers(0, 20), st.integers(1, 99)),
+                  min_size=1, max_size=10, unique_by=lambda t: t[0]),
+)
+@settings(**_SETTINGS)
+def test_fill_gaps_dense_and_faithful(spark, days):
+    """fill_gaps invariants for ANY daily series: the output covers every
+    day in [min, max] exactly once; observed days keep their value with
+    is_filled=0; synthesized days carry the previous observed value."""
+    from flinkrealtimedatawarehouse_spark.operators.ads import fill_gaps
+
+    rows = [(_T0 + timedelta(days=d), float(v)) for d, v in days]
+    out = sorted(
+        ((r.dt - _T0.date()).days, r.amount, r.is_filled)
+        for r in fill_gaps(
+            spark.createDataFrame(rows, "dt timestamp, amount double"), "dt", "amount"
+        ).collect()
+    )
+    obs = dict(days)
+    lo, hi = min(obs), max(obs)
+    assert [d for d, _, _ in out] == list(range(lo, hi + 1))
+    last = None
+    for d, amount, filled in out:
+        if d in obs:
+            assert (amount, filled) == (float(obs[d]), 0)
+            last = float(obs[d])
+        else:
+            assert (amount, filled) == (last, 1)
