@@ -166,3 +166,39 @@ def apply_cdc(
         if deletes.isStreaming is False
         else merged.join(deletes, merged[pk] == F.col("_del_pk"), "left_anti")
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    pk: str,
+    at_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Temporal dim enrichment against an SCD2 history: each fact joins
+    the dim version whose interval covers the fact's ``at_col``
+    (valid_from <= at < valid_to; an open interval covers everything from
+    its valid_from on). Facts with no covering version keep NULL attrs —
+    the same left-outer contract the point-in-time dim join (J3) has.
+
+    Scale: an equi-join on the pk with a range residual — the exact shape
+    the interval join already pays; at 100 TB the history side is
+    partitioned by is_current so the (dominant) current-version lookups
+    read one partition.
+    """
+    h = history.select(
+        F.col(pk).alias("_hpk"),
+        F.col("valid_from").alias("_vf"),
+        F.col("valid_to").alias("_vt"),
+        *[F.col(c).alias(f"_a_{c}") for c in attr_cols],
+    )
+    cond = (
+        (facts[pk] == F.col("_hpk"))
+        & (facts[at_col] >= F.col("_vf"))
+        & (F.col("_vt").isNull() | (facts[at_col] < F.col("_vt")))
+    )
+    joined = facts.join(h, cond, "left")
+    return joined.select(
+        *[facts[c] for c in facts.columns],
+        *[F.col(f"_a_{c}").alias(c) for c in attr_cols],
+    )

@@ -864,3 +864,31 @@ def test_fill_gaps_densifies_and_forward_fills(spark):
         ("a", 4): (40.0, 0),
         ("b", 2): (7.0, 0),   # single-day partition: no synthesis
     }
+
+
+def test_scd2_lookup_joins_covering_version(spark):
+    """Facts pick the dim version whose interval covers their time:
+    half-open [valid_from, valid_to), open intervals cover onward, keys
+    with no covering version (pre-insert or post-delete) stay NULL."""
+    ch = spark.createDataFrame(
+        [(1, "a", 0, "insert"), (1, "b", 5, "update"), (2, "x", 2, "insert"),
+         (2, "x", 8, "delete")],
+        "pk long, val string, v long, type string",
+    )
+    hist = merge.scd2_history(ch, "pk", "v", type_col="type")
+    facts = spark.createDataFrame(
+        [(1, 1, 0), (2, 1, 4), (3, 1, 5), (4, 1, 9),     # key 1 over time
+         (5, 2, 1), (6, 2, 3), (7, 2, 8), (8, 9, 4)],    # pre-insert, live, post-delete, unknown key
+        "fid long, pk long, at long",
+    )
+    out = {r.fid: r.val for r in merge.scd2_lookup(facts, hist, "pk", "at", ["val"]).collect()}
+    assert out == {
+        1: "a",    # [0,5) covers 0
+        2: "a",    # covers 4
+        3: "b",    # boundary: valid_from inclusive
+        4: "b",    # open interval
+        5: None,   # before key 2 existed
+        6: "x",    # [2,8) covers 3
+        7: None,   # deleted at 8 (valid_to exclusive)
+        8: None,   # unknown key
+    }
