@@ -504,3 +504,34 @@ def chunk_documents(docs: DataFrame, id_col: str, text_col: str,
         )
         .withColumn("chunk_len", F.length("chunk_text"))
     )
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    n: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic fixed-N sample per group — the balanced-mix
+    counterpart to ``split_assign``'s rate sampling: every group
+    contributes at most ``n`` rows, chosen by hash rank (xxhash64 of the
+    id + seed), so the pick is uniform-ish, reproducible across runs and
+    partitionings, and re-drawable with a new ``seed``. Groups smaller
+    than ``n`` pass through whole.
+
+    Scale: one exchange on the group key + per-group TOP-N (Spark plans
+    rank<=n as WindowGroupLimit — a partial per-partition top-n BEFORE
+    the exchange), so shuffle carries at most n rows per group per
+    partition, never whole groups.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed)).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_srn", F.row_number().over(w))
+        .filter(F.col("_srn") <= n)
+        .drop("_srn")
+    )

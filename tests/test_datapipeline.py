@@ -845,3 +845,22 @@ def test_bpe_train_and_encode_match_classic_reference(spark):
     # merges actually compressed: fewer tokens than chars+end markers
     raw_len = sum(len(w) + 1 for _, t in texts for w in t.lower().split())
     assert sum(n for _, n in enc.values()) < raw_len
+
+
+def test_sample_n_per_group_deterministic_and_capped(spark):
+    rows = [(i, "g%d" % (i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    s1 = textstats.sample_n_per_group(df, ["src"], "doc_id", 5, seed=1)
+    s2 = textstats.sample_n_per_group(df, ["src"], "doc_id", 5, seed=1)
+    a = sorted((r.src, r.doc_id) for r in s1.collect())
+    assert a == sorted((r.src, r.doc_id) for r in s2.collect())  # reproducible
+    from collections import Counter
+    per = Counter(src for src, _ in a)
+    assert per == {"g0": 5, "g1": 5, "g2": 5}
+    # a different seed redraws
+    b = sorted((r.src, r.doc_id) for r in
+               textstats.sample_n_per_group(df, ["src"], "doc_id", 5, seed=2).collect())
+    assert a != b
+    # small groups pass through whole
+    tiny = spark.createDataFrame([(1, "g"), (2, "g")], "doc_id long, src string")
+    assert textstats.sample_n_per_group(tiny, ["src"], "doc_id", 5).count() == 2
