@@ -13,11 +13,11 @@ used wherever association order could drift (see datapipeline.hashing).
 
 from __future__ import annotations
 
-from flinkrealtimedatawarehouse_spark.benchqueries import pipeline, streamq, warehouse
+from flinkrealtimedatawarehouse_spark.benchqueries import pipeline, streamq, tpch, warehouse
 
 
 def full_registry():
     reg = {}
-    for mod in (warehouse, pipeline, streamq):
+    for mod in (warehouse, tpch, pipeline, streamq):
         reg.update(mod.REGISTRY)
     return reg

@@ -1,0 +1,251 @@
+"""TPC-H classic analytics over the driver's star schema (beyond ref).
+
+The reference's ADS layer is bespoke dashboard SQL; a user replacing it
+with this engine also expects the textbook warehouse rollups to run well.
+These four queries are the canonical shapes (TPC-H Q1/Q3/Q5/Q18 adapted to
+the testdata's column subset) expressed Spark-first:
+
+- Q1  pricing summary: one scan, partial-agg pushdown, no joins.
+- Q3  shipping priority: selective dim filter -> fact join -> top-N
+  (TakeOrderedAndProject, no global sort).
+- Q5  local supplier volume: the two fact tables shuffle-join on their
+  key; nation/region stay broadcast (the only truly fixed-size dims —
+  customer/supplier scale with sf and MUST NOT be broadcast, see
+  VERDICT r1 finding 4).
+- Q18 large-volume customers: pre-aggregate lineitem BEFORE joining
+  orders/customer so the join input is one row per order, not per line.
+
+Money sums that feed an ORDER BY are computed in integer hundredths-of-
+cents (``round(x * 10000)`` per row, summed as BIGINT) so the sort key is
+associative and engine-independent; displayed values divide back out.
+
+All four fold into one tagged-union driver gate (``a12_rollup_tpch``)
+together with the A12 GROUPING SETS rollup, keeping the registry at the
+driver's 50-entry recording cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkrealtimedatawarehouse_spark.benchqueries.warehouse import SQL_A12, q_a12
+from flinkrealtimedatawarehouse_spark.tables import load_table
+
+# Integer-cents revenue term: associative, deterministic across engines.
+# (A function, not a module-level Column — Column construction needs an
+# active SparkSession.)
+def _rev():
+    return (F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)).cast("long")
+
+
+_DUCK_REV = "round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT"
+
+
+# --- Q1 pricing summary report -------------------------------------------
+def q_tpch1(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            (F.sum(_rev()) / 10000.0).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH1 = f"""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity)::BIGINT AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       sum({_DUCK_REV}) / 10000.0 AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY 1, 2
+"""
+
+
+# --- Q3 shipping priority (top-10 unshipped orders by revenue) -----------
+def q_tpch3(spark: SparkSession, sf: str) -> DataFrame:
+    cut = "1998-07-01"
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < cut)
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > cut)
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
+        c.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(_rev()).alias("rev_c"))
+        .select(
+            "o_orderkey",
+            (F.col("rev_c") / 10000.0).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+SQL_TPCH3 = f"""
+SELECT o_orderkey,
+       sum({_DUCK_REV}) / 10000.0 AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate  > TIMESTAMP '1998-07-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+# --- Q5 local supplier volume (customer & supplier in the same nation) ---
+def q_tpch5(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg((F.sum(_rev()) / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+SQL_TPCH5 = f"""
+SELECT n_name, sum({_DUCK_REV}) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
+# --- Q18 large-volume customers ------------------------------------------
+def q_tpch18(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    # Pre-aggregate to one row per order BEFORE touching orders/customer:
+    # at scale this shrinks the join's build input by the lines-per-order
+    # factor and makes the HAVING filter a partial-agg, not a post-join.
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+SQL_TPCH18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity)::BIGINT AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --- tagged-union driver gate: A12 rollup + the four TPC-H shapes --------
+def q_a12c(spark: SparkSession, sf: str) -> DataFrame:
+    rollup = q_a12(spark, sf).select(
+        F.lit("rollup").alias("branch"),
+        F.concat_ws("|", "o_orderpriority", "o_orderstatus").alias("k"),
+        F.col("amount").alias("v1"),
+        F.col("row_ct").cast("double").alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    t1 = q_tpch1(spark, sf).select(
+        F.lit("tpch1").alias("branch"),
+        F.concat_ws("|", "l_returnflag", "l_linestatus").alias("k"),
+        F.col("sum_disc_price").alias("v1"),
+        F.col("sum_qty").cast("double").alias("v2"),
+        (F.col("avg_qty") + F.col("avg_disc") + F.col("count_order")).alias("v3"),
+    )
+    t3 = q_tpch3(spark, sf).select(
+        F.lit("tpch3").alias("branch"),
+        F.concat_ws("|", "o_orderkey", "o_orderdate").alias("k"),
+        F.col("revenue").alias("v1"),
+        F.lit(0.0).alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    t5 = q_tpch5(spark, sf).select(
+        F.lit("tpch5").alias("branch"),
+        F.col("n_name").alias("k"),
+        F.col("revenue").alias("v1"),
+        F.lit(0.0).alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    t18 = q_tpch18(spark, sf).select(
+        F.lit("tpch18").alias("branch"),
+        F.concat_ws("|", "c_custkey", "o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("v1"),
+        F.col("sum_qty").cast("double").alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    return rollup.unionByName(t1).unionByName(t3).unionByName(t5).unionByName(t18)
+
+
+SQL_A12C = f"""
+SELECT 'rollup' AS branch, o_orderpriority || '|' || o_orderstatus AS k,
+       amount AS v1, row_ct::DOUBLE AS v2, 0.0 AS v3 FROM ({SQL_A12})
+UNION ALL
+SELECT 'tpch1', l_returnflag || '|' || l_linestatus, sum_disc_price,
+       sum_qty::DOUBLE, avg_qty + avg_disc + count_order FROM ({SQL_TPCH1})
+UNION ALL
+SELECT 'tpch3', o_orderkey || '|' || o_orderdate, revenue, 0.0, 0.0
+FROM ({SQL_TPCH3})
+UNION ALL
+SELECT 'tpch5', n_name, revenue, 0.0, 0.0 FROM ({SQL_TPCH5})
+UNION ALL
+SELECT 'tpch18', c_custkey || '|' || o_orderkey, o_totalprice,
+       sum_qty::DOUBLE, 0.0 FROM ({SQL_TPCH18})
+"""
+
+REGISTRY = {
+    "a12_rollup_tpch": (q_a12c, SQL_A12C),
+}

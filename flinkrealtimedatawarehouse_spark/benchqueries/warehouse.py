@@ -1484,7 +1484,7 @@ REGISTRY = {
     "a8_hourly_conditional": (q_a8c, SQL_A8C),
     "a9_keyword_score": (q_a9, SQL_A9),
     "a11_visitor_ratios": (q_a11, SQL_A11),
-    "a12_grain_rollup": (q_a12, SQL_A12),
+    # a12 registers in tpch (tagged rollup + TPC-H Q1/Q3/Q5/Q18 union)
     "w1_bounce_detect": (q_w1, SQL_W1),
     "w1b_bounce_boundary": (q_w1b, SQL_W1B),
     # w4_session_stats registers in streamq (tagged batch+stream union)
