@@ -577,3 +577,57 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 5,
+    eps: float = 0.95,
+    quant: int = QUANT,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication — k-means cluster the embeddings, then inside each
+    cluster drop every item that is >= ``eps`` cosine-similar to a
+    lower-id item of the same cluster. Returns (``id_col``, ``cell``,
+    ``keep`` boolean); downstream filters on ``keep``.
+
+    Survivor rule (deterministic, engine-independent): an item is dropped
+    iff ANY lower-id same-cell neighbor has cosine >= eps — the same
+    "first occurrence wins against any earlier twin" convention as
+    ``textdedup.line_dedup``. (The paper's greedy sweep re-admits an item
+    whose only close neighbors were themselves dropped; that needs a
+    sequential pass per cluster, and over-dropping in those rare chains
+    is the conservative direction for training-data curation.)
+
+    Scale: the only shuffle is the self-join on ``cell``; within-cell
+    work is quadratic, which is SemDeDup's own cost model — pick
+    ``k ~ n / target_cell_size`` so cells stay small (the paper uses
+    k = 50k on ~1e8 docs for ~2k-item cells). The k-means pass itself is
+    map-side assignment + one (cell, dim) agg per iteration
+    (see ``kmeans_assign``); raw vectors never shuffle twice — the join
+    carries the quantized arrays only inside one exchange.
+    """
+    q = emb.select(F.col(id_col), quantized(F.col(vec_col), quant).alias("qn"))
+    cents = _lloyd(q, id_col, k, iters)
+    assigned = _assign_to(q, cents, "cell")
+    a = assigned.select(F.col("cell"), F.col(id_col).alias("_a_id"), F.col("qn").alias("_a_qn"))
+    b = assigned.select(F.col("cell"), F.col(id_col).alias("_b_id"), F.col("qn").alias("_b_qn"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("_a_id") < F.col("_b_id"))
+        .filter(_exact_cosine(F.col("_a_qn"), F.col("_b_qn")) >= eps)
+        .select(F.col("_b_id").alias(id_col))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )

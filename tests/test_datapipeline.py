@@ -864,3 +864,58 @@ def test_sample_n_per_group_deterministic_and_capped(spark):
     # small groups pass through whole
     tiny = spark.createDataFrame([(1, "g"), (2, "g")], "doc_id long, src string")
     assert textstats.sample_n_per_group(tiny, ["src"], "doc_id", 5).count() == 2
+
+
+def test_semdedup_drops_planted_twins_and_matches_brute_force(spark):
+    """SemDeDup: planted verbatim twins must be dropped (they share a
+    cell by determinism of the assignment), and the keep/drop decision
+    must equal a per-cell brute-force check of the documented rule:
+    drop iff any lower-id same-cell neighbor has cosine >= eps."""
+    from pyspark.sql import functions as F
+
+    from flinkrealtimedatawarehouse_spark.datapipeline import similarity
+    from flinkrealtimedatawarehouse_spark.tables import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    twins = base.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    emb = base.unionByName(twins)
+    eps, k, iters = 0.999, 4, 3
+
+    out = similarity.semdedup(emb, "vec_id", "embedding", k=k, iters=iters, eps=eps)
+    rows = {r.vec_id: (r.cell, r.keep) for r in out.collect()}
+    assert len(rows) == emb.count()
+
+    # every planted twin (higher id of an identical pair) is dropped
+    for r in twins.collect():
+        assert rows[r.vec_id][1] is False, f"twin {r.vec_id} survived"
+        assert rows[r.vec_id][0] == rows[r.vec_id - 10000][0]  # same cell
+
+    # brute-force parity of the survivor rule on the quantized vectors
+    import math
+
+    qn = {
+        r.vec_id: list(r.qn)
+        for r in emb.select(
+            "vec_id", similarity.quantized(F.col("embedding")).alias("qn")
+        ).collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a)
+        nb = sum(x * x for x in b)
+        return round(dot / math.sqrt(na * nb), 6)
+
+    by_cell = {}
+    for vid, (cell, _) in rows.items():
+        by_cell.setdefault(cell, []).append(vid)
+    for cell, ids in by_cell.items():
+        for vid in ids:
+            want_drop = any(
+                o < vid and cos(qn[o], qn[vid]) >= eps for o in ids
+            )
+            assert rows[vid][1] == (not want_drop), f"vec {vid} keep mismatch"
