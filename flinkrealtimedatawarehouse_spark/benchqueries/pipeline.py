@@ -903,7 +903,11 @@ def q_doc_metrics(spark: SparkSession, sf: str) -> DataFrame:
     qual = textstats.quality_score(docs, "text").select("doc_id", "quality", "alnum_ratio")
     tok = textstats.token_counts(docs, "text").select("doc_id", "ws_tokens", "bpe_est_tokens")
     rep = textstats.repetition_stats(docs, "doc_id", "text")
-    return rep.join(lang, "doc_id").join(qual, "doc_id").join(tok, "doc_id")
+    gop = textstats.gopher_rules(docs, "text").select(
+        "doc_id", "g_words", "g_mean_word_len", "g_alpha_frac", "g_bullet_frac",
+        "g_ellipsis_frac", "g_stop_kinds", F.col("gopher_pass").cast("int").alias("gopher_pass"),
+    )
+    return rep.join(lang, "doc_id").join(qual, "doc_id").join(tok, "doc_id").join(gop, "doc_id")
 
 def _sql_doc_metrics() -> str:
     toks = duck_tokens("text")
@@ -938,6 +942,46 @@ q2 AS (
          CASE WHEN n_chars > 0 THEN alnum::DOUBLE / n_chars ELSE 0.0 END AS ar_raw,
          n_toks, stop_ratio, ws_tokens, bpe_est_tokens
   FROM qm
+),
+gw AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS words,
+         list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lns,
+         toks
+  FROM tk
+),
+gf AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS g_words,
+         CASE WHEN len(words) > 0 THEN
+           round(list_sum(list_transform(words, t -> length(t)))::DOUBLE / len(words), 6)
+         ELSE 0.0 END AS g_mean_word_len,
+         CASE WHEN len(words) > 0 THEN
+           round(len(list_filter(words, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE / len(words), 6)
+         ELSE 0.0 END AS g_alpha_frac,
+         CASE WHEN len(lns) > 0 THEN
+           round(len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE / len(lns), 6)
+         ELSE 0.0 END AS g_bullet_frac,
+         CASE WHEN len(lns) > 0 THEN
+           round(len(list_filter(lns, l -> regexp_matches(l, '\\.\\.\\.$')))::DOUBLE / len(lns), 6)
+         ELSE 0.0 END AS g_ellipsis_frac,
+         (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'in') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'is') THEN 1 ELSE 0 END)::INT AS g_stop_kinds
+  FROM gw
+),
+gp AS (
+  SELECT *,
+         (CASE WHEN g_words >= 50 AND g_words <= 100000
+                AND g_mean_word_len >= 3.0 AND g_mean_word_len <= 10.0
+                AND g_alpha_frac >= 0.8 AND g_bullet_frac <= 0.9
+                AND g_ellipsis_frac <= 0.3 AND g_stop_kinds >= 2
+          THEN 1 ELSE 0 END)::INT AS gopher_pass
+  FROM gf
 )
 SELECT f.doc_id, f.n_tokens,
        round(f.n_distinct::DOUBLE / f.n_tokens, 6) AS ttr,
@@ -947,8 +991,11 @@ SELECT f.doc_id, f.n_tokens,
            + 0.3 * q2.ar_raw
            + 0.3 * least(q2.stop_ratio * 5.0, 1.0), 6) AS quality,
        round(q2.ar_raw, 6) AS alnum_ratio,
-       q2.ws_tokens, q2.bpe_est_tokens
+       q2.ws_tokens, q2.bpe_est_tokens,
+       gp.g_words, gp.g_mean_word_len, gp.g_alpha_frac, gp.g_bullet_frac,
+       gp.g_ellipsis_frac, gp.g_stop_kinds, gp.gopher_pass
 FROM f LEFT JOIN tp USING (doc_id) JOIN q2 USING (doc_id) JOIN lng USING (doc_id)
+     JOIN gp USING (doc_id)
 """
 
 SQL_DOC_METRICS = _sql_doc_metrics()

@@ -92,6 +92,91 @@ def quality_score(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, appendix A1.1) — the
+    standard pre-training document filter — as exact engine-independent
+    expressions (map-only, no shuffle, whole-stage codegen):
+
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10]
+    - >= 80% of words contain an alphabetic character
+    - <= 90% of non-blank lines start with a bullet (-, *, or the dot)
+    - <= 30% of non-blank lines end with '...'
+    - >= 2 distinct English stopwords present
+
+    Adds g_words, g_mean_word_len, g_alpha_frac, g_bullet_frac,
+    g_ellipsis_frac, g_stop_kinds, and the conjunction ``gopher_pass``.
+    """
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
+    n_words = F.size(words)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double")
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda t: t.rlike("[A-Za-z]"))).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+
+    lines = F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))).cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+
+    toks = spark_tokens(text)
+
+    def _has(s: str):
+        # factory (not lambda defaults): PySpark counts default params as HOF arity
+        return F.exists(toks, lambda t: t == F.lit(s))
+
+    stop_kinds = None
+    for s in LANG_STOPWORDS["en"]:
+        hit = F.when(_has(s), 1).otherwise(0)
+        stop_kinds = hit if stop_kinds is None else stop_kinds + hit
+
+    # Thresholds compare the ROUNDED metrics so the pass/fail decision is
+    # identical in any engine computing the same 6-dp numbers.
+    mean_wl_r = F.round(mean_wl, 6)
+    alpha_r = F.round(alpha_frac, 6)
+    bullet_r = F.round(bullet_frac, 6)
+    ellipsis_r = F.round(ellipsis_frac, 6)
+    gpass = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl_r >= 3.0)
+        & (mean_wl_r <= 10.0)
+        & (alpha_r >= 0.8)
+        & (bullet_r <= 0.9)
+        & (ellipsis_r <= 0.3)
+        & (stop_kinds >= 2)
+    )
+    return docs.withColumns(
+        {
+            "g_words": n_words.cast("long"),
+            "g_mean_word_len": mean_wl_r,
+            "g_alpha_frac": alpha_r,
+            "g_bullet_frac": bullet_r,
+            "g_ellipsis_frac": ellipsis_r,
+            "g_stop_kinds": stop_kinds.cast("int"),
+            "gopher_pass": gpass,
+        }
+    )
+
+
 def token_counts(docs: DataFrame, text_col: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and a BPE-ish subword
     estimate (alnum runs contribute ceil(len/4) units; each punct char is

@@ -919,3 +919,29 @@ def test_semdedup_drops_planted_twins_and_matches_brute_force(spark):
                 o < vid and cos(qn[o], qn[vid]) >= eps for o in ids
             )
             assert rows[vid][1] == (not want_drop), f"vec {vid} keep mismatch"
+
+
+def test_gopher_rules_planted_edges(spark):
+    """Each Gopher rule flips on its planted violation; a clean doc passes."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import textstats
+
+    good = " ".join(["the quick brown fox jumps of and to in is a word"] * 6)
+    rows = [
+        (1, good),                                         # passes everything
+        (2, "the of short"),                               # too few words
+        (3, " ".join(["supercalifragilistic"] * 60)),      # mean word len > 10, no stops
+        (4, "\n".join(["- the bullet point of it"] * 10)), # 100% bullet lines
+        (5, "\n".join([good, "the end is near...", "more of that..."] * 2)),  # >30% ellipsis
+        (6, " ".join(["12345 67890 11111 22222 33333"] * 12)),  # alpha_frac = 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in textstats.gopher_rules(df, "text").collect()}
+
+    assert out[1].gopher_pass
+    assert not out[2].gopher_pass and out[2].g_words < 50
+    assert not out[3].gopher_pass and out[3].g_mean_word_len > 10
+    assert not out[4].gopher_pass and out[4].g_bullet_frac == 1.0
+    assert not out[5].gopher_pass and out[5].g_ellipsis_frac > 0.3
+    assert not out[6].gopher_pass and out[6].g_alpha_frac == 0.0
+    # the clean doc hits >= 2 distinct stopwords
+    assert out[1].g_stop_kinds >= 2
