@@ -211,15 +211,62 @@ GROUP BY 1
 """
 
 
-# t3b combined gate: inner + left-outer streaming interval joins, one
-# tagged entry (the outer branch's matched_ct must equal the inner
-# branch's pair_ct row-for-row — both are hashed against the oracle).
+def q_t3f(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming FULL OUTER interval join — the last outer form (t3o covers
+    left). Unmatched purchases AND unmatched views each emit with NULL
+    partner columns once the watermark proves no partner can arrive; the
+    range condition bounds state on both sides so the outer form stays
+    legal. Sentinel handling as in q_t3o, on both sides (a sentinel can
+    only ever pair with the other side's sentinel — real users are >= 0)."""
+    sdf = _staged_events_stream(spark, sf, "t3f", "32 minutes")
+    is_sent = F.col("event_type") == "__wm__"
+    pay = sdf.filter((F.col("event_type") == "purchase") | is_sent).select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    orderv = sdf.filter((F.col("event_type") == "view") | is_sent).select(
+        F.col("user_id").alias("o_user"), F.col("ts").alias("o_ts")
+    )
+    joined = windows.interval_join_stream(
+        pay, orderv, ("p_user", "o_user"), ("p_ts", "o_ts"),
+        "'-15' MINUTE", "'0' SECOND", how="fullOuter",
+    )
+    pairs = runner.run_to_memory(joined, "t3f").filter(
+        (F.col("p_user").isNull() | (F.col("p_user") != -1))
+        & (F.col("o_user").isNull() | (F.col("o_user") != -1))
+    )
+    return pairs.groupBy(
+        F.date_format(F.coalesce("p_ts", "o_ts"), "yyyy-MM-dd").alias("dt")
+    ).agg(
+        F.count(F.lit(1)).alias("pair_ct"),
+        F.count(F.when(F.col("p_user").isNotNull() & F.col("o_user").isNotNull(), 1)).alias(
+            "matched_ct"
+        ),
+    )
+
+
+SQL_T3F = """
+SELECT strftime(coalesce(p.ts, o.ts), '%Y-%m-%d') AS dt,
+       count(*)::BIGINT AS pair_ct,
+       count(CASE WHEN p.user_id IS NOT NULL AND o.user_id IS NOT NULL
+                  THEN 1 END)::BIGINT AS matched_ct
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL JOIN (SELECT * FROM events WHERE event_type = 'view') o
+  ON p.user_id = o.user_id
+ AND o.ts >= p.ts - INTERVAL 15 MINUTE AND o.ts <= p.ts
+GROUP BY 1
+"""
+
+
+# t3b combined gate: inner + left-outer + full-outer streaming interval
+# joins, one tagged entry (the outer branches' matched_ct must equal the
+# inner branch's pair_ct row-for-row — all are hashed against the oracle).
 def q_t3c(spark: SparkSession, sf: str) -> DataFrame:
     inner = q_t3b(spark, sf).select(
         F.lit("inner").alias("kind"), "dt", "pair_ct", F.col("pair_ct").alias("matched_ct")
     )
     outer = q_t3o(spark, sf).select(F.lit("outer").alias("kind"), "dt", "pair_ct", "matched_ct")
-    return inner.unionByName(outer)
+    full = q_t3f(spark, sf).select(F.lit("full").alias("kind"), "dt", "pair_ct", "matched_ct")
+    return inner.unionByName(outer).unionByName(full)
 
 
 def _sql_t3c() -> str:
@@ -227,6 +274,8 @@ def _sql_t3c() -> str:
 SELECT 'inner' AS kind, dt, pair_ct, pair_ct AS matched_ct FROM ({SQL_J2})
 UNION ALL
 SELECT 'outer', dt, pair_ct, matched_ct FROM ({SQL_T3O})
+UNION ALL
+SELECT 'full', dt, pair_ct, matched_ct FROM ({SQL_T3F})
 """
 
 
