@@ -14,7 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flinkrealtimedatawarehouse_spark.operators import ads, aggs, bounce, dedup, filters, joins, logsplit, merge, quality, routing, scale, sessions, unions
+from flinkrealtimedatawarehouse_spark.operators import ads, aggs, behavior, bounce, dedup, filters, joins, logsplit, merge, quality, routing, scale, sessions, unions
 from flinkrealtimedatawarehouse_spark.functions.tokenize import explode_tokens
 from flinkrealtimedatawarehouse_spark.schemas import TABLE_PROCESS_SCHEMA
 from flinkrealtimedatawarehouse_spark.tables import load_table
@@ -609,6 +609,60 @@ FROM cal LEFT JOIN g ON cal.dt = g.dt
 
 # A8 combined gate (tagged): the mapper's hour series + the three serving
 # shapes the reference lacks (rolling frames, pivot matrix, gap filling).
+# A8f/A8t (beyond ref): ordered funnel + cohort retention over events
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_a8f(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return behavior.funnel_counts(ev, "user_id", "ts", "event_type", _FUNNEL_STEPS, "30 minutes")
+
+
+SQL_A8F = """
+WITH a AS (
+  SELECT user_id AS u, min(ts) AS t1, min(ts) + INTERVAL 30 MINUTE AS dl
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT a.u, a.dl, min(e.ts) AS t2
+  FROM events e JOIN a ON e.user_id = a.u
+  WHERE e.event_type = 'click' AND e.ts >= a.t1 AND e.ts <= a.dl
+  GROUP BY 1, 2
+),
+s3 AS (
+  SELECT s2.u, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.u
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 AND e.ts <= s2.dl
+  GROUP BY 1
+)
+SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM a)::BIGINT AS user_ct
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM s2)::BIGINT
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM s3)::BIGINT
+"""
+
+
+def q_a8t(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return behavior.retention_cohorts(ev, "user_id", "ts", horizons=(1, 7))
+
+
+SQL_A8T = """
+WITH days AS (SELECT DISTINCT user_id AS u, ts::DATE AS d FROM events),
+f AS (SELECT u, min(d) AS cohort FROM days GROUP BY 1),
+j AS (
+  SELECT f.u, f.cohort, days.d, date_diff('day', f.cohort, days.d) AS k
+  FROM f JOIN days USING (u)
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_date,
+       count(DISTINCT u)::BIGINT AS cohort_size,
+       count(DISTINCT CASE WHEN k = 1 THEN u END)::BIGINT AS ret_1,
+       count(DISTINCT CASE WHEN k = 7 THEN u END)::BIGINT AS ret_7
+FROM j GROUP BY 1
+"""
+
+
 def q_a8c(spark: SparkSession, sf: str) -> DataFrame:
     hourly = q_a8(spark, sf).select(
         F.lit("hourly").alias("branch"), F.col("hr").cast("string").alias("k"),
@@ -619,7 +673,24 @@ def q_a8c(spark: SparkSession, sf: str) -> DataFrame:
     rolling = q_a8r(spark, sf).select(F.lit("rolling").alias("branch"), "k", "v1", "v2", "v3")
     pivot = q_a8p(spark, sf).select(F.lit("pivot").alias("branch"), "k", "v1", "v2", "v3")
     gaps = q_a8g(spark, sf).select(F.lit("gapfill").alias("branch"), "k", "v1", "v2", "v3")
-    return hourly.unionByName(rolling).unionByName(pivot).unionByName(gaps)
+    funnel = q_a8f(spark, sf).select(
+        F.lit("funnel").alias("branch"),
+        F.concat_ws("|", F.col("step").cast("string"), "step_name").alias("k"),
+        F.col("user_ct").cast("double").alias("v1"),
+        F.col("step").cast("double").alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    retention = q_a8t(spark, sf).select(
+        F.lit("retention").alias("branch"),
+        F.col("cohort_date").alias("k"),
+        F.col("cohort_size").cast("double").alias("v1"),
+        F.col("ret_1").cast("double").alias("v2"),
+        F.col("ret_7").cast("double").alias("v3"),
+    )
+    return (
+        hourly.unionByName(rolling).unionByName(pivot).unionByName(gaps)
+        .unionByName(funnel).unionByName(retention)
+    )
 
 SQL_A8C = f"""
 SELECT 'hourly' AS branch, hr::VARCHAR AS k, new_uv::DOUBLE AS v1,
@@ -630,6 +701,12 @@ UNION ALL
 SELECT 'pivot', k, v1, v2, v3 FROM ({SQL_A8P})
 UNION ALL
 SELECT 'gapfill', k, v1, v2, v3 FROM ({SQL_A8G})
+UNION ALL
+SELECT 'funnel', step::VARCHAR || '|' || step_name, user_ct::DOUBLE,
+       step::DOUBLE, 0.0 FROM ({SQL_A8F})
+UNION ALL
+SELECT 'retention', cohort_date, cohort_size::DOUBLE, ret_1::DOUBLE,
+       ret_7::DOUBLE FROM ({SQL_A8T})
 """
 
 # A9 weighted keyword scoring (multiIf) over documents sources

@@ -892,3 +892,65 @@ def test_scd2_lookup_joins_covering_version(spark):
         7: None,   # deleted at 8 (valid_to exclusive)
         8: None,   # unknown key
     }
+
+
+def test_funnel_counts_order_and_window(spark):
+    """Hand-computed funnel: order violations and deadline expiry must not
+    advance a user; t_ev == t_prev (same timestamp) does advance."""
+    from datetime import datetime as DT
+
+    from flinkrealtimedatawarehouse_spark.operators import behavior
+
+    rows = [
+        # u1 completes in order within 30 min
+        (1, DT(2024, 1, 1, 10, 0), "view"),
+        (1, DT(2024, 1, 1, 10, 5), "click"),
+        (1, DT(2024, 1, 1, 10, 10), "purchase"),
+        # u2: click BEFORE the anchor view -> stops at step 1
+        (2, DT(2024, 1, 1, 9, 55), "click"),
+        (2, DT(2024, 1, 1, 10, 0), "view"),
+        (2, DT(2024, 1, 1, 11, 0), "purchase"),  # also past deadline
+        # u3: click at exactly the 30-min deadline (inclusive), no purchase
+        (3, DT(2024, 1, 1, 10, 0), "view"),
+        (3, DT(2024, 1, 1, 10, 30), "click"),
+        # u4: purchase before click -> reaches step 2 only
+        (4, DT(2024, 1, 1, 10, 0), "view"),
+        (4, DT(2024, 1, 1, 10, 2), "purchase"),
+        (4, DT(2024, 1, 1, 10, 4), "click"),
+        # u5: never views -> not in funnel at all
+        (5, DT(2024, 1, 1, 10, 0), "click"),
+        (5, DT(2024, 1, 1, 10, 1), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    out = {
+        r.step: (r.step_name, r.user_ct)
+        for r in behavior.funnel_counts(
+            ev, "user_id", "ts", "event_type", ["view", "click", "purchase"], "30 minutes"
+        ).collect()
+    }
+    assert out[1] == ("view", 4)      # u1..u4
+    assert out[2] == ("click", 3)     # u1, u3 (deadline inclusive), u4
+    assert out[3] == ("purchase", 1)  # u1 only
+
+
+def test_retention_cohorts_hand_computed(spark):
+    from datetime import datetime as DT
+
+    from flinkrealtimedatawarehouse_spark.operators import behavior
+
+    rows = [
+        (1, DT(2024, 1, 1, 8, 0)), (1, DT(2024, 1, 2, 9, 0)),   # back day 1
+        (1, DT(2024, 1, 8, 9, 0)),                              # back day 7
+        (2, DT(2024, 1, 1, 8, 0)),                              # never returns
+        (3, DT(2024, 1, 2, 8, 0)), (3, DT(2024, 1, 3, 8, 0)),   # cohort 01-02, day 1
+        (3, DT(2024, 1, 2, 23, 0)),                             # same-day dup ignored
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = {r.cohort_date: r for r in
+           behavior.retention_cohorts(ev, "user_id", "ts", horizons=(1, 7)).collect()}
+    assert out["2024-01-01"].cohort_size == 2
+    assert out["2024-01-01"].ret_1 == 1      # only u1
+    assert out["2024-01-01"].ret_7 == 1      # only u1
+    assert out["2024-01-02"].cohort_size == 1
+    assert out["2024-01-02"].ret_1 == 1
+    assert out["2024-01-02"].ret_7 == 0
