@@ -91,6 +91,34 @@ def main() -> int:
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s (min of {n_runs})", file=sys.stderr)
 
+    # Extras: timed the same way (min-of-N after one warm-up) but kept OUT
+    # of the headline metric and its "queries" dict so `value` stays
+    # comparable across rounds (the headline set is frozen).
+    from flinkrealtimedatawarehouse_spark.benchqueries import tpch, warehouse as wh
+
+    extra_fns = {
+        "tpch1_pricing": tpch.q_tpch1,
+        "tpch3_topn": tpch.q_tpch3,
+        "tpch5_region": tpch.q_tpch5,
+        "tpch18_bigqty": tpch.q_tpch18,
+        "a8f_funnel": wh.q_a8f,
+        "a8t_retention": wh.q_a8t,
+    }
+    extras: dict[str, float] = {}
+    for name, fn in extra_fns.items():
+        try:
+            fn(spark, sf_dir).count()  # warm-up
+            best = float("inf")
+            for _ in range(n_runs):
+                t0 = time.time()
+                n = fn(spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+        except Exception as e:
+            print(f"# extra {name} FAILED: {e}", file=sys.stderr)
+            continue
+        extras[name] = round(best, 3)
+        print(f"# extra {name}: {n} rows in {extras[name]}s", file=sys.stderr)
+
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
@@ -100,6 +128,7 @@ def main() -> int:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "extras": extras,
         "sf": sf,
     }
     print(json.dumps(out))

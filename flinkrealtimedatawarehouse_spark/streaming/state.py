@@ -71,6 +71,33 @@ def streaming_dedup(
     )
 
 
+def streaming_dedup_within_watermark(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    delay: str = "24 hours",
+) -> DataFrame:
+    """TTL-style streaming dedup via ``dropDuplicatesWithinWatermark`` —
+    the closest one-call match to the reference's 24 h OnCreateAndWrite
+    keyed-state TTL (rt/app/dwd/UniqueVisitApp.java:66-70): state for a
+    key is dropped once the watermark passes delay beyond the FIRST
+    sighting, so a re-visit more than ``delay`` later emits again.
+
+    Contrast with ``streaming_dedup``: there the dedup horizon is a fixed
+    calendar grain (one row per key per day, Flink's state cleared at a
+    boundary); here it is a sliding TTL from first sight (one row per key
+    per ``delay``-length quiet period). Both keep state bounded by the
+    watermark; which matches depends on whether the product metric is
+    calendar UV or session-ish uniqueness.
+    """
+    return (
+        events.withWatermark(ts_col, delay)
+        .select(*key_cols, ts_col)
+        .dropDuplicatesWithinWatermark(key_cols)
+        .select(*key_cols)
+    )
+
+
 BOUNCE_OUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -968,3 +968,42 @@ def test_update_mode_reemits_growing_aggregates(spark):
     out = runner.run_to_memory(agg, "updm", output_mode="update")
     revisions = sorted((r.ct, r.v) for r in out.collect())
     assert revisions == [(1, 1.0), (2, 3.0), (3, 7.0)]
+
+
+def test_stream_dedup_within_watermark_ttl_readmits_after_delay(spark):
+    """TTL dedup twin: duplicates inside the delay emit once; a re-visit
+    beyond the TTL emits again (the calendar-grain variant would collapse
+    them if they shared a grain, and split them at midnight even when
+    seconds apart — the two operators differ exactly there)."""
+    rows = [
+        # u1 dup within TTL, then re-visit 3 days later (past 24 h TTL)
+        (1, 1, ts("2024-01-01 10:00:00"), "view", 0.0, None),
+        (1, 2, ts("2024-01-01 18:00:00"), "view", 0.0, None),
+        # u2 once
+        (2, 4, ts("2024-01-01 11:00:00"), "view", 0.0, None),
+        # u3 straddles midnight within TTL: calendar dedup would emit 2,
+        # TTL dedup emits 1
+        (3, 5, ts("2024-01-02 23:30:00"), "view", 0.0, None),
+        (3, 6, ts("2024-01-03 00:30:00"), "view", 0.0, None),
+        # watermark advancer: a batch BEFORE u1's re-visit must push the
+        # watermark past u1's expiry (LAST duplicate sighting + 24 h — the
+        # TTL refreshes on every dup) and the watermark lags one batch,
+        # so eviction needs an intervening commit
+        (8, 7, ts("2024-01-04 00:00:00"), "view", 0.0, None),
+        # second advancer: eviction applies the watermark fixed at batch
+        # START, so the wm must pass expiry one full batch before the
+        # re-visit's batch
+        (7, 10, ts("2024-01-04 06:00:00"), "view", 0.0, None),
+        (1, 8, ts("2024-01-06 09:00:00"), "view", 0.0, None),
+        # final advancer so the last batch's commit is past everything
+        (9, 9, ts("2024-01-09 00:00:00"), "view", 0.0, None),
+    ]
+    sdf = _stream_events(spark, rows, 9, "dedup_ttl")
+    out = runner.run_to_memory(
+        state.streaming_dedup_within_watermark(sdf, ["user_id"], delay="24 hours"),
+        "dedup_ttl",
+    )
+    counts = {r.user_id: r.ct for r in out.groupBy("user_id").agg(F.count("*").alias("ct")).collect()}
+    assert counts[2] == 1
+    assert counts[3] == 1          # straddles midnight but within TTL
+    assert counts[1] == 2          # re-admitted after the TTL elapsed
