@@ -648,6 +648,31 @@ def q_a8t(spark: SparkSession, sf: str) -> DataFrame:
     return behavior.retention_cohorts(ev, "user_id", "ts", horizons=(1, 7))
 
 
+def q_a8fs(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of q_a8f: funnel_stream's per-user depths replayed
+    over the staged events stream must aggregate to the SAME per-step
+    counts as the batch greedy chain (one oracle, two engines' worth of
+    proof). The source keeps only step types OR the sentinel so the
+    pushable filter cannot prune the watermark-advancing file."""
+    # lazy import: streamq imports this module at load time
+    from flinkrealtimedatawarehouse_spark.benchqueries import streamq
+    from flinkrealtimedatawarehouse_spark.streaming import runner, state
+
+    sdf = streamq._staged_events_stream(spark, sf, "a8fs", "35 minutes")
+    sdf = sdf.filter(F.col("event_type").isin(*_FUNNEL_STEPS, "__wm__"))
+    depths = runner.run_to_memory(
+        state.funnel_stream(sdf, _FUNNEL_STEPS, window_s=1800, delay="30 seconds"),
+        "a8fs",
+    ).filter(F.col("user_id") >= 0)
+    out = None
+    for j, name in enumerate(_FUNNEL_STEPS, start=1):
+        row = depths.agg(
+            F.sum(F.when(F.col("depth") >= j, 1).otherwise(0)).cast("long").alias("user_ct")
+        ).select(F.lit(j).alias("step"), F.lit(name).alias("step_name"), "user_ct")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 SQL_A8T = """
 WITH days AS (SELECT DISTINCT user_id AS u, ts::DATE AS d FROM events),
 f AS (SELECT u, min(d) AS cohort FROM days GROUP BY 1),
@@ -687,9 +712,16 @@ def q_a8c(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ret_1").cast("double").alias("v2"),
         F.col("ret_7").cast("double").alias("v3"),
     )
+    funnel_s = q_a8fs(spark, sf).select(
+        F.lit("funnel_stream").alias("branch"),
+        F.concat_ws("|", F.col("step").cast("string"), "step_name").alias("k"),
+        F.col("user_ct").cast("double").alias("v1"),
+        F.col("step").cast("double").alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
     return (
         hourly.unionByName(rolling).unionByName(pivot).unionByName(gaps)
-        .unionByName(funnel).unionByName(retention)
+        .unionByName(funnel).unionByName(retention).unionByName(funnel_s)
     )
 
 SQL_A8C = f"""
@@ -707,6 +739,9 @@ SELECT 'funnel', step::VARCHAR || '|' || step_name, user_ct::DOUBLE,
 UNION ALL
 SELECT 'retention', cohort_date, cohort_size::DOUBLE, ret_1::DOUBLE,
        ret_7::DOUBLE FROM ({SQL_A8T})
+UNION ALL
+SELECT 'funnel_stream', step::VARCHAR || '|' || step_name, user_ct::DOUBLE,
+       step::DOUBLE, 0.0 FROM ({SQL_A8F})
 """
 
 # A9 weighted keyword scoring (multiIf) over documents sources

@@ -226,3 +226,151 @@ def bounce_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("depth", T.IntegerType()),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("tidx", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def _funnel_fn(n_steps: int, window_s: int):
+    window_us = window_s * 1_000_000
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            ts_us, tidx = state.get
+            ts_us, tidx = list(ts_us), list(tidx)
+        else:
+            ts_us, tidx = [], []
+
+        if -1 in tidx:
+            # tombstone: this user's funnel is already decided. Batch
+            # semantics anchor on the user's FIRST step-1 event ever, so a
+            # later step-1 must NOT re-open the funnel; the done-bit is
+            # the per-user memory any engine needs for that contract
+            # (O(users) state, one tiny row each — the documented cost).
+            for pdf in pdfs:
+                pass  # drain and ignore post-decision events
+            yield pd.DataFrame({"user_id": [], "depth": []})
+            return
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                # non-step rows (tidx < 0) already did their job JVM-side —
+                # advancing the watermark — and never enter the buffer
+                step_rows = pdf[pdf["tidx"] >= 0]
+                ts_us.extend((step_rows["ts"].astype("int64") // 1_000).tolist())
+                tidx.extend(step_rows["tidx"].astype("int32").tolist())
+
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        anchors = [t for t, x in zip(ts_us, tidx) if x == 0]
+        anchor = min(anchors) if anchors else None
+
+        if anchor is not None and anchor + window_us < wm_us:
+            # decidable: every event that can extend the chain (ts <=
+            # anchor+window) is on or behind the watermark — run the same
+            # greedy min-chain as the batch operator and finalize
+            deadline = anchor + window_us
+            t_prev, depth = anchor, 1
+            for step in range(1, n_steps):
+                cand = [
+                    t for t, x in zip(ts_us, tidx)
+                    if x == step and t_prev <= t <= deadline
+                ]
+                if not cand:
+                    break
+                t_prev = min(cand)
+                depth += 1
+            state.update(([0], [-1]))  # tombstone, no timer
+            yield pd.DataFrame({"user_id": [user_id], "depth": [depth]})
+            return
+
+        if anchor is None:
+            # no anchor yet: a future first-step event cannot be earlier
+            # than the watermark (later rows would be late-dropped), so
+            # buffered followers behind the watermark can never qualify
+            keep = [i for i in range(len(ts_us)) if ts_us[i] >= wm_us]
+        else:
+            # anchor can only move earlier; events past the current
+            # deadline can never join the chain
+            keep = [i for i in range(len(ts_us)) if ts_us[i] <= anchor + window_us]
+        if keep:
+            state.update((
+                [ts_us[i] for i in keep],
+                [tidx[i] for i in keep],
+            ))
+            if anchor is not None:
+                # fires when wm_ms > floor_ms(deadline)  ⇔  deadline < wm
+                # at ms granularity (same convention as _bounce_fn)
+                state.setTimeoutTimestamp((anchor + window_us) // 1_000)
+        else:
+            state.remove()
+        yield pd.DataFrame({"user_id": [], "depth": []})
+
+    return fn
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_s: int = 1800,
+    delay: str = "30 seconds",
+) -> DataFrame:
+    """Streaming k-step ordered funnel — the CEP generalization of
+    ``bounce_stream`` (the reference's CEP handles exactly one 2-step
+    pattern; this is the k-step form product analytics needs), with the
+    SAME greedy semantics as the batch ``operators.behavior.funnel_counts``:
+    anchor = the user's earliest step-1 event, each later step = earliest
+    qualifying event within ``window_s`` of the anchor.
+
+    Emits (user_id, depth) exactly once per user with an anchor, when the
+    watermark passes anchor + window (event-time timer, T7). State buffers
+    only events inside the user's open funnel window (pre-anchor followers
+    behind the watermark are evicted — they can never qualify), the same
+    bound a Flink CEP operator pays for the pattern buffer — plus one
+    tombstone row per decided user, the per-user memory the batch
+    "first anchor ever" contract inherently requires.
+    """
+    # Non-step rows map to -2 and are NOT filtered here: a pre-watermark
+    # filter would be pushed to the scan and could prune the very rows
+    # (e.g. a replay sentinel) that advance the watermark. They are
+    # dropped Python-side before entering any buffer; pre-filter the
+    # SOURCE to step types when volume matters (keeping any watermark
+    # sentinel in the allowed set, as the gate queries do).
+    mapping = F.lit(-2)
+    for i, s in reversed(list(enumerate(steps))):
+        mapping = F.when(F.col(type_col) == s, F.lit(i)).otherwise(mapping)
+    prepared = events.select(
+        F.col(key).cast("long").alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        mapping.cast("int").alias("tidx"),
+    )
+    return (
+        prepared.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn(len(steps), window_s),
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

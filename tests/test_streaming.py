@@ -1007,3 +1007,55 @@ def test_stream_dedup_within_watermark_ttl_readmits_after_delay(spark):
     assert counts[2] == 1
     assert counts[3] == 1          # straddles midnight but within TTL
     assert counts[1] == 2          # re-admitted after the TTL elapsed
+
+
+def test_stream_funnel_matches_batch_greedy_semantics(spark):
+    """funnel_stream must reproduce operators.behavior.funnel_counts'
+    greedy chain per user: anchor = first step-1 event, later steps =
+    earliest qualifying within the anchor window; one emission per user;
+    a post-decision step-1 must NOT re-open the funnel."""
+    from flinkrealtimedatawarehouse_spark.operators import behavior
+
+    rows = [
+        # u1 full chain inside 60 s
+        (1, 1, ts("2024-01-01 00:00:00"), "view", 0.0, None),
+        (1, 2, ts("2024-01-01 00:00:10"), "click", 0.0, None),
+        (1, 3, ts("2024-01-01 00:00:20"), "purchase", 0.0, None),
+        # u2: click exactly at the deadline (inclusive), purchase past it
+        (2, 4, ts("2024-01-01 00:00:00"), "view", 0.0, None),
+        (2, 5, ts("2024-01-01 00:01:00"), "click", 0.0, None),
+        (2, 6, ts("2024-01-01 00:01:30"), "purchase", 0.0, None),
+        # u3: purchase before click -> depth 2
+        (3, 7, ts("2024-01-01 00:00:00"), "view", 0.0, None),
+        (3, 8, ts("2024-01-01 00:00:05"), "purchase", 0.0, None),
+        (3, 9, ts("2024-01-01 00:00:10"), "click", 0.0, None),
+        # u4: never views -> no emission
+        (4, 10, ts("2024-01-01 00:00:30"), "click", 0.0, None),
+        # u1 again far later: tombstoned, must not re-emit
+        (1, 11, ts("2024-01-01 02:00:00"), "view", 0.0, None),
+        (1, 12, ts("2024-01-01 02:00:05"), "click", 0.0, None),
+    ]
+    sdf = _stream_events(spark, rows, 5, "funnel_s", sentinel_pad="10 minutes")
+    out = runner.run_to_memory(
+        state.funnel_stream(
+            sdf, ["view", "click", "purchase"], window_s=60, delay="1 second"
+        ),
+        "funnel_s",
+    ).filter(F.col("user_id") >= 0)
+    got = {(r.user_id, r.depth) for r in out.collect()}
+    assert got == {(1, 3), (2, 2), (3, 2)}
+
+    # batch parity on the same rows
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string, value double, props string"
+    )
+    batch = {
+        r.step: r.user_ct
+        for r in behavior.funnel_counts(
+            df, "user_id", "ts", "event_type", ["view", "click", "purchase"], "60 seconds"
+        ).collect()
+    }
+    stream_counts = {
+        j: sum(1 for _, d in got if d >= j) for j in (1, 2, 3)
+    }
+    assert stream_counts == batch
