@@ -92,6 +92,48 @@ def quality_score(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def embed_text(docs: DataFrame, id_col: str, text_col: str, dim: int = 16) -> DataFrame:
+    """Deterministic feature-hash text embedding (the hashing trick):
+    token t lands in bucket ``h(t) % dim`` with sign ±1 from the next hash
+    bit; the signed counts are L2-normalized (6-dp). Adds ``embedding``
+    (array<double>).
+
+    This is the embedding-GENERATION stub of the vector stack: it gives
+    the corpus a real, engine-independent text->vector path (gated against
+    a DuckDB oracle bit-for-bit) that feeds the existing index/search
+    operators; a learned encoder swaps in behind the same column contract
+    via Arrow-batched mapInPandas (see multimodal.py's pattern) without
+    touching anything downstream.
+
+    Scale: map-only, JVM-only — one md5 per token then ``dim`` integer
+    folds inside whole-stage codegen; no shuffle, no Python.
+    """
+    toks = spark_tokens(F.col(text_col))
+    th = F.transform(toks, lambda t: spark_phash(t) % F.lit(1 << 30))
+
+    def _comp(b: int):
+        # factory (not lambda defaults): PySpark counts default params as HOF arity
+        return F.aggregate(
+            F.col("_th"),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.when(t % dim == b, F.lit(1) - 2 * (F.floor(t / dim).cast("long") % 2)).otherwise(
+                F.lit(0)
+            ),
+        )
+
+    with_th = docs.withColumn("_th", th)
+    raw = F.array(*[_comp(b) for b in range(dim)])
+    with_raw = with_th.withColumn("_raw", raw).drop("_th")
+    nrm = F.sqrt(
+        F.aggregate(F.col("_raw"), F.lit(0).cast("long"), lambda a, x: a + x * x).cast("double")
+    )
+    vec = F.when(
+        nrm > 0, F.transform(F.col("_raw"), lambda x: F.round(x.cast("double") / nrm, 6))
+    ).otherwise(F.transform(F.col("_raw"), lambda x: F.lit(0.0)))
+    return with_raw.withColumn("embedding", vec).drop("_raw")
+
+
 def gopher_rules(
     docs: DataFrame,
     text_col: str,
