@@ -17,7 +17,7 @@ expressions (datapipeline.hashing) — bit-for-bit identical signatures.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flinkrealtimedatawarehouse_spark.datapipeline import multimodal, similarity, textdedup, textstats
@@ -897,6 +897,34 @@ SELECT *, 'ivf' AS method FROM ({SQL_IVF})
 
 # dp8+dp9+dp10+dp14: per-document text-analysis metrics, one wide row per
 # sampled doc (lang ID, quality, token counts, repetition signals).
+#
+# Gate-stability contract (round-4 hardening of the one red r3 cell):
+# every fractional metric is hashed as exact integer MICROS (round(x*1e6)
+# as bigint — the 6-dp precision the doubles already carried, now immune
+# to any float-formatting convention in the driver's hasher), the output
+# is pinned to doc_id order (the 5-way join otherwise emits
+# partition-nondeterministic order), and each contributing operator gets
+# a per-branch md5 checksum column so a future red hash self-localizes
+# to the branch whose ck_* differs instead of naming 17 columns at once.
+
+# branch -> the gate columns that operator contributes (checksum spec,
+# shared by the Spark select and the SQL twin below)
+_DOC_METRIC_BRANCHES: dict[str, tuple[str, ...]] = {
+    "ck_rep": ("n_tokens", "ttr_u", "top_bigram_frac_u"),
+    "ck_lang": ("lang", "pred_lang"),
+    "ck_quality": ("quality_u", "alnum_ratio_u"),
+    "ck_tok": ("ws_tokens", "bpe_est_tokens"),
+    "ck_gopher": (
+        "g_words", "g_mean_word_len_u", "g_alpha_frac_u", "g_bullet_frac_u",
+        "g_ellipsis_frac_u", "g_stop_kinds", "gopher_pass",
+    ),
+}
+
+
+def _micros(c: str) -> Column:
+    return F.round(F.col(c) * 1_000_000).cast("long").alias(c + "_u")
+
+
 def q_doc_metrics(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 25 == 0)
     lang = textstats.lang_id(docs, "text").select("doc_id", "lang", "pred_lang")
@@ -907,11 +935,36 @@ def q_doc_metrics(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "g_words", "g_mean_word_len", "g_alpha_frac", "g_bullet_frac",
         "g_ellipsis_frac", "g_stop_kinds", F.col("gopher_pass").cast("int").alias("gopher_pass"),
     )
-    return rep.join(lang, "doc_id").join(qual, "doc_id").join(tok, "doc_id").join(gop, "doc_id")
+    wide = (
+        rep.join(lang, "doc_id").join(qual, "doc_id").join(tok, "doc_id").join(gop, "doc_id")
+        .select(
+            "doc_id", "n_tokens",
+            _micros("ttr"), _micros("top_bigram_frac"),
+            "lang", "pred_lang",
+            _micros("quality"), _micros("alnum_ratio"),
+            "ws_tokens", "bpe_est_tokens",
+            "g_words",
+            _micros("g_mean_word_len"), _micros("g_alpha_frac"),
+            _micros("g_bullet_frac"), _micros("g_ellipsis_frac"),
+            "g_stop_kinds", "gopher_pass",
+        )
+    )
+    cks = {
+        ck: F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
+        for ck, cols in _DOC_METRIC_BRANCHES.items()
+    }
+    return wide.withColumns(cks).orderBy("doc_id")
 
 def _sql_doc_metrics() -> str:
     toks = duck_tokens("text")
     pred = _duck_pred_lang()
+    # per-branch checksums generated from the SAME spec as the Spark side
+    cks = ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"{c}::VARCHAR" for c in cols)
+        + f")) AS {ck}"
+        for ck, cols in _DOC_METRIC_BRANCHES.items()
+    )
     return f"""
 WITH a AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 25 = 0),
 tk AS (SELECT doc_id, text, {toks} AS toks FROM a),
@@ -983,22 +1036,79 @@ gp AS (
           THEN 1 ELSE 0 END)::INT AS gopher_pass
   FROM gf
 )
+, sel AS (
 SELECT f.doc_id, f.n_tokens,
-       round(f.n_distinct::DOUBLE / f.n_tokens, 6) AS ttr,
-       round(coalesce(tp.top_bg_ct, 0)::DOUBLE * 2 / f.n_tokens, 6) AS top_bigram_frac,
+       CAST(round(round(f.n_distinct::DOUBLE / f.n_tokens, 6) * 1000000) AS BIGINT) AS ttr_u,
+       CAST(round(round(coalesce(tp.top_bg_ct, 0)::DOUBLE * 2 / f.n_tokens, 6) * 1000000) AS BIGINT) AS top_bigram_frac_u,
        lng.lang, lng.pred_lang,
-       round(0.4 * least(q2.n_toks::DOUBLE / 100.0, 1.0)
+       CAST(round(round(0.4 * least(q2.n_toks::DOUBLE / 100.0, 1.0)
            + 0.3 * q2.ar_raw
-           + 0.3 * least(q2.stop_ratio * 5.0, 1.0), 6) AS quality,
-       round(q2.ar_raw, 6) AS alnum_ratio,
+           + 0.3 * least(q2.stop_ratio * 5.0, 1.0), 6) * 1000000) AS BIGINT) AS quality_u,
+       CAST(round(round(q2.ar_raw, 6) * 1000000) AS BIGINT) AS alnum_ratio_u,
        q2.ws_tokens, q2.bpe_est_tokens,
-       gp.g_words, gp.g_mean_word_len, gp.g_alpha_frac, gp.g_bullet_frac,
-       gp.g_ellipsis_frac, gp.g_stop_kinds, gp.gopher_pass
+       gp.g_words,
+       CAST(round(gp.g_mean_word_len * 1000000) AS BIGINT) AS g_mean_word_len_u,
+       CAST(round(gp.g_alpha_frac * 1000000) AS BIGINT) AS g_alpha_frac_u,
+       CAST(round(gp.g_bullet_frac * 1000000) AS BIGINT) AS g_bullet_frac_u,
+       CAST(round(gp.g_ellipsis_frac * 1000000) AS BIGINT) AS g_ellipsis_frac_u,
+       gp.g_stop_kinds, gp.gopher_pass
 FROM f LEFT JOIN tp USING (doc_id) JOIN q2 USING (doc_id) JOIN lng USING (doc_id)
      JOIN gp USING (doc_id)
+)
+SELECT sel.*, {cks}
+FROM sel ORDER BY doc_id
 """
 
 SQL_DOC_METRICS = _sql_doc_metrics()
+
+# dp27: text -> deterministic feature-hash embedding (the generation link
+# of the vector stack: embed_text output feeds build_ivf_index /
+# ivf_index_topk — e2e in tests/test_datapipeline.py). The gate explodes
+# the vector to one row per (doc, component) and hashes exact integer
+# micros, same stability contract as dp8; the L2 norm is computed from
+# INTEGER squared sums on both engines, so there is no
+# summation-order float divergence anywhere upstream of the one division.
+_EMBED_DIM = 16
+
+
+def q_embed_text(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 25 == 0)
+    emb = textstats.embed_text(docs, "doc_id", "text", dim=_EMBED_DIM)
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("dim_idx", "comp"))
+        .select(
+            "doc_id",
+            "dim_idx",
+            F.round(F.col("comp") * 1_000_000).cast("long").alias("comp_u"),
+        )
+        .orderBy("doc_id", "dim_idx")
+    )
+
+
+def _sql_embed_text(dim: int = _EMBED_DIM) -> str:
+    toks = duck_tokens("text")
+    comps = ", ".join(
+        f"coalesce(list_sum(list_transform(th, t -> CASE WHEN t % {dim} = {b} "
+        f"THEN 1 - 2 * ((t // {dim}) % 2) ELSE 0 END)), 0)"
+        for b in range(dim)
+    )
+    return f"""
+WITH a AS (SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id % 25 = 0),
+h AS (SELECT doc_id, {duck_token_hashes('toks')} AS th FROM a),
+r AS (SELECT doc_id, [{comps}] AS raw FROM h),
+n AS (SELECT doc_id, raw,
+             sqrt(list_sum(list_transform(raw, x -> x * x))::DOUBLE) AS nrm
+      FROM r)
+SELECT doc_id, (gs.i - 1)::INT AS dim_idx,
+       CASE WHEN nrm > 0
+            THEN CAST(round(round(raw[gs.i] / nrm, 6) * 1000000) AS BIGINT)
+            ELSE 0 END AS comp_u
+FROM n, generate_series(1, {dim}) AS gs(i)
+ORDER BY doc_id, dim_idx
+"""
+
+
+SQL_EMBED_TEXT = _sql_embed_text()
 
 # dp23+dp24+dp26: the corpus-audit/curation trio, one tagged entry —
 # length quantiles per source + top-k-per-group quality culling + chunking
@@ -1188,6 +1298,7 @@ REGISTRY = {
     "dp6_cosine_topk": (q_cosine_topk_both, SQL_COSINE_TOPK_BOTH),
     "dp7_ann_topk": (q_ann_both, SQL_ANN_BOTH),
     "dp8_doc_metrics": (q_doc_metrics, SQL_DOC_METRICS),
+    "dp27_embed_text": (q_embed_text, SQL_EMBED_TEXT),
     "dp11_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "dp12_multimodal_features": (q_multimodal, SQL_MULTIMODAL),
     "dp15_pii_redact": (q_dp15c, SQL_DP15C),

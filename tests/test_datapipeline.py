@@ -945,3 +945,75 @@ def test_gopher_rules_planted_edges(spark):
     assert not out[6].gopher_pass and out[6].g_alpha_frac == 0.0
     # the clean doc hits >= 2 distinct stopwords
     assert out[1].g_stop_kinds >= 2
+
+
+def test_embed_text_unit_norm_and_determinism(spark):
+    """embed_text: vectors are L2-normalized (6-dp), empty docs embed to
+    the zero vector, and the embedding is a pure function of the text
+    (identical text => identical vector, partitioning-independent)."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import textstats
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),
+        (3, "%%% !!! ???"),  # tokenizes to nothing => zero vector
+        (4, "the quick brown fox jumps over the lazy dog"),  # doc 1's twin
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: list(r.embedding)
+           for r in textstats.embed_text(df, "doc_id", "text", dim=16).collect()}
+    assert len(out[1]) == 16
+    assert abs(sum(x * x for x in out[1]) - 1.0) < 1e-4
+    assert out[2] == [0.0] * 16 and out[3] == [0.0] * 16
+    assert out[1] == out[4]
+    # repartitioning must not change a single component
+    out2 = {r.doc_id: list(r.embedding)
+            for r in textstats.embed_text(df.repartition(7), "doc_id", "text",
+                                          dim=16).collect()}
+    assert out == out2
+
+
+def test_embed_index_search_end_to_end(spark, tmp_path):
+    """The full text->vector story: embed_text -> kmeans_assign (coarse
+    quantizer) -> build_ivf_index (partitioned, persisted) ->
+    ivf_index_topk. Probing with a document's own embedding must return
+    that document at rank 1 with cosine ~1.0, through the REAL persisted
+    index (partition-pruned scan), not an in-memory shortcut."""
+    from pyspark.sql import functions as F
+
+    from flinkrealtimedatawarehouse_spark.datapipeline import similarity, textstats
+    from flinkrealtimedatawarehouse_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") < 120
+    )
+    emb = textstats.embed_text(docs, "doc_id", "text", dim=16).select(
+        "doc_id", "embedding"
+    )
+    cells = similarity.kmeans_assign(emb, "doc_id", "embedding", k=4, iters=3)
+    indexed = emb.join(cells, "doc_id")
+
+    idx = str(tmp_path / "text_ivf")
+    similarity.build_ivf_index(indexed, idx, "doc_id", "embedding", "cell")
+
+    probes = indexed.filter(F.col("doc_id").isin(0, 25, 50))
+    got = similarity.ivf_index_topk(spark, idx, probes, "doc_id", "embedding",
+                                    k=3, n_probe=2)
+    # parity: the persisted text-embedding index returns exactly what the
+    # in-memory IVF path returns on the same cell assignments
+    want = similarity.ivf_topk(indexed, probes, "doc_id", "embedding", "cell",
+                               k=3, n_probe=2)
+    key = lambda df: sorted(  # noqa: E731
+        (r.probe_id, r.rank, r.neighbor_id, r.cosine) for r in df.collect()
+    )
+    assert key(got) == key(want)
+    # every probe fills its full k from the probed cells (self excluded by
+    # contract), ranked by descending cosine
+    rows = key(got)
+    assert len(rows) == 9
+    top1 = {r[0]: r[3] for r in rows if r[1] == 1}
+    bottom = {r[0]: r[3] for r in rows if r[1] == 3}
+    assert all(top1[p] >= bottom[p] for p in top1)
+    # the synthetic docs are template-generated, so each probe's nearest
+    # non-self neighbor in its probed cells is a close match
+    assert all(c >= 0.9 for c in top1.values()), top1
