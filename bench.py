@@ -49,20 +49,21 @@ def main() -> int:
     spark = get_spark("bench")
     registry = _headline()
 
-    # Warm-up (untimed): run every headline query once at the TARGET sf so
-    # the timed runs measure steady-state plan execution — whole-stage
-    # codegen classes compiled for the plans AQE actually picks at this
-    # data size, Python/Arrow workers forked, parquet pages in cache — not
-    # one-time JVM/process startup. Warming at a smaller sf is not enough:
-    # AQE chooses different physical plans per data size, so the codegen
-    # classes differ and the first target-sf run still pays compilation
-    # (measured: 2-5x on the first execution of each query). This mirrors
-    # how the engine runs in production (long-lived executors serving a
-    # repeated workload), and the warm-up cost is excluded from the
-    # reported metric by construction.
+    # Warm-up pass, TIMED and reported as the COLD numbers: the first
+    # execution of each query in this JVM pays whole-stage codegen
+    # compilation for the plans AQE picks at this data size, Python/Arrow
+    # worker forks, and parquet footer reads — i.e. what a one-shot job
+    # run would see. The later min-of-N is the steady-state a long-lived
+    # executor serving a repeated workload sees. BOTH are published
+    # (value_cold / value) so round-over-round comparisons never conflate
+    # a methodology change with a plan change; a cold/steady ratio > ~3x
+    # on a query flags codegen-compile pathology for the plan audit.
+    cold: dict[str, float] = {}
     for name, fn in registry.items():
         try:
+            t0 = time.time()
             fn(spark, sf_dir).count()
+            cold[name] = round(time.time() - t0, 3)
         except Exception as e:  # warm-up must never fail the bench
             print(f"# warmup {name} skipped: {e}", file=sys.stderr)
 
@@ -89,7 +90,13 @@ def main() -> int:
             print(f"# {name} FAILED: {e}", file=sys.stderr)
             continue
         timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s (min of {n_runs})", file=sys.stderr)
+        ratio = cold.get(name, 0.0) / best if best > 0 else 0.0
+        flag = "  [cold/steady > 3x]" if ratio > 3 else ""
+        print(
+            f"# {name}: {n} rows in {timings[name]}s (min of {n_runs}; "
+            f"cold {cold.get(name, float('nan'))}s){flag}",
+            file=sys.stderr,
+        )
 
     # Extras: timed the same way (min-of-N after one warm-up) but kept OUT
     # of the headline metric and its "queries" dict so `value` stays
@@ -126,8 +133,10 @@ def main() -> int:
     out = {
         "metric": "headline_total_wall",
         "value": round(sum(timings.values()), 3),
+        "value_cold": round(sum(cold.get(n, 0.0) for n in timings), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_cold": {n: cold[n] for n in timings if n in cold},
         "extras": extras,
         "sf": sf,
     }

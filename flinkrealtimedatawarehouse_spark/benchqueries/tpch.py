@@ -44,16 +44,25 @@ _DUCK_REV = "round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT"
 
 # --- Q1 pricing summary report -------------------------------------------
 def q_tpch1(spark: SparkSession, sf: str) -> DataFrame:
+    # Every fractional aggregate is derived from ASSOCIATIVE integer sums
+    # (per-row fixed-point, exact since TPC-H decimals carry <= 2 dp), so
+    # the 2/4-dp rounded outputs are independent of partitioning / AQE /
+    # summation order — a double-sum round() could flip a near-tie's last
+    # digit under a different plan and break the gate hash at larger sf.
     li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
+    qty_c = F.round(F.col("l_quantity") * 10000).cast("long")
+    disc_c = F.round(F.col("l_discount") * 10000).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    n = F.count(F.lit(1))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").cast("long").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            (F.sum(price_c) / 100.0).alias("sum_base_price"),
             (F.sum(_rev()) / 10000.0).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum(qty_c) / n / 10000.0, 4).alias("avg_qty"),
+            F.round(F.sum(disc_c) / n / 10000.0, 4).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -61,10 +70,10 @@ def q_tpch1(spark: SparkSession, sf: str) -> DataFrame:
 SQL_TPCH1 = f"""
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity)::BIGINT AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
+       sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_base_price,
        sum({_DUCK_REV}) / 10000.0 AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_discount), 4) AS avg_disc,
+       round(sum(round(l_quantity * 10000)::BIGINT) / count(*) / 10000.0, 4) AS avg_qty,
+       round(sum(round(l_discount * 10000)::BIGINT) / count(*) / 10000.0, 4) AS avg_disc,
        count(*)::BIGINT AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
 GROUP BY 1, 2
