@@ -10,12 +10,15 @@ Spark shape (what makes it scale):
 - the corpus is read ONCE into a (distinct word, count) table — every
   subsequent pass runs over distinct words weighted by count, which is
   orders of magnitude smaller than the corpus;
-- each merge iteration = one pair-count aggregation over that table
-  (explode adjacent symbol pairs -> groupBy sum, partial agg map-side)
-  plus one Arrow-batched pandas transform applying the chosen merge —
-  the scan-and-replace over a symbol list is inherently sequential per
-  word, which is exactly the "built-ins can't express it" case for a
-  pandas UDF (package policy);
+- pair counts are maintained INCREMENTALLY (``bpe_train``): each merge
+  re-counts only the words containing the merged pair and folds a +/-
+  delta into the persisted pair table — late merges touch a handful of
+  words instead of rescanning the vocabulary (``bpe_train_recount`` is
+  the full-rescan parity baseline);
+- the merge application is one Arrow-batched pandas transform over the
+  affected words — the scan-and-replace over a symbol list is inherently
+  sequential per word, which is exactly the "built-ins can't express it"
+  case for a pandas UDF (package policy);
 - only the single winning pair crosses to the driver per iteration.
 
 Determinism: the winning pair is (max total count, then lexicographically
@@ -85,23 +88,116 @@ def _apply_merge(syms_df: DataFrame, a: str, b: str) -> DataFrame:
     return syms_df.withColumn("syms", apply_one("syms"))
 
 
+def _top_pair(pair_counts: DataFrame):
+    """Sennrich's winner rule: max total, then lexicographically smallest
+    (a, b). One driver row per iteration."""
+    return (
+        pair_counts.orderBy(F.col("total").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(1)
+        .collect()
+    )
+
+
+def _has_pair(a: str, b: str):
+    """Predicate: the word's symbol list contains adjacent (a, b). The
+    size guard matters: sequence(0, -1) DESCENDS in Spark, so an
+    unguarded exists over a 1-symbol word would probe position -1."""
+    return F.when(
+        F.size("syms") >= 2,
+        F.exists(
+            F.sequence(F.lit(0), F.size("syms") - 2),
+            lambda i: (F.element_at("syms", i + 1) == a)
+            & (F.element_at("syms", i + 2) == b),
+        ),
+    ).otherwise(F.lit(False))
+
+
 def bpe_train(
     docs: DataFrame, text_col: str, n_merges: int, min_freq: int = 1
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the ordered
-    merge list. Stops early when no pair reaches ``min_freq``."""
+    merge list. Stops early when no pair reaches ``min_freq``.
+
+    Incremental pair-count maintenance (the standard trick, same as the
+    ``update_pair_statistics`` step of the original subword-nmt trainer):
+    merging (a, b) only changes words that CONTAIN adjacent (a, b), and
+    within the global pair table only pairs touching those words' merged
+    positions. So each iteration:
+
+    - filters the word table to the affected words (map-only predicate,
+      no shuffle),
+    - applies the merge to the affected words alone (the pandas pass runs
+      over the affected slice, not the vocabulary),
+    - folds the affected words' before/after pair counts into the
+      persisted pair table as a +/- delta aggregate.
+
+    As training progresses the affected slice shrinks rapidly (late
+    merges touch a handful of words), which is where the win over
+    ``bpe_train_recount``'s full rescan compounds — see SCALE.md "BPE
+    training" for measured walls. Parity: bit-identical merge lists to
+    ``bpe_train_recount`` and the plain-Python Sennrich reference
+    (pinned in tests).
+
+    The per-merge driver loop itself is inherent to the algorithm class
+    (each merge depends on the counts after the previous one); what the
+    incremental fold removes is the per-iteration full-table rescan.
+    """
+    syms_df = _word_table(docs, text_col).localCheckpoint(eager=True)
+    # pin the partition count: the per-iteration union (unaffected +
+    # new_affected) would otherwise GROW partitions geometrically —
+    # 2^n_merges empty tasks by the end — so every checkpointed frame is
+    # coalesced back to the word table's original width
+    n_parts = max(1, syms_df.rdd.getNumPartitions())
+    pair_counts = _pair_counts(syms_df).coalesce(n_parts).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = _top_pair(pair_counts)
+        if not top or top[0]["total"] < min_freq:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+
+        affected = syms_df.filter(_has_pair(a, b))
+        unaffected = syms_df.filter(~_has_pair(a, b))
+        old_delta = _pair_counts(affected).select(
+            "a", "b", (-F.col("total")).alias("total")
+        )
+        new_affected = _apply_merge(affected, a, b)
+        # localCheckpoint: new_affected feeds BOTH the delta and the next
+        # word table; materializing once also truncates the growing
+        # union/UDF lineage so iteration cost stays flat
+        new_affected = new_affected.coalesce(n_parts).localCheckpoint(eager=True)
+        new_delta = _pair_counts(new_affected)
+        pair_counts = (
+            pair_counts.unionByName(old_delta)
+            .unionByName(new_delta)
+            .groupBy("a", "b")
+            .agg(F.sum("total").alias("total"))
+            .filter(F.col("total") > 0)
+        ).coalesce(n_parts).localCheckpoint(eager=True)
+        syms_df = (
+            unaffected.unionByName(new_affected)
+            .coalesce(n_parts)
+            .localCheckpoint(eager=True)
+        )
+    return merges
+
+
+def bpe_train_recount(
+    docs: DataFrame, text_col: str, n_merges: int, min_freq: int = 1
+) -> list[tuple[str, str]]:
+    """The straightforward trainer: re-count EVERY pair over the full
+    word table each iteration. Kept as the parity baseline for
+    ``bpe_train``'s incremental fold (identical merge lists by
+    construction — pinned in tests) and as the simpler choice for tiny
+    vocabularies where the delta machinery isn't worth its overhead."""
     syms_df = _word_table(docs, text_col)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         # localCheckpoint truncates the growing lineage (one pandas UDF
         # layer per merge) so iteration cost stays flat
         syms_df = syms_df.localCheckpoint(eager=True)
-        top = (
-            _pair_counts(syms_df)
-            .orderBy(F.col("total").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
-            .collect()
-        )
+        top = _top_pair(_pair_counts(syms_df))
         if not top or top[0]["total"] < min_freq:
             break
         a, b = top[0]["a"], top[0]["b"]

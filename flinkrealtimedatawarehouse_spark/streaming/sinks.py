@@ -371,20 +371,42 @@ def gold_append_sink(sdf: DataFrame, out_dir: str, tag: str) -> str:
     return out_dir
 
 
+def kafka_sink_options(brokers: str, checkpoint: str,
+                       topic: str | None = None) -> dict[str, str]:
+    """The producer options the reference pins (MyKafkaUtil.java:29-41:
+    bootstrap servers + fixed destination topic; K2's per-row destination
+    has NO topic option — the ``topic`` COLUMN routes each row)."""
+    opts = {"kafka.bootstrap.servers": brokers, "checkpointLocation": checkpoint}
+    if topic is not None:
+        opts["topic"] = topic
+    return opts
+
+
+def kafka_value_projection(df: DataFrame) -> DataFrame:
+    """Serialize a DataFrame to the Kafka writer's column contract: a
+    string ``value`` column, plus a pass-through ``topic`` column when
+    present (K2's per-row destination — it must stay a TOP-LEVEL column
+    for the Kafka sink to route on, never be folded into the payload).
+    Rows already carrying ``value`` pass through unchanged."""
+    if "value" in df.columns:
+        return df
+    payload = [c for c in df.columns if c != "topic"]
+    value = F.to_json(F.struct(*payload)).alias("value")
+    if "topic" in df.columns:
+        return df.select("topic", value)
+    return df.select(value)
+
+
 def kafka_sink(sdf: DataFrame, brokers: str, topic: str | None, checkpoint: str):
     """K1 (fixed topic) / K2 (dynamic: ``topic`` column already on the DF,
     pass topic=None — MyKafkaUtil.java:30-41's per-row destination is
     native here). Requires the spark-sql-kafka package; builder only in
     this container."""
-    value = sdf if "value" in sdf.columns else sdf.select(F.to_json(F.struct("*")).alias("value"))
-    w = (
-        value.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("checkpointLocation", checkpoint)
+    return (
+        kafka_value_projection(sdf)
+        .writeStream.format("kafka")
+        .options(**kafka_sink_options(brokers, checkpoint, topic))
     )
-    if topic is not None:
-        w = w.option("topic", topic)
-    return w
 
 
 def console_sink(sdf: DataFrame, n_rows: int = 20):

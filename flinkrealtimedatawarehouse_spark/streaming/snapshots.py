@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -38,6 +39,16 @@ class VersionedSnapshotSink:
     dir and the checkpoint as one unit (create/destroy together — the
     harness's per-run scratch dirs do), or pass ``lineage`` (e.g. the
     checkpoint path) so a mismatched reuse fails loudly instead.
+
+    SINGLE-WRITER ENFORCEMENT (Delta's writer fencing, emulated):
+    constructing a sink CLAIMS the dir with a fresh writer token; the
+    newest claimant owns it (a new object on the same dir IS the
+    restarted writer — the recovery contract above). Every commit first
+    re-reads the claim, so a writer that lost ownership raises
+    ``RuntimeError`` BEFORE touching data instead of silently
+    interleaving snapshot versions with the new owner. The claim file
+    itself is last-write-wins (atomic rename) — on a non-POSIX or
+    eventually-consistent store, swap this class for real Delta.
     """
 
     def __init__(self, base_dir: str, lineage: str | None = None):
@@ -46,6 +57,7 @@ class VersionedSnapshotSink:
         self.last_bid = -1
         self.lineage = lineage
         self.meta: dict = {}
+        self._writer_id = uuid.uuid4().hex
         marker = self._marker_path()
         if os.path.exists(marker):  # restart: resume committed state
             with open(marker) as f:
@@ -61,6 +73,7 @@ class VersionedSnapshotSink:
             self.version = state["version"]
             self.last_bid = state["last_bid"]
             self.meta = state.get("meta", {})
+        self._claim()
 
     def _path(self, v: int) -> str:
         return os.path.join(self.base_dir, f"v{v}")
@@ -68,7 +81,33 @@ class VersionedSnapshotSink:
     def _marker_path(self) -> str:
         return os.path.join(self.base_dir, "_committed.json")
 
+    def _writer_path(self) -> str:
+        return os.path.join(self.base_dir, "_writer.json")
+
+    def _claim(self) -> None:
+        """Take ownership of the sink dir (fencing token: newest wins)."""
+        os.makedirs(self.base_dir, exist_ok=True)
+        tmp = f"{self._writer_path()}.{self._writer_id}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"writer_id": self._writer_id, "pid": os.getpid()}, f)
+        os.replace(tmp, self._writer_path())
+
+    def _check_fence(self) -> None:
+        """Raise if another writer claimed this dir after us."""
+        try:
+            with open(self._writer_path()) as f:
+                owner = json.load(f).get("writer_id")
+        except (FileNotFoundError, json.JSONDecodeError):
+            owner = None
+        if owner != self._writer_id:
+            raise RuntimeError(
+                f"snapshot dir {self.base_dir!r} was claimed by another "
+                f"writer: this sink instance is fenced and must stop "
+                "(single-writer contract; exactly one live sink per dir)"
+            )
+
     def _commit(self) -> None:
+        self._check_fence()
         os.makedirs(self.base_dir, exist_ok=True)
         tmp = self._marker_path() + ".tmp"
         with open(tmp, "w") as f:
@@ -89,6 +128,7 @@ class VersionedSnapshotSink:
         job must not clobber its own history)."""
         if self.version >= 0:
             return
+        self._check_fence()  # before the data write, same as commit_snapshot
         self.version = 0
         empty.write.mode("overwrite").parquet(self._path(0))
         self._commit()
@@ -120,6 +160,7 @@ class VersionedSnapshotSink:
         """Write ``df`` as the next snapshot, then commit the marker with
         the batch id and any sink metadata (crash between the two leaves
         the previous consistent state)."""
+        self._check_fence()  # fenced writers must not overwrite data dirs
         next_v = self.version + 1
         df.write.mode("overwrite").parquet(self._path(next_v))
         self.version = next_v

@@ -47,6 +47,29 @@ def parse_cdc_envelope(raw: DataFrame, json_col: str = "value") -> DataFrame:
 
 
 # --- S1/S4: Kafka builders (no broker in container; plan-level only) ------
+#
+# Option assembly and the value->rows decode are pure functions so the
+# consumer contract (the exact options MyKafkaUtil.java:18-63 pins) and
+# the deserialization path are testable without a broker or the
+# spark-sql-kafka jar; only `.load()` needs the jar.
+
+def kafka_source_options(
+    brokers: str,
+    topic: str,
+    group_id: str,
+    starting_offsets: str = "latest",
+) -> dict[str, str]:
+    """The consumer options the reference pins (MyKafkaUtil.java:18-27,
+    43-52: bootstrap servers + topic subscription + consumer group id;
+    offset reset is the caller's choice as in the reference's
+    ``latest``-by-default consumer)."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "kafka.group.id": group_id,
+        "startingOffsets": starting_offsets,
+    }
+
 
 def kafka_stream(
     spark: SparkSession,
@@ -56,17 +79,27 @@ def kafka_stream(
     starting_offsets: str = "latest",
 ) -> DataFrame:
     """S1: Kafka consumer -> value-as-string stream
-    (MyKafkaUtil.java:43-52). Requires the spark-sql-kafka package at
-    runtime; see module docstring."""
+    (MyKafkaUtil.java:43-52, SimpleStringSchema semantics). Requires the
+    spark-sql-kafka package at runtime; see module docstring."""
     raw = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("kafka.group.id", group_id)
-        .option("startingOffsets", starting_offsets)
+        .options(**kafka_source_options(brokers, topic, group_id, starting_offsets))
         .load()
     )
     return raw.select(F.col("value").cast("string").alias("value"))
+
+
+def decode_json_value(df: DataFrame, schema: T.StructType,
+                      ts_col: str | None = None) -> DataFrame:
+    """S4's deserialization half, usable on ANY DataFrame with a string
+    ``value`` column (batch or streaming): from_json into the declared
+    schema, optionally deriving an event-time column ``rt`` from epoch
+    millis (TO_TIMESTAMP(FROM_UNIXTIME(ts/1000)),
+    rt/app/dws/KeywordStatsApp.java:49)."""
+    parsed = df.select(F.from_json("value", schema).alias("r")).select("r.*")
+    if ts_col is not None:
+        parsed = parsed.withColumn("rt", (F.col(ts_col) / 1000).cast("timestamp"))
+    return parsed
 
 
 def kafka_json_stream(
@@ -78,15 +111,10 @@ def kafka_json_stream(
     ts_col: str | None = None,
 ) -> DataFrame:
     """S4: Kafka SQL-DDL source analog (MyKafkaUtil.java:54-63) — consumer
-    + from_json into a declared schema, optionally deriving an event-time
-    column from epoch millis (TO_TIMESTAMP(FROM_UNIXTIME(ts/1000)),
-    rt/app/dws/KeywordStatsApp.java:49)."""
-    parsed = kafka_stream(spark, brokers, topic, group_id).select(
-        F.from_json("value", schema).alias("r")
-    ).select("r.*")
-    if ts_col is not None:
-        parsed = parsed.withColumn("rt", (F.col(ts_col) / 1000).cast("timestamp"))
-    return parsed
+    + from_json into a declared schema."""
+    return decode_json_value(
+        kafka_stream(spark, brokers, topic, group_id), schema, ts_col
+    )
 
 
 # --- S6: test sources ------------------------------------------------------

@@ -158,6 +158,104 @@ def main() -> int:
             f"mg_heavyhitters={t_mg:.1f}s (state {mg.current(spark).count()} rows)",
             flush=True,
         )
+
+    # round-3 stateful additions under amplification: k-step funnel
+    # (event-time timers — per-user pattern buffer + tombstones), SCD2
+    # history sink (touched-keys re-stamp), incremental top-k (state must
+    # stay O(probes x k) REGARDLESS of corpus multiple). State sizes come
+    # from the query progress (stateOperators.numRowsTotal) for the
+    # streaming funnel and from the committed snapshots for the sinks.
+    from flinkrealtimedatawarehouse_spark.streaming import simsearch
+    from flinkrealtimedatawarehouse_spark.streaming import sinks as ssinks
+
+    for m in multiples:
+        ev_amp = amp_events(m).filter(
+            F.col("event_type").isin("view", "click", "purchase")
+        )
+        tag = f"probe_fn_x{m}"
+        in_dir = srunner.stage_stream_dir(ev_amp, "ts", 5, tag)
+        sent = srunner.make_sentinel(
+            ev_amp, "ts", "2000 seconds",
+            {"user_id": -1, "event_id": -1, "event_type": "__wm__"},
+        )
+        srunner.append_sentinel_file(in_dir, sent, tag)
+        sdf = srunner.parquet_stream(spark, in_dir, ev_amp.schema)
+        t0 = time.time()
+        n_funnel = (
+            srunner.run_to_memory(
+                sstate.funnel_stream(
+                    sdf, ["view", "click", "purchase"],
+                    window_s=1800, delay="30 seconds",
+                ),
+                tag,
+            )
+            .filter(F.col("user_id") >= 0)
+            .count()
+        )
+        t_fn = time.time() - t0
+        state_rows = max(
+            (
+                op.get("numRowsTotal", 0)
+                for p in srunner.LAST_PROGRESS
+                for op in p.get("stateOperators", [])
+            ),
+            default=0,
+        )
+        print(
+            f"x{m} funnel_stream={t_fn:.1f}s ({n_funnel} users, "
+            f"peak state {state_rows} rows)",
+            flush=True,
+        )
+
+    for m in multiples:
+        # SCD2: events replayed as dim changes (pk=user, version=event id)
+        ch = amp_events(m).select(
+            F.col("user_id").alias("pk"),
+            F.col("event_id").alias("ver"),
+            F.lit("insert").alias("type"),
+            F.col("event_type").alias("attr"),
+        )
+        scd = ssinks.Scd2HistorySink(
+            srunner.scratch_dir(f"probe_scd2_x{m}"), "pk", "ver"
+        )
+        scd.init(ch.limit(0))
+        lo, hi = ch.agg(F.min("ver"), F.max("ver")).collect()[0]
+        step = (hi - lo + 1) // 4 + 1
+        t0 = time.time()
+        for i in range(4):
+            scd.write_batch(
+                ch.filter(
+                    (F.col("ver") >= lo + i * step) & (F.col("ver") < lo + (i + 1) * step)
+                ),
+                i,
+            )
+        t_scd = time.time() - t0
+        n_hist = scd.history(spark).count()
+
+        e = amplify(emb, "vec_id", m)
+        probes = emb.filter(F.col("vec_id") < 8)
+        tk = simsearch.IncrementalTopKSink(
+            srunner.scratch_dir(f"probe_tk_x{m}"), probes, "vec_id", "embedding", k=5
+        )
+        tk.init(spark)
+        lo2, hi2 = e.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
+        step2 = (hi2 - lo2 + 1) // 4 + 1
+        t0 = time.time()
+        for i in range(4):
+            tk.write_batch(
+                e.filter(
+                    (F.col("vec_id") >= lo2 + i * step2)
+                    & (F.col("vec_id") < lo2 + (i + 1) * step2)
+                ),
+                i,
+            )
+        t_tk = time.time() - t0
+        n_tk = tk.current(spark).count()
+        print(
+            f"x{m} scd2_ingest={t_scd:.1f}s ({n_hist} history rows) "
+            f"incr_topk={t_tk:.1f}s (state {n_tk} rows)",
+            flush=True,
+        )
     return 0
 
 

@@ -1017,3 +1017,21 @@ def test_embed_index_search_end_to_end(spark, tmp_path):
     # the synthetic docs are template-generated, so each probe's nearest
     # non-self neighbor in its probed cells is a close match
     assert all(c >= 0.9 for c in top1.values()), top1
+
+
+def test_bpe_incremental_matches_full_recount(spark):
+    """The incremental pair-count trainer must produce the EXACT merge
+    list of the full-rescan baseline (which is itself pinned to the
+    plain-Python Sennrich reference above) — including through merges
+    whose winner ties on count and falls to the lexicographic rule."""
+    from pyspark.sql import functions as F
+
+    from flinkrealtimedatawarehouse_spark.datapipeline import bpe
+    from flinkrealtimedatawarehouse_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") < 60
+    )
+    inc = bpe.bpe_train(docs, "text", n_merges=20)
+    full = bpe.bpe_train_recount(docs, "text", n_merges=20)
+    assert inc == full and len(inc) == 20

@@ -5,6 +5,7 @@ load() needs the kafka package, so only builder-level checks)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from flinkrealtimedatawarehouse_spark.streaming import runner, sinks, sources
 
@@ -59,3 +60,83 @@ def test_kafka_source_builder_requires_package(spark):
     # spark-sql-kafka package this raises — gate it as the expected path
     with pytest.raises(Exception):
         sources.kafka_stream(spark, "localhost:9092", "t", "g").printSchema()
+
+
+def test_kafka_consumer_options_contract():
+    """S1/S4 contract: the constructed consumer carries exactly the options
+    the reference pins (MyKafkaUtil.java:18-27,43-63 — bootstrap servers,
+    topic subscription, consumer group id, offset reset choice)."""
+    opts = sources.kafka_source_options(
+        "broker1:9092,broker2:9092", "ods_base_log", "ods_dwd_base_log_app_210325",
+        starting_offsets="earliest",
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "ods_base_log",
+        "kafka.group.id": "ods_dwd_base_log_app_210325",
+        "startingOffsets": "earliest",
+    }
+    # default offset behavior mirrors the reference's latest-by-default
+    assert sources.kafka_source_options("b:9092", "t", "g")["startingOffsets"] == "latest"
+
+
+def test_kafka_producer_options_contract():
+    """K1 contract: fixed destination topic as an option
+    (MyKafkaUtil.java:29-33); K2 contract: NO topic option — the per-row
+    ``topic`` column routes (MyKafkaUtil.java:35-41's KafkaSerializationSchema)."""
+    k1 = sinks.kafka_sink_options("b:9092", "/ck/k1", topic="dwd_page_log")
+    assert k1 == {
+        "kafka.bootstrap.servers": "b:9092",
+        "checkpointLocation": "/ck/k1",
+        "topic": "dwd_page_log",
+    }
+    k2 = sinks.kafka_sink_options("b:9092", "/ck/k2", topic=None)
+    assert "topic" not in k2 and k2["kafka.bootstrap.servers"] == "b:9092"
+
+
+def test_kafka_value_projection_k1_and_k2(spark):
+    """The writer's column contract: payload columns serialize into ONE
+    string ``value``; K2's ``topic`` column stays TOP-LEVEL (the sink
+    routes on it) and is excluded from the payload; an existing ``value``
+    passes through untouched."""
+    import json
+
+    k1 = spark.createDataFrame([(1, "a")], "id long, s string")
+    out1 = sinks.kafka_value_projection(k1)
+    assert out1.columns == ["value"]
+    assert json.loads(out1.first().value) == {"id": 1, "s": "a"}
+
+    k2 = spark.createDataFrame(
+        [("dwd_start_log", 2, "b")], "topic string, id long, s string"
+    )
+    out2 = sinks.kafka_value_projection(k2)
+    assert out2.columns == ["topic", "value"]
+    row = out2.first()
+    assert row.topic == "dwd_start_log"
+    assert json.loads(row.value) == {"id": 2, "s": "b"}  # topic not in payload
+
+    pre = spark.createDataFrame([("x",)], "value string")
+    assert sinks.kafka_value_projection(pre).collect() == pre.collect()
+
+
+def test_decode_json_value_epoch_millis_event_time(spark):
+    """S4's deserialization half runs for real on a batch frame: from_json
+    into the declared schema + the reference's epoch-millis -> event-time
+    derivation (KeywordStatsApp.java:49)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("keyword", T.StringType()), T.StructField("ts", T.LongType())]
+    )
+    df = spark.createDataFrame(
+        [('{"keyword": "spark", "ts": 1609459200000}',), ("not json",)],
+        "value string",
+    )
+    out = sources.decode_json_value(df, schema, ts_col="ts").orderBy(
+        F.col("keyword").asc_nulls_last()
+    )
+    rows = out.collect()
+    assert out.columns == ["keyword", "ts", "rt"]
+    assert rows[0].keyword == "spark" and str(rows[0].rt).startswith("2021-01-01")
+    # unparseable rows keep NULLs (P1's dirty route handles them downstream)
+    assert rows[1].keyword is None and rows[1].rt is None

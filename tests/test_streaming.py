@@ -1059,3 +1059,30 @@ def test_stream_funnel_matches_batch_greedy_semantics(spark):
         j: sum(1 for _, d in got if d >= j) for j in (1, 2, 3)
     }
     assert stream_counts == batch
+
+
+def test_concurrent_writers_fenced_not_corrupted(spark, tmp_path):
+    """Single-writer enforcement on the Delta stand-in: two live sinks on
+    one base_dir used to interleave snapshot versions silently; now the
+    older claimant is FENCED — its write raises before touching data —
+    and the newest claimant's committed state stays consistent."""
+    import pytest as _pytest
+
+    d = str(tmp_path / "gold_fence")
+    spec = {"total": ("v", "sum")}
+    a = sinks.AdditiveGoldSink(d, ["k"], spec)
+    a.write_batch(spark.createDataFrame([("x", 1.0)], "k string, v double"), 0)
+
+    # second writer claims the dir (the restart contract: newest wins)
+    b = sinks.AdditiveGoldSink(d, ["k"], spec)
+    b.write_batch(spark.createDataFrame([("x", 2.0)], "k string, v double"), 1)
+
+    # the stale writer must fail loudly on its next write, not interleave
+    with _pytest.raises(RuntimeError, match="fenced|claimed"):
+        a.write_batch(spark.createDataFrame([("x", 99.0)], "k string, v double"), 2)
+
+    # owner state is exactly batches 0+1 — the fenced write left no trace
+    assert {r.k: r.total for r in b.current(spark).collect()} == {"x": 3.0}
+    b.write_batch(spark.createDataFrame([("y", 5.0)], "k string, v double"), 2)
+    got = {r.k: r.total for r in b.current(spark).collect()}
+    assert got == {"x": 3.0, "y": 5.0}
