@@ -1110,6 +1110,39 @@ ORDER BY doc_id, dim_idx
 
 SQL_EMBED_TEXT = _sql_embed_text()
 
+# dp11+dp27 tagged union: the two deterministic doc->hash projections
+# (rolling-hash fingerprint rollup, feature-hash embedding components)
+# share one gate slot to stay inside the driver's 50-entry recording cap.
+# Output pinned to (kind, key, v1, v2) with a stable ORDER BY, the same
+# determinism contract as dp8.
+
+
+def q_fp_embed(spark: SparkSession, sf: str) -> DataFrame:
+    fp = q_fingerprint(spark, sf).select(
+        F.lit("fp").alias("kind"),
+        F.col("source").alias("key"),
+        F.col("ct").cast("long").alias("v1"),
+        F.col("fp_ct").cast("long").alias("v2"),
+    )
+    em = q_embed_text(spark, sf).select(
+        F.lit("embed").alias("kind"),
+        F.concat_ws(":", F.col("doc_id"), F.col("dim_idx")).alias("key"),
+        F.col("comp_u").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
+    return fp.unionByName(em).orderBy("kind", "key")
+
+
+SQL_FP_EMBED = f"""
+SELECT * FROM (
+  SELECT 'fp' AS kind, source AS key, ct AS v1, fp_ct AS v2
+  FROM ({SQL_FINGERPRINT})
+  UNION ALL
+  SELECT 'embed', doc_id::VARCHAR || ':' || dim_idx::VARCHAR, comp_u, 0::BIGINT
+  FROM ({SQL_EMBED_TEXT})
+) ORDER BY kind, key
+"""
+
 # dp23+dp24+dp26: the corpus-audit/curation trio, one tagged entry —
 # length quantiles per source + top-k-per-group quality culling + chunking
 # stats. Columns are aligned to (kind, source, v1..v4) doubles; each
@@ -1298,8 +1331,7 @@ REGISTRY = {
     "dp6_cosine_topk": (q_cosine_topk_both, SQL_COSINE_TOPK_BOTH),
     "dp7_ann_topk": (q_ann_both, SQL_ANN_BOTH),
     "dp8_doc_metrics": (q_doc_metrics, SQL_DOC_METRICS),
-    "dp27_embed_text": (q_embed_text, SQL_EMBED_TEXT),
-    "dp11_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "dp11_fingerprint": (q_fp_embed, SQL_FP_EMBED),
     "dp12_multimodal_features": (q_multimodal, SQL_MULTIMODAL),
     "dp15_pii_redact": (q_dp15c, SQL_DP15C),
     "dp16_corpus_ngrams": (q_corpus_ngrams, SQL_CORPUS_NGRAMS),

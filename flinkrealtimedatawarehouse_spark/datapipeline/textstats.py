@@ -100,7 +100,7 @@ def embed_text(docs: DataFrame, id_col: str, text_col: str, dim: int = 16) -> Da
 
     This is the embedding-GENERATION stub of the vector stack: it gives
     the corpus a real, engine-independent text->vector path (gated as
-    ``dp27_embed_text`` against a DuckDB oracle, and fed end-to-end
+    the ``dp11_fingerprint`` gate (embed branch) against a DuckDB oracle, and fed end-to-end
     through ``build_ivf_index``/``ivf_index_topk`` in
     tests/test_datapipeline.py) that feeds the existing index/search
     operators; a learned encoder swaps in behind the same column contract
