@@ -612,8 +612,92 @@ SELECT nlc.doc_id, coalesce(n_kept, 0)::BIGINT AS n_kept, n_lines::BIGINT AS n_l
 FROM nlc LEFT JOIN agg ON nlc.doc_id = agg.doc_id
 """
 
-# dp15 combined gate (tagged): PII redaction + line-level corpus dedup —
-# the two text-cleaning transforms in one entry.
+# --- dp15c repeated token spans (substring-level dedup) -------------------
+# The synthetic corpus is word soup, so cross-doc spans beyond exact
+# duplicates barely occur naturally; the gate plants a shared boilerplate
+# tail on every 7th doc (identically on both sides) so the detector sees
+# cross-document repeats, within-doc structure, AND the corpus's exact
+# duplicate texts.
+
+_SPAN_W = 8
+_SPAN_BOILER = (
+    "subscribe to our newsletter for updates terms of service apply all rights reserved"
+)
+
+
+def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" " + _SPAN_BOILER))
+        ).otherwise(F.col("text")),
+    )
+    out = textdedup.repeated_spans(planted, "doc_id", "text", window_n=_SPAN_W)
+    return out.filter(F.col("dup_windows") > 0).select(
+        "doc_id", "dup_windows", F.col("n_windows").cast("long").alias("n_windows"),
+        "dup_coverage",
+    )
+
+
+def _sql_span_dedup(w: int = _SPAN_W) -> str:
+    from flinkrealtimedatawarehouse_spark.datapipeline.hashing import (
+        duck_hash_shingles,
+        duck_token_hashes,
+        duck_tokens,
+    )
+
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' {_SPAN_BOILER}' ELSE text END AS text
+  FROM documents
+), tk AS (
+  SELECT doc_id, {duck_tokens('text')} AS toks FROM src
+), base AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         greatest(len(toks) - {w} + 1, 0) AS n_windows
+  FROM tk
+), sh AS (
+  SELECT doc_id, {duck_hash_shingles(duck_token_hashes('toks'), w)} AS whs
+  FROM tk WHERE len(toks) >= {w}
+), occ AS (
+  SELECT doc_id, unnest(range(0, len(whs))) AS pos, unnest(whs) AS wh FROM sh
+), marked AS (
+  SELECT doc_id, pos, pos + {w} AS e,
+         row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+  FROM occ
+), dup AS (
+  SELECT doc_id, pos, e FROM marked WHERE rn > 1
+), isl AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS ni
+  FROM dup
+), isl2 AS (
+  SELECT doc_id, pos, e, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl
+), cov AS (
+  SELECT doc_id, island, max(e) - min(pos) AS c, count(*) AS wct
+  FROM isl2 GROUP BY 1, 2
+), pd AS (
+  SELECT doc_id, sum(wct)::BIGINT AS dup_windows, sum(c)::BIGINT AS dup_coverage
+  FROM cov GROUP BY 1
+)
+SELECT base.doc_id, dup_windows, n_windows::BIGINT AS n_windows, dup_coverage
+FROM base JOIN pd ON base.doc_id = pd.doc_id
+WHERE dup_windows > 0
+"""
+
+
+SQL_SPAN_DEDUP = _sql_span_dedup()
+
+
+# dp15 combined gate (tagged): PII redaction + line-level corpus dedup +
+# repeated-span substring dedup — the three text-cleaning transforms in
+# one entry.
 def q_dp15c(spark: SparkSession, sf: str) -> DataFrame:
     pii = q_pii_redact(spark, sf).select(
         F.lit("pii").alias("branch"), "doc_id",
@@ -626,13 +710,21 @@ def q_dp15c(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_kept").cast("long").alias("v1"),
         F.col("n_lines").alias("v2"), F.col("new_len").alias("v3"),
     )
-    return pii.unionByName(ld)
+    sp = q_span_dedup(spark, sf).select(
+        F.lit("spandedup").alias("branch"), "doc_id",
+        F.col("dup_windows").alias("v1"),
+        F.col("n_windows").alias("v2"),
+        F.col("dup_coverage").alias("v3"),
+    )
+    return pii.unionByName(ld).unionByName(sp)
 
 SQL_DP15C = f"""
 SELECT 'pii' AS branch, doc_id, n_emails::BIGINT AS v1, n_phones::BIGINT AS v2,
        clean_len::BIGINT AS v3 FROM ({SQL_PII})
 UNION ALL
 SELECT 'linededup', doc_id, n_kept, n_lines, new_len FROM ({SQL_LINE_DEDUP})
+UNION ALL
+SELECT 'spandedup', doc_id, dup_windows, n_windows, dup_coverage FROM ({SQL_SPAN_DEDUP})
 """
 
 # --- dp16 corpus-level top-k n-grams --------------------------------------

@@ -406,6 +406,147 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str,
     return result
 
 
+def repeated_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_n: int = 20,
+) -> DataFrame:
+    """Corpus-wide repeated token-span detection — the distributed
+    approximation of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    any ≥50-token span that repeats anywhere in the corpus; they build a
+    monolithic suffix array, which has no shard-parallel equivalent, so
+    the scalable form fixes the span length and rolling-hashes every
+    length-``window_n`` token window instead).
+
+    Any window hash occurring at more than one (doc, pos) — across docs
+    OR within one doc — is a repeated span; the first occurrence by
+    (``id_col``, pos) is canonical and every later one is marked. Returns
+    one row per input doc: ``n_tokens``, ``n_windows``, ``dup_windows``
+    (non-canonical repeated windows), ``dup_coverage`` (tokens under the
+    union of the marked spans — overlapping windows merged by interval
+    islands, so a long verbatim quote counts its length once, not once
+    per window), ``dup_frac``.
+
+    Scale: one exchange on the 60-bit window hash (row_number per hash
+    group — group size = duplication count, bounded like any dup-family
+    bucket) + one exchange on the doc id for the island merge. Shuffle
+    carries (id, pos, hash) triples, never text. No all-pairs anything.
+    """
+    toks_df = docs.select(F.col(id_col), spark_tokens(F.col(text_col)).alias("toks"))
+    base = toks_df.select(
+        F.col(id_col),
+        F.size("toks").alias("n_tokens"),
+        F.greatest(F.size("toks") - window_n + 1, F.lit(0)).alias("n_windows"),
+    )
+    wh = (
+        toks_df.filter(F.size("toks") >= window_n)
+        .select(id_col, spark_token_hashes(F.col("toks")).alias("th"))
+        .select(id_col, F.posexplode(spark_hash_shingles(F.col("th"), window_n)).alias("pos", "wh"))
+    )
+    first_w = Window.partitionBy("wh").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    dup = (
+        wh.withColumn("_rn", F.row_number().over(first_w))
+        .filter(F.col("_rn") > 1)
+        .select(id_col, "pos", (F.col("pos") + window_n).alias("end"))
+    )
+    # interval-island merge per doc: a window starts a new island iff it
+    # begins past the running max end of all earlier windows
+    by_pos = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
+    prev = by_pos.rowsBetween(Window.unboundedPreceding, -1)
+    run = by_pos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = (
+        dup.withColumn("_pmax", F.max("end").over(prev))
+        .withColumn(
+            "_new",
+            F.when(F.col("_pmax").isNull() | (F.col("pos") > F.col("_pmax")), 1).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(run))
+        .groupBy(id_col, "_isl")
+        .agg((F.max("end") - F.min("pos")).alias("_cov"), F.count(F.lit(1)).alias("_wct"))
+        .groupBy(id_col)
+        .agg(F.sum("_cov").alias("dup_coverage"), F.sum("_wct").alias("dup_windows"))
+    )
+    return base.join(islands, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "n_windows",
+        F.coalesce(F.col("dup_windows"), F.lit(0)).cast("long").alias("dup_windows"),
+        F.coalesce(F.col("dup_coverage"), F.lit(0)).cast("long").alias("dup_coverage"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.coalesce(F.col("dup_coverage"), F.lit(0)) / F.col("n_tokens"), 6),
+        ).otherwise(F.lit(0.0)).alias("dup_frac"),
+    )
+
+
+def strip_repeated_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_n: int = 20,
+) -> DataFrame:
+    """The removal half of substring dedup: drop every token covered by a
+    non-canonical repeated span (same marking rule as ``repeated_spans``)
+    and reassemble the surviving tokens in order. Returns
+    (``id_col``, deduped ``text``, ``n_kept``, ``n_tokens``).
+
+    Note the rebuilt text is the token stream (lowercased, punctuation
+    collapsed) — span removal is defined on token positions, so the
+    output is the cleaned TOKEN sequence, the form a tokenizer-bound
+    training pipeline consumes anyway.
+
+    Scale: the covered positions are exploded from merged islands (one
+    row per covered token, only for docs that had duplicates) and
+    anti-joined against the token stream — both joins are on (id, pos).
+    """
+    toks_df = docs.select(F.col(id_col), spark_tokens(F.col(text_col)).alias("toks"))
+    wh = (
+        toks_df.filter(F.size("toks") >= window_n)
+        .select(id_col, spark_token_hashes(F.col("toks")).alias("th"))
+        .select(id_col, F.posexplode(spark_hash_shingles(F.col("th"), window_n)).alias("pos", "wh"))
+    )
+    first_w = Window.partitionBy("wh").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    dup = (
+        wh.withColumn("_rn", F.row_number().over(first_w))
+        .filter(F.col("_rn") > 1)
+        .select(id_col, "pos", (F.col("pos") + window_n).alias("end"))
+    )
+    by_pos = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
+    prev = by_pos.rowsBetween(Window.unboundedPreceding, -1)
+    run = by_pos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    covered = (
+        dup.withColumn("_pmax", F.max("end").over(prev))
+        .withColumn(
+            "_new",
+            F.when(F.col("_pmax").isNull() | (F.col("pos") > F.col("_pmax")), 1).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(run))
+        .groupBy(id_col, "_isl")
+        .agg(F.min("pos").alias("_s"), F.max("end").alias("_e"))
+        .select(id_col, F.explode(F.sequence(F.col("_s"), F.col("_e") - 1)).alias("pos"))
+    )
+    stream = toks_df.select(id_col, F.posexplode("toks").alias("pos", "tok"))
+    kept = stream.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda x: x["tok"]
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = toks_df.select(F.col(id_col), F.size("toks").alias("n_tokens"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.col("n_tokens").cast("long"),
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1035,3 +1035,87 @@ def test_bpe_incremental_matches_full_recount(spark):
     inc = bpe.bpe_train(docs, "text", n_merges=20)
     full = bpe.bpe_train_recount(docs, "text", n_merges=20)
     assert inc == full and len(inc) == 20
+
+
+# --- repeated token spans (substring-level dedup) -------------------------
+
+def _py_repeated_spans(rows, w):
+    """Plain-Python reference: mark every non-first occurrence of each
+    w-token window (ordered by (doc, pos)), merge intervals per doc."""
+    import re
+
+    toks = {i: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t] for i, s in rows}
+    first = {}
+    marks = {i: [] for i in toks}
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(len(ts) - w + 1):
+            key = tuple(ts[p:p + w])
+            if key in first:
+                marks[i].append((p, p + w))
+            else:
+                first[key] = (i, p)
+    out = {}
+    for i, ts in toks.items():
+        spans = sorted(marks[i])
+        cov, dupw, cur_s, cur_e = 0, len(spans), None, None
+        for s, e in spans:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    cov += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        if cur_e is not None:
+            cov += cur_e - cur_s
+        out[i] = (len(ts), max(len(ts) - w + 1, 0), dupw, cov)
+    return out
+
+
+def test_repeated_spans_matches_python_reference(spark):
+    quote = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, f"intro words here {quote} closing remark one"),
+        (2, f"other document text {quote} and a different tail entirely"),   # cross-doc repeat
+        (3, f"{quote} padding padding2 {quote} trailing bit"),               # within-doc repeat too
+        (4, "completely unrelated sentence with enough words to form windows today ok"),
+        (5, "tiny"),                                                          # shorter than the window
+    ]
+    w = 5
+    expect = _py_repeated_spans(rows, w)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_windows, r.dup_windows, r.dup_coverage)
+        for r in textdedup.repeated_spans(_docs(spark, rows), "doc_id", "text", w).collect()
+    }
+    assert got == expect
+    # doc 1 is canonical (min doc id): no dup windows there
+    assert got[1][2] == 0 and got[2][2] > 0 and got[3][2] > 0
+    # doc 5 shorter than the window: present with zero windows
+    assert got[5] == (1, 0, 0, 0)
+
+
+def test_strip_repeated_spans_removes_covered_tokens(spark):
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"{quote} one extra tail"),
+        (2, f"front matter {quote} two other tail"),
+    ]
+    w = 8  # tokens right after the quote differ, so ONLY the quote window repeats
+    out = {
+        r.doc_id: (r.text, r.n_kept, r.n_tokens)
+        for r in textdedup.strip_repeated_spans(_docs(spark, rows), "doc_id", "text", w).collect()
+    }
+    # doc 1 keeps everything (canonical occurrence)
+    assert out[1] == (f"{quote} one extra tail", 11, 11)
+    # doc 2 loses exactly the quoted 8-token span
+    assert out[2] == ("front matter two other tail", 5, 13)
+
+
+def test_repeated_spans_coverage_merges_overlaps(spark):
+    # two overlapping dup windows in one doc must count their union once
+    base = "one two three four five six"
+    rows = [(1, base), (2, f"x {base} y")]
+    w = 5  # doc 2 dup windows at pos 1 and 2 -> union [1,7) covers 6 tokens
+    got = {r.doc_id: (r.dup_windows, r.dup_coverage)
+           for r in textdedup.repeated_spans(_docs(spark, rows), "doc_id", "text", w).collect()}
+    assert got[2] == (2, 6) and got[1] == (0, 0)
