@@ -40,9 +40,16 @@ def main() -> int:
     from flinkrealtimedatawarehouse_spark.streaming import state as sstate
     from flinkrealtimedatawarehouse_spark.tables import load_table
 
+    sweeps = {"batch", "cep", "sinks", "funnel", "scd2topk"}
     args = sys.argv[1:]
     sf = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
-    multiples = [int(a) for a in args if not os.path.isdir(a)] or [1, 2, 4, 8]
+    picked = {a for a in args if a in sweeps} or sweeps
+    multiples = [
+        int(a) for a in args if not os.path.isdir(a) and a not in sweeps
+    ] or [1, 2, 4, 8]
+
+    def want(name):
+        return name in picked
 
     spark = get_spark("scale_probe")
     docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -59,7 +66,7 @@ def main() -> int:
             out = out.unionByName(ev.withColumn("user_id", F.col("user_id") + i * 1_000_000))
         return out
 
-    for m in multiples:
+    for m in (multiples if want("batch") else []):
         d = amplify(docs, "doc_id", m)
         t0 = time.time()
         n_pairs = textdedup.minhash_near_dups(d, "doc_id", "text", 3, 16, 8, 0.5).count()
@@ -101,7 +108,7 @@ def main() -> int:
     # streaming CEP bounce (T7, applyInPandasWithState) — the one
     # Python-state component; its own sweep so the state-store/Arrow churn
     # can't contaminate the batch timings above
-    for m in multiples:
+    for m in (multiples if want("cep") else []):
         ev_amp = amp_events(m)
         tag = f"probe_t7_x{m}"
         in_dir = srunner.stage_stream_dir(ev_amp, "ts", 5, tag)
@@ -126,7 +133,7 @@ def main() -> int:
     # for MG regardless of scale)
     from flinkrealtimedatawarehouse_spark.streaming import heavyhitters, neardup
 
-    for m in multiples:
+    for m in (multiples if want("sinks") else []):
         d = amplify(docs, "doc_id", m).select("doc_id", "text")
         nd = neardup.BandStateNearDupSink(
             srunner.scratch_dir(f"probe_nd_x{m}"), "doc_id", "text"
@@ -168,7 +175,7 @@ def main() -> int:
     from flinkrealtimedatawarehouse_spark.streaming import simsearch
     from flinkrealtimedatawarehouse_spark.streaming import sinks as ssinks
 
-    for m in multiples:
+    for m in (multiples if want("funnel") else []):
         ev_amp = amp_events(m).filter(
             F.col("event_type").isin("view", "click", "purchase")
         )
@@ -207,7 +214,7 @@ def main() -> int:
             flush=True,
         )
 
-    for m in multiples:
+    for m in (multiples if want("scd2topk") else []):
         # SCD2: events replayed as dim changes (pk=user, version=event id)
         ch = amp_events(m).select(
             F.col("user_id").alias("pk"),
