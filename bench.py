@@ -101,15 +101,19 @@ def main() -> int:
     # Extras: timed the same way (min-of-N after one warm-up) but kept OUT
     # of the headline metric and its "queries" dict so `value` stays
     # comparable across rounds (the headline set is frozen).
-    from flinkrealtimedatawarehouse_spark.benchqueries import tpch, warehouse as wh
+    from flinkrealtimedatawarehouse_spark.benchqueries import pipeline, tpch, warehouse as wh
 
     extra_fns = {
         "tpch1_pricing": tpch.q_tpch1,
         "tpch3_topn": tpch.q_tpch3,
+        "tpch4_semijoin": tpch.q_tpch4,
         "tpch5_region": tpch.q_tpch5,
+        "tpch6_scanagg": tpch.q_tpch6,
+        "tpch10_returns": tpch.q_tpch10,
         "tpch18_bigqty": tpch.q_tpch18,
         "a8f_funnel": wh.q_a8f,
         "a8t_retention": wh.q_a8t,
+        "dp15s_span_dedup": pipeline.q_span_dedup,
     }
     extras: dict[str, float] = {}
     for name, fn in extra_fns.items():

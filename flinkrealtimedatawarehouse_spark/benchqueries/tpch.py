@@ -2,16 +2,22 @@
 
 The reference's ADS layer is bespoke dashboard SQL; a user replacing it
 with this engine also expects the textbook warehouse rollups to run well.
-These four queries are the canonical shapes (TPC-H Q1/Q3/Q5/Q18 adapted to
-the testdata's column subset) expressed Spark-first:
+These queries are the canonical shapes (TPC-H Q1/Q3/Q4/Q5/Q6/Q10/Q18
+adapted to the testdata's column subset) expressed Spark-first:
 
 - Q1  pricing summary: one scan, partial-agg pushdown, no joins.
 - Q3  shipping priority: selective dim filter -> fact join -> top-N
   (TakeOrderedAndProject, no global sort).
+- Q4  order priority checking: EXISTS decorrelated to a LEFT SEMI join
+  (orders never duplicate however many lines match).
 - Q5  local supplier volume: the two fact tables shuffle-join on their
   key; nation/region stay broadcast (the only truly fixed-size dims —
   customer/supplier scale with sf and MUST NOT be broadcast, see
   VERDICT r1 finding 4).
+- Q6  revenue-change forecast: the pure-scan shape — every predicate in
+  PushedFilters, one partial-agg column, zero joins.
+- Q10 returned-item reporting: selective fact filters -> joins -> top-20
+  via TakeOrderedAndProject.
 - Q18 large-volume customers: pre-aggregate lineitem BEFORE joining
   orders/customer so the join input is one row per order, not per line.
 
@@ -19,7 +25,7 @@ Money sums that feed an ORDER BY are computed in integer hundredths-of-
 cents (``round(x * 10000)`` per row, summed as BIGINT) so the sort key is
 associative and engine-independent; displayed values divide back out.
 
-All four fold into one tagged-union driver gate (``a12_rollup_tpch``)
+All of them fold into one tagged-union driver gate (``a12_rollup_tpch``)
 together with the A12 GROUPING SETS rollup, keeping the registry at the
 driver's 50-entry recording cap.
 """
@@ -199,6 +205,107 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+# --- Q6 forecasting revenue change (pure scan: filter -> one agg) --------
+def q_tpch6(spark: SparkSession, sf: str) -> DataFrame:
+    # The no-join benchmark shape: every predicate must reach the parquet
+    # scan (PushedFilters) and the sum is a single partial-agg column.
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    amt = (F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000)).cast("long")
+    return li.agg(
+        (F.sum(amt) / 10000.0).alias("revenue"), F.count(F.lit(1)).alias("line_ct")
+    )
+
+
+SQL_TPCH6 = """
+SELECT sum(round(l_extendedprice * l_discount * 10000)::BIGINT) / 10000.0 AS revenue,
+       count(*)::BIGINT AS line_ct
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# --- Q4 order priority checking (EXISTS semi-join), adapted ---------------
+# The testdata carries no l_commitdate/l_receiptdate, so "late line" is
+# adapted to l_shipdate > o_orderdate + 90 days; the load-bearing shape —
+# an EXISTS decorrelated to a LEFT SEMI join that never duplicates orders
+# however many lines match — is unchanged.
+def q_tpch4(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-10-01")
+    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.date_add(o["o_orderdate"], 90)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    ).orderBy("o_orderpriority")
+
+
+SQL_TPCH4 = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --- Q10 returned-item reporting (top-20 customers by returned revenue) ---
+def q_tpch10(spark: SparkSession, sf: str) -> DataFrame:
+    # Selective fact filters first; customer joins AFTER the lineitem
+    # aggregate is NOT possible here (group key includes customer attrs),
+    # so the join order is facts-first with nation broadcast; the final
+    # top-20 is TakeOrderedAndProject, never a global sort.
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-07-01") & (F.col("o_orderdate") < "1997-10-01")
+    )
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev()).alias("rev_c"))
+        .select(
+            "c_custkey", "c_name",
+            (F.col("rev_c") / 10000.0).alias("revenue"), "n_name",
+        )
+        .orderBy(F.col("rev_c").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_TPCH10 = f"""
+SELECT c_custkey, c_name, sum({_DUCK_REV}) / 10000.0 AS revenue, n_name
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY sum({_DUCK_REV}) DESC, c_custkey LIMIT 20
+"""
+
+
 # --- tagged-union driver gate: A12 rollup + the four TPC-H shapes --------
 def q_a12c(spark: SparkSession, sf: str) -> DataFrame:
     rollup = q_a12(spark, sf).select(
@@ -236,7 +343,31 @@ def q_a12c(spark: SparkSession, sf: str) -> DataFrame:
         F.col("sum_qty").cast("double").alias("v2"),
         F.lit(0.0).alias("v3"),
     )
-    return rollup.unionByName(t1).unionByName(t3).unionByName(t5).unionByName(t18)
+    t6 = q_tpch6(spark, sf).select(
+        F.lit("tpch6").alias("branch"),
+        F.lit("all").alias("k"),
+        F.col("revenue").alias("v1"),
+        F.col("line_ct").cast("double").alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    t4 = q_tpch4(spark, sf).select(
+        F.lit("tpch4").alias("branch"),
+        F.col("o_orderpriority").alias("k"),
+        F.col("order_count").cast("double").alias("v1"),
+        F.lit(0.0).alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    t10 = q_tpch10(spark, sf).select(
+        F.lit("tpch10").alias("branch"),
+        F.concat_ws("|", "c_custkey", "n_name").alias("k"),
+        F.col("revenue").alias("v1"),
+        F.lit(0.0).alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    return (
+        rollup.unionByName(t1).unionByName(t3).unionByName(t5)
+        .unionByName(t18).unionByName(t6).unionByName(t4).unionByName(t10)
+    )
 
 
 SQL_A12C = f"""
@@ -253,6 +384,12 @@ SELECT 'tpch5', n_name, revenue, 0.0, 0.0 FROM ({SQL_TPCH5})
 UNION ALL
 SELECT 'tpch18', c_custkey || '|' || o_orderkey, o_totalprice,
        sum_qty::DOUBLE, 0.0 FROM ({SQL_TPCH18})
+UNION ALL
+SELECT 'tpch6', 'all', revenue, line_ct::DOUBLE, 0.0 FROM ({SQL_TPCH6})
+UNION ALL
+SELECT 'tpch4', o_orderpriority, order_count::DOUBLE, 0.0, 0.0 FROM ({SQL_TPCH4})
+UNION ALL
+SELECT 'tpch10', c_custkey || '|' || n_name, revenue, 0.0, 0.0 FROM ({SQL_TPCH10})
 """
 
 REGISTRY = {
