@@ -1369,6 +1369,7 @@ SELECT doc_id, rank::INT AS rank, term, tf AS tf_ct, score FROM (
 # (sample the training mix, pack what survived, and stamp every surviving
 # doc's split). Tagged union: (kind, source, key, doc_ct, tok_sum).
 _SPLITS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+_N_SHUF_SHARDS = 8
 
 def q_mix_pack(spark: SparkSession, sf: str) -> DataFrame:
     kept = textstats.mix_sample(
@@ -1388,7 +1389,19 @@ def q_mix_pack(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.lit("split").alias("kind"), "source",
                 F.col("split").alias("key"), "doc_ct", "tok_sum")
     )
-    return pack_branch.unionByName(split_branch)
+    # shuffle branch: the position-weighted checksum breaks if the
+    # in-shard permutation order differs anywhere, not just the counts
+    shuffle_branch = (
+        textstats.global_shuffle(kept, "doc_id", _N_SHUF_SHARDS)
+        .groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum(F.col("pos") * (F.col("doc_id") % 97)).alias("tok_sum"),
+        )
+        .select(F.lit("shuffle").alias("kind"), "source",
+                F.col("shard").cast("string").alias("key"), "doc_ct", "tok_sum")
+    )
+    return pack_branch.unionByName(split_branch).unionByName(shuffle_branch)
 
 def _duck_split_case() -> str:
     """The split_assign bucket CASE — bucket space and cumulative ranges
@@ -1401,12 +1414,23 @@ def _duck_split_case() -> str:
 
 def _sql_mix_pack() -> str:
     kept = f"(SELECT * FROM documents WHERE {_duck_mix_conds()})"
+    shuf_hash = duck_phash("doc_id::VARCHAR || '_shuf'")
     return f"""
 SELECT 'pack' AS kind, source, bin::VARCHAR AS key, doc_ct, tok_sum
 FROM ({_duck_pack_sql(kept)})
 UNION ALL
 SELECT 'split', source, {_duck_split_case()}, count(*)::BIGINT, sum(n_chars)::BIGINT
 FROM {kept} GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'shuffle', source, shard::VARCHAR, count(*)::BIGINT,
+       sum(pos * (doc_id % 97))::BIGINT
+FROM (
+  SELECT doc_id, source,
+         ({shuf_hash} % {_N_SHUF_SHARDS})::INT AS shard,
+         row_number() OVER (PARTITION BY {shuf_hash} % {_N_SHUF_SHARDS}
+                            ORDER BY {shuf_hash}, doc_id) - 1 AS pos
+  FROM {kept}
+) GROUP BY 1, 2, 3
 """
 
 SQL_MIX_PACK = _sql_mix_pack()

@@ -474,6 +474,39 @@ def split_assign(docs: DataFrame, id_col: str,
     return docs.withColumn("split", expr)
 
 
+def global_shuffle(docs: DataFrame, id_col: str, n_shards: int,
+                   salt: str = "shuf") -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment — the training-data
+    "global shuffle" without a global sort. Every row gets ``shard`` (a
+    hash bucket of (id, salt)) and ``pos`` (its 0-based rank within the
+    shard, ordered by the same hash with id tiebreak). Readers that walk
+    shards in (shard, pos) order see a deterministic pseudo-random
+    permutation of the corpus; training jobs interleave shards for
+    cross-shard mixing.
+
+    Why not ORDER BY rand() at 100 TB: a true global permutation is a
+    full range-exchange sort over the whole corpus. The sharded form
+    pays one hash exchange into ``n_shards`` groups plus an in-shard
+    sort; correctness properties the full sort can't offer: the
+    permutation is a pure function of (id, salt) — reproducible across
+    runs, engines, partitionings — and re-drawing is a salt change, not
+    an RNG seed plumbing problem.
+
+    Pick ``n_shards`` >= cluster cores (typically 1k-100k for an LLM
+    corpus) so each in-shard sort fits one task's memory and the write
+    parallelizes; the per-shard window here is exactly that in-shard
+    sort.
+    """
+    key = spark_phash(F.concat(F.col(id_col).cast("string"), F.lit("_" + salt)))
+    w = Window.partitionBy("shard").orderBy(F.col("_skey").asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_skey", key)
+        .withColumn("shard", F.pmod(F.col("_skey"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_skey")
+    )
+
+
 def pack_bins(docs: DataFrame, id_col: str, token_col: str, budget: int,
               part_col: str | None = None) -> DataFrame:
     """Sequence packing: assign docs to fixed-token-budget training bins.

@@ -1119,3 +1119,30 @@ def test_repeated_spans_coverage_merges_overlaps(spark):
     got = {r.doc_id: (r.dup_windows, r.dup_coverage)
            for r in textdedup.repeated_spans(_docs(spark, rows), "doc_id", "text", w).collect()}
     assert got[2] == (2, 6) and got[1] == (0, 0)
+
+
+# --- deterministic global shuffle + shard assignment ----------------------
+
+def test_global_shuffle_is_deterministic_permutation(spark):
+    rows = [(i, f"doc number {i}") for i in range(1, 41)]
+    d = _docs(spark, rows)
+    out1 = textstats.global_shuffle(d, "doc_id", 4).select("doc_id", "shard", "pos").collect()
+    out2 = textstats.global_shuffle(d.repartition(7), "doc_id", 4).select("doc_id", "shard", "pos").collect()
+    # invariant to input partitioning (pure function of id + salt)
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    # every row lands in exactly one (shard, pos); pos is 0..n_s-1 per shard
+    by_shard = {}
+    for r in out1:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert sum(len(v) for v in by_shard.values()) == 40
+    for shard, ps in by_shard.items():
+        assert 0 <= shard < 4
+        assert sorted(ps) == list(range(len(ps)))
+    # a different salt redraws the permutation
+    out3 = textstats.global_shuffle(d, "doc_id", 4, salt="other").collect()
+    m1 = {r.doc_id: (r.shard, r.pos) for r in out1}
+    m3 = {r.doc_id: (r.shard, r.pos) for r in out3}
+    assert m1 != m3
+    # the order within a shard is NOT the id order (it is actually shuffled)
+    shard0 = [r.doc_id for r in sorted(out1, key=lambda r: (r.shard, r.pos)) if r.shard == 0]
+    assert shard0 != sorted(shard0)

@@ -418,3 +418,31 @@ def test_fill_gaps_dense_and_faithful(spark, days):
             last = float(obs[d])
         else:
             assert (amount, filled) == (last, 1)
+
+
+# --- repeated token spans == Python reference over random corpora ---------
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=14),
+        min_size=1,
+        max_size=8,
+    ),
+    w=st.integers(2, 4),
+)
+@settings(**_SETTINGS)
+def test_repeated_spans_equal_python_reference(spark, docs, w):
+    # tiny alphabet + short docs force window-hash collisions-by-content
+    # (true repeats) across and within docs
+    from tests.test_datapipeline import _py_repeated_spans
+
+    rows = [(i + 1, " ".join(toks)) for i, toks in enumerate(docs)]
+    expect = _py_repeated_spans(rows, w)
+    from flinkrealtimedatawarehouse_spark.datapipeline.textdedup import repeated_spans
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_windows, r.dup_windows, r.dup_coverage)
+        for r in repeated_spans(df, "doc_id", "text", w).collect()
+    }
+    assert got == expect
