@@ -1370,6 +1370,7 @@ SELECT doc_id, rank::INT AS rank, term, tf AS tf_ct, score FROM (
 # doc's split). Tagged union: (kind, source, key, doc_ct, tok_sum).
 _SPLITS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
 _N_SHUF_SHARDS = 8
+_CHUNK_SEQ = 2048
 
 def q_mix_pack(spark: SparkSession, sf: str) -> DataFrame:
     kept = textstats.mix_sample(
@@ -1401,7 +1402,23 @@ def q_mix_pack(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.lit("shuffle").alias("kind"), "source",
                 F.col("shard").cast("string").alias("key"), "doc_ct", "tok_sum")
     )
-    return pack_branch.unionByName(split_branch).unionByName(shuffle_branch)
+    # chunkpack branch: GPT-style fixed-length blocks over the concatenated
+    # stream; the block*n_toks+off checksum pins every boundary crossing
+    chunk_branch = (
+        textstats.concat_chunks(kept, "doc_id", "n_chars", _CHUNK_SEQ, part_col="source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum(F.col("block") * F.col("n_toks") + F.col("off_in_doc")).alias("tok_sum"),
+        )
+        .select(F.lit("chunkpack").alias("kind"), "source",
+                F.lit("all").alias("key"), "doc_ct", "tok_sum")
+    )
+    return (
+        pack_branch.unionByName(split_branch)
+        .unionByName(shuffle_branch)
+        .unionByName(chunk_branch)
+    )
 
 def _duck_split_case() -> str:
     """The split_assign bucket CASE — bucket space and cumulative ranges
@@ -1431,6 +1448,20 @@ FROM (
                             ORDER BY {shuf_hash}, doc_id) - 1 AS pos
   FROM {kept}
 ) GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'chunkpack', source, 'all', count(*)::BIGINT,
+       sum(b * n_toks + off_in_doc)::BIGINT
+FROM (
+  SELECT source, doc_id, b,
+         greatest(cum - n, b * {_CHUNK_SEQ}) - (cum - n) AS off_in_doc,
+         least(cum, (b + 1) * {_CHUNK_SEQ}) - greatest(cum - n, b * {_CHUNK_SEQ}) AS n_toks
+  FROM (
+    SELECT source, doc_id, n_chars::BIGINT AS n,
+           sum(n_chars::BIGINT) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+    FROM {kept} WHERE n_chars > 0
+  ), unnest(range(((cum - n) // {_CHUNK_SEQ})::BIGINT,
+                  ((cum - 1) // {_CHUNK_SEQ} + 1)::BIGINT)) AS t(b)
+) GROUP BY 1, 2
 """
 
 SQL_MIX_PACK = _sql_mix_pack()

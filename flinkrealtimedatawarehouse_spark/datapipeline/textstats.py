@@ -507,6 +507,49 @@ def global_shuffle(docs: DataFrame, id_col: str, n_shards: int,
     )
 
 
+def concat_chunks(docs: DataFrame, id_col: str, count_col: str, seq_len: int,
+                  part_col: str | None = None) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus token stream in
+    deterministic (``part_col``, ``id_col``) order and cut fixed
+    ``seq_len`` blocks, docs crossing block boundaries (no padding, no
+    doc alignment) — the packing an autoregressive pretraining loader
+    actually uses, vs ``pack_bins``' whole-doc budget bins.
+
+    Returns one row per (doc, block) intersection: ``block`` (0-based
+    within the partition), ``off_in_doc`` (first token of this doc that
+    lands in the block), ``n_toks`` (tokens the doc contributes).
+    Σ n_toks per block = seq_len except the final partial block.
+
+    Scale: one cumulative-sum window per partition (callers at scale
+    pass a partition column — source/date shard — so no global
+    serialization) and a per-doc explode of ceil(len/seq_len)+1 block
+    rows; all JVM expressions.
+    """
+    part = F.col(part_col) if part_col else F.lit(0)
+    w = Window.partitionBy(part).orderBy(F.col(id_col).asc())
+    sized = docs.filter(F.col(count_col) > 0).select(
+        *( [F.col(part_col)] if part_col else [] ),
+        F.col(id_col),
+        F.col(count_col).cast("long").alias("_n"),
+        (F.sum(count_col).over(w).cast("long")).alias("_cum"),
+    )
+    start = F.col("_cum") - F.col("_n")
+    end = F.col("_cum")  # exclusive
+    spans = sized.withColumn(
+        "block",
+        F.explode(F.sequence(F.floor(start / seq_len), F.floor((end - 1) / seq_len))),
+    )
+    blk_lo = F.col("block") * seq_len
+    blk_hi = blk_lo + seq_len
+    return spans.select(
+        *( [F.col(part_col)] if part_col else [] ),
+        F.col(id_col),
+        F.col("block").cast("long"),
+        (F.greatest(start, blk_lo) - start).cast("long").alias("off_in_doc"),
+        (F.least(end, blk_hi) - F.greatest(start, blk_lo)).cast("long").alias("n_toks"),
+    )
+
+
 def pack_bins(docs: DataFrame, id_col: str, token_col: str, budget: int,
               part_col: str | None = None) -> DataFrame:
     """Sequence packing: assign docs to fixed-token-budget training bins.

@@ -1146,3 +1146,38 @@ def test_global_shuffle_is_deterministic_permutation(spark):
     # the order within a shard is NOT the id order (it is actually shuffled)
     shard0 = [r.doc_id for r in sorted(out1, key=lambda r: (r.shard, r.pos)) if r.shard == 0]
     assert shard0 != sorted(shard0)
+
+
+def test_concat_chunks_blocks_cross_doc_boundaries(spark):
+    rows = [(1, 5), (2, 3), (3, 4), (4, 2)]  # stream of 14 tokens, seq_len 4
+    d = spark.createDataFrame(rows, "doc_id long, n long")
+    out = sorted(
+        (r.doc_id, r.block, r.off_in_doc, r.n_toks)
+        for r in textstats.concat_chunks(d, "doc_id", "n", 4).collect()
+    )
+    # doc1 tokens [0,5): blocks 0 (4 toks) and 1 (1 tok)
+    # doc2 tokens [5,8): block 1 (3 toks)
+    # doc3 tokens [8,12): block 2 (4 toks)
+    # doc4 tokens [12,14): block 3 (2 toks, final partial)
+    assert out == [
+        (1, 0, 0, 4), (1, 1, 4, 1),
+        (2, 1, 0, 3),
+        (3, 2, 0, 4),
+        (4, 3, 0, 2),
+    ]
+    # every block except the last carries exactly seq_len tokens
+    per_block = {}
+    for _, b, _, n in out:
+        per_block[b] = per_block.get(b, 0) + n
+    assert per_block == {0: 4, 1: 4, 2: 4, 3: 2}
+
+
+def test_concat_chunks_partitioned_and_zero_docs(spark):
+    rows = [(1, 3, "a"), (2, 0, "a"), (3, 2, "a"), (10, 4, "b")]
+    d = spark.createDataFrame(rows, "doc_id long, n long, src string")
+    out = sorted(
+        (r.src, r.doc_id, r.block, r.n_toks)
+        for r in textstats.concat_chunks(d, "doc_id", "n", 4, part_col="src").collect()
+    )
+    # zero-token doc 2 vanishes; partitions chunk independently
+    assert out == [("a", 1, 0, 3), ("a", 3, 0, 1), ("a", 3, 1, 1), ("b", 10, 0, 4)]
