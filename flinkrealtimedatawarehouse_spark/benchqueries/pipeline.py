@@ -1364,6 +1364,81 @@ SELECT doc_id, rank::INT AS rank, term, tf AS tf_ct, score FROM (
 ) WHERE rank <= {_BM25_K} AND doc_id % 25 = 0
 """
 
+# dp25b: the query side — BM25 full-text search top-k (per-term scores
+# summed as integer micros so the ranking key is associative on both
+# engines). One tagged dp25 entry carries both directions.
+_BM25_QUERY = "fast hash join"
+_BM25_SEARCH_K = 20
+
+
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.bm25_search(
+        load_table(spark, sf, "documents"), "doc_id", "text", _BM25_QUERY,
+        k1=_BM25_K1, b=_BM25_B, k=_BM25_SEARCH_K,
+    )
+
+
+def _sql_bm25_search() -> str:
+    terms = textstats.query_terms(_BM25_QUERY)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tk AS (
+  SELECT doc_id, toks FROM (
+    SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+  ) WHERE len(toks) > 0
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk
+  ) WHERE term IN ({in_list}) GROUP BY 1, 2, 3
+),
+st AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM tk),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(round(round(ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * tf.dl / st.avgdl)),
+               6) * 1000000) AS BIGINT) AS su
+  FROM tf JOIN dfq USING (term) CROSS JOIN st
+),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_hit, sum(su)::BIGINT AS su FROM sc GROUP BY 1)
+SELECT doc_id, rank, n_hit, score FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY su DESC, doc_id) AS rank,
+         n_hit, su / 1000000.0 AS score
+  FROM tot
+) WHERE rank <= {_BM25_SEARCH_K}
+"""
+
+
+SQL_BM25_SEARCH = _sql_bm25_search()
+
+
+def q_bm25c(spark: SparkSession, sf: str) -> DataFrame:
+    terms_b = q_bm25(spark, sf).select(
+        F.lit("terms").alias("branch"), "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("term").alias("key"),
+        F.col("tf_ct").cast("double").alias("v1"),
+        F.col("score").alias("v2"),
+    )
+    search_b = q_bm25_search(spark, sf).select(
+        F.lit("search").alias("branch"), "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.lit("q").alias("key"),
+        F.col("n_hit_terms").cast("double").alias("v1"),
+        F.col("score").alias("v2"),
+    )
+    return terms_b.unionByName(search_b)
+
+
+SQL_BM25C = f"""
+SELECT 'terms' AS branch, doc_id, rank, term AS key, tf_ct::DOUBLE AS v1, score AS v2
+FROM ({SQL_BM25})
+UNION ALL
+SELECT 'search', doc_id, rank::INT, 'q', n_hit::DOUBLE, score FROM ({SQL_BM25_SEARCH})
+"""
+
 # dp20+dp21+dp27: mix sampling feeding sequence packing, plus the
 # train/val/test split assignment — the composed curation pipeline
 # (sample the training mix, pack what survived, and stamp every surviving
@@ -1486,5 +1561,5 @@ REGISTRY = {
     "dp19_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dp20_mix_pack": (q_mix_pack, SQL_MIX_PACK),
     "dp23_curation": (q_curation, SQL_CURATION),
-    "dp25_bm25": (q_bm25, SQL_BM25),
+    "dp25_bm25": (q_bm25c, SQL_BM25C),
 }

@@ -474,6 +474,182 @@ def split_assign(docs: DataFrame, id_col: str,
     return docs.withColumn("split", expr)
 
 
+def query_terms(query: str) -> list[str]:
+    """Driver-side twin of ``spark_tokens`` for a query literal: same
+    lowercase/split/drop-empties rule, distinct terms in first-seen
+    order (BM25 query scoring sums each distinct term once)."""
+    import re
+
+    seen: list[str] = []
+    for t in re.split(r"[^a-z0-9]+", query.lower()):
+        if t and t not in seen:
+            seen.append(t)
+    return seen
+
+
+def bm25_search(docs: DataFrame, id_col: str, text_col: str, query: str,
+                k1: float = 1.2, b: float = 0.75, k: int = 10) -> DataFrame:
+    """Full-text retrieval: BM25-rank every document against ``query``,
+    returning the top-``k`` (``id_col``, n_hit_terms, score) — the query
+    side of ``bm25_terms``' scoring.
+
+    Scale shape: the query-term filter lands BEFORE the tf shuffle (only
+    matching (doc, term) rows leave the scan stage), df(term) is the
+    same per-term window count as bm25_terms — the filter keeps every
+    row of a matching term, so the windowed row count IS the corpus df —
+    and corpus scalars (N, avgdl) broadcast from a 1-row aggregate. The
+    per-term scores sum as integer micros so the ranking key is
+    associative and engine-independent; top-k is a row_number window
+    (WindowGroupLimit partial top-k).
+    """
+    terms = query_terms(query)
+    if not terms:
+        raise ValueError("query has no tokens")
+    toks = docs.select(F.col(id_col), spark_tokens(F.col(text_col)).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    tf = (
+        toks.select(F.col(id_col), F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    term_w = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(term_w))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "score_u",
+            F.round(
+                F.round(
+                    F.col("idf") * (F.col("tf") * (k1 + 1.0))
+                    / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+                    6,
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    total = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hit_terms"), F.sum("score_u").alias("score_u")
+    )
+    w = Window.orderBy(F.col("score_u").desc(), F.col(id_col).asc())
+    return (
+        total.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "n_hit_terms", (F.col("score_u") / 1_000_000).alias("score"))
+    )
+
+
+POSTINGS_BUCKETS = 64
+
+
+def build_postings(docs: DataFrame, id_col: str, text_col: str, out_dir: str,
+                   n_buckets: int = POSTINGS_BUCKETS) -> None:
+    """Persist an inverted index: one parquet table of postings
+    (term, doc, tf, dl, df) partitioned by ``bucket = pmod(xxhash64(term),
+    n_buckets)``, plus a 1-row corpus-stats table (n_docs, avgdl).
+
+    The search-side win is PARTITION pruning (same pattern as
+    ``similarity.build_ivf_index``): a query touches only the directories
+    its terms hash into — 1/n_buckets of the index per term instead of a
+    corpus scan. df and dl are precomputed at build time, so a search
+    never re-tokenizes anything.
+    """
+    toks = docs.select(F.col(id_col), spark_tokens(F.col(text_col)).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    tf = (
+        toks.select(F.col(id_col), F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    term_w = Window.partitionBy("term")
+    postings = tf.withColumn("df", F.count(F.lit(1)).over(term_w)).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/postings")
+    # n_buckets rides in the stats row: the bucket function is part of the
+    # index layout, so search must never have to guess it (a mismatched
+    # search-time modulus would silently prune REAL postings away)
+    toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    ).withColumn("n_buckets", F.lit(n_buckets)).write.mode("overwrite").parquet(
+        f"{out_dir}/stats"
+    )
+
+
+def postings_search(spark, out_dir: str, id_col: str, query: str,
+                    k1: float = 1.2, b: float = 0.75, k: int = 10) -> DataFrame:
+    """Search the persisted postings index: reads ONLY the partitions the
+    query's terms hash into (bucket ∈ literal list -> directory pruning,
+    assertable via ``layout.scan_report``), scores BM25 from the stored
+    tf/df/dl, and returns the same (id, rank, n_hit_terms, score) frame
+    as ``bm25_search`` — parity-pinned in tests. The bucket modulus comes
+    from the index's own stats row (never a caller parameter — a
+    mismatched modulus would silently prune real postings)."""
+    terms = query_terms(query)
+    if not terms:
+        raise ValueError("query has no tokens")
+    stats = spark.read.parquet(f"{out_dir}/stats")
+    n_buckets = stats.select("n_buckets").first()["n_buckets"]
+    stats = stats.drop("n_buckets")
+    buckets = sorted({_xxhash64_bucket(t, n_buckets) for t in terms})
+    postings = (
+        spark.read.parquet(f"{out_dir}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    scored = (
+        postings.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "score_u",
+            F.round(
+                F.round(
+                    F.col("idf") * (F.col("tf") * (k1 + 1.0))
+                    / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+                    6,
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    total = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hit_terms"), F.sum("score_u").alias("score_u")
+    )
+    w = Window.orderBy(F.col("score_u").desc(), F.col(id_col).asc())
+    return (
+        total.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "n_hit_terms", (F.col("score_u") / 1_000_000).alias("score"))
+    )
+
+
+def _xxhash64_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side pmod(xxhash64(term), n) — computed through a 1-row
+    Spark frame so the bucket function is BY CONSTRUCTION the same
+    expression the build side used (no Python xxhash reimplementation to
+    drift)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    row = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(term)), F.lit(n_buckets)).cast("int").alias("b")
+    ).first()
+    return row["b"]
+
+
 def global_shuffle(docs: DataFrame, id_col: str, n_shards: int,
                    salt: str = "shuf") -> DataFrame:
     """Deterministic corpus shuffle + shard assignment — the training-data

@@ -1181,3 +1181,44 @@ def test_concat_chunks_partitioned_and_zero_docs(spark):
     )
     # zero-token doc 2 vanishes; partitions chunk independently
     assert out == [("a", 1, 0, 3), ("a", 3, 0, 1), ("a", 3, 1, 1), ("b", 10, 0, 4)]
+
+
+# --- BM25 search + persisted postings index -------------------------------
+
+def test_bm25_search_ranks_matching_docs(spark):
+    d = _docs(spark, [
+        (1, "fast hash join beats slow sort merge join"),   # both terms, 'join' twice
+        (2, "hash tables everywhere hash hash"),            # one term, high tf
+        (3, "nothing relevant here at all"),
+        (4, "a fast scan"),
+    ])
+    out = textstats.bm25_search(d, "doc_id", "text", "fast hash join", k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids                       # zero-hit docs never surface
+    assert ids[0] == 1                        # both terms + double tf wins
+    assert {r.doc_id: r.n_hit_terms for r in out}[1] == 3
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+
+
+def test_postings_search_matches_bm25_search_and_prunes(spark, tmp_path):
+    import random
+    random.seed(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    rows = [(i, " ".join(random.choices(vocab, k=12))) for i in range(1, 81)]
+    d = _docs(spark, rows)
+    idx = str(tmp_path / "idx")
+    textstats.build_postings(d, "doc_id", "text", idx, n_buckets=16)
+
+    q = "alpha zeta"
+    direct = textstats.bm25_search(d, "doc_id", "text", q, k=15).collect()
+    via_idx = textstats.postings_search(spark, idx, "doc_id", q, k=15).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in via_idx]
+
+    # the search read ONLY the buckets the query terms hash into
+    from flinkrealtimedatawarehouse_spark.operators.layout import scan_report
+    buckets = sorted({textstats._xxhash64_bucket(t, 16) for t in ["alpha", "zeta"]})
+    rep = scan_report(
+        spark, f"{idx}/postings", f"bucket in ({','.join(map(str, buckets))})"
+    )
+    assert rep["plan_has_partition_filters"]
+    assert rep["n_files_scanned"] < rep["n_files_total"]
