@@ -1222,3 +1222,44 @@ def test_postings_search_matches_bm25_search_and_prunes(spark, tmp_path):
     )
     assert rep["plan_has_partition_filters"]
     assert rep["n_files_scanned"] < rep["n_files_total"]
+
+
+# --- model-based quality filtering (linear classifier) --------------------
+
+def test_logreg_learns_separable_planted_data(spark):
+    from flinkrealtimedatawarehouse_spark.datapipeline import classifier
+
+    # planted: label 1 docs repeat 'good', label 0 docs repeat 'spam'
+    rows = [(i, "good clean prose text here", 1) for i in range(1, 21)] + [
+        (i, "spam junk garbage noise spam", 0) for i in range(21, 41)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    feats = textstats.embed_text(d, "doc_id", "text", dim=8)
+    w = classifier.train_logreg(feats, "embedding", "label", dim=8, n_iter=40, lr=2.0)
+    scored = classifier.score_logreg(feats, "embedding", w).collect()
+    assert all(
+        (r.quality_prob >= 0.8) == (r.label == 1)
+        and (r.quality_prob <= 0.2) == (r.label == 0)
+        for r in scored
+    )
+    kept = classifier.filter_by_quality(feats, "embedding", w, 0.5)
+    assert sorted(r.doc_id for r in kept.collect()) == list(range(1, 21))
+
+
+def test_logreg_matches_python_reference(spark):
+    import random
+
+    from flinkrealtimedatawarehouse_spark.datapipeline import classifier
+
+    random.seed(3)
+    dim = 4
+    rows = []
+    for i in range(60):
+        x = [random.uniform(-1, 1) for _ in range(dim)]
+        y = 1 if x[0] + 0.5 * x[1] - 0.2 > 0 else 0
+        rows.append((x, y))
+    d = spark.createDataFrame(rows, "embedding array<double>, label int")
+    w_spark = classifier.train_logreg(d, "embedding", "label", dim=dim, n_iter=30, lr=1.0, l2=0.01)
+    w_py = classifier.train_logreg_reference(rows, dim=dim, n_iter=30, lr=1.0, l2=0.01)
+    # float-sum order differs between engines; updates are identical
+    assert all(abs(a - b) < 1e-9 for a, b in zip(w_spark, w_py))
