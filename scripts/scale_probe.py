@@ -40,7 +40,7 @@ def main() -> int:
     from flinkrealtimedatawarehouse_spark.streaming import state as sstate
     from flinkrealtimedatawarehouse_spark.tables import load_table
 
-    sweeps = {"batch", "cep", "sinks", "funnel", "scd2topk"}
+    sweeps = {"batch", "cep", "sinks", "funnel", "scd2topk", "spans"}
     args = sys.argv[1:]
     sf = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
     picked = {a for a in args if a in sweeps} or sweeps
@@ -102,6 +102,29 @@ def main() -> int:
             f"minhash_lsh={t_mh:.1f}s ({n_pairs} pairs) corpus_ngrams={t_ng:.1f}s "
             f"bm25={t_bm:.1f}s line_dedup={t_ld:.1f}s ann_lsh={t_lsh:.1f}s "
             f"bruteforce_arrow={t_bf:.1f}s sessionize={t_se:.1f}s ({n_sess} sessions)",
+            flush=True,
+        )
+
+    # substring-level dedup under amplification: id-shifted IDENTICAL
+    # copies make EVERY window hash an m-way duplicate — worst-case skew
+    # for the first-occurrence window — while coverage must grow linearly
+    # (every copy past the first is fully covered)
+    for m in (multiples if want("spans") else []):
+        d = amplify(docs, "doc_id", m)
+        t0 = time.time()
+        agg = (
+            textdedup.repeated_spans(d, "doc_id", "text", window_n=8)
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("dup_windows").alias("dw"),
+                F.sum("dup_coverage").alias("cov"),
+            )
+            .collect()[0]
+        )
+        t_sp = time.time() - t0
+        print(
+            f"x{m} repeated_spans={t_sp:.1f}s ({agg['docs']} docs, "
+            f"{agg['dw']} dup windows, {agg['cov']} covered tokens)",
             flush=True,
         )
 
