@@ -1086,3 +1086,39 @@ def test_concurrent_writers_fenced_not_corrupted(spark, tmp_path):
     b.write_batch(spark.createDataFrame([("y", 5.0)], "k string, v double"), 2)
     got = {r.k: r.total for r in b.current(spark).collect()}
     assert got == {"x": 3.0, "y": 5.0}
+
+
+def test_streaming_classifier_gate_filters_in_flight(spark):
+    """The trained quality classifier composes into streaming ingest:
+    weights are literal expressions, so score+filter is a stateless map
+    over each micro-batch — identical decisions to the batch gate."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import classifier, textstats
+
+    train_rows = [(i, "good clean prose text here", 1) for i in range(1, 11)] + [
+        (i, "spam junk garbage noise spam", 0) for i in range(11, 21)
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string, label int")
+    feats = textstats.embed_text(train, "doc_id", "text", dim=8)
+    w = classifier.train_logreg(feats, "embedding", "label", dim=8, n_iter=40, lr=2.0)
+
+    stream_rows = [
+        (100 + i, "good clean prose text here" if i % 2 == 0 else "spam junk garbage noise spam")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(stream_rows, "doc_id long, text string")
+    in_dir = runner.stage_stream_dir(df, "doc_id", 2, "clf_gate")
+    sdf = runner.parquet_stream(spark, in_dir, df.schema)
+    gated = classifier.filter_by_quality(
+        textstats.embed_text(sdf, "doc_id", "text", dim=8), "embedding", w, 0.5
+    )
+    out = runner.run_to_memory(gated, "clf_gate")
+    kept = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert kept == [100, 102, 104, 106]
+
+    batch_kept = sorted(
+        r.doc_id
+        for r in classifier.filter_by_quality(
+            textstats.embed_text(df, "doc_id", "text", dim=8), "embedding", w, 0.5
+        ).select("doc_id").collect()
+    )
+    assert kept == batch_kept
