@@ -144,6 +144,12 @@ def main() -> int:
         "extras": extras,
         "sf": sf,
     }
+    # a query whose warm-up failed contributes nothing to value_cold and
+    # its cold/steady flag can never fire — say so in the JSON instead of
+    # letting the cold total silently read as an improvement
+    missing_cold = [n for n in timings if n not in cold]
+    if missing_cold:
+        out["cold_incomplete"] = missing_cold
     print(json.dumps(out))
     return 0
 

@@ -642,7 +642,7 @@ def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 def _sql_span_dedup(w: int = _SPAN_W) -> str:
     from flinkrealtimedatawarehouse_spark.datapipeline.hashing import (
-        duck_hash_shingles,
+        duck_hash_shingles_wide,
         duck_token_hashes,
         duck_tokens,
     )
@@ -659,7 +659,7 @@ WITH src AS (
          greatest(len(toks) - {w} + 1, 0) AS n_windows
   FROM tk
 ), sh AS (
-  SELECT doc_id, {duck_hash_shingles(duck_token_hashes('toks'), w)} AS whs
+  SELECT doc_id, {duck_hash_shingles_wide(duck_token_hashes('toks'), w)} AS whs
   FROM tk WHERE len(toks) >= {w}
 ), occ AS (
   SELECT doc_id, unnest(range(0, len(whs))) AS pos, unnest(whs) AS wh FROM sh

@@ -59,7 +59,14 @@ def train_logreg(
     Each iteration: margin = sigmoid(w·x) - y per row (JVM expressions),
     then one aggregate of d+1 products — gradient rows never leave the
     executors, only the d+1 sums reach the driver.
+
+    The (features, label) projection is materialized ONCE up front
+    (eager localCheckpoint, same discipline as bpe_train): without it,
+    every one of the n_iter aggregates re-executes the full upstream
+    lineage — for embed_text features that is n_iter re-tokenizations of
+    the corpus.
     """
+    df = df.select(feat_col, label_col).localCheckpoint(eager=True)
     n = df.count()
     if n == 0:
         raise ValueError("empty training frame")

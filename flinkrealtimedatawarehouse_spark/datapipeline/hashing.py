@@ -82,6 +82,56 @@ def spark_hash_shingles(token_hashes: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<bigint>"))
 
 
+SHINGLE_A2 = 777_767_777  # second independent Horner multiplier
+
+
+def spark_hash_shingles_wide(token_hashes: Column, n: int) -> Column:
+    """62-bit combined hash per n-gram: two independent 31-bit Horner
+    combines (multipliers ``SHINGLE_A``/``SHINGLE_A2``, both mod
+    MERSENNE31) packed as ``h1 * 2^31 + h2``. The 31-bit space of
+    ``spark_hash_shingles`` is fine for MinHash (whose permutations live
+    mod MERSENNE31 anyway) but NOT for corpus-scale exact keying —
+    at ~1e8 windows the birthday bound yields millions of colliding
+    pairs in 2^31, each a false duplicate; in 2^62 the expected count is
+    ~1e-3. Each Horner step keeps operands < 2^31 so no int64 overflow.
+    [] when fewer than n tokens."""
+
+    def comb(a_mult: int):
+        def inner(i: Column) -> Column:
+            expr = F.element_at(token_hashes, i + 1)
+            for j in range(1, n):
+                expr = (expr * F.lit(a_mult) + F.element_at(token_hashes, i + 1 + j)) % F.lit(
+                    MERSENNE31
+                )
+            return expr
+
+        return inner
+
+    c1, c2 = comb(SHINGLE_A), comb(SHINGLE_A2)
+    return F.when(
+        F.size(token_hashes) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(token_hashes) - n),
+            lambda i: c1(i) * F.lit(1 << 31) + c2(i),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def duck_hash_shingles_wide(th_expr: str, n: int) -> str:
+    def horner(a_mult: int) -> str:
+        expr = f"({th_expr})[i]"
+        for j in range(1, n):
+            expr = f"((({expr}) * {a_mult} + ({th_expr})[i+{j}]) % {MERSENNE31})"
+        return expr
+
+    combined = f"(({horner(SHINGLE_A)}) * {1 << 31} + ({horner(SHINGLE_A2)}))"
+    return (
+        f"CASE WHEN len({th_expr}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({th_expr}) - {n - 1}), i -> {combined}) "
+        f"ELSE []::BIGINT[] END"
+    )
+
+
 def _perm_fn(a: int, b: int):
     # NB: captured via factory, not lambda defaults — PySpark counts default
     # params as higher-order-function arity.

@@ -18,6 +18,7 @@ from pyspark.storagelevel import StorageLevel
 
 from flinkrealtimedatawarehouse_spark.datapipeline.hashing import (
     spark_hash_shingles,
+    spark_hash_shingles_wide,
     spark_minhash,
     spark_phash,
     spark_token_hashes,
@@ -406,6 +407,50 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str,
     return result
 
 
+def _marked_islands(toks_df: DataFrame, id_col: str, window_n: int) -> DataFrame:
+    """Shared marking pipeline of substring dedup: rolling-hash every
+    length-``window_n`` token window (62-bit combined hash — the 31-bit
+    space would mark unique spans as duplicates by birthday collision at
+    corpus scale), mark every non-first occurrence by (id, pos), and
+    merge the marked windows into per-doc interval islands
+    (``id_col``, ``_isl``, ``_s`` start, ``_e`` exclusive end, ``_wct``
+    marked-window count). Both the detect and remove halves derive from
+    this one rule, so they can never disagree."""
+    wh = (
+        toks_df.filter(F.size("toks") >= window_n)
+        .select(id_col, spark_token_hashes(F.col("toks")).alias("th"))
+        .select(
+            id_col,
+            F.posexplode(spark_hash_shingles_wide(F.col("th"), window_n)).alias("pos", "wh"),
+        )
+    )
+    first_w = Window.partitionBy("wh").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    dup = (
+        wh.withColumn("_rn", F.row_number().over(first_w))
+        .filter(F.col("_rn") > 1)
+        .select(id_col, "pos", (F.col("pos") + window_n).alias("end"))
+    )
+    # interval-island merge per doc: a window starts a new island iff it
+    # begins past the running max end of all earlier windows
+    by_pos = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
+    prev = by_pos.rowsBetween(Window.unboundedPreceding, -1)
+    run = by_pos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        dup.withColumn("_pmax", F.max("end").over(prev))
+        .withColumn(
+            "_new",
+            F.when(F.col("_pmax").isNull() | (F.col("pos") > F.col("_pmax")), 1).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(run))
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("_s"),
+            F.max("end").alias("_e"),
+            F.count(F.lit(1)).alias("_wct"),
+        )
+    )
+
+
 def repeated_spans(
     docs: DataFrame,
     id_col: str,
@@ -429,7 +474,7 @@ def repeated_spans(
     islands, so a long verbatim quote counts its length once, not once
     per window), ``dup_frac``.
 
-    Scale: one exchange on the 60-bit window hash (row_number per hash
+    Scale: one exchange on the 62-bit window hash (row_number per hash
     group — group size = duplication count, bounded like any dup-family
     bucket) + one exchange on the doc id for the island merge. Shuffle
     carries (id, pos, hash) triples, never text. No all-pairs anything.
@@ -440,31 +485,9 @@ def repeated_spans(
         F.size("toks").alias("n_tokens"),
         F.greatest(F.size("toks") - window_n + 1, F.lit(0)).alias("n_windows"),
     )
-    wh = (
-        toks_df.filter(F.size("toks") >= window_n)
-        .select(id_col, spark_token_hashes(F.col("toks")).alias("th"))
-        .select(id_col, F.posexplode(spark_hash_shingles(F.col("th"), window_n)).alias("pos", "wh"))
-    )
-    first_w = Window.partitionBy("wh").orderBy(F.col(id_col).asc(), F.col("pos").asc())
-    dup = (
-        wh.withColumn("_rn", F.row_number().over(first_w))
-        .filter(F.col("_rn") > 1)
-        .select(id_col, "pos", (F.col("pos") + window_n).alias("end"))
-    )
-    # interval-island merge per doc: a window starts a new island iff it
-    # begins past the running max end of all earlier windows
-    by_pos = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
-    prev = by_pos.rowsBetween(Window.unboundedPreceding, -1)
-    run = by_pos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     islands = (
-        dup.withColumn("_pmax", F.max("end").over(prev))
-        .withColumn(
-            "_new",
-            F.when(F.col("_pmax").isNull() | (F.col("pos") > F.col("_pmax")), 1).otherwise(0),
-        )
-        .withColumn("_isl", F.sum("_new").over(run))
-        .groupBy(id_col, "_isl")
-        .agg((F.max("end") - F.min("pos")).alias("_cov"), F.count(F.lit(1)).alias("_wct"))
+        _marked_islands(toks_df, id_col, window_n)
+        .withColumn("_cov", F.col("_e") - F.col("_s"))
         .groupBy(id_col)
         .agg(F.sum("_cov").alias("dup_coverage"), F.sum("_wct").alias("dup_windows"))
     )
@@ -488,8 +511,9 @@ def strip_repeated_spans(
     window_n: int = 20,
 ) -> DataFrame:
     """The removal half of substring dedup: drop every token covered by a
-    non-canonical repeated span (same marking rule as ``repeated_spans``)
-    and reassemble the surviving tokens in order. Returns
+    non-canonical repeated span (the SAME ``_marked_islands`` rule as
+    ``repeated_spans`` — detect and remove cannot disagree) and
+    reassemble the surviving tokens in order. Returns
     (``id_col``, deduped ``text``, ``n_kept``, ``n_tokens``).
 
     Note the rebuilt text is the token stream (lowercased, punctuation
@@ -502,30 +526,8 @@ def strip_repeated_spans(
     anti-joined against the token stream — both joins are on (id, pos).
     """
     toks_df = docs.select(F.col(id_col), spark_tokens(F.col(text_col)).alias("toks"))
-    wh = (
-        toks_df.filter(F.size("toks") >= window_n)
-        .select(id_col, spark_token_hashes(F.col("toks")).alias("th"))
-        .select(id_col, F.posexplode(spark_hash_shingles(F.col("th"), window_n)).alias("pos", "wh"))
-    )
-    first_w = Window.partitionBy("wh").orderBy(F.col(id_col).asc(), F.col("pos").asc())
-    dup = (
-        wh.withColumn("_rn", F.row_number().over(first_w))
-        .filter(F.col("_rn") > 1)
-        .select(id_col, "pos", (F.col("pos") + window_n).alias("end"))
-    )
-    by_pos = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
-    prev = by_pos.rowsBetween(Window.unboundedPreceding, -1)
-    run = by_pos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    covered = (
-        dup.withColumn("_pmax", F.max("end").over(prev))
-        .withColumn(
-            "_new",
-            F.when(F.col("_pmax").isNull() | (F.col("pos") > F.col("_pmax")), 1).otherwise(0),
-        )
-        .withColumn("_isl", F.sum("_new").over(run))
-        .groupBy(id_col, "_isl")
-        .agg(F.min("pos").alias("_s"), F.max("end").alias("_e"))
-        .select(id_col, F.explode(F.sequence(F.col("_s"), F.col("_e") - 1)).alias("pos"))
+    covered = _marked_islands(toks_df, id_col, window_n).select(
+        id_col, F.explode(F.sequence(F.col("_s"), F.col("_e") - 1)).alias("pos")
     )
     stream = toks_df.select(id_col, F.posexplode("toks").alias("pos", "tok"))
     kept = stream.join(covered, [id_col, "pos"], "left_anti")

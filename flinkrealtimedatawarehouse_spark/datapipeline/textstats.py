@@ -487,6 +487,42 @@ def query_terms(query: str) -> list[str]:
     return seen
 
 
+def _bm25_rank(postings: DataFrame, stats: DataFrame, id_col: str,
+               k1: float, b: float, k: int) -> DataFrame:
+    """Shared BM25 scoring tail for ``bm25_search`` and
+    ``postings_search`` (one definition of the formula and its
+    integer-micros quantization — the two paths cannot drift).
+    ``postings``: (id, dl, term, tf, df) rows for the query's terms;
+    ``stats``: 1-row (n_docs, avgdl)."""
+    scored = (
+        postings.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "score_u",
+            F.round(
+                F.round(
+                    F.col("idf") * (F.col("tf") * (k1 + 1.0))
+                    / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+                    6,
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    total = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hit_terms"), F.sum("score_u").alias("score_u")
+    )
+    w = Window.orderBy(F.col("score_u").desc(), F.col(id_col).asc())
+    return (
+        total.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "n_hit_terms", (F.col("score_u") / 1_000_000).alias("score"))
+    )
+
+
 def bm25_search(docs: DataFrame, id_col: str, text_col: str, query: str,
                 k1: float = 1.2, b: float = 0.75, k: int = 10) -> DataFrame:
     """Full-text retrieval: BM25-rank every document against ``query``,
@@ -518,34 +554,8 @@ def bm25_search(docs: DataFrame, id_col: str, text_col: str, query: str,
         F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
     )
     term_w = Window.partitionBy("term")
-    scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(term_w))
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
-        )
-        .withColumn(
-            "score_u",
-            F.round(
-                F.round(
-                    F.col("idf") * (F.col("tf") * (k1 + 1.0))
-                    / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
-                    6,
-                )
-                * 1_000_000
-            ).cast("long"),
-        )
-    )
-    total = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_hit_terms"), F.sum("score_u").alias("score_u")
-    )
-    w = Window.orderBy(F.col("score_u").desc(), F.col(id_col).asc())
-    return (
-        total.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "rank", "n_hit_terms", (F.col("score_u") / 1_000_000).alias("score"))
-    )
+    postings = tf.withColumn("df", F.count(F.lit(1)).over(term_w))
+    return _bm25_rank(postings, stats, id_col, k1, b, k)
 
 
 POSTINGS_BUCKETS = 64
@@ -601,53 +611,35 @@ def postings_search(spark, out_dir: str, id_col: str, query: str,
     stats = spark.read.parquet(f"{out_dir}/stats")
     n_buckets = stats.select("n_buckets").first()["n_buckets"]
     stats = stats.drop("n_buckets")
-    buckets = sorted({_xxhash64_bucket(t, n_buckets) for t in terms})
+    buckets = sorted(set(_term_buckets(spark, terms, n_buckets).values()))
     postings = (
         spark.read.parquet(f"{out_dir}/postings")
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
     )
-    scored = (
-        postings.crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
-        )
-        .withColumn(
-            "score_u",
-            F.round(
-                F.round(
-                    F.col("idf") * (F.col("tf") * (k1 + 1.0))
-                    / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
-                    6,
-                )
-                * 1_000_000
-            ).cast("long"),
-        )
+    return _bm25_rank(postings, stats, id_col, k1, b, k)
+
+
+def _term_buckets(spark, terms: list[str], n_buckets: int) -> dict[str, int]:
+    """Driver-side pmod(xxhash64(term), n) for ALL terms in ONE tiny
+    Spark job — computed through Spark so the bucket function is BY
+    CONSTRUCTION the same expression the build side used (no Python
+    xxhash reimplementation to drift), without paying one driver round
+    trip per term."""
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select("term", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
+        .collect()
     )
-    total = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_hit_terms"), F.sum("score_u").alias("score_u")
-    )
-    w = Window.orderBy(F.col("score_u").desc(), F.col(id_col).asc())
-    return (
-        total.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "rank", "n_hit_terms", (F.col("score_u") / 1_000_000).alias("score"))
-    )
+    return {r["term"]: r["b"] for r in rows}
 
 
 def _xxhash64_bucket(term: str, n_buckets: int) -> int:
-    """Driver-side pmod(xxhash64(term), n) — computed through a 1-row
-    Spark frame so the bucket function is BY CONSTRUCTION the same
-    expression the build side used (no Python xxhash reimplementation to
-    drift)."""
+    """Single-term convenience wrapper over ``_term_buckets`` (tests)."""
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()
-    row = spark.range(1).select(
-        F.pmod(F.xxhash64(F.lit(term)), F.lit(n_buckets)).cast("int").alias("b")
-    ).first()
-    return row["b"]
+    return _term_buckets(spark, [term], n_buckets)[term]
 
 
 def global_shuffle(docs: DataFrame, id_col: str, n_shards: int,

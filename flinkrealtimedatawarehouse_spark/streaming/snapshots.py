@@ -122,6 +122,33 @@ class VersionedSnapshotSink:
             )
         os.replace(tmp, self._marker_path())  # atomic on POSIX
 
+    def _write_snapshot(self, df: DataFrame, v: int) -> None:
+        """Stage-then-rename snapshot write, fenced on both sides.
+
+        A plain overwrite of the final dir is check-then-write: a writer
+        fenced AFTER the check could clobber the new owner's committed
+        data. Instead the data lands in a writer-private staging dir, the
+        fence is re-checked AFTER the (slow) write, and only then does an
+        atomic rename publish it. A rename onto a non-empty existing dir
+        fails on POSIX, so a fenced straggler can never replace data the
+        new owner already published; an orphaned dir from a crashed or
+        fenced writer is removed by the CURRENT owner only (it re-checked
+        the fence first, and an orphan above the committed version is
+        unreachable by readers by construction)."""
+        import shutil
+
+        final = self._path(v)
+        stage = f"{final}.stage-{self._writer_id}"
+        df.write.mode("overwrite").parquet(stage)
+        try:
+            self._check_fence()  # post-write: the slow part is behind us
+            if os.path.exists(final):
+                shutil.rmtree(final)  # orphan of a crashed/fenced writer
+            os.rename(stage, final)
+        except Exception:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+
     def snapshot_init(self, empty: DataFrame) -> None:
         """Write the v0 snapshot — unless a committed marker was recovered
         in __init__, in which case the existing state stands (a restarted
@@ -130,7 +157,7 @@ class VersionedSnapshotSink:
             return
         self._check_fence()  # before the data write, same as commit_snapshot
         self.version = 0
-        empty.write.mode("overwrite").parquet(self._path(0))
+        self._write_snapshot(empty, 0)
         self._commit()
 
     def current(self, spark: SparkSession) -> DataFrame:
@@ -160,9 +187,9 @@ class VersionedSnapshotSink:
         """Write ``df`` as the next snapshot, then commit the marker with
         the batch id and any sink metadata (crash between the two leaves
         the previous consistent state)."""
-        self._check_fence()  # fenced writers must not overwrite data dirs
+        self._check_fence()  # cheap early exit for already-fenced writers
         next_v = self.version + 1
-        df.write.mode("overwrite").parquet(self._path(next_v))
+        self._write_snapshot(df, next_v)
         self.version = next_v
         self.last_bid = batch_id
         self.meta.update(meta)

@@ -1088,6 +1088,36 @@ def test_concurrent_writers_fenced_not_corrupted(spark, tmp_path):
     assert got == {"x": 3.0, "y": 5.0}
 
 
+def test_fenced_writer_mid_write_cannot_clobber_committed_data(spark, tmp_path):
+    """The check-then-write hole: a writer that passes the early fence
+    check and is fenced DURING its (slow) data write must still not
+    replace the new owner's published snapshot — the stage-then-rename
+    path re-checks the fence after the write and a rename can't land on
+    the owner's non-empty dir."""
+    import pytest as _pytest
+
+    from flinkrealtimedatawarehouse_spark.streaming.snapshots import VersionedSnapshotSink
+
+    d = str(tmp_path / "fence_toctou")
+    a = VersionedSnapshotSink(d)
+    a.snapshot_init(spark.createDataFrame([], "k string, v double"))
+    a.commit_snapshot(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+
+    b = VersionedSnapshotSink(d)  # claims ownership; resumes at version 1
+    b.commit_snapshot(spark.createDataFrame([("b", 2.0)], "k string, v double"), 1)
+
+    # a's NEXT version number collides with b's committed v2; simulate the
+    # mid-write fencing by driving the staged write directly (a's early
+    # check already passed before b existed, in this interleaving)
+    with _pytest.raises(RuntimeError, match="fenced|claimed"):
+        a._write_snapshot(spark.createDataFrame([("evil", 9.0)], "k string, v double"), 2)
+
+    # b's committed v2 is untouched and no stage residue remains
+    assert [tuple(r) for r in b.current(spark).collect()] == [("b", 2.0)]
+    import os as _os
+    assert not [p for p in _os.listdir(d) if ".stage-" in p]
+
+
 def test_streaming_classifier_gate_filters_in_flight(spark):
     """The trained quality classifier composes into streaming ingest:
     weights are literal expressions, so score+filter is a stateless map
