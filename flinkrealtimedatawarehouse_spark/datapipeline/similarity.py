@@ -631,3 +631,38 @@ def semdedup(
             F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def diversity_sample(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_per_cell: int,
+    k: int = 8,
+    iters: int = 5,
+    seed: int = 0,
+    quant: int = QUANT,
+) -> DataFrame:
+    """Cluster-balanced (diversity) sampling: k-means the embeddings,
+    then draw at most ``n_per_cell`` items from every cell by
+    deterministic hash rank — the embedding-space counterpart of
+    stratified sampling, used to keep a curated subset from collapsing
+    onto the corpus's dense modes (the selection side of the
+    SemDeDup/SSL-prototypes family: near-duplicate-heavy cells contribute
+    the same budget as rare-topic cells).
+
+    Returns the sampled rows with their ``cell`` — composition of
+    ``kmeans_assign`` (deterministic Lloyd's) and the WindowGroupLimit
+    fixed-N draw of ``textstats.sample_n_per_group``; both reproducible
+    across runs, engines, and partitionings, re-drawable via ``seed``.
+
+    Scale: the k-means pass is map-side assignment + one (cell, dim) agg
+    per iteration; the draw is one exchange on the cell with partial
+    top-n before it — at no point does anything quadratic or all-pairs
+    run (unlike ``semdedup``, which pays within-cell pairs for its
+    stronger guarantee).
+    """
+    from flinkrealtimedatawarehouse_spark.datapipeline.textstats import sample_n_per_group
+
+    cells = kmeans_assign(emb, id_col, vec_col, k=k, iters=iters, quant=quant)
+    return sample_n_per_group(emb.join(cells, id_col), ["cell"], id_col, n_per_cell, seed=seed)

@@ -1263,3 +1263,23 @@ def test_logreg_matches_python_reference(spark):
     w_py = classifier.train_logreg_reference(rows, dim=dim, n_iter=30, lr=1.0, l2=0.01)
     # float-sum order differs between engines; updates are identical
     assert all(abs(a - b) < 1e-9 for a, b in zip(w_spark, w_py))
+
+
+def test_diversity_sample_caps_every_cell(spark):
+    # two far-apart clusters with very different sizes: the dense one
+    # must not dominate the sample
+    rows = [(i, [1.0 + (i % 7) * 0.001, 0.0]) for i in range(1, 31)] + [
+        (i, [-1.0 - (i % 3) * 0.001, 0.0]) for i in range(31, 36)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.diversity_sample(emb, "vec_id", "embedding", n_per_cell=4, k=2, iters=3)
+    got = out.collect()
+    by_cell = {}
+    for r in got:
+        by_cell.setdefault(r.cell, []).append(r.vec_id)
+    assert all(len(v) <= 4 for v in by_cell.values())
+    # both clusters represented; the small cluster (5 items) contributes 4
+    assert len(by_cell) == 2
+    # deterministic across invocations
+    again = similarity.diversity_sample(emb, "vec_id", "embedding", n_per_cell=4, k=2, iters=3)
+    assert sorted(r.vec_id for r in got) == sorted(r.vec_id for r in again.collect())
