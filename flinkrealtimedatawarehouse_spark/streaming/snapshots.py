@@ -55,6 +55,7 @@ class VersionedSnapshotSink:
         self.base_dir = base_dir
         self.version = -1
         self.last_bid = -1
+        self.min_version = 0  # oldest retained snapshot (raised by vacuum)
         self.lineage = lineage
         self.meta: dict = {}
         self._writer_id = uuid.uuid4().hex
@@ -72,6 +73,7 @@ class VersionedSnapshotSink:
                 )
             self.version = state["version"]
             self.last_bid = state["last_bid"]
+            self.min_version = state.get("min_version", 0)
             self.meta = state.get("meta", {})
         self._claim()
 
@@ -115,6 +117,7 @@ class VersionedSnapshotSink:
                 {
                     "version": self.version,
                     "last_bid": self.last_bid,
+                    "min_version": self.min_version,
                     "lineage": self.lineage,
                     "meta": self.meta,
                 },
@@ -165,19 +168,51 @@ class VersionedSnapshotSink:
 
     def versions(self) -> list[int]:
         """Committed snapshot versions available for time travel (every
-        version up to the committed marker; orphaned post-crash dirs above
-        it are excluded by construction)."""
-        return list(range(self.version + 1)) if self.version >= 0 else []
+        retained version up to the committed marker; orphaned post-crash
+        dirs above it and vacuumed dirs below ``min_version`` are
+        excluded by construction)."""
+        if self.version < 0:
+            return []
+        return list(range(self.min_version, self.version + 1))
 
     def read_version(self, spark: SparkSession, version: int) -> DataFrame:
         """Time travel: the table as of snapshot ``version`` — the parquet
         container's stand-in for Delta's ``VERSION AS OF`` (each micro-batch
         commit created one version, so this is also *as of batch N*)."""
-        if version < 0 or version > self.version:
+        if version < self.min_version or version > self.version:
             raise ValueError(
-                f"version {version} not committed (have 0..{self.version})"
+                f"version {version} not available (retained: "
+                f"{self.min_version}..{self.version}; older versions may "
+                "have been vacuumed)"
             )
         return spark.read.parquet(self._path(version))
+
+    def vacuum(self, keep_last: int) -> list[int]:
+        """Delta ``VACUUM`` stand-in: drop all but the newest
+        ``keep_last`` snapshot versions, bounding the sink dir's storage
+        at O(keep_last x table size) instead of O(commits). The marker's
+        ``min_version`` is raised and committed BEFORE the data dirs are
+        deleted — a crash mid-vacuum leaves unreferenced dirs (re-vacuum
+        collects them), never a referenced-but-deleted version. Fenced:
+        only the current owner may delete. Returns the removed versions.
+        """
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        self._check_fence()
+        new_min = max(self.min_version, self.version - keep_last + 1)
+        if new_min == self.min_version:
+            return []
+        old_min, self.min_version = self.min_version, new_min
+        self._commit()  # point of no return: marker stops referencing them
+        removed = []
+        for v in range(old_min, new_min):
+            p = self._path(v)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+                removed.append(v)
+        return removed
 
     def seen(self, batch_id: int) -> bool:
         """True iff this batch id was already folded in (replay)."""

@@ -1152,3 +1152,38 @@ def test_streaming_classifier_gate_filters_in_flight(spark):
         ).select("doc_id").collect()
     )
     assert kept == batch_kept
+
+
+def test_vacuum_bounds_retention_and_survives_restart(spark, tmp_path):
+    """VACUUM stand-in: old snapshot versions are dropped (marker first,
+    data second), time travel narrows to the retained window, current()
+    is untouched, and a restarted sink recovers the vacuum horizon."""
+    import os as _os
+    import pytest as _pytest
+
+    from flinkrealtimedatawarehouse_spark.streaming.snapshots import VersionedSnapshotSink
+
+    d = str(tmp_path / "vac")
+    s = VersionedSnapshotSink(d)
+    s.snapshot_init(spark.createDataFrame([], "k string, v double"))
+    for i in range(4):
+        s.commit_snapshot(
+            spark.createDataFrame([(f"k{i}", float(i))], "k string, v double"), i
+        )
+    assert s.versions() == [0, 1, 2, 3, 4]
+
+    removed = s.vacuum(keep_last=2)
+    assert removed == [0, 1, 2]
+    assert s.versions() == [3, 4]
+    assert not _os.path.exists(_os.path.join(d, "v1"))
+    assert [tuple(r) for r in s.current(spark).collect()] == [("k3", 3.0)]
+    assert [tuple(r) for r in s.read_version(spark, 3).collect()] == [("k2", 2.0)]
+    with _pytest.raises(ValueError, match="vacuumed|not available"):
+        s.read_version(spark, 1)
+    assert s.vacuum(keep_last=2) == []  # idempotent
+
+    # restart: the horizon persists; new commits extend the window
+    s2 = VersionedSnapshotSink(d)
+    assert s2.versions() == [3, 4]
+    s2.commit_snapshot(spark.createDataFrame([("k9", 9.0)], "k string, v double"), 9)
+    assert s2.versions() == [3, 4, 5]
