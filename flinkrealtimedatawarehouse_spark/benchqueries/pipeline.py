@@ -26,6 +26,7 @@ from flinkrealtimedatawarehouse_spark.datapipeline.hashing import (
     duck_minhash,
     duck_phash,
     duck_hash_shingles,
+    duck_hash_shingles_wide,
     duck_shingles,
     duck_token_hashes,
     duck_tokens,
@@ -641,12 +642,6 @@ def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_span_dedup(w: int = _SPAN_W) -> str:
-    from flinkrealtimedatawarehouse_spark.datapipeline.hashing import (
-        duck_hash_shingles_wide,
-        duck_token_hashes,
-        duck_tokens,
-    )
-
     return f"""
 WITH src AS (
   SELECT doc_id,
@@ -765,7 +760,7 @@ WITH tk AS (
   SELECT doc_id, {duck_token_hashes(toks)} AS th FROM documents
 ),
 g AS (
-  SELECT doc_id, unnest(list_distinct({duck_hash_shingles('th', _DC_N)})) AS g
+  SELECT doc_id, unnest(list_distinct({duck_hash_shingles_wide('th', _DC_N)})) AS g
   FROM tk WHERE len(th) >= {_DC_N}
 ),
 bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 17 = 0),

@@ -60,33 +60,38 @@ def train_logreg(
     then one aggregate of d+1 products — gradient rows never leave the
     executors, only the d+1 sums reach the driver.
 
-    The (features, label) projection is materialized ONCE up front
-    (eager localCheckpoint, same discipline as bpe_train): without it,
-    every one of the n_iter aggregates re-executes the full upstream
-    lineage — for embed_text features that is n_iter re-tokenizations of
-    the corpus.
+    The (features, label) projection is persisted ONCE up front and
+    released in a ``finally`` (same discipline as minhash_near_dups):
+    without it, every one of the n_iter aggregates re-executes the full
+    upstream lineage — for embed_text features that is n_iter
+    re-tokenizations of the corpus.
     """
-    df = df.select(feat_col, label_col).localCheckpoint(eager=True)
-    n = df.count()
-    if n == 0:
-        raise ValueError("empty training frame")
-    w = [0.0] * (dim + 1)
-    for _ in range(n_iter):
-        margin = (
-            F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot_w(F.col(feat_col), w)))
-            - F.col(label_col).cast("double")
-        ).alias("_m")
-        grads = df.withColumn("_m", margin).agg(
-            *[
-                F.sum(F.col("_m") * F.element_at(feat_col, i + 1)).alias(f"g{i}")
-                for i in range(dim)
-            ],
-            F.sum("_m").alias("gb"),
-        )
-        row = grads.first()
-        g = [row[f"g{i}"] / n for i in range(dim)] + [row["gb"] / n]
-        w = [wi - lr * (gi + l2 * wi) for wi, gi in zip(w, g)]
-    return w
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.select(feat_col, label_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = df.count()  # materializes the cache
+        if n == 0:
+            raise ValueError("empty training frame")
+        w = [0.0] * (dim + 1)
+        for _ in range(n_iter):
+            margin = (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot_w(F.col(feat_col), w)))
+                - F.col(label_col).cast("double")
+            ).alias("_m")
+            grads = df.withColumn("_m", margin).agg(
+                *[
+                    F.sum(F.col("_m") * F.element_at(feat_col, i + 1)).alias(f"g{i}")
+                    for i in range(dim)
+                ],
+                F.sum("_m").alias("gb"),
+            )
+            row = grads.first()
+            g = [row[f"g{i}"] / n for i in range(dim)] + [row["gb"] / n]
+            w = [wi - lr * (gi + l2 * wi) for wi, gi in zip(w, g)]
+        return w
+    finally:
+        df.unpersist()
 
 
 def score_logreg(df: DataFrame, feat_col: str, w: list[float],

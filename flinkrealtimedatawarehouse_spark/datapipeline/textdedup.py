@@ -308,7 +308,10 @@ def ngram_overlap(docs: DataFrame, bench: DataFrame, id_col: str, text_col: str,
     Scale shape: the benchmark gram set is small (test suites, not
     corpora) — distinct-reduce it and let the join broadcast; the corpus
     side is explode -> one partial-agg groupBy per doc. No all-pairs
-    anything; corpus cost is O(grams).
+    anything; corpus cost is O(grams). Grams join on the 62-bit combined
+    hash: in the 31-bit space, ~1e8 corpus grams x 1e5 benchmark grams
+    yields thousands of birthday-collision false hits, each silently
+    dropping a CLEAN doc from training data.
     """
     def grams(df, keep_id):
         cols = [F.col(id_col)] if keep_id else []
@@ -317,7 +320,8 @@ def ngram_overlap(docs: DataFrame, bench: DataFrame, id_col: str, text_col: str,
         )
         th_df = toks_df.select(*cols, spark_token_hashes(F.col("toks")).alias("th"))
         return th_df.select(
-            *cols, F.explode(F.array_distinct(spark_hash_shingles(F.col("th"), n))).alias("g")
+            *cols,
+            F.explode(F.array_distinct(spark_hash_shingles_wide(F.col("th"), n))).alias("g"),
         )
 
     doc_g = grams(docs, keep_id=True)

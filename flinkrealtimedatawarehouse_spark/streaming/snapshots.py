@@ -87,12 +87,20 @@ class VersionedSnapshotSink:
         return os.path.join(self.base_dir, "_writer.json")
 
     def _claim(self) -> None:
-        """Take ownership of the sink dir (fencing token: newest wins)."""
+        """Take ownership of the sink dir (fencing token: newest wins).
+        The new owner also sweeps stage-dir residue: a hard-crashed
+        writer's partially written ``v{n}.stage-*`` can never be adopted
+        (its writer id is gone) and no other path deletes it."""
+        import shutil
+
         os.makedirs(self.base_dir, exist_ok=True)
         tmp = f"{self._writer_path()}.{self._writer_id}.tmp"
         with open(tmp, "w") as f:
             json.dump({"writer_id": self._writer_id, "pid": os.getpid()}, f)
         os.replace(tmp, self._writer_path())
+        for name in os.listdir(self.base_dir):
+            if ".stage-" in name:
+                shutil.rmtree(os.path.join(self.base_dir, name), ignore_errors=True)
 
     def _check_fence(self) -> None:
         """Raise if another writer claimed this dir after us."""
@@ -145,9 +153,22 @@ class VersionedSnapshotSink:
         df.write.mode("overwrite").parquet(stage)
         try:
             self._check_fence()  # post-write: the slow part is behind us
-            if os.path.exists(final):
-                shutil.rmtree(final)  # orphan of a crashed/fenced writer
-            os.rename(stage, final)
+            try:
+                os.rename(stage, final)
+            except OSError:
+                # final exists. Deleting it FIRST would defeat the rename
+                # protection (a fenced straggler could rmtree the new
+                # owner's data), so re-verify ownership NOW: any writer
+                # that published `final` must have claimed first, which
+                # would fence us — if we are still the owner, `final` is
+                # an orphan from a crashed/fenced writer and safe to
+                # replace. (Residual window: a claimant arriving between
+                # this check and the rename — no slow I/O in between; the
+                # class docstring already yields true multi-writer to
+                # real Delta.)
+                self._check_fence()
+                shutil.rmtree(final)
+                os.rename(stage, final)
         except Exception:
             shutil.rmtree(stage, ignore_errors=True)
             raise
@@ -202,12 +223,15 @@ class VersionedSnapshotSink:
             raise ValueError("keep_last must be >= 1")
         self._check_fence()
         new_min = max(self.min_version, self.version - keep_last + 1)
-        if new_min == self.min_version:
-            return []
-        old_min, self.min_version = self.min_version, new_min
-        self._commit()  # point of no return: marker stops referencing them
+        if new_min != self.min_version:
+            self.min_version = new_min
+            self._commit()  # point of no return: marker stops referencing
+        # sweep EVERYTHING below the (possibly pre-advanced) horizon, not
+        # just [old_min, new_min): a crash between a prior vacuum's marker
+        # commit and its deletions leaves unreferenced dirs that a
+        # range-based sweep would never revisit
         removed = []
-        for v in range(old_min, new_min):
+        for v in range(0, self.min_version):
             p = self._path(v)
             if os.path.exists(p):
                 shutil.rmtree(p)

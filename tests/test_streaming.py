@@ -1187,3 +1187,12 @@ def test_vacuum_bounds_retention_and_survives_restart(spark, tmp_path):
     assert s2.versions() == [3, 4]
     s2.commit_snapshot(spark.createDataFrame([("k9", 9.0)], "k string, v double"), 9)
     assert s2.versions() == [3, 4, 5]
+
+    # crash between marker commit and deletion: the orphan below the
+    # horizon is collected by the NEXT vacuum even when the horizon
+    # itself no longer advances
+    _os.makedirs(_os.path.join(d, "v2"), exist_ok=True)
+    with open(_os.path.join(d, "v2", "junk"), "w") as f:
+        f.write("x")
+    assert s2.vacuum(keep_last=3) == [2]
+    assert not _os.path.exists(_os.path.join(d, "v2"))
