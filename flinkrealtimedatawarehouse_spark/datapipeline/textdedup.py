@@ -411,16 +411,12 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str,
     return result
 
 
-def _marked_islands(toks_df: DataFrame, id_col: str, window_n: int) -> DataFrame:
-    """Shared marking pipeline of substring dedup: rolling-hash every
-    length-``window_n`` token window (62-bit combined hash — the 31-bit
-    space would mark unique spans as duplicates by birthday collision at
-    corpus scale), mark every non-first occurrence by (id, pos), and
-    merge the marked windows into per-doc interval islands
-    (``id_col``, ``_isl``, ``_s`` start, ``_e`` exclusive end, ``_wct``
-    marked-window count). Both the detect and remove halves derive from
-    this one rule, so they can never disagree."""
-    wh = (
+def span_window_hashes(toks_df: DataFrame, id_col: str, window_n: int) -> DataFrame:
+    """(id, pos, wh) rows: the 62-bit combined hash of every
+    length-``window_n`` token window — the shared key space of batch
+    substring dedup AND the streaming span-state sink (identical
+    expressions, so the two agree bit-for-bit)."""
+    return (
         toks_df.filter(F.size("toks") >= window_n)
         .select(id_col, spark_token_hashes(F.col("toks")).alias("th"))
         .select(
@@ -428,14 +424,14 @@ def _marked_islands(toks_df: DataFrame, id_col: str, window_n: int) -> DataFrame
             F.posexplode(spark_hash_shingles_wide(F.col("th"), window_n)).alias("pos", "wh"),
         )
     )
-    first_w = Window.partitionBy("wh").orderBy(F.col(id_col).asc(), F.col("pos").asc())
-    dup = (
-        wh.withColumn("_rn", F.row_number().over(first_w))
-        .filter(F.col("_rn") > 1)
-        .select(id_col, "pos", (F.col("pos") + window_n).alias("end"))
-    )
-    # interval-island merge per doc: a window starts a new island iff it
-    # begins past the running max end of all earlier windows
+
+
+def merge_islands(dup: DataFrame, id_col: str) -> DataFrame:
+    """Interval-island merge per doc over marked (id, pos, end) windows:
+    a window starts a new island iff it begins past the running max end
+    of all earlier windows. Returns (``id_col``, ``_isl``, ``_s`` start,
+    ``_e`` exclusive end, ``_wct`` marked-window count). Shared by the
+    batch detect/remove pair and the streaming sink."""
     by_pos = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
     prev = by_pos.rowsBetween(Window.unboundedPreceding, -1)
     run = by_pos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -453,6 +449,24 @@ def _marked_islands(toks_df: DataFrame, id_col: str, window_n: int) -> DataFrame
             F.count(F.lit(1)).alias("_wct"),
         )
     )
+
+
+def _marked_islands(toks_df: DataFrame, id_col: str, window_n: int) -> DataFrame:
+    """Shared marking pipeline of substring dedup: rolling-hash every
+    length-``window_n`` token window (62-bit combined hash — the 31-bit
+    space would mark unique spans as duplicates by birthday collision at
+    corpus scale), mark every non-first occurrence by (id, pos), and
+    merge the marked windows into per-doc interval islands. Both the
+    detect and remove halves derive from this one rule, so they can
+    never disagree."""
+    wh = span_window_hashes(toks_df, id_col, window_n)
+    first_w = Window.partitionBy("wh").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    dup = (
+        wh.withColumn("_rn", F.row_number().over(first_w))
+        .filter(F.col("_rn") > 1)
+        .select(id_col, "pos", (F.col("pos") + window_n).alias("end"))
+    )
+    return merge_islands(dup, id_col)
 
 
 def repeated_spans(

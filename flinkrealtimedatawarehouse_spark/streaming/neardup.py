@@ -136,3 +136,123 @@ class BandStateNearDupSink(VersionedSnapshotSink):
             .parquet(self.flags_dir)
         )
         self.commit_snapshot(new_state, batch_id)
+
+
+class SpanStateDedupSink(VersionedSnapshotSink):
+    """Streaming substring-level dedup (the streaming twin of
+    ``textdedup.repeated_spans``): maintains window-hash -> canonical
+    (min doc_id, pos) state and appends per-doc span-coverage flags for
+    every micro-batch.
+
+    Per batch: each new doc's length-``window_n`` token windows are
+    hashed with the SAME 62-bit expressions as the batch operator; a
+    window occurrence (doc, pos) is marked iff the canonical occurrence
+    over state ∪ batch is lexicographically smaller — so within-batch
+    and cross-batch repeats are handled identically and the flags are
+    invariant to how the stream is split into micro-batches. Marked
+    windows merge into interval islands (shared ``merge_islands``) for
+    the per-doc ``dup_windows``/``dup_coverage`` outputs. State absorbs
+    the batch's windows afterwards (min (id, pos) per hash).
+
+    Under an id-ordered replay this equals the batch ``repeated_spans``
+    relation exactly; under out-of-order arrival the semantics are
+    first-arrival-wins, same as ``BandStateNearDupSink``.
+
+    State size: O(distinct window hashes of the accepted corpus) rows of
+    (long, long, long) — on a cluster the same MERGE runs against a
+    table partitioned by ``pmod(hash(wh), N)`` so each batch touches
+    only the partitions its hashes land in. Per-batch work is one
+    groupBy over the batch's windows + one equi-join against state —
+    never a corpus rescan.
+    """
+
+    def __init__(self, base_dir: str, id_col: str, text_col: str,
+                 window_n: int = 20, lineage: str | None = None):
+        super().__init__(os.path.join(base_dir, "state"), lineage)
+        self.flags_dir = os.path.join(base_dir, "flags")
+        self.id_col = id_col
+        self.text_col = text_col
+        self.window_n = window_n
+
+    def init(self, spark: SparkSession) -> None:
+        self.snapshot_init(spark.createDataFrame(
+            [], "wh long, min_id long, min_pos long"
+        ))
+
+    def state(self, spark: SparkSession) -> DataFrame:
+        return self.current(spark)
+
+    def flags(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.flags_dir).drop("_bid")
+
+    def write_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if self.seen(batch_id):  # at-least-once redelivery: no-op
+            return
+        from flinkrealtimedatawarehouse_spark.datapipeline.hashing import spark_tokens
+        from flinkrealtimedatawarehouse_spark.datapipeline.textdedup import (
+            merge_islands,
+            span_window_hashes,
+        )
+
+        spark = batch.sparkSession
+        toks_df = batch.select(
+            F.col(self.id_col), spark_tokens(F.col(self.text_col)).alias("toks")
+        )
+        base = toks_df.select(
+            F.col(self.id_col),
+            F.size("toks").alias("n_tokens"),
+            F.greatest(F.size("toks") - self.window_n + 1, F.lit(0)).alias("n_windows"),
+        )
+        wh = span_window_hashes(toks_df, self.id_col, self.window_n)
+
+        # canonical (min_id, min_pos) per hash over state ∪ batch: flags
+        # and the new state derive from this one relation
+        state = self.state(spark)
+        combined = state.unionByName(
+            wh.select(
+                "wh",
+                F.col(self.id_col).alias("min_id"),
+                F.col("pos").cast("long").alias("min_pos"),
+            )
+        )
+        new_state = (
+            combined.groupBy("wh")
+            .agg(F.min(F.struct("min_id", "min_pos")).alias("_c"))
+            .select("wh", F.col("_c.min_id"), F.col("_c.min_pos"))
+        )
+
+        marked = (
+            wh.join(new_state, "wh")
+            .filter(
+                (F.col("min_id") < F.col(self.id_col))
+                | (
+                    (F.col("min_id") == F.col(self.id_col))
+                    & (F.col("min_pos") < F.col("pos"))
+                )
+            )
+            .select(self.id_col, "pos", (F.col("pos") + self.window_n).alias("end"))
+        )
+        per_doc = (
+            merge_islands(marked, self.id_col)
+            .withColumn("_cov", F.col("_e") - F.col("_s"))
+            .groupBy(self.id_col)
+            .agg(F.sum("_wct").alias("dup_windows"), F.sum("_cov").alias("dup_coverage"))
+        )
+        out = (
+            base.join(per_doc, self.id_col, "left")
+            .select(
+                self.id_col,
+                "n_tokens",
+                F.col("n_windows").cast("long").alias("n_windows"),
+                F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+                F.coalesce("dup_coverage", F.lit(0)).cast("long").alias("dup_coverage"),
+                F.lit(batch_id).alias("_bid"),
+            )
+        )
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bid")
+            .parquet(self.flags_dir)
+        )
+        self.commit_snapshot(new_state, batch_id)

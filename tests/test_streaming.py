@@ -1196,3 +1196,42 @@ def test_vacuum_bounds_retention_and_survives_restart(spark, tmp_path):
         f.write("x")
     assert s2.vacuum(keep_last=3) == [2]
     assert not _os.path.exists(_os.path.join(d, "v2"))
+
+
+def test_span_state_sink_matches_batch_and_is_split_invariant(spark, tmp_path):
+    """Streaming substring dedup: under id-ordered replay the per-doc
+    coverage equals batch repeated_spans exactly, for ANY micro-batch
+    split; a redelivered batch is a no-op."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
+    from flinkrealtimedatawarehouse_spark.streaming.neardup import SpanStateDedupSink
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, f"intro words here {quote} closing remark one"),
+        (2, f"other document text {quote} and a different tail entirely"),
+        (3, f"{quote} padding padding2 {quote} trailing bit"),
+        (4, "completely unrelated sentence with enough words to form windows"),
+        (5, f"late arrival repeating {quote} yet again"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    w = 5
+    expect = {
+        r.doc_id: (r.n_tokens, r.n_windows, r.dup_windows, r.dup_coverage)
+        for r in textdedup.repeated_spans(d, "doc_id", "text", w).collect()
+    }
+
+    for split_at, tag in [(6, "span_one"), (3, "span_two")]:
+        sink = SpanStateDedupSink(str(tmp_path / tag), "doc_id", "text", window_n=w)
+        sink.init(spark)
+        sink.write_batch(d.filter(F.col("doc_id") < split_at), 0)
+        sink.write_batch(d.filter(F.col("doc_id") >= split_at), 1)
+        got = {
+            r.doc_id: (r.n_tokens, r.n_windows, r.dup_windows, r.dup_coverage)
+            for r in sink.flags(spark).collect()
+        }
+        assert got == expect, f"split at {split_at} diverged"
+
+    # redelivery of an already-folded batch changes nothing
+    n_state = sink.state(spark).count()
+    sink.write_batch(d.filter(F.col("doc_id") >= 3), 1)
+    assert sink.state(spark).count() == n_state
