@@ -40,7 +40,7 @@ def main() -> int:
     from flinkrealtimedatawarehouse_spark.streaming import state as sstate
     from flinkrealtimedatawarehouse_spark.tables import load_table
 
-    sweeps = {"batch", "cep", "sinks", "funnel", "scd2topk", "spans"}
+    sweeps = {"batch", "cep", "sinks", "funnel", "scd2topk", "spans", "spansink"}
     args = sys.argv[1:]
     sf = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
     picked = {a for a in args if a in sweeps} or sweeps
@@ -125,6 +125,35 @@ def main() -> int:
         print(
             f"x{m} repeated_spans={t_sp:.1f}s ({agg['docs']} docs, "
             f"{agg['dw']} dup windows, {agg['cov']} covered tokens)",
+            flush=True,
+        )
+
+    # streaming span-state sink: 4 batches per multiple; amplified
+    # identical copies collapse onto the same window hashes, so the state
+    # must stay ~flat (bounded by distinct content) while flagged
+    # coverage grows with every copy past the first
+    from flinkrealtimedatawarehouse_spark.streaming.neardup import SpanStateDedupSink
+
+    for m in (multiples if want("spansink") else []):
+        d = amplify(docs, "doc_id", m).select("doc_id", "text")
+        sk = SpanStateDedupSink(
+            srunner.scratch_dir(f"probe_sp_x{m}"), "doc_id", "text", window_n=8
+        )
+        sk.init(spark)
+        lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+        step = (hi - lo + 1) // 4 + 1
+        t0 = time.time()
+        for i in range(4):
+            sk.write_batch(
+                d.filter((F.col("doc_id") >= lo + i * step) & (F.col("doc_id") < lo + (i + 1) * step)),
+                i,
+            )
+        t_sp = time.time() - t0
+        n_state = sk.state(spark).count()
+        cov = sk.flags(spark).agg(F.sum("dup_coverage")).collect()[0][0]
+        print(
+            f"x{m} spansink_ingest={t_sp:.1f}s (state {n_state} window hashes, "
+            f"{cov} covered tokens)",
             flush=True,
         )
 
