@@ -110,6 +110,8 @@ def main() -> int:
         "tpch5_region": tpch.q_tpch5,
         "tpch6_scanagg": tpch.q_tpch6,
         "tpch10_returns": tpch.q_tpch10,
+        "tpch14_promo": tpch.q_tpch14,
+        "tpch19_brackets": tpch.q_tpch19,
         "tpch18_bigqty": tpch.q_tpch18,
         "a8f_funnel": wh.q_a8f,
         "a8t_retention": wh.q_a8t,

@@ -2,7 +2,7 @@
 
 The reference's ADS layer is bespoke dashboard SQL; a user replacing it
 with this engine also expects the textbook warehouse rollups to run well.
-These queries are the canonical shapes (TPC-H Q1/Q3/Q4/Q5/Q6/Q10/Q18
+These queries are the canonical shapes (TPC-H Q1/Q3/Q4/Q5/Q6/Q10/Q14/Q18/Q19
 adapted to the testdata's column subset) expressed Spark-first:
 
 - Q1  pricing summary: one scan, partial-agg pushdown, no joins.
@@ -18,8 +18,12 @@ adapted to the testdata's column subset) expressed Spark-first:
   PushedFilters, one partial-agg column, zero joins.
 - Q10 returned-item reporting: selective fact filters -> joins -> top-20
   via TakeOrderedAndProject.
+- Q14 promotion effect: conditional aggregation over the lineitem-part
+  join; the ratio divides two associative integer sums once.
 - Q18 large-volume customers: pre-aggregate lineitem BEFORE joining
   orders/customer so the join input is one row per order, not per line.
+- Q19 discounted revenue: the bracketed OR-of-ANDs predicate — the
+  equi-join stays a hash join, single-table conjuncts push to scans.
 
 Money sums that feed an ORDER BY are computed in integer hundredths-of-
 cents (``round(x * 10000)`` per row, summed as BIGINT) so the sort key is
@@ -306,6 +310,72 @@ ORDER BY sum({_DUCK_REV}) DESC, c_custkey LIMIT 20
 """
 
 
+# --- Q14 promotion effect (conditional agg over a join, ratio output) ----
+def q_tpch14(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0)))
+    total = F.sum(_rev())
+    # ratio of two associative integer sums -> one double division: exact
+    # same value on any partitioning and on the oracle side
+    return j.agg(
+        F.round(promo * 100.0 / total, 4).alias("promo_revenue_pct"),
+        (total / 10000.0).alias("total_revenue"),
+    )
+
+
+SQL_TPCH14 = f"""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN {_DUCK_REV} ELSE 0 END)
+             / sum({_DUCK_REV}), 4) AS promo_revenue_pct,
+       sum({_DUCK_REV}) / 10000.0 AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+# --- Q19 discounted revenue (bracketed OR-of-ANDs join predicate) --------
+# The classic optimizer stressor: three disjunct brackets over
+# (brand, size, quantity). The join key (partkey) stays a plain equi-join
+# so Catalyst picks a hash join and evaluates the brackets as a post-join
+# filter with the single-table conjuncts (quantity bounds, size >= 1)
+# pushed to the scans.
+def q_tpch19(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 5))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(b1 | b2 | b3).agg(
+        (F.sum(_rev()) / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("line_ct"),
+    )
+
+
+SQL_TPCH19 = f"""
+SELECT sum({_DUCK_REV}) / 10000.0 AS revenue, count(*)::BIGINT AS line_ct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 # --- tagged-union driver gate: A12 rollup + the four TPC-H shapes --------
 def q_a12c(spark: SparkSession, sf: str) -> DataFrame:
     rollup = q_a12(spark, sf).select(
@@ -364,9 +434,24 @@ def q_a12c(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(0.0).alias("v2"),
         F.lit(0.0).alias("v3"),
     )
+    t14 = q_tpch14(spark, sf).select(
+        F.lit("tpch14").alias("branch"),
+        F.lit("all").alias("k"),
+        F.col("promo_revenue_pct").alias("v1"),
+        F.col("total_revenue").alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    t19 = q_tpch19(spark, sf).select(
+        F.lit("tpch19").alias("branch"),
+        F.lit("all").alias("k"),
+        F.col("revenue").alias("v1"),
+        F.col("line_ct").cast("double").alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
     return (
         rollup.unionByName(t1).unionByName(t3).unionByName(t5)
         .unionByName(t18).unionByName(t6).unionByName(t4).unionByName(t10)
+        .unionByName(t14).unionByName(t19)
     )
 
 
@@ -390,6 +475,10 @@ UNION ALL
 SELECT 'tpch4', o_orderpriority, order_count::DOUBLE, 0.0, 0.0 FROM ({SQL_TPCH4})
 UNION ALL
 SELECT 'tpch10', c_custkey || '|' || n_name, revenue, 0.0, 0.0 FROM ({SQL_TPCH10})
+UNION ALL
+SELECT 'tpch14', 'all', promo_revenue_pct, total_revenue, 0.0 FROM ({SQL_TPCH14})
+UNION ALL
+SELECT 'tpch19', 'all', revenue, line_ct::DOUBLE, 0.0 FROM ({SQL_TPCH19})
 """
 
 REGISTRY = {
