@@ -376,7 +376,7 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 
 """
 
 
-# --- tagged-union driver gate: A12 rollup + the four TPC-H shapes --------
+# --- tagged-union driver gate: A12 rollup + the nine TPC-H shapes --------
 def q_a12c(spark: SparkSession, sf: str) -> DataFrame:
     rollup = q_a12(spark, sf).select(
         F.lit("rollup").alias("branch"),

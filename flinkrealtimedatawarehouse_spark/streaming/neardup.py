@@ -46,9 +46,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flinkrealtimedatawarehouse_spark.datapipeline.hashing import spark_tokens
 from flinkrealtimedatawarehouse_spark.datapipeline.textdedup import (
     lsh_band_rows,
+    merge_islands,
     minhash_signatures,
+    span_window_hashes,
 )
 from flinkrealtimedatawarehouse_spark.streaming.snapshots import VersionedSnapshotSink
 
@@ -145,25 +148,30 @@ class SpanStateDedupSink(VersionedSnapshotSink):
     every micro-batch.
 
     Per batch: each new doc's length-``window_n`` token windows are
-    hashed with the SAME 62-bit expressions as the batch operator; a
-    window occurrence (doc, pos) is marked iff the canonical occurrence
-    over state ∪ batch is lexicographically smaller — so within-batch
-    and cross-batch repeats are handled identically and the flags are
-    invariant to how the stream is split into micro-batches. Marked
-    windows merge into interval islands (shared ``merge_islands``) for
-    the per-doc ``dup_windows``/``dup_coverage`` outputs. State absorbs
-    the batch's windows afterwards (min (id, pos) per hash).
+    hashed with the SAME 62-bit expressions as the batch operator. A
+    window occurrence is marked iff its hash was ALREADY in the pre-batch
+    state (it arrived in an earlier batch — true first-arrival-wins, so a
+    late smaller-id duplicate is marked rather than stealing canonicity
+    from an already-emitted doc), or a lexicographically smaller (id,
+    pos) occurrence exists WITHIN the batch. Under id-ordered replay the
+    two rules together reduce to the batch operator's global first-by-
+    (id, pos) rule, so flags equal ``repeated_spans``' dup columns for
+    ANY micro-batch split (pinned in tests, including a late-small-id
+    case). Marked windows merge into interval islands (shared
+    ``merge_islands``) for the per-doc ``dup_windows``/``dup_coverage``/
+    ``dup_frac`` outputs; ``n_tokens``/``n_windows`` match the batch
+    schema.
 
-    Under an id-ordered replay this equals the batch ``repeated_spans``
-    relation exactly; under out-of-order arrival the semantics are
-    first-arrival-wins, same as ``BandStateNearDupSink``.
-
-    State size: O(distinct window hashes of the accepted corpus) rows of
-    (long, long, long) — on a cluster the same MERGE runs against a
-    table partitioned by ``pmod(hash(wh), N)`` so each batch touches
-    only the partitions its hashes land in. Per-batch work is one
-    groupBy over the batch's windows + one equi-join against state —
-    never a corpus rescan.
+    State: one (wh, min_id, min_pos) row per distinct accepted window
+    hash — bounded by distinct content, not stream volume (measured flat
+    under 4× amplification, SCALE.md). Per-batch compute is the batch's
+    windows + one equi-join against state and one min-merge into it; in
+    this parquet-snapshot container the state file is rewritten per
+    commit (the same test-scale caveat as ``BandStateNearDupSink`` —
+    on a cluster the min-merge is a Delta MERGE against a table
+    partitioned by ``pmod(hash(wh), N)``, touching only the partitions
+    the batch's hashes land in). The corpus TEXT is never rescanned
+    either way.
     """
 
     def __init__(self, base_dir: str, id_col: str, text_col: str,
@@ -188,12 +196,6 @@ class SpanStateDedupSink(VersionedSnapshotSink):
     def write_batch(self, batch: DataFrame, batch_id: int) -> None:
         if self.seen(batch_id):  # at-least-once redelivery: no-op
             return
-        from flinkrealtimedatawarehouse_spark.datapipeline.hashing import spark_tokens
-        from flinkrealtimedatawarehouse_spark.datapipeline.textdedup import (
-            merge_islands,
-            span_window_hashes,
-        )
-
         spark = batch.sparkSession
         toks_df = batch.select(
             F.col(self.id_col), spark_tokens(F.col(self.text_col)).alias("toks")
@@ -205,29 +207,30 @@ class SpanStateDedupSink(VersionedSnapshotSink):
         )
         wh = span_window_hashes(toks_df, self.id_col, self.window_n)
 
-        # canonical (min_id, min_pos) per hash over state ∪ batch: flags
-        # and the new state derive from this one relation
+        # marking — first-arrival-wins: an occurrence is a dup iff its
+        # hash arrived in an EARLIER batch (pre-state membership — a late
+        # smaller id gets marked, it does not steal canonicity from an
+        # already-emitted doc), or a smaller (id, pos) occurrence exists
+        # within this batch
         state = self.state(spark)
-        combined = state.unionByName(
-            wh.select(
-                "wh",
-                F.col(self.id_col).alias("min_id"),
-                F.col("pos").cast("long").alias("min_pos"),
-            )
+        batch_canon = wh.groupBy("wh").agg(
+            F.min(
+                F.struct(
+                    F.col(self.id_col).alias("min_id"),
+                    F.col("pos").cast("long").alias("min_pos"),
+                )
+            ).alias("_bc")
         )
-        new_state = (
-            combined.groupBy("wh")
-            .agg(F.min(F.struct("min_id", "min_pos")).alias("_c"))
-            .select("wh", F.col("_c.min_id"), F.col("_c.min_pos"))
-        )
-
+        seen_before = state.select("wh").withColumn("_prior", F.lit(True))
         marked = (
-            wh.join(new_state, "wh")
+            wh.join(batch_canon, "wh")
+            .join(seen_before, "wh", "left")
             .filter(
-                (F.col("min_id") < F.col(self.id_col))
+                F.col("_prior").isNotNull()
+                | (F.col("_bc.min_id") < F.col(self.id_col))
                 | (
-                    (F.col("min_id") == F.col(self.id_col))
-                    & (F.col("min_pos") < F.col("pos"))
+                    (F.col("_bc.min_id") == F.col(self.id_col))
+                    & (F.col("_bc.min_pos") < F.col("pos"))
                 )
             )
             .select(self.id_col, "pos", (F.col("pos") + self.window_n).alias("end"))
@@ -246,8 +249,26 @@ class SpanStateDedupSink(VersionedSnapshotSink):
                 F.col("n_windows").cast("long").alias("n_windows"),
                 F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
                 F.coalesce("dup_coverage", F.lit(0)).cast("long").alias("dup_coverage"),
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.round(
+                        F.coalesce("dup_coverage", F.lit(0)) / F.col("n_tokens"), 6
+                    ),
+                ).otherwise(F.lit(0.0)).alias("dup_frac"),
                 F.lit(batch_id).alias("_bid"),
             )
+        )
+        # new state = min-(id, pos) merge of state ∪ batch canon; computed
+        # AFTER flags so the plan evaluates once, in commit_snapshot
+        new_state = (
+            state.unionByName(
+                batch_canon.select(
+                    "wh", F.col("_bc.min_id"), F.col("_bc.min_pos")
+                )
+            )
+            .groupBy("wh")
+            .agg(F.min(F.struct("min_id", "min_pos")).alias("_c"))
+            .select("wh", F.col("_c.min_id"), F.col("_c.min_pos"))
         )
         (
             out.write.mode("overwrite")

@@ -24,6 +24,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 
+def drive_batches(sink_write, df, order_col, n=4):
+    """Feed ``df`` to a foreachBatch-style sink as ``n`` id-ordered,
+    EQUAL-SIZED batches (quantile cut points on ``order_col``, not equal
+    id ranges — amplified copies sit at 1M-stride ids, where an id-range
+    split degenerates into whole-copy mega-batches plus empty ones) and
+    return the elapsed wall time."""
+    qs = df.approxQuantile(order_col, [i / n for i in range(1, n)], 0.001)
+    bounds = [float("-inf")] + qs + [float("inf")]
+    t0 = time.time()
+    for i in range(n):
+        sink_write(
+            df.filter(
+                (F.col(order_col) > bounds[i]) & (F.col(order_col) <= bounds[i + 1])
+            ),
+            i,
+        )
+    return time.time() - t0
+
+
 def amplify(df, id_col, n):
     out = df
     step = 1_000_000
@@ -140,15 +159,7 @@ def main() -> int:
             srunner.scratch_dir(f"probe_sp_x{m}"), "doc_id", "text", window_n=8
         )
         sk.init(spark)
-        lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
-        step = (hi - lo + 1) // 4 + 1
-        t0 = time.time()
-        for i in range(4):
-            sk.write_batch(
-                d.filter((F.col("doc_id") >= lo + i * step) & (F.col("doc_id") < lo + (i + 1) * step)),
-                i,
-            )
-        t_sp = time.time() - t0
+        t_sp = drive_batches(sk.write_batch, d, "doc_id")
         n_state = sk.state(spark).count()
         cov = sk.flags(spark).agg(F.sum("dup_coverage")).collect()[0][0]
         print(
@@ -191,15 +202,7 @@ def main() -> int:
             srunner.scratch_dir(f"probe_nd_x{m}"), "doc_id", "text"
         )
         nd.init(spark)
-        lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
-        step = (hi - lo + 1) // 4 + 1
-        t0 = time.time()
-        for i in range(4):
-            nd.write_batch(
-                d.filter((F.col("doc_id") >= lo + i * step) & (F.col("doc_id") < lo + (i + 1) * step)),
-                i,
-            )
-        t_nd = time.time() - t0
+        t_nd = drive_batches(nd.write_batch, d, "doc_id")
         n_state = nd.state(spark).count()
         n_dup = nd.flags(spark).agg(F.sum("is_near_dup")).collect()[0][0]
 
@@ -278,17 +281,7 @@ def main() -> int:
             srunner.scratch_dir(f"probe_scd2_x{m}"), "pk", "ver"
         )
         scd.init(ch.limit(0))
-        lo, hi = ch.agg(F.min("ver"), F.max("ver")).collect()[0]
-        step = (hi - lo + 1) // 4 + 1
-        t0 = time.time()
-        for i in range(4):
-            scd.write_batch(
-                ch.filter(
-                    (F.col("ver") >= lo + i * step) & (F.col("ver") < lo + (i + 1) * step)
-                ),
-                i,
-            )
-        t_scd = time.time() - t0
+        t_scd = drive_batches(scd.write_batch, ch, "ver")
         n_hist = scd.history(spark).count()
 
         e = amplify(emb, "vec_id", m)
@@ -297,18 +290,7 @@ def main() -> int:
             srunner.scratch_dir(f"probe_tk_x{m}"), probes, "vec_id", "embedding", k=5
         )
         tk.init(spark)
-        lo2, hi2 = e.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
-        step2 = (hi2 - lo2 + 1) // 4 + 1
-        t0 = time.time()
-        for i in range(4):
-            tk.write_batch(
-                e.filter(
-                    (F.col("vec_id") >= lo2 + i * step2)
-                    & (F.col("vec_id") < lo2 + (i + 1) * step2)
-                ),
-                i,
-            )
-        t_tk = time.time() - t0
+        t_tk = drive_batches(tk.write_batch, e, "vec_id")
         n_tk = tk.current(spark).count()
         print(
             f"x{m} scd2_ingest={t_scd:.1f}s ({n_hist} history rows) "

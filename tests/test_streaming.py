@@ -1235,3 +1235,32 @@ def test_span_state_sink_matches_batch_and_is_split_invariant(spark, tmp_path):
     n_state = sink.state(spark).count()
     sink.write_batch(d.filter(F.col("doc_id") >= 3), 1)
     assert sink.state(spark).count() == n_state
+
+    # dup_frac matches the batch column too
+    frac = {r.doc_id: r.dup_frac for r in sink.flags(spark).collect()}
+    batch_frac = {
+        r.doc_id: r.dup_frac
+        for r in textdedup.repeated_spans(d, "doc_id", "text", w).collect()
+    }
+    assert frac == batch_frac
+
+
+def test_span_state_sink_marks_late_smaller_id(spark, tmp_path):
+    # Out-of-order arrival: a LATE doc with a smaller id than the span's
+    # recorded first arrival must itself be marked (first-arrival-wins) —
+    # it cannot steal canonicity from an already-emitted doc, and the
+    # repeated span must not vanish from both docs.
+    from flinkrealtimedatawarehouse_spark.streaming.neardup import SpanStateDedupSink
+
+    quote = "alpha beta gamma delta epsilon"
+    sink = SpanStateDedupSink(str(tmp_path / "late"), "doc_id", "text", window_n=5)
+    sink.init(spark)
+    sink.write_batch(
+        spark.createDataFrame([(10, f"{quote} first arrival tail")],
+                              "doc_id long, text string"), 0)
+    sink.write_batch(
+        spark.createDataFrame([(5, f"{quote} late but smaller id")],
+                              "doc_id long, text string"), 1)
+    got = {r.doc_id: r.dup_windows for r in sink.flags(spark).collect()}
+    assert got[10] == 0      # emitted first, unmarked
+    assert got[5] > 0        # late arrival carries the dup flag
