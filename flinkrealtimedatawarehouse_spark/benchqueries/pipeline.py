@@ -510,6 +510,8 @@ ex AS (SELECT doc_id, unnest(bigrams) AS bg FROM f),
 ct AS (SELECT doc_id, bg, count(*) AS ct FROM ex GROUP BY 1, 2),
 tp AS (SELECT doc_id, max(ct) AS top_bg_ct FROM ct GROUP BY 1)
 SELECT f.doc_id, n_tokens,
+       n_distinct::BIGINT AS n_distinct,
+       coalesce(top_bg_ct, 0)::BIGINT AS top_bg_ct,
        round(n_distinct::DOUBLE / n_tokens, 6) AS ttr,
        round(coalesce(top_bg_ct, 0)::DOUBLE * 2 / n_tokens, 6) AS top_bigram_frac
 FROM f LEFT JOIN tp ON f.doc_id = tp.doc_id
@@ -985,14 +987,16 @@ SELECT *, 'ivf' AS method FROM ({SQL_IVF})
 # dp8+dp9+dp10+dp14: per-document text-analysis metrics, one wide row per
 # sampled doc (lang ID, quality, token counts, repetition signals).
 #
-# Gate-stability contract (round-4 hardening of the one red r3 cell):
-# every fractional metric is hashed as exact integer MICROS (round(x*1e6)
-# as bigint — the 6-dp precision the doubles already carried, now immune
-# to any float-formatting convention in the driver's hasher), the output
-# is pinned to doc_id order (the 5-way join otherwise emits
-# partition-nondeterministic order), and each contributing operator gets
-# a per-branch md5 checksum column so a future red hash self-localizes
-# to the branch whose ck_* differs instead of naming 17 columns at once.
+# Gate-stability contract (round-5 de-float of the r3/r4 red cell):
+# there is NO floating point anywhere in the gate surface. Every
+# fractional metric is an exact integer-micros value computed as
+# (integer_numerator * 1_000_000) floor-div integer_denominator — Spark
+# `div`, DuckDB `//` — from the integer counts the operators now expose
+# (textstats quality_score / gopher_rules / repetition_stats). round()
+# appears nowhere on either engine, so no round-half-case or
+# float-formatting convention in any driver environment can flip a digit.
+# Output stays pinned to doc_id order; each contributing operator keeps a
+# per-branch md5 checksum column so a future red hash self-localizes.
 
 # branch -> the gate columns that operator contributes (checksum spec,
 # shared by the Spark select and the SQL twin below)
@@ -1008,31 +1012,54 @@ _DOC_METRIC_BRANCHES: dict[str, tuple[str, ...]] = {
 }
 
 
-def _micros(c: str) -> Column:
-    return F.round(F.col(c) * 1_000_000).cast("long").alias(c + "_u")
+def _idiv_micros(num: str, den: str, alias: str, scale: int = 1_000_000) -> Column:
+    """(num * scale) div den as exact long arithmetic, 0 when den = 0 —
+    spelled identically to the oracle's (num * scale) // den."""
+    return F.expr(
+        f"CASE WHEN {den} > 0 THEN ({num} * {scale}L) div {den} ELSE 0L END"
+    ).alias(alias)
 
 
 def q_doc_metrics(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 25 == 0)
     lang = textstats.lang_id(docs, "text").select("doc_id", "lang", "pred_lang")
-    qual = textstats.quality_score(docs, "text").select("doc_id", "quality", "alnum_ratio")
-    tok = textstats.token_counts(docs, "text").select("doc_id", "ws_tokens", "bpe_est_tokens")
-    rep = textstats.repetition_stats(docs, "doc_id", "text")
-    gop = textstats.gopher_rules(docs, "text").select(
-        "doc_id", "g_words", "g_mean_word_len", "g_alpha_frac", "g_bullet_frac",
-        "g_ellipsis_frac", "g_stop_kinds", F.col("gopher_pass").cast("int").alias("gopher_pass"),
+    qual = textstats.quality_score(docs, "text").select(
+        "doc_id", F.col("n_tokens").alias("q_toks"), "n_chars", "alnum_chars", "stop_hits"
     )
+    tok = textstats.token_counts(docs, "text").select("doc_id", "ws_tokens", "bpe_est_tokens")
+    rep = textstats.repetition_stats(docs, "doc_id", "text").select(
+        "doc_id", "n_tokens", "n_distinct", "top_bg_ct"
+    )
+    gop = textstats.gopher_rules(docs, "text").select(
+        "doc_id", "g_words", "g_sum_word_len", "g_alpha_words", "g_lines",
+        "g_bullet_lines", "g_ellipsis_lines", "g_stop_kinds",
+        F.col("gopher_pass").cast("int").alias("gopher_pass"),
+    )
+    # quality score in exact micros: 0.4*min(toks/100,1) -> min(toks,100)*4000,
+    # 0.3*alnum_ratio -> (alnum*300000) div chars,
+    # 0.3*min(5*stop_ratio,1) -> (min(5*stops, toks)*300000) div toks.
+    quality_u = F.expr(
+        "least(q_toks, 100L) * 4000L"
+        " + (CASE WHEN n_chars > 0 THEN (alnum_chars * 300000L) div n_chars ELSE 0L END)"
+        " + (CASE WHEN q_toks > 0 THEN"
+        "      (least(stop_hits * 5L, cast(q_toks AS BIGINT)) * 300000L) div q_toks"
+        "    ELSE 0L END)"
+    ).alias("quality_u")
     wide = (
         rep.join(lang, "doc_id").join(qual, "doc_id").join(tok, "doc_id").join(gop, "doc_id")
         .select(
             "doc_id", "n_tokens",
-            _micros("ttr"), _micros("top_bigram_frac"),
+            _idiv_micros("n_distinct", "n_tokens", "ttr_u"),
+            _idiv_micros("top_bg_ct * 2", "n_tokens", "top_bigram_frac_u"),
             "lang", "pred_lang",
-            _micros("quality"), _micros("alnum_ratio"),
+            quality_u,
+            _idiv_micros("alnum_chars", "n_chars", "alnum_ratio_u"),
             "ws_tokens", "bpe_est_tokens",
             "g_words",
-            _micros("g_mean_word_len"), _micros("g_alpha_frac"),
-            _micros("g_bullet_frac"), _micros("g_ellipsis_frac"),
+            _idiv_micros("g_sum_word_len", "g_words", "g_mean_word_len_u"),
+            _idiv_micros("g_alpha_words", "g_words", "g_alpha_frac_u"),
+            _idiv_micros("g_bullet_lines", "g_lines", "g_bullet_frac_u"),
+            _idiv_micros("g_ellipsis_lines", "g_lines", "g_ellipsis_frac_u"),
             "g_stop_kinds", "gopher_pass",
         )
     )
@@ -1065,23 +1092,15 @@ ex AS (SELECT doc_id, unnest(bigrams) AS bg FROM f),
 ctb AS (SELECT doc_id, bg, count(*) AS ct FROM ex GROUP BY 1, 2),
 tp AS (SELECT doc_id, max(ct) AS top_bg_ct FROM ctb GROUP BY 1),
 lng AS (SELECT doc_id, lang, {pred} AS pred_lang FROM a),
-qm AS (
-  SELECT doc_id, len(toks) AS n_toks,
-         length(text) AS n_chars,
-         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS alnum,
-         CASE WHEN len(toks) > 0
-              THEN len(list_filter(toks, t -> t IN ({_EN_STOPS})))::DOUBLE / len(toks)
-              ELSE 0.0 END AS stop_ratio,
+q2 AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_toks,
+         length(text)::BIGINT AS n_chars,
+         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))::BIGINT AS alnum,
+         len(list_filter(toks, t -> t IN ({_EN_STOPS})))::BIGINT AS stop_hits,
          len(list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)) AS ws_tokens,
          coalesce(list_sum(list_transform(toks, t -> ceil(length(t) / 4.0)::BIGINT)), 0)
            + length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS bpe_est_tokens
   FROM tk
-),
-q2 AS (
-  SELECT doc_id,
-         CASE WHEN n_chars > 0 THEN alnum::DOUBLE / n_chars ELSE 0.0 END AS ar_raw,
-         n_toks, stop_ratio, ws_tokens, bpe_est_tokens
-  FROM qm
 ),
 gw AS (
   SELECT doc_id,
@@ -1093,18 +1112,11 @@ gw AS (
 gf AS (
   SELECT doc_id,
          len(words)::BIGINT AS g_words,
-         CASE WHEN len(words) > 0 THEN
-           round(list_sum(list_transform(words, t -> length(t)))::DOUBLE / len(words), 6)
-         ELSE 0.0 END AS g_mean_word_len,
-         CASE WHEN len(words) > 0 THEN
-           round(len(list_filter(words, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE / len(words), 6)
-         ELSE 0.0 END AS g_alpha_frac,
-         CASE WHEN len(lns) > 0 THEN
-           round(len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE / len(lns), 6)
-         ELSE 0.0 END AS g_bullet_frac,
-         CASE WHEN len(lns) > 0 THEN
-           round(len(list_filter(lns, l -> regexp_matches(l, '\\.\\.\\.$')))::DOUBLE / len(lns), 6)
-         ELSE 0.0 END AS g_ellipsis_frac,
+         coalesce(list_sum(list_transform(words, t -> length(t))), 0)::BIGINT AS g_sum_wl,
+         len(list_filter(words, t -> regexp_matches(t, '[A-Za-z]')))::BIGINT AS g_alpha_w,
+         len(lns)::BIGINT AS g_lines,
+         len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]')))::BIGINT AS g_bullet_l,
+         len(list_filter(lns, l -> regexp_matches(l, '\\.\\.\\.$')))::BIGINT AS g_ellipsis_l,
          (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
         + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
         + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
@@ -1115,29 +1127,35 @@ gf AS (
   FROM gw
 ),
 gp AS (
+  -- thresholds as cross-multiplied integers, exactly mirroring
+  -- textstats.gopher_rules: no float comparison anywhere
   SELECT *,
-         (CASE WHEN g_words >= 50 AND g_words <= 100000
-                AND g_mean_word_len >= 3.0 AND g_mean_word_len <= 10.0
-                AND g_alpha_frac >= 0.8 AND g_bullet_frac <= 0.9
-                AND g_ellipsis_frac <= 0.3 AND g_stop_kinds >= 2
+         (CASE WHEN g_words >= 50 AND g_words <= 100000 AND g_words > 0
+                AND g_sum_wl >= 3 * g_words AND g_sum_wl <= 10 * g_words
+                AND g_alpha_w * 5 >= g_words * 4
+                AND g_bullet_l * 10 <= g_lines * 9
+                AND g_ellipsis_l * 10 <= g_lines * 3
+                AND g_stop_kinds >= 2
           THEN 1 ELSE 0 END)::INT AS gopher_pass
   FROM gf
 )
 , sel AS (
 SELECT f.doc_id, f.n_tokens,
-       CAST(round(round(f.n_distinct::DOUBLE / f.n_tokens, 6) * 1000000) AS BIGINT) AS ttr_u,
-       CAST(round(round(coalesce(tp.top_bg_ct, 0)::DOUBLE * 2 / f.n_tokens, 6) * 1000000) AS BIGINT) AS top_bigram_frac_u,
+       (f.n_distinct::BIGINT * 1000000) // f.n_tokens AS ttr_u,
+       (coalesce(tp.top_bg_ct, 0)::BIGINT * 2 * 1000000) // f.n_tokens AS top_bigram_frac_u,
        lng.lang, lng.pred_lang,
-       CAST(round(round(0.4 * least(q2.n_toks::DOUBLE / 100.0, 1.0)
-           + 0.3 * q2.ar_raw
-           + 0.3 * least(q2.stop_ratio * 5.0, 1.0), 6) * 1000000) AS BIGINT) AS quality_u,
-       CAST(round(round(q2.ar_raw, 6) * 1000000) AS BIGINT) AS alnum_ratio_u,
+       (least(q2.n_toks, 100) * 4000
+        + (CASE WHEN q2.n_chars > 0 THEN (q2.alnum * 300000) // q2.n_chars ELSE 0 END)
+        + (CASE WHEN q2.n_toks > 0
+                THEN (least(q2.stop_hits * 5, q2.n_toks) * 300000) // q2.n_toks
+                ELSE 0 END))::BIGINT AS quality_u,
+       (CASE WHEN q2.n_chars > 0 THEN (q2.alnum * 1000000) // q2.n_chars ELSE 0 END)::BIGINT AS alnum_ratio_u,
        q2.ws_tokens, q2.bpe_est_tokens,
        gp.g_words,
-       CAST(round(gp.g_mean_word_len * 1000000) AS BIGINT) AS g_mean_word_len_u,
-       CAST(round(gp.g_alpha_frac * 1000000) AS BIGINT) AS g_alpha_frac_u,
-       CAST(round(gp.g_bullet_frac * 1000000) AS BIGINT) AS g_bullet_frac_u,
-       CAST(round(gp.g_ellipsis_frac * 1000000) AS BIGINT) AS g_ellipsis_frac_u,
+       (CASE WHEN gp.g_words > 0 THEN (gp.g_sum_wl * 1000000) // gp.g_words ELSE 0 END)::BIGINT AS g_mean_word_len_u,
+       (CASE WHEN gp.g_words > 0 THEN (gp.g_alpha_w * 1000000) // gp.g_words ELSE 0 END)::BIGINT AS g_alpha_frac_u,
+       (CASE WHEN gp.g_lines > 0 THEN (gp.g_bullet_l * 1000000) // gp.g_lines ELSE 0 END)::BIGINT AS g_bullet_frac_u,
+       (CASE WHEN gp.g_lines > 0 THEN (gp.g_ellipsis_l * 1000000) // gp.g_lines ELSE 0 END)::BIGINT AS g_ellipsis_frac_u,
        gp.g_stop_kinds, gp.gopher_pass
 FROM f LEFT JOIN tp USING (doc_id) JOIN q2 USING (doc_id) JOIN lng USING (doc_id)
      JOIN gp USING (doc_id)

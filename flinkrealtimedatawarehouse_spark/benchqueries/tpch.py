@@ -2,8 +2,9 @@
 
 The reference's ADS layer is bespoke dashboard SQL; a user replacing it
 with this engine also expects the textbook warehouse rollups to run well.
-These queries are the canonical shapes (TPC-H Q1/Q3/Q4/Q5/Q6/Q10/Q14/Q18/Q19
-adapted to the testdata's column subset) expressed Spark-first:
+These queries are the canonical shapes (TPC-H Q1/Q3/Q4/Q5/Q6/Q7/Q8/Q9/
+Q10/Q14/Q18/Q19 adapted to the testdata's column subset) expressed
+Spark-first:
 
 - Q1  pricing summary: one scan, partial-agg pushdown, no joins.
 - Q3  shipping priority: selective dim filter -> fact join -> top-N
@@ -16,6 +17,14 @@ adapted to the testdata's column subset) expressed Spark-first:
   VERDICT r1 finding 4).
 - Q6  revenue-change forecast: the pure-scan shape — every predicate in
   PushedFilters, one partial-agg column, zero joins.
+- Q7  volume shipping: the join-ORDER stressor — lineitem meets supplier
+  and orders->customer arms, nation pair filter pushed into both arms,
+  cross-arm OR evaluated post-join.
+- Q8  national market share: six-table join + conditional share per
+  year, emitted as exact integer micros (never a hashed double ratio).
+- Q9  product-type profit (ps_supplycost adapted to p_retailprice —
+  the testdata has no partsupp): per-row integer profit, agg over the
+  4-way join per (nation, year).
 - Q10 returned-item reporting: selective fact filters -> joins -> top-20
   via TakeOrderedAndProject.
 - Q14 promotion effect: conditional aggregation over the lineitem-part
@@ -248,7 +257,10 @@ def q_tpch4(spark: SparkSession, sf: str) -> DataFrame:
     late = o.join(
         li,
         (o["o_orderkey"] == li["l_orderkey"])
-        & (li["l_shipdate"] > F.date_add(o["o_orderdate"], 90)),
+        # timestamp + interval (not date_add, which truncates time-of-day)
+        # so the bound matches the oracle's o_orderdate + INTERVAL 90 DAY
+        # even if the generator ever emits non-midnight order timestamps
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(
@@ -376,7 +388,171 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 
 """
 
 
-# --- tagged-union driver gate: A12 rollup + the nine TPC-H shapes --------
+# --- Q7 volume shipping (two-nation bidirectional trade) ------------------
+# The join-ORDER stressor: lineitem joins supplier AND orders->customer,
+# with nation dims on both arms and a cross-arm OR predicate that only
+# becomes applicable after both arms meet. Spark-first shape: the IN
+# (nation pair) filters push into each broadcast nation join, so both
+# arms shrink ~2/25 before the big orderkey shuffle; the OR mixed-pair
+# predicate evaluates post-join.
+_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+
+def q_tpch7(spark: SparkSession, sf: str) -> DataFrame:
+    n = load_table(spark, sf, "nation").filter(F.col("n_name").isin(_Q7_N1, _Q7_N2))
+    s = load_table(spark, sf, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sk"),
+    ).select("s_suppkey", "supp_nation")
+    c = load_table(spark, sf, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("ck"),
+    ).select("c_custkey", "cust_nation")
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31")
+    )
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    j = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(
+            ((F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2))
+            | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg((F.sum(_rev()) / 10000.0).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_TPCH7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::INT AS l_year,
+       sum({_DUCK_REV}) / 10000.0 AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+    OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}'))
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+# --- Q8 national market share ---------------------------------------------
+# Agg-over-join stressor: six-table join, then a conditional share per
+# year. The share is emitted in exact integer MICROS ((nation_rev_c *
+# 1e6) div total_rev_c) so the gate never hashes a double ratio.
+_Q8_NATION = "NATION_5"
+
+def q_tpch8(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") <= "1997-12-31")
+    )
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n1 = load_table(spark, sf, "nation")  # customer nation -> region scope
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == n1["n_nationkey"])
+        .join(F.broadcast(r), n1["n_regionkey"] == r["r_regionkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("n2_key"))
+    )
+    per_year = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == _Q8_NATION, _rev()).otherwise(F.lit(0))).alias("nat_c"),
+        F.sum(_rev()).alias("tot_c"),
+    )
+    return per_year.select(
+        "o_year",
+        F.expr("CASE WHEN tot_c > 0 THEN (nat_c * 1000000L) div tot_c ELSE 0L END").alias("mkt_share_u"),
+        (F.col("tot_c") / 10000.0).alias("total_volume"),
+    ).orderBy("o_year")
+
+
+SQL_TPCH8 = f"""
+SELECT year(o_orderdate)::INT AS o_year,
+       (CASE WHEN sum({_DUCK_REV}) > 0
+             THEN (sum(CASE WHEN n2.n_name = '{_Q8_NATION}' THEN {_DUCK_REV} ELSE 0 END) * 1000000)
+                  // sum({_DUCK_REV})
+             ELSE 0 END)::BIGINT AS mkt_share_u,
+       sum({_DUCK_REV}) / 10000.0 AS total_volume
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- Q9 product type profit (adapted: no partsupp in the testdata) --------
+# The testdata carries no partsupp, so ps_supplycost is adapted to
+# p_retailprice as the unit cost; the load-bearing shape — a part-filtered
+# lineitem joined to supplier/nation/orders, profit aggregated per
+# (nation, year) — is unchanged. profit is computed per-row in integer
+# 1e-4 units (rev_c minus round(price*100)*round(qty*100), both exact
+# integers) so the sum is associative and engine-identical.
+def q_tpch9(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part").filter(F.col("p_type") == "STANDARD").select(
+        "p_partkey", "p_retailprice"
+    )
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    cost_c = (
+        F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.round(F.col("l_quantity") * 100).cast("long")
+    )
+    j = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .withColumn("profit_c", _rev() - cost_c)
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum("profit_c") / 10000.0).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+SQL_TPCH9 = f"""
+SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+       sum({_DUCK_REV}
+           - round(p_retailprice * 100)::BIGINT * round(l_quantity * 100)::BIGINT
+       ) / 10000.0 AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_type = 'STANDARD'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+# --- tagged-union driver gate: A12 rollup + the twelve TPC-H shapes ------
 def q_a12c(spark: SparkSession, sf: str) -> DataFrame:
     rollup = q_a12(spark, sf).select(
         F.lit("rollup").alias("branch"),
@@ -448,10 +624,32 @@ def q_a12c(spark: SparkSession, sf: str) -> DataFrame:
         F.col("line_ct").cast("double").alias("v2"),
         F.lit(0.0).alias("v3"),
     )
+    t7 = q_tpch7(spark, sf).select(
+        F.lit("tpch7").alias("branch"),
+        F.concat_ws("|", "supp_nation", "cust_nation", "l_year").alias("k"),
+        F.col("revenue").alias("v1"),
+        F.lit(0.0).alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    t8 = q_tpch8(spark, sf).select(
+        F.lit("tpch8").alias("branch"),
+        F.col("o_year").cast("string").alias("k"),
+        F.col("mkt_share_u").cast("double").alias("v1"),
+        F.col("total_volume").alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    t9 = q_tpch9(spark, sf).select(
+        F.lit("tpch9").alias("branch"),
+        F.concat_ws("|", "nation", "o_year").alias("k"),
+        F.col("sum_profit").alias("v1"),
+        F.lit(0.0).alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
     return (
         rollup.unionByName(t1).unionByName(t3).unionByName(t5)
         .unionByName(t18).unionByName(t6).unionByName(t4).unionByName(t10)
         .unionByName(t14).unionByName(t19)
+        .unionByName(t7).unionByName(t8).unionByName(t9)
     )
 
 
@@ -479,6 +677,14 @@ UNION ALL
 SELECT 'tpch14', 'all', promo_revenue_pct, total_revenue, 0.0 FROM ({SQL_TPCH14})
 UNION ALL
 SELECT 'tpch19', 'all', revenue, line_ct::DOUBLE, 0.0 FROM ({SQL_TPCH19})
+UNION ALL
+SELECT 'tpch7', supp_nation || '|' || cust_nation || '|' || l_year, revenue,
+       0.0, 0.0 FROM ({SQL_TPCH7})
+UNION ALL
+SELECT 'tpch8', o_year::VARCHAR, mkt_share_u::DOUBLE, total_volume, 0.0
+FROM ({SQL_TPCH8})
+UNION ALL
+SELECT 'tpch9', nation || '|' || o_year, sum_profit, 0.0, 0.0 FROM ({SQL_TPCH9})
 """
 
 REGISTRY = {

@@ -63,6 +63,11 @@ def quality_score(docs: DataFrame, text_col: str) -> DataFrame:
     - alnum_ratio: alnum+space chars / total chars
     - stop_ratio: english-stopword tokens / tokens
     - score = 0.4*min(n_tokens/100,1) + 0.3*alnum_ratio + 0.3*min(stop_ratio*5,1)
+
+    Also emits the exact integer numerators/denominators behind the
+    ratios (``n_chars``, ``alnum_chars``, ``stop_hits``) so verification
+    gates can hash engine-independent integer micros instead of doubles
+    (the dp8 de-float: no round()-on-double anywhere in the gate surface).
     """
     text = F.col(text_col)
     toks = spark_tokens(text)
@@ -84,6 +89,9 @@ def quality_score(docs: DataFrame, text_col: str) -> DataFrame:
     return docs.withColumns(
         {
             "n_tokens": n_tokens,
+            "n_chars": n_chars.cast("long"),
+            "alnum_chars": alnum.cast("long"),
+            "stop_hits": stop_hits.cast("long"),
             "alnum_ratio": F.round(alnum_ratio, 6),
             "stop_ratio": F.round(stop_ratio, 6),
             "mean_tok_len": F.round(mean_tok_len, 6),
@@ -154,31 +162,30 @@ def gopher_rules(
     - >= 2 distinct English stopwords present
 
     Adds g_words, g_mean_word_len, g_alpha_frac, g_bullet_frac,
-    g_ellipsis_frac, g_stop_kinds, and the conjunction ``gopher_pass``.
+    g_ellipsis_frac, g_stop_kinds, and the conjunction ``gopher_pass`` —
+    plus the exact integer counts behind every ratio (``g_sum_word_len``,
+    ``g_alpha_words``, ``g_lines``, ``g_bullet_lines``,
+    ``g_ellipsis_lines``) so gates hash integers, never doubles.
+    ``gopher_pass`` itself is decided by cross-multiplied INTEGER
+    comparisons (e.g. alpha_frac >= 0.8 as ``5*n_alpha >= 4*n_words``),
+    so the pass/fail bit is bit-identical in any engine with 64-bit
+    integers — no float thresholds anywhere.
     """
     text = F.col(text_col)
     words = F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
-    n_words = F.size(words)
-    mean_wl = F.when(
-        n_words > 0,
-        F.aggregate(words, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double")
-        / n_words,
-    ).otherwise(F.lit(0.0))
-    alpha_frac = F.when(
-        n_words > 0,
-        F.size(F.filter(words, lambda t: t.rlike("[A-Za-z]"))).cast("double") / n_words,
-    ).otherwise(F.lit(0.0))
+    n_words = F.size(words).cast("long")
+    sum_wl = F.aggregate(words, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    n_alpha = F.size(F.filter(words, lambda t: t.rlike("[A-Za-z]"))).cast("long")
+    mean_wl = F.when(n_words > 0, sum_wl.cast("double") / n_words).otherwise(F.lit(0.0))
+    alpha_frac = F.when(n_words > 0, n_alpha.cast("double") / n_words).otherwise(F.lit(0.0))
 
     lines = F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
-    n_lines = F.size(lines)
-    bullet_frac = F.when(
-        n_lines > 0,
-        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))).cast("double")
-        / n_lines,
-    ).otherwise(F.lit(0.0))
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))).cast("long")
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))).cast("long")
+    bullet_frac = F.when(n_lines > 0, n_bullet.cast("double") / n_lines).otherwise(F.lit(0.0))
     ellipsis_frac = F.when(
-        n_lines > 0,
-        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))).cast("double") / n_lines,
+        n_lines > 0, n_ellipsis.cast("double") / n_lines
     ).otherwise(F.lit(0.0))
 
     toks = spark_tokens(text)
@@ -192,29 +199,32 @@ def gopher_rules(
         hit = F.when(_has(s), 1).otherwise(0)
         stop_kinds = hit if stop_kinds is None else stop_kinds + hit
 
-    # Thresholds compare the ROUNDED metrics so the pass/fail decision is
-    # identical in any engine computing the same 6-dp numbers.
-    mean_wl_r = F.round(mean_wl, 6)
-    alpha_r = F.round(alpha_frac, 6)
-    bullet_r = F.round(bullet_frac, 6)
-    ellipsis_r = F.round(ellipsis_frac, 6)
+    # Thresholds as cross-multiplied integer comparisons: exact in any
+    # engine, no rounding convention involved. n_words > 0 guards the
+    # mean-word-len bounds (0/0 must not satisfy "in [3,10]").
     gpass = (
         (n_words >= min_words)
         & (n_words <= max_words)
-        & (mean_wl_r >= 3.0)
-        & (mean_wl_r <= 10.0)
-        & (alpha_r >= 0.8)
-        & (bullet_r <= 0.9)
-        & (ellipsis_r <= 0.3)
+        & (n_words > 0)
+        & (sum_wl >= 3 * n_words)
+        & (sum_wl <= 10 * n_words)
+        & (n_alpha * 5 >= n_words * 4)
+        & (n_bullet * 10 <= n_lines * 9)
+        & (n_ellipsis * 10 <= n_lines * 3)
         & (stop_kinds >= 2)
     )
     return docs.withColumns(
         {
-            "g_words": n_words.cast("long"),
-            "g_mean_word_len": mean_wl_r,
-            "g_alpha_frac": alpha_r,
-            "g_bullet_frac": bullet_r,
-            "g_ellipsis_frac": ellipsis_r,
+            "g_words": n_words,
+            "g_sum_word_len": sum_wl,
+            "g_alpha_words": n_alpha,
+            "g_lines": n_lines,
+            "g_bullet_lines": n_bullet,
+            "g_ellipsis_lines": n_ellipsis,
+            "g_mean_word_len": F.round(mean_wl, 6),
+            "g_alpha_frac": F.round(alpha_frac, 6),
+            "g_bullet_frac": F.round(bullet_frac, 6),
+            "g_ellipsis_frac": F.round(ellipsis_frac, 6),
             "g_stop_kinds": stop_kinds.cast("int"),
             "gopher_pass": gpass,
         }
@@ -271,6 +281,9 @@ def repetition_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .select(
             id_col,
             F.col("n_tokens"),
+            # exact integer numerators exposed for integer-micros gating
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.coalesce(F.col("top_bg_ct"), F.lit(0)).cast("long").alias("top_bg_ct"),
             F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
             F.round(
                 F.coalesce(F.col("top_bg_ct"), F.lit(0)).cast("double") * 2 / F.col("n_tokens"), 6
@@ -703,10 +716,15 @@ def concat_chunks(docs: DataFrame, id_col: str, count_col: str, seq_len: int,
     )
     start = F.col("_cum") - F.col("_n")
     end = F.col("_cum")  # exclusive
-    spans = sized.withColumn(
+    # block ids via integer `div`, not floor(double /): double division
+    # loses exactness past 2^53 cumulative tokens (real at corpus scale)
+    # and would diverge from the oracle's integer //
+    spans = sized.withColumn("_start", start).withColumn(
         "block",
-        F.explode(F.sequence(F.floor(start / seq_len), F.floor((end - 1) / seq_len))),
-    )
+        F.explode(
+            F.expr(f"sequence(_start div {int(seq_len)}, (_cum - 1) div {int(seq_len)})")
+        ),
+    ).drop("_start")
     blk_lo = F.col("block") * seq_len
     blk_hi = blk_lo + seq_len
     return spans.select(
@@ -738,9 +756,11 @@ def pack_bins(docs: DataFrame, id_col: str, token_col: str, budget: int,
         else Window.partitionBy().orderBy(F.col(id_col))
     )
     cum = F.sum(token_col).over(w)
-    # explicit floor: Spark's double->long cast truncates but DuckDB's
-    # rounds, so the oracle twin uses floor() on both sides
-    return docs.withColumn("bin", F.floor((cum - F.col(token_col)) / F.lit(budget)))
+    # integer `div`, not floor(double /): exact at any cumulative-token
+    # magnitude and identical to the oracle's integer //
+    return docs.withColumn("_cumstart", (cum - F.col(token_col)).cast("long")).withColumn(
+        "bin", F.expr(f"_cumstart div {int(budget)}")
+    ).drop("_cumstart")
 
 
 def length_quantiles(docs: DataFrame, group_col: str, value_col: str,

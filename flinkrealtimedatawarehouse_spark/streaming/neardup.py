@@ -11,20 +11,21 @@ keys. That is this operator:
 - per micro-batch, compute each new doc's MinHash signature and its
   ``bands`` LSH band keys (identical expressions to the batch operator —
   ``hashing.py`` — so batch and stream agree bit-for-bit);
-- a document is flagged ``is_near_dup=1`` iff any of its band keys is
-  already held by a document with a SMALLER doc_id — previously arrived,
-  or earlier within the same batch (the min is computed over state ∪
-  batch, so the flag is invariant to how the stream is split into
-  micro-batches);
+- a document is flagged ``is_near_dup=1`` iff any of its band keys was
+  ALREADY in the pre-batch state (it arrived in an earlier batch — true
+  first-arrival-wins: a late-arriving duplicate marks ITSELF, even when
+  its doc_id is smaller than the already-emitted holder's), or a smaller
+  doc_id claims the key WITHIN the same batch;
 - the band-key state (one row per distinct band key: the minimum doc_id
   that ever claimed it) absorbs the batch's keys afterwards.
 
-Under an id-ordered replay this produces exactly the directional batch
+Under an id-ordered replay the two rules reduce to the directional batch
 relation "doc d is a near-dup candidate iff some d' < d shares a band" —
-which is what the DuckDB oracle checks. Under out-of-order arrival the
-semantics are first-arrival-wins (a late small id does not retroactively
-re-flag an already-emitted doc) — the only causally possible online
-semantics, and the flags remain deterministic for a fixed arrival order.
+which is what the DuckDB oracle checks (any split, pinned in tests
+including a late-small-id case, mirroring ``SpanStateDedupSink``). Under
+out-of-order arrival the semantics are first-arrival-wins: whichever
+occurrence of a duplicate group is emitted first goes unflagged, every
+later one is flagged, so no duplicate pair is ever silently lost.
 
 State size: O(distinct band keys) ~ O(accepted docs × bands) rows of
 (int, string, long) — compact enough to snapshot per batch at test scale;
@@ -100,27 +101,43 @@ class BandStateNearDupSink(VersionedSnapshotSink):
         rows_per_band = self.k // self.bands
         band_rows = lsh_band_rows(sigs, self.id_col, self.bands, rows_per_band)
 
-        # min doc id per band key over state ∪ batch: the flag and the new
-        # state both derive from this one relation, so within-batch and
-        # cross-batch duplicates are handled identically.
+        # first-arrival-wins (the f6ae7d7 rule, same as SpanStateDedupSink):
+        # a doc is flagged iff a band key was in the PRE-batch state — so a
+        # late-arriving smaller-id duplicate marks itself instead of
+        # silently unseating the already-emitted holder — or a smaller id
+        # claims the key within this batch. Under id-ordered replay this
+        # equals the old merged-min rule (state ids are all smaller), so
+        # the batch oracle still holds for any split.
         state = self.state(spark)
-        combined = state.unionByName(
-            band_rows.select(
-                "band_idx", "band_key", F.col(self.id_col).alias("min_id")
-            )
+        batch_min = band_rows.groupBy("band_idx", "band_key").agg(
+            F.min(self.id_col).alias("_bmin")
         )
-        new_state = combined.groupBy("band_idx", "band_key").agg(
-            F.min("min_id").alias("min_id")
+        seen_before = state.select("band_idx", "band_key").withColumn(
+            "_prior", F.lit(True)
         )
-
         flagged = (
-            band_rows.join(new_state, ["band_idx", "band_key"])
+            band_rows.join(batch_min, ["band_idx", "band_key"])
+            .join(seen_before, ["band_idx", "band_key"], "left")
             .groupBy(self.id_col)
             .agg(
-                F.max((F.col("min_id") < F.col(self.id_col)).cast("int")).alias(
-                    "is_near_dup"
+                F.max(
+                    (
+                        F.col("_prior").isNotNull()
+                        | (F.col("_bmin") < F.col(self.id_col))
+                    ).cast("int")
+                ).alias("is_near_dup")
+            )
+        )
+        # new state = min id per band key over state ∪ batch (computed
+        # from batch_min, not re-derived, so state and flags share work)
+        new_state = (
+            state.unionByName(
+                batch_min.select(
+                    "band_idx", "band_key", F.col("_bmin").alias("min_id")
                 )
             )
+            .groupBy("band_idx", "band_key")
+            .agg(F.min("min_id").alias("min_id"))
         )
         # docs with too few tokens never produce band rows -> never dups
         out = (

@@ -215,7 +215,14 @@ class VersionedSnapshotSink:
         ``min_version`` is raised and committed BEFORE the data dirs are
         deleted — a crash mid-vacuum leaves unreferenced dirs (re-vacuum
         collects them), never a referenced-but-deleted version. Fenced:
-        only the current owner may delete. Returns the removed versions.
+        only the current owner may delete; the fence is re-checked inside
+        ``_commit`` and again immediately before the delete loop, leaving
+        only the same check-to-act residual window ``_write_snapshot``
+        documents (closable only with OS-level advisory locks). The sweep
+        itself is safe even if a new owner claims mid-loop: it deletes
+        only versions below the already-committed ``min_version``, which
+        the new owner's marker read also excludes. Returns the removed
+        versions.
         """
         import shutil
 
@@ -225,11 +232,13 @@ class VersionedSnapshotSink:
         new_min = max(self.min_version, self.version - keep_last + 1)
         if new_min != self.min_version:
             self.min_version = new_min
-            self._commit()  # point of no return: marker stops referencing
+            self._commit()  # re-checks fence; point of no return: marker
+            # stops referencing the swept versions
         # sweep EVERYTHING below the (possibly pre-advanced) horizon, not
         # just [old_min, new_min): a crash between a prior vacuum's marker
         # commit and its deletions leaves unreferenced dirs that a
         # range-based sweep would never revisit
+        self._check_fence()  # last look before the destructive loop
         removed = []
         for v in range(0, self.min_version):
             p = self._path(v)

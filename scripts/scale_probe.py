@@ -30,6 +30,11 @@ def drive_batches(sink_write, df, order_col, n=4):
     id ranges — amplified copies sit at 1M-stride ids, where an id-range
     split degenerates into whole-copy mega-batches plus empty ones) and
     return the elapsed wall time."""
+    # a NULL order_col would fall out of every (lo, hi] batch and the
+    # probe would silently undercount while reporting success
+    n_null = df.filter(F.col(order_col).isNull()).count()
+    if n_null:
+        raise ValueError(f"{n_null} rows have NULL {order_col}; probe would drop them")
     qs = df.approxQuantile(order_col, [i / n for i in range(1, n)], 0.001)
     bounds = [float("-inf")] + qs + [float("inf")]
     t0 = time.time()

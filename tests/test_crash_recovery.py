@@ -1,0 +1,226 @@
+"""Mid-batch crash-recovery proofs for the snapshot sink families.
+
+The failure a long-running ingest hits weekly: the process dies INSIDE a
+foreachBatch — after some of the batch's writes landed but before the
+sink's marker committed. The contract under test (snapshots.py): the
+marker is the single commit point, so a redelivered batch after restart
+must produce EXACTLY the same published state as an uninterrupted run —
+no lost flags, no double-folded totals, no duplicated history intervals.
+
+Injection: ``_commit`` (the marker write) raises once, simulating death
+after the snapshot parquet landed but before the marker replaced —
+the widest window, since every earlier crash point is a strict subset of
+what the replay then redoes. "Restart" = a fresh sink object on the same
+base_dir (the recovery contract), redelivering the crashed batch id as
+foreachBatch would.
+
+Plus the multi-process fence race: two real processes claiming one sink
+dir concurrently must resolve to exactly one owner; the loser's commit
+raises instead of interleaving snapshot versions.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+class _CrashInjected(Exception):
+    pass
+
+
+def _arm_marker_crash(sink):
+    """Make the sink's next _commit die BEFORE writing the marker (the
+    snapshot data dir for the new version has already been written by
+    commit_snapshot at that point). Subsequent commits run normally —
+    but the crashed instance is abandoned, as a dead process would be."""
+    orig = sink._commit
+    armed = {"on": True}
+
+    def crashing():
+        if armed["on"]:
+            armed["on"] = False
+            raise _CrashInjected("died before marker commit")
+        return orig()
+
+    sink._commit = crashing
+    return sink
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+B0 = [(1, BASE), (2, "completely different words about spark catalyst tungsten")]
+B1 = [(3, BASE + " extra"), (4, "another unrelated document body entirely fresh")]
+B2 = [(5, BASE), (6, "yet more unique content that shares nothing with others")]
+
+
+def _run_band(spark, base_dir, crash_batch=None):
+    from flinkrealtimedatawarehouse_spark.streaming.neardup import BandStateNearDupSink
+
+    def fresh():
+        return BandStateNearDupSink(base_dir, "doc_id", "text",
+                                    shingle_n=3, k=16, bands=8)
+
+    sink = fresh()
+    sink.init(spark)
+    for bid, rows in enumerate([B0, B1, B2]):
+        if bid == crash_batch:
+            _arm_marker_crash(sink)
+            with pytest.raises(_CrashInjected):
+                sink.write_batch(_docs(spark, rows), bid)
+            sink = fresh()  # restart: recover marker, redeliver batch
+        sink.write_batch(_docs(spark, rows), bid)
+    flags = {r.doc_id: r.is_near_dup for r in sink.flags(spark).collect()}
+    state = sorted((r.band_key, r.min_id) for r in sink.state(spark).collect())
+    return flags, state
+
+
+def test_band_sink_restart_mid_batch_exactly_once(spark, tmp_path):
+    clean_flags, clean_state = _run_band(spark, str(tmp_path / "clean"))
+    for crash_at in (1, 2):
+        flags, state = _run_band(spark, str(tmp_path / f"crash{crash_at}"),
+                                 crash_batch=crash_at)
+        assert flags == clean_flags, f"flags diverged after crash at batch {crash_at}"
+        assert state == clean_state, f"state diverged after crash at batch {crash_at}"
+    assert clean_flags[3] == 1 and clean_flags[5] == 1  # dups survived the crash
+
+
+def _run_gold(spark, base_dir, crash_batch=None):
+    from flinkrealtimedatawarehouse_spark.streaming.sinks import AdditiveGoldSink
+
+    batches = [
+        [("a", 10.0), ("a", 5.0), ("b", 1.0)],
+        [("a", 2.0), ("c", 7.0)],
+        [("b", 4.0), ("c", 1.0), ("c", 2.0)],
+    ]
+
+    def fresh():
+        return AdditiveGoldSink(base_dir, ["k"], {"total": ("v", "sum"),
+                                                  "n": ("v", "count")})
+
+    sink = fresh()
+    for bid, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "k string, v double")
+        if bid == crash_batch:
+            _arm_marker_crash(sink)
+            with pytest.raises(_CrashInjected):
+                sink.write_batch(df, bid)
+            sink = fresh()
+        sink.write_batch(df, bid)
+    return {r.k: (r.total, r.n) for r in sink.current(spark).collect()}
+
+
+def test_additive_gold_restart_mid_batch_no_double_fold(spark, tmp_path):
+    clean = _run_gold(spark, str(tmp_path / "clean"))
+    assert clean == {"a": (17.0, 3.0), "b": (5.0, 2.0), "c": (10.0, 3.0)}
+    for crash_at in (0, 1, 2):
+        got = _run_gold(spark, str(tmp_path / f"crash{crash_at}"),
+                        crash_batch=crash_at)
+        assert got == clean, f"totals double-folded after crash at batch {crash_at}"
+
+
+def _run_scd2(spark, base_dir, crash_batch=None):
+    from flinkrealtimedatawarehouse_spark.streaming.sinks import Scd2HistorySink
+
+    schema = "id long, name string, v long, type string"
+    batches = [
+        [(1, "a0", 1, "insert"), (2, "b0", 1, "insert")],
+        [(1, "a1", 2, "update")],
+        [(2, None, 3, "delete"), (1, "a2", 4, "update")],
+    ]
+
+    def fresh():
+        s = Scd2HistorySink(base_dir, "id", "v")
+        s.init(spark.createDataFrame([], schema))
+        return s
+
+    sink = fresh()
+    for bid, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        if bid == crash_batch:
+            _arm_marker_crash(sink)
+            with pytest.raises(_CrashInjected):
+                sink.write_batch(df, bid)
+            sink = fresh()
+        sink.write_batch(df, bid)
+    return sorted(
+        (r.id, r.name, r.v, r.is_current) for r in sink.history(spark).collect()
+    )
+
+
+def test_scd2_restart_mid_batch_history_intact(spark, tmp_path):
+    clean = _run_scd2(spark, str(tmp_path / "clean"))
+    for crash_at in (1, 2):
+        got = _run_scd2(spark, str(tmp_path / f"crash{crash_at}"),
+                        crash_batch=crash_at)
+        assert got == clean, f"history diverged after crash at batch {crash_at}"
+    # sanity on the uninterrupted shape: 1 has three intervals, 2's closed
+    ids = [t[0] for t in clean]
+    assert ids.count(1) == 3 and ids.count(2) == 1
+
+
+# --- multi-process fence race (real processes, not threads) ---------------
+
+def _fence_racer(base_dir, barrier, results, idx):
+    """Child process: claim the dir, rendezvous so both claims precede
+    either commit, then try to commit a snapshot."""
+    import traceback
+
+    try:
+        os.environ["SPARK_GRAFT_CPUS"] = "2"  # tiny JVM per racer
+        from flinkrealtimedatawarehouse_spark.session import get_spark
+        from flinkrealtimedatawarehouse_spark.streaming.snapshots import (
+            VersionedSnapshotSink,
+        )
+
+        spark = get_spark(f"fence-race-{idx}", shuffle_partitions=2)
+        sink = VersionedSnapshotSink(base_dir)  # claims ownership
+        barrier.wait(timeout=120)  # both processes hold a claim now
+        df = spark.createDataFrame([(idx,)], "writer int")
+        sink.commit_snapshot(df, batch_id=0)
+        results[idx] = "committed"
+    except RuntimeError as e:
+        results[idx] = f"fenced: {e}" if "fenced" in str(e) else f"error: {e}"
+    except Exception:
+        results[idx] = "error: " + traceback.format_exc()
+
+
+@pytest.mark.slow
+def test_concurrent_writer_fence_race_two_processes(spark, tmp_path):
+    """Two real processes race commit_snapshot on one base_dir: exactly
+    one must win; the other must raise the fencing RuntimeError; the
+    surviving snapshot must be the winner's, uncorrupted."""
+    base_dir = str(tmp_path / "race")
+    ctx = mp.get_context("spawn")  # no JVM/fd inheritance from pytest's session
+    mgr = ctx.Manager()
+    results = mgr.dict()
+    barrier = ctx.Barrier(2)
+    procs = [
+        ctx.Process(target=_fence_racer, args=(base_dir, barrier, results, i))
+        for i in range(2)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=300)
+        assert not p.is_alive(), "racer hung"
+    out = dict(results)
+    assert len(out) == 2, f"racer died before reporting: {out}"
+    committed = [i for i, r in out.items() if r == "committed"]
+    fenced = [i for i, r in out.items() if str(r).startswith("fenced")]
+    assert len(committed) == 1 and len(fenced) == 1, f"not exactly-one-winner: {out}"
+    # the published snapshot is the winner's row, readable and whole
+    import json
+
+    with open(os.path.join(base_dir, "_committed.json")) as f:
+        marker = json.load(f)
+    assert marker["last_bid"] == 0
+    rows = spark.read.parquet(os.path.join(base_dir, f"v{marker['version']}")).collect()
+    assert [r.writer for r in rows] == [committed[0]]

@@ -465,6 +465,33 @@ def test_band_state_neardup_split_invariant_and_matches_batch_lsh(spark, tmp_pat
     assert one[4] == 1 and one[5] == 0
 
 
+def test_band_state_neardup_marks_late_smaller_id(spark, tmp_path):
+    # Out-of-order arrival (mirror of the span sink's late-small-id case):
+    # a LATE near-duplicate with a smaller id than the already-emitted
+    # holder must itself be flagged — under the old merged-min rule the
+    # late doc became the band minimum, compared min_id < id false, and
+    # the duplicate pair vanished from the output entirely.
+    from flinkrealtimedatawarehouse_spark.streaming import neardup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    sink = neardup.BandStateNearDupSink(
+        str(tmp_path / "nd_late"), "doc_id", "text", shingle_n=3, k=16, bands=8
+    )
+    sink.init(spark)
+    sink.write_batch(
+        spark.createDataFrame([(10, base)], "doc_id long, text string"), 0
+    )
+    sink.write_batch(
+        spark.createDataFrame([(5, base)], "doc_id long, text string"), 1
+    )
+    got = {r.doc_id: r.is_near_dup for r in sink.flags(spark).collect()}
+    assert got[10] == 0      # emitted first, unflagged
+    assert got[5] == 1       # late arrival carries the flag
+    # state keeps the smaller id as canonical for future batches
+    mins = {r.min_id for r in sink.state(spark).collect()}
+    assert mins == {5}
+
+
 def test_rocksdb_state_store_results_match_default(spark, tmp_path):
     """The RocksDB provider (the 100 TB state configuration) must produce
     byte-identical results to the default heap provider on the same
