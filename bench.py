@@ -132,6 +132,47 @@ def main() -> int:
         extras[name] = round(best, 3)
         print(f"# extra {name}: {n} rows in {extras[name]}s", file=sys.stderr)
 
+    # sf1 tier: at sf0.1 every headline query is overhead-bound (0.1-0.9 s
+    # against ~0.1-0.3 s fixed task-scheduling cost), so a plan regression
+    # under ~2x is invisible. The expensive queries re-run at a 10x
+    # deterministic amplification (scripts/gen_sf1.py, cached on disk)
+    # where plan quality, not overhead, dominates the timing. Disable
+    # with SPARK_GRAFT_SF1=0. min-of-2 after one warm-up: these run
+    # seconds each, so JIT-burst noise matters less than total bench time.
+    extras_sf1: dict[str, float] = {}
+    sf1_gen_sec = None
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        try:
+            from scripts.gen_sf1 import ensure_sf1
+
+            t0 = time.time()
+            sf1_dir = ensure_sf1(spark)
+            sf1_gen_sec = round(time.time() - t0, 3)
+            sf1_fns = {
+                "dp2_minhash_lsh_neardup": pipeline.q_minhash_lsh,
+                "dp15s_span_dedup": pipeline.q_span_dedup,
+                "u2_product_union": wh.q_u2,
+                "dp25_bm25": pipeline.q_bm25c,
+                "tpch7_trade": tpch.q_tpch7,
+                "tpch9_profit": tpch.q_tpch9,
+                "tpch18_bigqty": tpch.q_tpch18,
+            }
+            for name, fn in sf1_fns.items():
+                try:
+                    fn(spark, sf1_dir).count()  # warm-up
+                    best = float("inf")
+                    for _ in range(2):
+                        t0 = time.time()
+                        n = fn(spark, sf1_dir).count()
+                        best = min(best, time.time() - t0)
+                    extras_sf1[name] = round(best, 3)
+                    print(f"# sf1 {name}: {n} rows in {extras_sf1[name]}s",
+                          file=sys.stderr)
+                except Exception as e:
+                    print(f"# sf1 {name} FAILED: {e}", file=sys.stderr)
+        except Exception as e:
+            print(f"# sf1 tier skipped: {e}", file=sys.stderr)
+
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
@@ -144,8 +185,11 @@ def main() -> int:
         "queries": timings,
         "queries_cold": {n: cold[n] for n in timings if n in cold},
         "extras": extras,
+        "extras_sf1": extras_sf1,
         "sf": sf,
     }
+    if sf1_gen_sec is not None:
+        out["sf1_gen_sec"] = sf1_gen_sec
     # a query whose warm-up failed contributes nothing to value_cold and
     # its cold/steady flag can never fire — say so in the JSON instead of
     # letting the cold total silently read as an improvement
