@@ -132,14 +132,19 @@ def main() -> int:
         extras[name] = round(best, 3)
         print(f"# extra {name}: {n} rows in {extras[name]}s", file=sys.stderr)
 
-    # sf1 tier: at sf0.1 every headline query is overhead-bound (0.1-0.9 s
-    # against ~0.1-0.3 s fixed task-scheduling cost), so a plan regression
-    # under ~2x is invisible. The expensive queries re-run at a 10x
+    # sf1 HEADLINE tier (frozen since round 6): at sf0.1 every headline
+    # query is overhead-bound (0.1-0.9 s against ~0.1-0.3 s fixed
+    # task-scheduling cost), so a plan regression under ~2x is invisible
+    # — sf0.1 above is the smoke tier. These 11 queries re-run at a 10x
     # deterministic amplification (scripts/gen_sf1.py, cached on disk)
-    # where plan quality, not overhead, dominates the timing. Disable
-    # with SPARK_GRAFT_SF1=0. min-of-2 after one warm-up: these run
-    # seconds each, so JIT-burst noise matters less than total bench time.
-    extras_sf1: dict[str, float] = {}
+    # where plan quality, not overhead, dominates the timing; the set is
+    # FROZEN for round-over-round comparability (same rule as the sf0.1
+    # headline set) and paired with the DuckDB yardstick recorded by
+    # scripts/sf1_yardstick.py in SCALE.md. Disable with
+    # SPARK_GRAFT_SF1=0. Cold = first run in this JVM at this sf (codegen
+    # + AQE at this data size); steady = min-of-2 after it.
+    sf1_queries: dict[str, float] = {}
+    sf1_cold: dict[str, float] = {}
     sf1_gen_sec = None
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         try:
@@ -149,9 +154,13 @@ def main() -> int:
             sf1_dir = ensure_sf1(spark)
             sf1_gen_sec = round(time.time() - t0, 3)
             sf1_fns = {
-                "dp2_minhash_lsh_neardup": pipeline.q_minhash_lsh,
-                "dp15s_span_dedup": pipeline.q_span_dedup,
+                "a3_province_stats": wh.q_a3,
+                "a4_keyword_stats": wh.q_a4,
+                "j4_dim_chain_star": wh.q_j4,
                 "u2_product_union": wh.q_u2,
+                "dp2_minhash_lsh_neardup": pipeline.q_minhash_lsh,
+                "dp6_cosine_topk": pipeline.q_cosine_topk,
+                "dp15s_span_dedup": pipeline.q_span_dedup,
                 "dp25_bm25": pipeline.q_bm25c,
                 "tpch7_trade": tpch.q_tpch7,
                 "tpch9_profit": tpch.q_tpch9,
@@ -159,15 +168,20 @@ def main() -> int:
             }
             for name, fn in sf1_fns.items():
                 try:
-                    fn(spark, sf1_dir).count()  # warm-up
+                    t0 = time.time()
+                    fn(spark, sf1_dir).count()  # cold: first run at sf1
+                    sf1_cold[name] = round(time.time() - t0, 3)
                     best = float("inf")
                     for _ in range(2):
                         t0 = time.time()
                         n = fn(spark, sf1_dir).count()
                         best = min(best, time.time() - t0)
-                    extras_sf1[name] = round(best, 3)
-                    print(f"# sf1 {name}: {n} rows in {extras_sf1[name]}s",
-                          file=sys.stderr)
+                    sf1_queries[name] = round(best, 3)
+                    print(
+                        f"# sf1 {name}: {n} rows in {sf1_queries[name]}s "
+                        f"(cold {sf1_cold[name]}s)",
+                        file=sys.stderr,
+                    )
                 except Exception as e:
                     print(f"# sf1 {name} FAILED: {e}", file=sys.stderr)
         except Exception as e:
@@ -185,7 +199,12 @@ def main() -> int:
         "queries": timings,
         "queries_cold": {n: cold[n] for n in timings if n in cold},
         "extras": extras,
-        "extras_sf1": extras_sf1,
+        "sf1": {
+            "value": round(sum(sf1_queries.values()), 3),
+            "value_cold": round(sum(sf1_cold.get(n, 0.0) for n in sf1_queries), 3),
+            "queries": sf1_queries,
+            "queries_cold": {n: sf1_cold[n] for n in sf1_queries if n in sf1_cold},
+        },
         "sf": sf,
     }
     if sf1_gen_sec is not None:

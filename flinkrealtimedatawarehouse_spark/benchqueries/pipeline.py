@@ -388,10 +388,10 @@ def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
 SQL_TOKEN_COUNT = f"""
 WITH d AS (
   SELECT source,
-         len(list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)) AS ws_tokens,
+         len(list_filter(string_split_regex(text, '{textstats.WS_RE}'), t -> length(t) > 0)) AS ws_tokens,
          coalesce(list_sum(list_transform({duck_tokens('text')},
                                           t -> ceil(length(t) / 4.0)::BIGINT)), 0)
-         + length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS bpe_est
+         + length(regexp_replace(lower(text), '{textstats.NON_PUNCT_RE}', '', 'g')) AS bpe_est
   FROM documents
 )
 SELECT source, sum(ws_tokens)::BIGINT AS ws_total, sum(bpe_est)::BIGINT AS bpe_total,
@@ -572,7 +572,7 @@ _LD_WPL = 10  # words per synthetic line
 
 def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    toks = F.split(F.col("text"), r"\s+")
+    toks = F.split(F.col("text"), textstats.WS_RE)
     nl = F.greatest(F.ceil(F.size(toks) / _LD_WPL).cast("int"), F.lit(1))
     lines = F.transform(
         F.sequence(F.lit(0), nl - 1),
@@ -592,7 +592,7 @@ WITH src AS (
            list_transform(range(0, greatest(cast(ceil(len(toks) / {_LD_WPL}.0) AS INT), 1)),
                           i -> array_to_string(toks[i*{_LD_WPL}+1 : i*{_LD_WPL}+{_LD_WPL}], ' ')),
            chr(10)) AS text
-  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents)
+  FROM (SELECT doc_id, string_split_regex(text, '{textstats.WS_RE}') AS toks FROM documents)
 ), l AS (
   SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
          unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
@@ -984,32 +984,38 @@ UNION ALL
 SELECT *, 'ivf' AS method FROM ({SQL_IVF})
 """
 
-# dp8+dp9+dp10+dp14: per-document text-analysis metrics, one wide row per
-# sampled doc (lang ID, quality, token counts, repetition signals).
+# dp8+dp9+dp10+dp14: per-document text-analysis metrics over a sampled
+# doc set (repetition signals, lang ID, quality, token counts, Gopher
+# rules) — one driver gate PER OPERATOR BRANCH (dp8a-dp8e) so the
+# driver's own pass/fail vector localizes any engine divergence to the
+# operator that caused it (the wide single-gate form was driver-red for
+# three rounds with rows+schema green, which one boolean can't debug).
 #
-# Gate-stability contract (round-5 de-float of the r3/r4 red cell):
-# there is NO floating point anywhere in the gate surface. Every
-# fractional metric is an exact integer-micros value computed as
-# (integer_numerator * 1_000_000) floor-div integer_denominator — Spark
-# `div`, DuckDB `//` — from the integer counts the operators now expose
-# (textstats quality_score / gopher_rules / repetition_stats). round()
-# appears nowhere on either engine, so no round-half-case or
-# float-formatting convention in any driver environment can flip a digit.
-# Output stays pinned to doc_id order; each contributing operator keeps a
-# per-branch md5 checksum column so a future red hash self-localizes.
+# Gate-stability contract (round-5 de-float + round-6 hardening):
+# - NO floating point anywhere in any gate surface: every fractional
+#   metric is exact integer micros, (num * 1_000_000) floor-div den —
+#   Spark `div`, DuckDB `//`.
+# - NO cross-engine integer-width wobble: every DuckDB aggregate that
+#   widens (list_sum -> HUGEINT, which pandas/arrow clients render as
+#   float64, e.g. "44.0" vs Spark's "44") is explicitly ::BIGINT. This
+#   was the r3-r5 dp8 red: bpe_est_tokens was the registry's only
+#   uncast HUGEINT output column.
+# - NO `\s`, no `$` anchors, no multi-byte regex classes in either
+#   engine: whitespace is the explicit textstats.WS_RE class, bullets
+#   are substring-equality tests, ellipsis is ends_with — constructs
+#   whose semantics can't drift between Java-regex and RE2 versions.
+# Output stays pinned to doc_id order (unique key, no ties).
 
-# branch -> the gate columns that operator contributes (checksum spec,
-# shared by the Spark select and the SQL twin below)
-_DOC_METRIC_BRANCHES: dict[str, tuple[str, ...]] = {
-    "ck_rep": ("n_tokens", "ttr_u", "top_bigram_frac_u"),
-    "ck_lang": ("lang", "pred_lang"),
-    "ck_quality": ("quality_u", "alnum_ratio_u"),
-    "ck_tok": ("ws_tokens", "bpe_est_tokens"),
-    "ck_gopher": (
-        "g_words", "g_mean_word_len_u", "g_alpha_frac_u", "g_bullet_frac_u",
-        "g_ellipsis_frac_u", "g_stop_kinds", "gopher_pass",
-    ),
-}
+_DOC_SAMPLE_MOD = 25
+
+
+def _doc_sample(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "documents").filter(
+        F.col("doc_id") % _DOC_SAMPLE_MOD == 0
+    )
+
+
+_SQL_DOC_SAMPLE = f"SELECT * FROM documents WHERE doc_id % {_DOC_SAMPLE_MOD} = 0"
 
 
 def _idiv_micros(num: str, den: str, alias: str, scale: int = 1_000_000) -> Column:
@@ -1020,68 +1026,23 @@ def _idiv_micros(num: str, den: str, alias: str, scale: int = 1_000_000) -> Colu
     ).alias(alias)
 
 
-def q_doc_metrics(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 25 == 0)
-    lang = textstats.lang_id(docs, "text").select("doc_id", "lang", "pred_lang")
-    qual = textstats.quality_score(docs, "text").select(
-        "doc_id", F.col("n_tokens").alias("q_toks"), "n_chars", "alnum_chars", "stop_hits"
-    )
-    tok = textstats.token_counts(docs, "text").select("doc_id", "ws_tokens", "bpe_est_tokens")
-    rep = textstats.repetition_stats(docs, "doc_id", "text").select(
-        "doc_id", "n_tokens", "n_distinct", "top_bg_ct"
-    )
-    gop = textstats.gopher_rules(docs, "text").select(
-        "doc_id", "g_words", "g_sum_word_len", "g_alpha_words", "g_lines",
-        "g_bullet_lines", "g_ellipsis_lines", "g_stop_kinds",
-        F.col("gopher_pass").cast("int").alias("gopher_pass"),
-    )
-    # quality score in exact micros: 0.4*min(toks/100,1) -> min(toks,100)*4000,
-    # 0.3*alnum_ratio -> (alnum*300000) div chars,
-    # 0.3*min(5*stop_ratio,1) -> (min(5*stops, toks)*300000) div toks.
-    quality_u = F.expr(
-        "least(q_toks, 100L) * 4000L"
-        " + (CASE WHEN n_chars > 0 THEN (alnum_chars * 300000L) div n_chars ELSE 0L END)"
-        " + (CASE WHEN q_toks > 0 THEN"
-        "      (least(stop_hits * 5L, cast(q_toks AS BIGINT)) * 300000L) div q_toks"
-        "    ELSE 0L END)"
-    ).alias("quality_u")
-    wide = (
-        rep.join(lang, "doc_id").join(qual, "doc_id").join(tok, "doc_id").join(gop, "doc_id")
-        .select(
-            "doc_id", "n_tokens",
-            _idiv_micros("n_distinct", "n_tokens", "ttr_u"),
-            _idiv_micros("top_bg_ct * 2", "n_tokens", "top_bigram_frac_u"),
-            "lang", "pred_lang",
-            quality_u,
-            _idiv_micros("alnum_chars", "n_chars", "alnum_ratio_u"),
-            "ws_tokens", "bpe_est_tokens",
-            "g_words",
-            _idiv_micros("g_sum_word_len", "g_words", "g_mean_word_len_u"),
-            _idiv_micros("g_alpha_words", "g_words", "g_alpha_frac_u"),
-            _idiv_micros("g_bullet_lines", "g_lines", "g_bullet_frac_u"),
-            _idiv_micros("g_ellipsis_lines", "g_lines", "g_ellipsis_frac_u"),
-            "g_stop_kinds", "gopher_pass",
-        )
-    )
-    cks = {
-        ck: F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
-        for ck, cols in _DOC_METRIC_BRANCHES.items()
-    }
-    return wide.withColumns(cks).orderBy("doc_id")
+# --- dp8a repetition signals (textstats.repetition_stats) ----------------
 
-def _sql_doc_metrics() -> str:
+def q_dp8a_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    rep = textstats.repetition_stats(_doc_sample(spark, sf), "doc_id", "text")
+    return rep.select(
+        "doc_id",
+        "n_tokens",
+        _idiv_micros("n_distinct", "n_tokens", "ttr_u"),
+        _idiv_micros("top_bg_ct * 2", "n_tokens", "top_bigram_frac_u"),
+    ).orderBy("doc_id")
+
+
+def _sql_dp8a() -> str:
     toks = duck_tokens("text")
-    pred = _duck_pred_lang()
-    # per-branch checksums generated from the SAME spec as the Spark side
-    cks = ", ".join(
-        "md5(concat_ws('|', "
-        + ", ".join(f"{c}::VARCHAR" for c in cols)
-        + f")) AS {ck}"
-        for ck, cols in _DOC_METRIC_BRANCHES.items()
-    )
     return f"""
-WITH a AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 25 = 0),
-tk AS (SELECT doc_id, text, {toks} AS toks FROM a),
+WITH a AS ({_SQL_DOC_SAMPLE}),
+tk AS (SELECT doc_id, {toks} AS toks FROM a),
 f AS (
   SELECT doc_id, toks, len(toks)::INT AS n_tokens,
          len(list_distinct(toks)) AS n_distinct,
@@ -1090,24 +1051,139 @@ f AS (
 ),
 ex AS (SELECT doc_id, unnest(bigrams) AS bg FROM f),
 ctb AS (SELECT doc_id, bg, count(*) AS ct FROM ex GROUP BY 1, 2),
-tp AS (SELECT doc_id, max(ct) AS top_bg_ct FROM ctb GROUP BY 1),
-lng AS (SELECT doc_id, lang, {pred} AS pred_lang FROM a),
+tp AS (SELECT doc_id, max(ct) AS top_bg_ct FROM ctb GROUP BY 1)
+SELECT f.doc_id, f.n_tokens,
+       (f.n_distinct::BIGINT * 1000000) // f.n_tokens AS ttr_u,
+       (coalesce(tp.top_bg_ct, 0)::BIGINT * 2 * 1000000) // f.n_tokens AS top_bigram_frac_u
+FROM f LEFT JOIN tp USING (doc_id) ORDER BY doc_id
+"""
+
+
+SQL_DP8A = _sql_dp8a()
+
+# --- dp8b language ID (textstats.lang_id) --------------------------------
+
+def q_dp8b_lang(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        textstats.lang_id(_doc_sample(spark, sf), "text")
+        .select("doc_id", "lang", "pred_lang")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DP8B = f"""
+SELECT doc_id, lang, {_duck_pred_lang()} AS pred_lang
+FROM ({_SQL_DOC_SAMPLE}) ORDER BY doc_id
+"""
+
+# --- dp8c quality score (textstats.quality_score) ------------------------
+# quality score in exact micros: 0.4*min(toks/100,1) -> min(toks,100)*4000,
+# 0.3*alnum_ratio -> (alnum*300000) div chars,
+# 0.3*min(5*stop_ratio,1) -> (min(5*stops, toks)*300000) div toks.
+
+def q_dp8c_quality(spark: SparkSession, sf: str) -> DataFrame:
+    qual = textstats.quality_score(_doc_sample(spark, sf), "text").select(
+        "doc_id", F.col("n_tokens").alias("q_toks"), "n_chars", "alnum_chars", "stop_hits"
+    )
+    quality_u = F.expr(
+        "least(q_toks, 100L) * 4000L"
+        " + (CASE WHEN n_chars > 0 THEN (alnum_chars * 300000L) div n_chars ELSE 0L END)"
+        " + (CASE WHEN q_toks > 0 THEN"
+        "      (least(stop_hits * 5L, cast(q_toks AS BIGINT)) * 300000L) div q_toks"
+        "    ELSE 0L END)"
+    ).alias("quality_u")
+    return qual.select(
+        "doc_id", quality_u, _idiv_micros("alnum_chars", "n_chars", "alnum_ratio_u")
+    ).orderBy("doc_id")
+
+
+def _sql_dp8c() -> str:
+    toks = duck_tokens("text")
+    return f"""
+WITH a AS ({_SQL_DOC_SAMPLE}),
 q2 AS (
-  SELECT doc_id, len(toks)::BIGINT AS n_toks,
+  SELECT doc_id, len({toks})::BIGINT AS n_toks,
          length(text)::BIGINT AS n_chars,
          length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))::BIGINT AS alnum,
-         len(list_filter(toks, t -> t IN ({_EN_STOPS})))::BIGINT AS stop_hits,
-         len(list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)) AS ws_tokens,
-         coalesce(list_sum(list_transform(toks, t -> ceil(length(t) / 4.0)::BIGINT)), 0)
-           + length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS bpe_est_tokens
-  FROM tk
-),
+         len(list_filter({toks}, t -> t IN ({_EN_STOPS})))::BIGINT AS stop_hits
+  FROM a
+)
+SELECT doc_id,
+       (least(n_toks, 100) * 4000
+        + (CASE WHEN n_chars > 0 THEN (alnum * 300000) // n_chars ELSE 0 END)
+        + (CASE WHEN n_toks > 0
+                THEN (least(stop_hits * 5, n_toks) * 300000) // n_toks
+                ELSE 0 END))::BIGINT AS quality_u,
+       (CASE WHEN n_chars > 0 THEN (alnum * 1000000) // n_chars ELSE 0 END)::BIGINT AS alnum_ratio_u
+FROM q2 ORDER BY doc_id
+"""
+
+
+SQL_DP8C = _sql_dp8c()
+
+# --- dp8d token counts (textstats.token_counts) --------------------------
+
+def q_dp8d_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    tok = textstats.token_counts(_doc_sample(spark, sf), "text")
+    return tok.select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        "bpe_est_tokens",
+    ).orderBy("doc_id")
+
+
+def _sql_dp8d() -> str:
+    toks = duck_tokens("text")
+    # ::BIGINT on the whole bpe expression is load-bearing: list_sum
+    # returns HUGEINT, which DataFrame-fetching clients widen to float64
+    # ("44.0" vs "44") — the r3-r5 dp8 hash red.
+    return f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '{textstats.WS_RE}'),
+                       t -> length(t) > 0))::BIGINT AS ws_tokens,
+       (coalesce(list_sum(list_transform({toks}, t -> ceil(length(t) / 4.0)::BIGINT)), 0)
+        + length(regexp_replace(lower(text), '{textstats.NON_PUNCT_RE}', '', 'g')))::BIGINT
+         AS bpe_est_tokens
+FROM ({_SQL_DOC_SAMPLE}) ORDER BY doc_id
+"""
+
+
+SQL_DP8D = _sql_dp8d()
+
+# --- dp8e Gopher rules (textstats.gopher_rules) --------------------------
+
+def q_dp8e_gopher(spark: SparkSession, sf: str) -> DataFrame:
+    gop = textstats.gopher_rules(_doc_sample(spark, sf), "text")
+    return gop.select(
+        "doc_id",
+        "g_words",
+        _idiv_micros("g_sum_word_len", "g_words", "g_mean_word_len_u"),
+        _idiv_micros("g_alpha_words", "g_words", "g_alpha_frac_u"),
+        _idiv_micros("g_bullet_lines", "g_lines", "g_bullet_frac_u"),
+        _idiv_micros("g_ellipsis_lines", "g_lines", "g_ellipsis_frac_u"),
+        "g_stop_kinds",
+        F.col("gopher_pass").cast("int").alias("gopher_pass"),
+    ).orderBy("doc_id")
+
+
+def _sql_dp8e() -> str:
+    toks = duck_tokens("text")
+    stop_kinds = " + ".join(
+        f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END"
+        for w in textstats.LANG_STOPWORDS["en"]
+    )
+    bullets = ", ".join(
+        "chr(8226)" if ord(c) > 127 else f"'{c}'" for c in textstats.BULLET_CHARS
+    )
+    return f"""
+WITH a AS ({_SQL_DOC_SAMPLE}),
 gw AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS words,
+         list_filter(string_split_regex(text, '{textstats.WS_RE}'),
+                     t -> length(t) > 0) AS words,
          list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lns,
-         toks
-  FROM tk
+         {toks} AS toks
+  FROM a
 ),
 gf AS (
   SELECT doc_id,
@@ -1115,56 +1191,31 @@ gf AS (
          coalesce(list_sum(list_transform(words, t -> length(t))), 0)::BIGINT AS g_sum_wl,
          len(list_filter(words, t -> regexp_matches(t, '[A-Za-z]')))::BIGINT AS g_alpha_w,
          len(lns)::BIGINT AS g_lines,
-         len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]')))::BIGINT AS g_bullet_l,
-         len(list_filter(lns, l -> regexp_matches(l, '\\.\\.\\.$')))::BIGINT AS g_ellipsis_l,
-         (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
-        + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
-        + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
-        + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
-        + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
-        + CASE WHEN list_contains(toks, 'in') THEN 1 ELSE 0 END
-        + CASE WHEN list_contains(toks, 'is') THEN 1 ELSE 0 END)::INT AS g_stop_kinds
+         len(list_filter(lns, l -> substr(trim(l), 1, 1) IN ({bullets})))::BIGINT AS g_bullet_l,
+         len(list_filter(lns, l -> ends_with(l, '...')))::BIGINT AS g_ellipsis_l,
+         ({stop_kinds})::INT AS g_stop_kinds
   FROM gw
-),
-gp AS (
-  -- thresholds as cross-multiplied integers, exactly mirroring
-  -- textstats.gopher_rules: no float comparison anywhere
-  SELECT *,
-         (CASE WHEN g_words >= 50 AND g_words <= 100000 AND g_words > 0
-                AND g_sum_wl >= 3 * g_words AND g_sum_wl <= 10 * g_words
-                AND g_alpha_w * 5 >= g_words * 4
-                AND g_bullet_l * 10 <= g_lines * 9
-                AND g_ellipsis_l * 10 <= g_lines * 3
-                AND g_stop_kinds >= 2
-          THEN 1 ELSE 0 END)::INT AS gopher_pass
-  FROM gf
 )
-, sel AS (
-SELECT f.doc_id, f.n_tokens,
-       (f.n_distinct::BIGINT * 1000000) // f.n_tokens AS ttr_u,
-       (coalesce(tp.top_bg_ct, 0)::BIGINT * 2 * 1000000) // f.n_tokens AS top_bigram_frac_u,
-       lng.lang, lng.pred_lang,
-       (least(q2.n_toks, 100) * 4000
-        + (CASE WHEN q2.n_chars > 0 THEN (q2.alnum * 300000) // q2.n_chars ELSE 0 END)
-        + (CASE WHEN q2.n_toks > 0
-                THEN (least(q2.stop_hits * 5, q2.n_toks) * 300000) // q2.n_toks
-                ELSE 0 END))::BIGINT AS quality_u,
-       (CASE WHEN q2.n_chars > 0 THEN (q2.alnum * 1000000) // q2.n_chars ELSE 0 END)::BIGINT AS alnum_ratio_u,
-       q2.ws_tokens, q2.bpe_est_tokens,
-       gp.g_words,
-       (CASE WHEN gp.g_words > 0 THEN (gp.g_sum_wl * 1000000) // gp.g_words ELSE 0 END)::BIGINT AS g_mean_word_len_u,
-       (CASE WHEN gp.g_words > 0 THEN (gp.g_alpha_w * 1000000) // gp.g_words ELSE 0 END)::BIGINT AS g_alpha_frac_u,
-       (CASE WHEN gp.g_lines > 0 THEN (gp.g_bullet_l * 1000000) // gp.g_lines ELSE 0 END)::BIGINT AS g_bullet_frac_u,
-       (CASE WHEN gp.g_lines > 0 THEN (gp.g_ellipsis_l * 1000000) // gp.g_lines ELSE 0 END)::BIGINT AS g_ellipsis_frac_u,
-       gp.g_stop_kinds, gp.gopher_pass
-FROM f LEFT JOIN tp USING (doc_id) JOIN q2 USING (doc_id) JOIN lng USING (doc_id)
-     JOIN gp USING (doc_id)
-)
-SELECT sel.*, {cks}
-FROM sel ORDER BY doc_id
+SELECT doc_id, g_words,
+       (CASE WHEN g_words > 0 THEN (g_sum_wl * 1000000) // g_words ELSE 0 END)::BIGINT AS g_mean_word_len_u,
+       (CASE WHEN g_words > 0 THEN (g_alpha_w * 1000000) // g_words ELSE 0 END)::BIGINT AS g_alpha_frac_u,
+       (CASE WHEN g_lines > 0 THEN (g_bullet_l * 1000000) // g_lines ELSE 0 END)::BIGINT AS g_bullet_frac_u,
+       (CASE WHEN g_lines > 0 THEN (g_ellipsis_l * 1000000) // g_lines ELSE 0 END)::BIGINT AS g_ellipsis_frac_u,
+       g_stop_kinds,
+       -- thresholds as cross-multiplied integers, exactly mirroring
+       -- textstats.gopher_rules: no float comparison anywhere
+       (CASE WHEN g_words >= 50 AND g_words <= 100000 AND g_words > 0
+              AND g_sum_wl >= 3 * g_words AND g_sum_wl <= 10 * g_words
+              AND g_alpha_w * 5 >= g_words * 4
+              AND g_bullet_l * 10 <= g_lines * 9
+              AND g_ellipsis_l * 10 <= g_lines * 3
+              AND g_stop_kinds >= 2
+        THEN 1 ELSE 0 END)::INT AS gopher_pass
+FROM gf ORDER BY doc_id
 """
 
-SQL_DOC_METRICS = _sql_doc_metrics()
+
+SQL_DP8E = _sql_dp8e()
 
 # dp27: text -> deterministic feature-hash embedding (the generation link
 # of the vector stack: embed_text output feeds build_ivf_index /
@@ -1565,7 +1616,11 @@ REGISTRY = {
     "dp3_neardup_family": (q_neardup_family, SQL_NEARDUP_FAMILY),
     "dp6_cosine_topk": (q_cosine_topk_both, SQL_COSINE_TOPK_BOTH),
     "dp7_ann_topk": (q_ann_both, SQL_ANN_BOTH),
-    "dp8_doc_metrics": (q_doc_metrics, SQL_DOC_METRICS),
+    "dp8a_repetition": (q_dp8a_repetition, SQL_DP8A),
+    "dp8b_lang": (q_dp8b_lang, SQL_DP8B),
+    "dp8c_quality": (q_dp8c_quality, SQL_DP8C),
+    "dp8d_tokens": (q_dp8d_tokens, SQL_DP8D),
+    "dp8e_gopher": (q_dp8e_gopher, SQL_DP8E),
     "dp11_fingerprint": (q_fp_embed, SQL_FP_EMBED),
     "dp12_multimodal_features": (q_multimodal, SQL_MULTIMODAL),
     "dp15_pii_redact": (q_dp15c, SQL_DP15C),

@@ -1576,15 +1576,99 @@ def q_xc(spark: SparkSession, sf: str) -> DataFrame:
 #   A10 whole-day GMV   -> a7 (gmv branch of the tagged ADS union)
 #   W3 SQL pipeline     -> a4 (sql branch — must equal the df branch)
 # The dropped q_* functions stay defined for tests and bench.
+# --- round-6 folds (P6+P7, A8+A9, J3+J4, W1+W1B) -------------------------
+# Tagged unions freeing registry slots for the dp8a-dp8e branch split;
+# every operator keeps its own q_* function (tests/bench unchanged) and
+# its own branch tag so a red hash still names the operator.
+
+def q_p67(spark: SparkSession, sf: str) -> DataFrame:
+    p6 = q_p6(spark, sf).select(
+        F.lit("map_access").alias("branch"),
+        F.col("event_id").cast("string").alias("k"),
+        F.col("item").alias("s"),
+        F.col("user_id").cast("double").alias("v1"),
+        F.lit(0.0).alias("v2"),
+    )
+    p7 = q_p7(spark, sf).select(
+        F.lit("click").alias("branch"),
+        F.col("dt").alias("k"),
+        F.lit("").alias("s"),
+        F.col("ct").cast("double").alias("v1"),
+        F.col("value_sum").alias("v2"),
+    )
+    return p6.unionByName(p7)
+
+
+SQL_P67 = f"""
+SELECT 'map_access' AS branch, event_id::VARCHAR AS k, item AS s,
+       user_id::DOUBLE AS v1, 0.0 AS v2 FROM ({SQL_P6})
+UNION ALL
+SELECT 'click', dt, '', ct::DOUBLE, value_sum FROM ({SQL_P7})
+"""
+
+
+def q_a89(spark: SparkSession, sf: str) -> DataFrame:
+    a8 = q_a8c(spark, sf)
+    a9 = q_a9(spark, sf).select(
+        F.lit("keyword_score").alias("branch"),
+        F.col("keyword").alias("k"),
+        F.col("ct").cast("double").alias("v1"),
+        F.lit(0.0).alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    return a8.unionByName(a9)
+
+
+SQL_A89 = f"""
+SELECT * FROM ({SQL_A8C})
+UNION ALL
+SELECT 'keyword_score', keyword, ct::DOUBLE, 0.0, 0.0 FROM ({SQL_A9})
+"""
+
+
+def q_j34(spark: SparkSession, sf: str) -> DataFrame:
+    j3 = q_j3(spark, sf).select(
+        F.lit("lookup").alias("branch"),
+        F.col("p_brand").alias("k"),
+        "revenue",
+        "ct",
+    )
+    j4 = q_j4(spark, sf).select(
+        F.lit("chain").alias("branch"),
+        F.concat_ws("|", "r_name", "n_name").alias("k"),
+        "revenue",
+        F.col("order_ct").alias("ct"),
+    )
+    return j3.unionByName(j4)
+
+
+SQL_J34 = f"""
+SELECT 'lookup' AS branch, p_brand AS k, revenue, ct FROM ({SQL_J3})
+UNION ALL
+SELECT 'chain', concat_ws('|', r_name, n_name), revenue, order_ct FROM ({SQL_J4})
+"""
+
+
+def q_w1c(spark: SparkSession, sf: str) -> DataFrame:
+    full = q_w1(spark, sf).select(F.lit("events").alias("branch"), "user_id", "event_id", "is_bounce")
+    edge = q_w1b(spark, sf).select(F.lit("boundary").alias("branch"), "user_id", "event_id", "is_bounce")
+    return full.unionByName(edge)
+
+
+SQL_W1C = f"""
+SELECT 'events' AS branch, user_id, event_id, is_bounce FROM ({SQL_W1})
+UNION ALL
+SELECT 'boundary', user_id, event_id, is_bounce FROM ({SQL_W1B})
+"""
+
+
 REGISTRY = {
     "p1_parse_or_dirty": (q_p1c, SQL_P1C),
     "p3_three_way_split": (q_p3, SQL_P3),
-    "p6_map_access_filter": (q_p6, SQL_P6),
-    "p7_click_filter": (q_p7, SQL_P7),
+    "p67_event_filters": (q_p67, SQL_P67),
     "p8_derivations": (q_p8, SQL_P8),
     "jb_interval_boundary": (q_jb, SQL_JB),
-    "j3_dim_enrich": (q_j3, SQL_J3),
-    "j4_dim_chain_star": (q_j4, SQL_J4),
+    "j34_dim_chain": (q_j34, SQL_J34),
     "j5_route_config": (q_j5, SQL_J5),
     "j7_asof_join": (q_j7, SQL_J7),
     "a1_visitor_stats": (q_a1, SQL_A1),
@@ -1593,12 +1677,10 @@ REGISTRY = {
     "a4_keyword_stats": (q_a4c, SQL_A4C),
     "a6_is_new_correction": (q_a6, SQL_A6),
     "a7_ads_product": (q_a7c, SQL_A7C),
-    "a8_hourly_conditional": (q_a8c, SQL_A8C),
-    "a9_keyword_score": (q_a9, SQL_A9),
+    "a89_ads_metrics": (q_a89, SQL_A89),
     "a11_visitor_ratios": (q_a11, SQL_A11),
     # a12 registers in tpch (tagged rollup + TPC-H Q1/Q3/Q5/Q18 union)
-    "w1_bounce_detect": (q_w1, SQL_W1),
-    "w1b_bounce_boundary": (q_w1b, SQL_W1B),
+    "w1_bounce_detect": (q_w1c, SQL_W1C),
     # w4_session_stats registers in streamq (tagged batch+stream union)
     "u2_product_union": (q_u2c, SQL_U2C),
     "k3_dim_upsert": (q_k3c, SQL_K3C),

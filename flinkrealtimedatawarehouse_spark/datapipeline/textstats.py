@@ -18,6 +18,21 @@ from flinkrealtimedatawarehouse_spark.datapipeline.hashing import (
     spark_tokens,
 )
 
+# Explicit ASCII whitespace class, shared by every whitespace split and
+# mirrored verbatim in the DuckDB oracles. `\s` is NOT portable: Java
+# regex has always included \x0B (vertical tab) while RE2 only added it
+# in 2023, so the same `\s+` split can tokenize differently between the
+# two engines (and between DuckDB versions bundling different RE2s).
+# \t \n \x0B \f \r are escape sequences both engines parse identically.
+WS_RE = r"[ \t\n\x0B\f\r]+"
+# chars removed when counting punctuation for the BPE estimate — same
+# portability rule (explicit class instead of \s).
+NON_PUNCT_RE = r"[a-z0-9 \t\n\x0B\f\r]"
+# Bullet prefixes for the Gopher bullet-line rule. Tested with substring
+# equality (not a regex class) because a multi-byte literal like the
+# bullet dot inside a regex class is another cross-engine hazard.
+BULLET_CHARS = ("-", "*", "•")
+
 # Tiny stopword profiles for the n-gram/stopword language heuristic. Tie
 # order = dict order (en first) — the oracle encodes the same precedence.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -172,7 +187,7 @@ def gopher_rules(
     integers — no float thresholds anywhere.
     """
     text = F.col(text_col)
-    words = F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
+    words = F.filter(F.split(text, WS_RE), lambda t: F.length(t) > 0)
     n_words = F.size(words).cast("long")
     sum_wl = F.aggregate(words, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
     n_alpha = F.size(F.filter(words, lambda t: t.rlike("[A-Za-z]"))).cast("long")
@@ -181,8 +196,13 @@ def gopher_rules(
 
     lines = F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
     n_lines = F.size(lines).cast("long")
-    n_bullet = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))).cast("long")
-    n_ellipsis = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))).cast("long")
+    # substring-equality bullet test and ends_with ellipsis test: no
+    # regex anchors ($ matches before a final \r in Java but not RE2)
+    # and no multi-byte char class — portable across engines/versions.
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.substring(F.trim(l), 1, 1).isin(*BULLET_CHARS))
+    ).cast("long")
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("long")
     bullet_frac = F.when(n_lines > 0, n_bullet.cast("double") / n_lines).otherwise(F.lit(0.0))
     ellipsis_frac = F.when(
         n_lines > 0, n_ellipsis.cast("double") / n_lines
@@ -236,12 +256,12 @@ def token_counts(docs: DataFrame, text_col: str) -> DataFrame:
     estimate (alnum runs contribute ceil(len/4) units; each punct char is
     one unit) — the standard chars/4 heuristic, exactly reproducible."""
     text = F.col(text_col)
-    ws_tokens = F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+    ws_tokens = F.size(F.filter(F.split(text, WS_RE), lambda t: F.length(t) > 0))
     toks = spark_tokens(text)
     sub_alnum = F.aggregate(
         toks, F.lit(0).cast("long"), lambda a, t: a + F.ceil(F.length(t) / F.lit(4.0)).cast("long")
     )
-    n_punct = F.length(F.regexp_replace(F.lower(text), r"[a-z0-9\s]", ""))
+    n_punct = F.length(F.regexp_replace(F.lower(text), NON_PUNCT_RE, ""))
     return docs.withColumns(
         {"ws_tokens": ws_tokens, "bpe_est_tokens": (sub_alnum + n_punct).cast("long")}
     )
@@ -528,10 +548,25 @@ def _bm25_rank(postings: DataFrame, stats: DataFrame, id_col: str,
     total = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_hit_terms"), F.sum("score_u").alias("score_u")
     )
-    w = Window.orderBy(F.col("score_u").desc(), F.col(id_col).asc())
+    # Top-k via orderBy().limit(): Catalyst compiles this to
+    # TakeOrderedAndProject — each partition keeps its local top-k and
+    # only k rows per partition reach the driver-side merge. The naive
+    # alternative (partitionless Window + row_number) funnels EVERY
+    # matching document into a single task — for a common query term at
+    # corpus scale that is millions of rows through one partition (the
+    # "WindowExec: No Partition Defined" warning). rank is stamped
+    # AFTER the limit, on <= k rows, where a 1-partition window is free.
+    topk = total.orderBy(F.col("score_u").desc(), F.col(id_col).asc()).limit(k)
+    # Constant-valued partition key: same single-partition semantics over
+    # the <= k surviving rows, but a non-empty partition spec, so the
+    # plan carries no partitionless WindowExec (and no scale-smell
+    # warning). id*0 rather than lit(1) because the optimizer's
+    # EliminateWindowPartitions rule strips foldable partition keys.
+    w = Window.partitionBy(F.col(id_col) * 0).orderBy(
+        F.col("score_u").desc(), F.col(id_col).asc()
+    )
     return (
-        total.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select(id_col, "rank", "n_hit_terms", (F.col("score_u") / 1_000_000).alias("score"))
     )
 
@@ -737,7 +772,8 @@ def concat_chunks(docs: DataFrame, id_col: str, count_col: str, seq_len: int,
 
 
 def pack_bins(docs: DataFrame, id_col: str, token_col: str, budget: int,
-              part_col: str | None = None) -> DataFrame:
+              part_col: str | None = None,
+              allow_single_partition: bool = False) -> DataFrame:
     """Sequence packing: assign docs to fixed-token-budget training bins.
 
     Greedy-by-order packing as a window cumulative sum: docs ordered by id
@@ -746,10 +782,20 @@ def pack_bins(docs: DataFrame, id_col: str, token_col: str, budget: int,
     is the order-preserving packing a sequence-builder uses; docs longer
     than the budget simply occupy 2+ bins' worth of budget.
 
-    Scale: one shuffle on ``part_col`` (or a single partition without it —
-    callers at scale always pass a partition column, e.g. source or a
-    date shard, so the window never globally serializes).
+    Scale: one shuffle on ``part_col``. Without a partition column the
+    cumulative sum serializes the WHOLE corpus through one task, so
+    ``part_col=None`` requires the caller to state
+    ``allow_single_partition=True`` — an explicit opt-in that the input
+    is small (a sampled subset, a per-day shard pre-filtered upstream),
+    not an accident of omission.
     """
+    if part_col is None and not allow_single_partition:
+        raise ValueError(
+            "pack_bins without part_col serializes the corpus through a "
+            "single partition; pass part_col (e.g. source or a date "
+            "shard) or opt in with allow_single_partition=True for "
+            "known-small inputs"
+        )
     w = (
         Window.partitionBy(part_col).orderBy(F.col(id_col))
         if part_col is not None

@@ -85,6 +85,23 @@ def main() -> int:
             problems.append(f"rows {len(s_rows)} vs {len(o_rows)}")
         if s_cols != o_cols:
             problems.append(f"cols {s_cols} vs {o_cols}")
+        # Hazard class caught the hard way in rounds 3-5: a DuckDB output
+        # column whose type silently widens past BIGINT (list_sum/sum ->
+        # HUGEINT) round-trips as float64 through DataFrame-fetching
+        # clients ("44.0" vs Spark's "44") while fetchall() — and hence
+        # this script's canon_cell — still sees a Python int. Fail on the
+        # TYPE, not the value, so local runs catch what only the driver's
+        # hash used to see.
+        try:
+            o_types = {d[0]: d[1] for d in con.execute(f"DESCRIBE {oracles[name]}").fetchall()}
+            widened = [
+                (c, ty) for c, ty in o_types.items()
+                if ty in ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")
+            ]
+            if widened:
+                problems.append(f"oracle columns widen past BIGINT (driver sees float64): {widened}")
+        except Exception:
+            pass  # DESCRIBE unsupported for this statement shape: skip the type audit
         if not problems and value_hash(s_rows_sorted_cols) != value_hash(o_rows_sorted_cols):
             problems.append("value-hash mismatch")
             sset = {tuple(canon_cell(c) for c in r) for r in s_rows_sorted_cols}

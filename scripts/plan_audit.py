@@ -14,7 +14,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT = [
-    "j4_dim_chain_star", "a1_visitor_stats", "a2_product_stats",
+    "j34_dim_chain", "a1_visitor_stats", "a2_product_stats",
     "a3_province_stats", "a4_keyword_stats", "u2_product_union",
     "dp1_exact_dedup", "dp6_cosine_topk", "dp16_corpus_ngrams",
 ]

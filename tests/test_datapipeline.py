@@ -216,6 +216,17 @@ def test_pack_bins_cumulative_budget(spark):
     assert out == {1: 0, 2: 0, 3: 1, 4: 0}
 
 
+def test_pack_bins_requires_partition_or_optin(spark):
+    d = spark.createDataFrame([(1, 10, "s")], "doc_id long, n_chars long, source string")
+    with pytest.raises(ValueError, match="single partition"):
+        textstats.pack_bins(d, "doc_id", "n_chars", 4096)
+    # explicit opt-in for known-small inputs still works
+    out = textstats.pack_bins(
+        d, "doc_id", "n_chars", 4096, allow_single_partition=True
+    ).collect()
+    assert out[0]["bin"] == 0
+
+
 def test_topk_per_group_rank_and_tiebreak(spark):
     d = spark.createDataFrame(
         [(1, "a", 0.9), (2, "a", 0.9), (3, "a", 0.1), (4, "b", 0.5)],

@@ -85,3 +85,96 @@ def test_cosine_topk_partial_limit_before_exchange(plans):
     plan = plans["dp6"]
     assert "WindowGroupLimit" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # probe side broadcast
+
+
+# --- registry-wide plan invariants (round 6) ------------------------------
+# The two scale-killer shapes the per-round plan audit exists to catch,
+# promoted to permanent guards: (1) a partitionless window funnels the
+# whole input through one task (the r5 BM25 finding); (2) a broadcast
+# nested-loop join against anything but a bounded/tiny build side is an
+# O(n*m) explosion. Every batch gate in the driver registry is swept.
+
+# Gates whose callables run Structured Streaming queries end-to-end —
+# plan-swept implicitly by their own tests, skipped here (building them
+# executes the stream, and their plans are micro-batch-shaped anyway).
+_STREAM_GATES = {
+    "t1_visitor_stream", "t2_product_stream", "t3_interval_join_stream",
+    "t3b_asym_join_stream", "t5_dedup_stream", "t7_bounce_stream",
+    "k2_fanout_stream", "s2_cdc_stream_apply", "dp22_stream_ingest",
+    "w4_session_stats", "k3_dim_upsert",
+}
+
+# BNLJ allowlist: gates where the broadcast side is bounded by contract
+# (a fixed probe set / a 1-row stats frame / a literal config frame) so
+# the nested loop is O(probes * corpus), not O(n^2). Adding a gate here
+# requires the same justification.
+_BNLJ_ALLOWED = {
+    "p1_parse_or_dirty",  # 1-row DQ/RI violation-count aggregates
+    "dp6_cosine_topk",   # probe set bounded to _TK_PROBES vectors
+    "dp7_ann_topk",      # probe set + probed-cell list, both bounded
+    "dp23_curation",     # 1-row vocab-size aggregate broadcast
+    "dp25_bm25",         # 1-row (n_docs, avgdl) corpus-stats broadcast
+}
+
+# Partitionless-window allowlist: gates whose window input is bounded by
+# CONTRACT (not by luck): a global daily aggregate — rows = calendar
+# days, a few thousand even for decades — where rolling/cumulative
+# frames genuinely need the full series ordering. Per-key variants take
+# partition_cols and parallelize; see ads.rolling_metrics/fill_gaps.
+_GLOBAL_WINDOW_ALLOWED = {
+    "a89_ads_metrics",   # rolling ma7/cume + gap-fill over daily GMV series
+}
+
+
+def _walk_exec(node, out):
+    nm = node.getClass().getSimpleName()
+    if nm == "AdaptiveSparkPlanExec":
+        return _walk_exec(node.executedPlan(), out)
+    if nm.endswith("QueryStageExec"):
+        return _walk_exec(node.plan(), out)
+    out.append(node)
+    it = node.children().iterator()
+    while it.hasNext():
+        _walk_exec(it.next(), out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def gate_exec_nodes(spark):
+    """name -> physical-plan node list for every batch gate (planned, not
+    executed — window partition specs and join strategies are static)."""
+    import __spark_entry__ as entry_mod
+
+    nodes = {}
+    for name, fn in entry_mod.queries().items():
+        if name in _STREAM_GATES:
+            continue
+        df = fn(spark, SF_SMALL)
+        nodes[name] = _walk_exec(df._jdf.queryExecution().executedPlan(), [])
+    return nodes
+
+
+def test_no_gate_has_partitionless_window(gate_exec_nodes):
+    offenders = []
+    for name, nodes in gate_exec_nodes.items():
+        for n in nodes:
+            nm = n.getClass().getSimpleName()
+            if nm in ("WindowExec", "WindowGroupLimitExec") and n.partitionSpec().isEmpty():
+                if name not in _GLOBAL_WINDOW_ALLOWED:
+                    offenders.append((name, nm))
+    assert not offenders, (
+        f"partitionless window (single-partition funnel at scale): {offenders}"
+    )
+
+
+def test_no_gate_has_unjustified_bnlj(gate_exec_nodes):
+    offenders = []
+    for name, nodes in gate_exec_nodes.items():
+        if name in _BNLJ_ALLOWED:
+            continue
+        for n in nodes:
+            if n.getClass().getSimpleName() == "BroadcastNestedLoopJoinExec":
+                offenders.append(name)
+    assert not offenders, (
+        f"BroadcastNestedLoopJoin outside the bounded-build allowlist: {offenders}"
+    )

@@ -140,3 +140,117 @@ def test_decode_json_value_epoch_millis_event_time(spark):
     assert rows[0].keyword == "spark" and str(rows[0].rt).startswith("2021-01-01")
     # unparseable rows keep NULLs (P1's dirty route handles them downstream)
     assert rows[1].keyword is None and rows[1].rt is None
+
+
+# --- KafkaLikeFileBus: broker-free source->sink->source round-trip --------
+# Tier 1 of the two-tier Kafka story: the bus reuses the REAL contract
+# functions (kafka_source_options / kafka_sink_options /
+# kafka_value_projection / decode_json_value) end-to-end, swapping only
+# the transport. Tier 2 (below, @pytest.mark.broker) runs the identical
+# semantics through a real broker when KAFKA_BOOTSTRAP is set.
+
+from pyspark.sql import types as T  # noqa: E402
+
+from flinkrealtimedatawarehouse_spark.streaming.filebus import KafkaLikeFileBus  # noqa: E402
+
+
+def _mkbus(tag: str) -> KafkaLikeFileBus:
+    return KafkaLikeFileBus(runner.scratch_dir(f"bus_{tag}"))
+
+
+def test_filebus_fixed_topic_roundtrip(spark):
+    """K1 produce -> S1 consume: fixed topic, value projection applied,
+    offsets dense from 0, replay ordered."""
+    bus = _mkbus("fixed")
+    df = spark.range(5).select(
+        F.col("id"), F.concat(F.lit("u"), F.col("id")).alias("user")
+    )
+    n = bus.produce(df, runner.scratch_dir("ck_busp"), topic="events")
+    assert n == 5 and bus.topics() == ["events"]
+    out = runner.run_to_memory(
+        bus.read_stream(spark, "events", "g1"), "bus_fixed"
+    ).collect()
+    assert len(out) == 5
+    # value column carries the to_json projection of the full row
+    import json as _json
+
+    payloads = sorted(_json.loads(r["value"])["id"] for r in out)
+    assert payloads == [0, 1, 2, 3, 4]
+    # wire log: dense offsets per topic from 0
+    wire = bus.read_batch(spark, "events").collect()
+    assert sorted(r["offset"] for r in wire) == [0, 1, 2, 3, 4]
+
+
+def test_filebus_per_row_topic_fanout(spark):
+    """K2 dynamic destination: the per-row topic COLUMN routes records;
+    appending a second batch continues the offset sequence."""
+    bus = _mkbus("fanout")
+    df = spark.createDataFrame(
+        [("hot", 1), ("cold", 2), ("hot", 3)], "topic string, v int"
+    )
+    bus.produce(df, runner.scratch_dir("ck_busf"))
+    assert bus.topics() == ["cold", "hot"]
+    bus.produce(
+        spark.createDataFrame([("hot", 4)], "topic string, v int"),
+        runner.scratch_dir("ck_busf2"),
+    )
+    hot = bus.read_batch(spark, "hot").collect()
+    assert sorted(r["offset"] for r in hot) == [0, 1, 2]
+
+
+def test_filebus_typed_stream_decodes_schema(spark):
+    """S4 analog: consumer + from_json into a declared schema with the
+    epoch-millis rt derivation — same decode path as kafka_json_stream."""
+    bus = _mkbus("typed")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("ts", T.LongType())]
+    )
+    src = spark.createDataFrame([(1, 1700000000000), (2, 1700000001000)], schema)
+    bus.produce(src, runner.scratch_dir("ck_bust"), topic="typed")
+    out = runner.run_to_memory(
+        bus.read_json_stream(spark, "typed", "g2", schema, ts_col="ts"),
+        "bus_typed",
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["rt"] is not None and rows[2]["rt"] > rows[1]["rt"]
+
+
+# --- Tier 2: real-broker suite (skips cleanly without KAFKA_BOOTSTRAP) ----
+# Run outside the sandbox with:
+#   KAFKA_BOOTSTRAP=host:9092 python -m pytest tests/test_sources_sinks.py -m broker
+# (needs the spark-sql-kafka-0-10 package on the session classpath, e.g.
+#  PYSPARK_SUBMIT_ARGS="--packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 pyspark-shell")
+
+import os as _os  # noqa: E402
+
+_BROKER = _os.environ.get("KAFKA_BOOTSTRAP")
+needs_broker = pytest.mark.skipif(
+    not _BROKER, reason="KAFKA_BOOTSTRAP not set: real-broker round-trip skipped"
+)
+
+
+@pytest.mark.broker
+@needs_broker
+def test_kafka_real_roundtrip(spark):
+    """The same produce->consume semantics as the file-bus tests, through
+    an actual broker: fixed-topic write via kafka_sink, value-stream read
+    via kafka_stream, identical payloads back."""
+    import uuid as _uuid
+
+    topic = f"frs_it_{_uuid.uuid4().hex[:8]}"
+    df = spark.range(5).select(F.col("id"))
+    sdf = runner.parquet_stream(
+        spark, runner.stage_stream_dir(df, "id", 1, "kbroker"), df.schema
+    )
+    q = sinks.kafka_sink(
+        sinks.kafka_value_projection(sdf), _BROKER, topic,
+        runner.scratch_dir("ck_kbroker"),
+    )
+    q.awaitTermination()
+    got = runner.run_to_memory(
+        sources.kafka_stream(spark, _BROKER, topic, "g_it"), "kbroker_read"
+    ).collect()
+    import json as _json
+
+    assert sorted(_json.loads(r["value"])["id"] for r in got) == [0, 1, 2, 3, 4]
