@@ -43,9 +43,12 @@ def _plane_weight(plane: int, dim_idx: Column) -> Column:
     return (F.lit(plane * PLANE_A) + dim_idx * F.lit(PLANE_B)) % F.lit(PLANE_MOD) - F.lit(PLANE_SHIFT)
 
 
-def hyperplane_bucket(q: Column, n_planes: int) -> Column:
+def hyperplane_bucket(q: Column, n_planes: int, plane_offset: int = 0) -> Column:
     """Sign-LSH bucket id from deterministic integer hyperplanes: bit p =
-    1 iff sum_d(w(p,d) * q_d) > 0. Exact integer arithmetic end-to-end."""
+    1 iff sum_d(w(p+offset,d) * q_d) > 0. Exact integer arithmetic
+    end-to-end. ``plane_offset`` selects a disjoint hyperplane family —
+    table t of a multi-table LSH uses offset t*n_planes, so tables hash
+    independently while staying fully deterministic."""
     def _proj(p: int):
         # factory (not lambda defaults): PySpark counts default params as HOF arity
         return F.aggregate(
@@ -60,7 +63,7 @@ def hyperplane_bucket(q: Column, n_planes: int) -> Column:
 
     bucket = None
     for p in range(n_planes):
-        bit = F.when(_proj(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bit = F.when(_proj(p + plane_offset) > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket.cast("bigint")
 
@@ -182,6 +185,54 @@ def ann_topk_lsh(emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str,
         F.broadcast(probe_q),
         (corpus["bucket"] == probe_q["bucket"]) & (F.col("probe_id") != F.col("neighbor_id")),
     ).select("probe_id", "neighbor_id", _exact_cosine(F.col("qp"), F.col("qn")).alias("cosine"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_topk_multilsh(emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str,
+                      k: int = 5, n_planes: int = 6, n_tables: int = 4,
+                      quant: int = QUANT) -> DataFrame:
+    """Multi-table sign-LSH top-k: ``n_tables`` independent hyperplane
+    families (table t = planes [t*n_planes, (t+1)*n_planes)); a corpus
+    vector is a candidate if it shares a bucket with the probe in ANY
+    table, then candidates dedup and re-rank by exact cosine. Same output
+    schema as ``cosine_topk``.
+
+    This is the standard recall lever sign-LSH has: per-table collision
+    probability for angle θ is (1-θ/π)^p, and L tables lift recall to
+    1-(1-(1-θ/π)^p)^L while the scanned fraction grows only ~L×. Measured
+    recall/scanned-fraction per (p, L) on the real corpus is recorded in
+    SCALE.md by scripts/ann_recall.py.
+
+    Scale: one (table, bucket) equi-join per table — the same
+    bucket-bounded shuffle as ``ann_topk_lsh``, unioned then deduped on
+    (probe, neighbor); never all-pairs. The probe side (bounded by
+    contract) broadcasts.
+    """
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col), quant).alias("qn")
+    )
+    probe_q = probes.select(
+        F.col(id_col).alias("probe_id"), quantized(F.col(vec_col), quant).alias("qp")
+    )
+    cand = None
+    for t in range(n_tables):
+        off = t * n_planes
+        c_t = corpus.withColumn("bucket", hyperplane_bucket(F.col("qn"), n_planes, off))
+        p_t = probe_q.withColumn("bucket", hyperplane_bucket(F.col("qp"), n_planes, off))
+        pairs = c_t.join(
+            F.broadcast(p_t),
+            (c_t["bucket"] == p_t["bucket"]) & (F.col("probe_id") != F.col("neighbor_id")),
+        ).select("probe_id", "qp", "neighbor_id", "qn")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    deduped = cand.dropDuplicates(["probe_id", "neighbor_id"])
+    scored = deduped.select(
+        "probe_id", "neighbor_id", _exact_cosine(F.col("qp"), F.col("qn")).alias("cosine")
+    )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

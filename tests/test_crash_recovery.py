@@ -224,3 +224,132 @@ def test_concurrent_writer_fence_race_two_processes(spark, tmp_path):
     assert marker["last_bid"] == 0
     rows = spark.read.parquet(os.path.join(base_dir, f"v{marker['version']}")).collect()
     assert [r.writer for r in rows] == [committed[0]]
+
+
+# --- K2 fanout mid-batch restart ------------------------------------------
+
+def _read_fanout(spark, out_dir):
+    df = spark.read.parquet(out_dir)
+    return sorted(
+        (r["dest"], r["k"], r["v"]) for r in df.drop("_bid").collect()
+        if r["dest"] != "__empty__"
+    )
+
+
+def test_fanout_restart_mid_batch_exactly_once(spark, tmp_path):
+    """K2's replay contract: a batch that died after SOME of its
+    per-destination partition dirs landed is redelivered in full, and the
+    dynamic (dest, _bid) overwrite must converge to the uninterrupted
+    run's state — no duplicated rows in rewritten dirs, no stragglers
+    from the partial attempt."""
+    from flinkrealtimedatawarehouse_spark.streaming.sinks import fanout_batch_writer
+
+    batches = [
+        [("hot", "a", 1.0), ("cold", "b", 2.0)],
+        [("hot", "c", 3.0), ("cold", "d", 4.0), ("warm", "e", 5.0)],
+        [("hot", "f", 6.0)],
+    ]
+    schema = "dest string, k string, v double"
+
+    clean_dir = str(tmp_path / "clean")
+    w = fanout_batch_writer("dest", clean_dir)
+    for bid, rows in enumerate(batches):
+        w(spark.createDataFrame(rows, schema), bid)
+    clean = _read_fanout(spark, clean_dir)
+
+    crash_dir = str(tmp_path / "crash")
+    w = fanout_batch_writer("dest", crash_dir)
+    w(spark.createDataFrame(batches[0], schema), 0)
+    # mid-batch death during batch 1: only the 'hot' slice landed before
+    # the process died (a partial dynamic overwrite = some partition dirs
+    # written, the rest absent)
+    w(spark.createDataFrame([r for r in batches[1] if r[0] == "hot"], schema), 1)
+    # restart: foreachBatch redelivers batch 1 IN FULL, then continues
+    w = fanout_batch_writer("dest", crash_dir)
+    for bid in (1, 2):
+        w(spark.createDataFrame(batches[bid], schema), bid)
+
+    assert _read_fanout(spark, crash_dir) == clean
+    assert clean == sorted((d, k, v) for b in batches for d, k, v in b)
+
+
+# --- vacuum vs concurrent reader ------------------------------------------
+
+def test_vacuum_concurrent_reader_and_crash_residue(spark, tmp_path, monkeypatch):
+    """VACUUM's two guarantees under concurrency and mid-vacuum death:
+
+    1. a reader loop on the LATEST version never fails while vacuum
+       deletes old versions (marker advances min_version before any
+       delete, and the retained window is untouched);
+    2. a version the marker has vacuumed answers with the clean
+       retention ValueError — never a dangling parquet read — even in
+       the crash window where the marker advanced but the data dirs
+       were not yet deleted; a re-vacuum then collects the residue.
+    """
+    import threading
+
+    from flinkrealtimedatawarehouse_spark.streaming.snapshots import (
+        VersionedSnapshotSink,
+    )
+
+    base = str(tmp_path / "vac")
+    sink = VersionedSnapshotSink(base)
+    for bid in range(4):  # versions 0..3
+        sink.commit_snapshot(
+            spark.createDataFrame([(bid, "x" * 10)], "bid long, pad string"), bid
+        )
+
+    # concurrent reader on the latest version while vacuum runs
+    errors: list[str] = []
+    stop = threading.Event()
+
+    def read_loop():
+        try:
+            while not stop.is_set():
+                rows = sink.read_version(spark, sink.version).collect()
+                assert rows[0]["bid"] == 3
+        except Exception as e:  # surface into the main thread
+            errors.append(repr(e))
+
+    t = threading.Thread(target=read_loop)
+    t.start()
+    try:
+        removed = sink.vacuum(keep_last=2)
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not errors, errors
+    assert removed == [0, 1]
+    assert sink.min_version == 2
+
+    # vacuumed version: clean retention error, not a parquet failure
+    with pytest.raises(ValueError, match="vacuumed"):
+        sink.read_version(spark, 0)
+    # retained window intact
+    assert sink.read_version(spark, 2).count() == 1
+
+    # crash mid-vacuum: marker advances, delete loop dies before removing
+    sink.commit_snapshot(
+        spark.createDataFrame([(9, "y")], "bid long, pad string"), 9
+    )  # version 4
+    import shutil as _shutil
+
+    real_rmtree = _shutil.rmtree
+
+    def dying_rmtree(path, *a, **kw):
+        raise OSError("process died mid-vacuum")
+
+    monkeypatch.setattr(_shutil, "rmtree", dying_rmtree)
+    with pytest.raises(OSError):
+        sink.vacuum(keep_last=2)  # min_version -> 3 committed, delete died
+    monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+
+    assert sink.min_version == 3
+    assert os.path.exists(os.path.join(base, "v2"))  # residue left behind
+    # the marker, not the filesystem, is the source of truth:
+    with pytest.raises(ValueError, match="vacuumed|not available"):
+        sink.read_version(spark, 2)
+    # a restarted owner's re-vacuum collects the unreferenced residue
+    sink2 = VersionedSnapshotSink(base)
+    removed2 = sink2.vacuum(keep_last=2)
+    assert 2 in removed2 and not os.path.exists(os.path.join(base, "v2"))

@@ -659,6 +659,53 @@ def test_ann_recall_measured_against_bruteforce(spark):
     assert mean_ivf >= 0.9, mean_ivf
 
 
+def test_multilsh_lifts_recall_over_single_table(spark):
+    """Multi-table LSH on a corpus where a single table misses: looser
+    clusters + more planes so per-table collisions drop below 1, then 8
+    independent tables must recover what one table loses (the
+    1-(1-c)^L lift recorded in SCALE.md's ANN-RECALL sweep), and the
+    multi-table top-k stays a superset-quality result: recall strictly
+    no worse, schema identical."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flinkrealtimedatawarehouse_spark.datapipeline import similarity
+
+    rng = random.Random(23)
+    dim, n_clusters, per = 16, 5, 40
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = []
+    for c, center in enumerate(centers):
+        for i in range(per):
+            rows.append(
+                (c * per + i,
+                 [v + rng.uniform(-0.4, 0.4) for v in center])  # loose clusters
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.filter(F.col("vec_id") % per == 0)
+    k = 5
+    exact = similarity.cosine_topk(emb, probes, "vec_id", "embedding", k=k)
+
+    single = similarity.ann_topk_lsh(
+        emb, probes, "vec_id", "embedding", k=k, n_planes=8
+    )
+    multi = similarity.ann_topk_multilsh(
+        emb, probes, "vec_id", "embedding", k=k, n_planes=8, n_tables=8
+    )
+    m_single = similarity.recall_at_k(single, exact, k).agg(F.avg("recall")).first()[0]
+    m_multi = similarity.recall_at_k(multi, exact, k).agg(F.avg("recall")).first()[0]
+
+    assert multi.columns == exact.columns
+    # per-probe at most k rows, ranks dense from 1
+    per_probe = multi.groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("mx")
+    ).collect()
+    assert all(r["n"] <= k and r["mx"] == r["n"] for r in per_probe)
+    assert m_multi >= m_single, (m_single, m_multi)
+    assert m_multi >= 0.8, m_multi
+
+
 def test_pq_adc_recall_and_determinism(spark):
     """Product quantization: ADC over the m-code corpus must recover the
     true neighbors on clustered data, and training is deterministic
