@@ -85,12 +85,13 @@ _SQL_EMB_DUPS = """
 _DUCK_Q = "list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)"
 
 
-def _duck_bucket(q: str, n_planes: int) -> str:
+def _duck_bucket(q: str, n_planes: int, plane_offset: int = 0) -> str:
     terms = []
     for p in range(n_planes):
+        pl = p + plane_offset
         proj = (
             f"list_sum(list_transform(range(1, len({q}) + 1), "
-            f"d -> ({q})[d] * ((({p} * {PLANE_A} + (d - 1) * {PLANE_B}) % {PLANE_MOD}) - {PLANE_SHIFT})))"
+            f"d -> ({q})[d] * ((({pl} * {PLANE_A} + (d - 1) * {PLANE_B}) % {PLANE_MOD}) - {PLANE_SHIFT})))"
         )
         terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")::BIGINT"
@@ -973,13 +974,53 @@ SELECT *, 'arrow' AS method FROM ({SQL_COSINE_TOPK})
 """
 
 # dp7+dp13: both bucketed ANN paths (random-hyperplane LSH vs IVF cells).
+# dp7 mlsh branch: multi-table LSH (ann_topk_multilsh) — L independent
+# hyperplane families, candidates = bucket match in ANY table (union +
+# dedup = OR of per-table bucket equality), exact cosine re-rank. The
+# recall lever SCALE.md's ANN-RECALL sweep measures.
+_MLSH_TABLES = 3
+
+def q_ann_mlsh(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _TK_PROBES)
+    return similarity.ann_topk_multilsh(
+        emb, probes, "vec_id", "embedding", k=_TK_K,
+        n_planes=_ANN_PLANES, n_tables=_MLSH_TABLES,
+    )
+
+def _sql_ann_mlsh() -> str:
+    any_table = " OR ".join(
+        f"{_duck_bucket('p.q', _ANN_PLANES, t * _ANN_PLANES)}"
+        f" = {_duck_bucket('c.q', _ANN_PLANES, t * _ANN_PLANES)}"
+        for t in range(_MLSH_TABLES)
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {_DUCK_Q} AS q FROM embeddings),
+s AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         {_duck_cosine('p.q', 'c.q')} AS cosine
+  FROM q p JOIN q c
+    ON p.vec_id < {_TK_PROBES} AND p.vec_id <> c.vec_id AND ({any_table})
+)
+SELECT probe_id, neighbor_id, cosine, rank::INT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= {_TK_K}
+"""
+
+SQL_ANN_MLSH = _sql_ann_mlsh()
+
+
 def q_ann_both(spark: SparkSession, sf: str) -> DataFrame:
     lsh = q_ann_lsh(spark, sf).withColumn("method", F.lit("lsh"))
+    mlsh = q_ann_mlsh(spark, sf).withColumn("method", F.lit("mlsh"))
     ivf = q_ivf_topk(spark, sf).withColumn("method", F.lit("ivf"))
-    return lsh.unionByName(ivf)
+    return lsh.unionByName(mlsh).unionByName(ivf)
 
 SQL_ANN_BOTH = f"""
 SELECT *, 'lsh' AS method FROM ({SQL_ANN_LSH})
+UNION ALL
+SELECT *, 'mlsh' AS method FROM ({SQL_ANN_MLSH})
 UNION ALL
 SELECT *, 'ivf' AS method FROM ({SQL_IVF})
 """

@@ -359,8 +359,9 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str,
     dup clusters is tiny. Each round is one shuffle on the edge key; the
     loop stops early when no label changes (one lightweight count action
     per round — the standard driver-coordinated fixpoint, same as
-    GraphX/GraphFrames CC; at extreme scale swap in the alternating
-    big-star/small-star variant).
+    GraphX/GraphFrames CC). At extreme scale — or adversarial long
+    near-dup chains — use ``dedup_clusters_star`` below: same output
+    contract, O(log^2 n) rounds independent of graph diameter.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -368,6 +369,13 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str,
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # eager localCheckpoint per round, NOT persist: the convergence probe
+    # below is limit(1).count(), which materializes (and therefore
+    # caches) only the partitions it touches — a later round would then
+    # recompute the untouched partitions through the already-unpersisted
+    # previous labels, growing the plan by one full round per iteration
+    # (observed as a driver wedged in Catalyst on a multi-round graph).
+    # Checkpointing truncates the lineage unconditionally.
     labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     converged = False
     for _ in range(max_iter):
@@ -382,7 +390,7 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str,
                 F.col("node"),
                 F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -391,7 +399,6 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str,
             .limit(1)
             .count()
         )
-        labels.unpersist()  # no-op on the (unpersisted) initial labels
         labels = new_labels
         if changed == 0:
             converged = True
@@ -405,9 +412,95 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str,
             "(component diameter exceeds max_iter) — raise max_iter"
         )
     result = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
-    # materialize before releasing the cache backing the final labels
+    return result.localCheckpoint(eager=True)
+
+
+def dedup_clusters_star(pairs: DataFrame, ids: DataFrame, id_col: str,
+                        max_rounds: int = 25) -> DataFrame:
+    """Connected components via alternating big-star/small-star (Kiveris
+    et al. 2014, "Connected Components in MapReduce and Beyond") — the
+    extreme-scale variant of ``dedup_clusters``. Identical output
+    contract: every doc gets ``cluster`` = the smallest reachable doc id.
+
+    Why a second algorithm: min-label propagation converges in
+    graph-DIAMETER rounds — fine for typical dup clusters (diameter ~2-3)
+    but a pathological near-dup chain of length d (each doc a near-dup of
+    the next) costs d shuffles. The star contraction converges in
+    O(log^2 n) rounds regardless of diameter:
+
+    - large-star: every neighbor v > u re-links to m = min(N(u) ∪ {u});
+    - small-star: every neighbor v <= u (and u itself) re-links to m.
+
+    Each round is two grouped aggregations over the current edge list;
+    edge count never grows (each input edge maps to at most one output
+    edge), and the fixpoint is a star centered at each component's
+    minimum. Fixpoint detection = symmetric set difference of
+    consecutive edge lists (two limit-1 anti-join probes, cheaper than a
+    full count when unchanged). Same convergence contract as
+    ``dedup_clusters``: raises instead of silently mislabeling.
+    """
+    # eager localCheckpoint per round, not persist: each round rewrites
+    # the whole edge list, so the lineage would otherwise deepen by ~8
+    # operators per round and the fixpoint probes would recompute the
+    # full chain back to round 0 (label prop tolerates this for its 2-3
+    # typical rounds; star runs up to O(log^2 n) rounds by design)
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        nbrs = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        m = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        )
+        j = nbrs.join(m, "u")
+        if large:
+            out = j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            out = (
+                j.filter(F.col("v") <= F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(m.select("u", F.col("m").alias("v")))
+            )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    converged = edges.limit(1).count() == 0
+    for _ in range(max_rounds):
+        if converged:
+            break
+        nxt = _star(_star(edges, large=True), large=False).localCheckpoint(eager=True)
+        unchanged = (
+            nxt.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(nxt).limit(1).count() == 0
+        )
+        edges = nxt
+        if unchanged:
+            converged = True
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters_star did not converge within {max_rounds} "
+            "rounds — raise max_rounds (O(log^2 n) expected)"
+        )
+    # fixpoint edge list is a star per component: (v, component_min)
+    lbl = edges.groupBy("u").agg(F.min("v").alias("cluster"))
+    result = (
+        ids.select(F.col(id_col))
+        .join(lbl, F.col(id_col) == F.col("u"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster"),
+        )
+    )
     result = result.localCheckpoint(eager=True)
-    labels.unpersist()
     return result
 
 

@@ -192,6 +192,49 @@ def test_dedup_clusters_chain_and_singleton(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_dedup_clusters_star_parity_and_long_chain(spark):
+    """The big-star/small-star variant must return exactly what label
+    propagation returns — on the basic shapes, on a random multi-component
+    graph, and on the adversarial case it exists for: a 60-node chain,
+    where label prop needs diameter rounds but star contraction must
+    land within its O(log^2 n) budget (max_rounds=8 here)."""
+    import random
+
+    # same shapes as the label-prop test
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+    got = {r["doc_id"]: r["cluster"] for r in
+           textdedup.dedup_clusters_star(pairs, ids, "doc_id").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+    # random graph parity against the label-prop reference
+    rng = random.Random(7)
+    n = 50
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(35)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs_r = spark.createDataFrame(edges, "id_a long, id_b long")
+    ids_r = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    ref = {r["doc_id"]: r["cluster"] for r in
+           textdedup.dedup_clusters(pairs_r, ids_r, "doc_id").collect()}
+    star = {r["doc_id"]: r["cluster"] for r in
+            textdedup.dedup_clusters_star(pairs_r, ids_r, "doc_id").collect()}
+    assert star == ref
+
+    # the adversarial chain: 0-1-2-...-39; diameter 39 >> star's rounds
+    chain = spark.createDataFrame([(i, i + 1) for i in range(39)],
+                                  "id_a long, id_b long")
+    ids_c = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    got_c = {r["doc_id"]: r["cluster"] for r in
+             textdedup.dedup_clusters_star(chain, ids_c, "doc_id",
+                                           max_rounds=8).collect()}
+    assert got_c == {i: 0 for i in range(40)}
+    # zero-edge graph: every node its own cluster, no iteration needed
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got_e = {r["doc_id"]: r["cluster"] for r in
+             textdedup.dedup_clusters_star(empty, ids, "doc_id").collect()}
+    assert got_e == {i: i for i in (1, 2, 3, 10, 11, 99)}
+
+
 def test_mix_sample_deterministic_and_rate_bounded(spark):
     d = spark.createDataFrame(
         [(i, "t", "a" if i < 500 else "b") for i in range(1000)],
