@@ -113,6 +113,10 @@ def main() -> int:
         "tpch14_promo": tpch.q_tpch14,
         "tpch19_brackets": tpch.q_tpch19,
         "tpch18_bigqty": tpch.q_tpch18,
+        "tpch13_histogram": tpch.q_tpch13,
+        "tpch15_topsupp": tpch.q_tpch15,
+        "tpch17_smallqty": tpch.q_tpch17,
+        "tpch22_noorders": tpch.q_tpch22,
         "a8f_funnel": wh.q_a8f,
         "a8t_retention": wh.q_a8t,
         "dp15s_span_dedup": pipeline.q_span_dedup,

@@ -552,7 +552,178 @@ GROUP BY 1, 2 ORDER BY nation, o_year DESC
 """
 
 
-# --- tagged-union driver gate: A12 rollup + the twelve TPC-H shapes ------
+# --- Q13 customer order-count distribution (outer-join histogram) --------
+def q_tpch13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join customers->orders with a join-side
+    predicate, count per customer (NULL-safe: count(o_orderkey) counts
+    matches, zero-order customers keep 0), then the histogram of those
+    counts. Two aggregations, one outer join — the join predicate filter
+    replaces the spec's o_comment NOT LIKE (no comment column in this
+    schema). Ref shape: pub dashboards' distribution queries."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    j = c.join(
+        o,
+        (c["c_custkey"] == o["o_custkey"]) & (o["o_orderpriority"] != "1-URGENT"),
+        "left",
+    )
+    per_c = j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return (
+        per_c.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+SQL_TPCH13 = """
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM c_orders GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- Q15 top supplier (revenue view + scalar max) -------------------------
+def q_tpch15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: a quarterly per-supplier revenue aggregate, then
+    the supplier(s) achieving its maximum — the scalar-subquery pattern
+    decorrelated as a 1-row max broadcast (exact integer cents, so the
+    equality can't miss on float representation)."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).alias("total_revenue_c")
+    )
+    mx = rev.agg(F.max("total_revenue_c").alias("max_revenue_c"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue_c") == F.col("max_revenue_c")
+    )
+    sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        sup.join(top, sup["s_suppkey"] == top["supplier_no"])
+        .select(
+            "s_suppkey", "s_name",
+            (F.col("total_revenue_c") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TPCH15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, sum({_DUCK_REV}) AS total_revenue_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_c / 10000.0 AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue_c = (SELECT max(total_revenue_c) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --- Q17 small-quantity-order revenue (correlated avg, decorrelated) -----
+def q_tpch17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: lines whose quantity is below 20%% of their
+    part's average quantity. The correlated AVG subquery decorrelates to
+    a per-part (sum, count) aggregate joined back; the threshold is the
+    cross-multiplied integer form qty_c * 5 * cnt < sum_qty_c, so no
+    float average is ever materialized. p_type replaces the spec's
+    brand+container filter (no container column)."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty_c").alias("sum_qty_c"), F.count(F.lit(1)).alias("cnt")
+    )
+    p = load_table(spark, sf, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    small = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("qty_c") * 5 * F.col("cnt") < F.col("sum_qty_c"))
+    )
+    return small.agg(
+        (F.sum("price_c") / F.lit(700.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("line_ct"),
+    )
+
+
+SQL_TPCH17 = """
+WITH pa AS (
+  SELECT l_partkey AS pk,
+         sum(round(l_quantity * 100)::BIGINT) AS sum_qty_c,
+         count(*)::BIGINT AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT sum(round(l_extendedprice * 100)::BIGINT) / 700.0 AS avg_yearly,
+       count(*)::BIGINT AS line_ct
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa ON pk = l_partkey
+WHERE p_type = 'STANDARD'
+  AND round(l_quantity * 100)::BIGINT * 5 * cnt < sum_qty_c
+"""
+
+
+# --- Q22 global-sales opportunity (NOT EXISTS + scalar threshold) --------
+_Q22_CODES = ("00", "11", "22", "33", "44", "55", "66")
+
+def q_tpch22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: customers in selected "country codes" with
+    above-average account balance and NO orders — a scalar AVG threshold
+    (cross-multiplied integers via a 1-row broadcast) plus an anti-join.
+    right(c_name, 2) stands in for the spec's phone country code (no
+    phone column)."""
+    c = load_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.expr("right(c_name, 2)").alias("cntrycode"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    ).filter(F.col("cntrycode").isin(*_Q22_CODES))
+    pos = c.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("sum_bal_c"), F.count(F.lit(1)).alias("n_pos")
+    )
+    o = load_table(spark, sf, "orders").select("o_custkey")
+    rich = (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_c") * F.col("n_pos") > F.col("sum_bal_c"))
+        .join(o, F.col("c_custkey") == o["o_custkey"], "left_anti")
+    )
+    return (
+        rich.groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_c") / 100.0).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+SQL_TPCH22 = f"""
+WITH c AS (
+  SELECT c_custkey, right(c_name, 2) AS cntrycode,
+         round(c_acctbal * 100)::BIGINT AS bal_c
+  FROM customer
+  WHERE right(c_name, 2) IN {_Q22_CODES!r}
+), pos AS (
+  SELECT sum(bal_c) AS sum_bal_c, count(*)::BIGINT AS n_pos FROM c WHERE bal_c > 0
+)
+SELECT cntrycode, count(*)::BIGINT AS numcust, sum(bal_c) / 100.0 AS totacctbal
+FROM c CROSS JOIN pos
+WHERE bal_c * n_pos > sum_bal_c
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY cntrycode ORDER BY cntrycode
+"""
+
+
+# --- tagged-union driver gate: A12 rollup + the sixteen TPC-H shapes -----
 def q_a12c(spark: SparkSession, sf: str) -> DataFrame:
     rollup = q_a12(spark, sf).select(
         F.lit("rollup").alias("branch"),
@@ -645,11 +816,40 @@ def q_a12c(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(0.0).alias("v2"),
         F.lit(0.0).alias("v3"),
     )
+    t13 = q_tpch13(spark, sf).select(
+        F.lit("tpch13").alias("branch"),
+        F.col("c_count").cast("string").alias("k"),
+        F.col("custdist").cast("double").alias("v1"),
+        F.lit(0.0).alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    t15 = q_tpch15(spark, sf).select(
+        F.lit("tpch15").alias("branch"),
+        F.concat_ws("|", "s_suppkey", "s_name").alias("k"),
+        F.col("total_revenue").alias("v1"),
+        F.lit(0.0).alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    t17 = q_tpch17(spark, sf).select(
+        F.lit("tpch17").alias("branch"),
+        F.lit("all").alias("k"),
+        F.col("avg_yearly").alias("v1"),
+        F.col("line_ct").cast("double").alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    t22 = q_tpch22(spark, sf).select(
+        F.lit("tpch22").alias("branch"),
+        F.col("cntrycode").alias("k"),
+        F.col("numcust").cast("double").alias("v1"),
+        F.col("totacctbal").alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
     return (
         rollup.unionByName(t1).unionByName(t3).unionByName(t5)
         .unionByName(t18).unionByName(t6).unionByName(t4).unionByName(t10)
         .unionByName(t14).unionByName(t19)
         .unionByName(t7).unionByName(t8).unionByName(t9)
+        .unionByName(t13).unionByName(t15).unionByName(t17).unionByName(t22)
     )
 
 
@@ -685,6 +885,14 @@ SELECT 'tpch8', o_year::VARCHAR, mkt_share_u::DOUBLE, total_volume, 0.0
 FROM ({SQL_TPCH8})
 UNION ALL
 SELECT 'tpch9', nation || '|' || o_year, sum_profit, 0.0, 0.0 FROM ({SQL_TPCH9})
+UNION ALL
+SELECT 'tpch13', c_count::VARCHAR, custdist::DOUBLE, 0.0, 0.0 FROM ({SQL_TPCH13})
+UNION ALL
+SELECT 'tpch15', s_suppkey || '|' || s_name, total_revenue, 0.0, 0.0 FROM ({SQL_TPCH15})
+UNION ALL
+SELECT 'tpch17', 'all', avg_yearly, line_ct::DOUBLE, 0.0 FROM ({SQL_TPCH17})
+UNION ALL
+SELECT 'tpch22', cntrycode, numcust::DOUBLE, totacctbal, 0.0 FROM ({SQL_TPCH22})
 """
 
 REGISTRY = {

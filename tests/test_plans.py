@@ -114,6 +114,7 @@ _BNLJ_ALLOWED = {
     "dp7_ann_topk",      # probe set + probed-cell list, both bounded
     "dp23_curation",     # 1-row vocab-size aggregate broadcast
     "dp25_bm25",         # 1-row (n_docs, avgdl) corpus-stats broadcast
+    "a12_rollup_tpch",   # Q15 max-revenue / Q22 avg-balance 1-row scalars
 }
 
 # Partitionless-window allowlist: gates whose window input is bounded by

@@ -72,4 +72,9 @@ def test_a12c_gate_branches_all_present(spark):
     got = {r["branch"] for r in tpch.q_a12c(spark, SF).select("branch").distinct().collect()}
     # q18's fixed >300 threshold may legitimately be empty at sf0.001;
     # every other branch must be populated.
-    assert {"rollup", "tpch1", "tpch3", "tpch5"} <= got
+    assert {"rollup", "tpch1", "tpch3", "tpch5", "tpch13", "tpch17"} <= got
+    # q15 (single max supplier) and q22 (rich no-order customers in 7
+    # sampled codes) can legitimately be empty at the 150-customer
+    # sf0.001; the sf0.01 driver gate hashes them populated
+    if not SF.endswith("sf0.001"):
+        assert {"tpch15", "tpch22"} <= got
