@@ -10,6 +10,7 @@ sorted column names, and an order-insensitive value hash. Usage:
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 import traceback
@@ -43,10 +44,19 @@ def main() -> int:
     from flinkrealtimedatawarehouse_spark.session import get_spark
     from flinkrealtimedatawarehouse_spark.tables import TABLE_NAMES
 
-    spark = get_spark("correctness-check")
+    # 4g result cap: the sweep collect()s whole gate outputs, and the
+    # larger dp gates (dp3's 61k rows at sf0.01) cross the 1g default at
+    # the sf1 amplification — a checker-collect limit, not a gate-size
+    # contract change (the driver runs at sf0.01)
+    spark = get_spark(
+        "correctness-check", extra_conf={"spark.driver.maxResultSize": "4g"}
+    )
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written table = a directory of parts
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
