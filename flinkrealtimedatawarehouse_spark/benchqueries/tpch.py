@@ -2,9 +2,13 @@
 
 The reference's ADS layer is bespoke dashboard SQL; a user replacing it
 with this engine also expects the textbook warehouse rollups to run well.
-These queries are the canonical shapes (TPC-H Q1/Q3/Q4/Q5/Q6/Q7/Q8/Q9/
-Q10/Q14/Q18/Q19 adapted to the testdata's column subset) expressed
-Spark-first:
+These queries are all 22 canonical TPC-H shapes adapted to the testdata's
+column subset, expressed Spark-first.  Q2/Q11/Q16/Q20 run on a partsupp
+table and Q12/Q21 on commit/receipt-date + shipmode columns that the
+synthetic schema lacks; both are DERIVED deterministically inside the
+query (identical integer arithmetic in Spark and the DuckDB oracle — see
+the "derived tables" section below), so every shape has an exact oracle
+twin at any sf.  Highlights:
 
 - Q1  pricing summary: one scan, partial-agg pushdown, no joins.
 - Q3  shipping priority: selective dim filter -> fact join -> top-N
@@ -723,7 +727,420 @@ GROUP BY cntrycode ORDER BY cntrycode
 """
 
 
-# --- tagged-union driver gate: A12 rollup + the sixteen TPC-H shapes -----
+# --- derived tables for the six partsupp/ship-date shapes ----------------
+#
+# The synthetic schema has no partsupp table and no commit/receipt-date
+# or shipmode lineitem columns, which blocked TPC-H Q2/Q11/Q12/Q16/Q20/
+# Q21.  Rather than materialize extra parquet (which the DuckDB oracle
+# could not see portably across sf dirs), both engines DERIVE them with
+# identical integer arithmetic over the existing tables:
+#
+# - ``partsupp`` := the DISTINCT (l_partkey, l_suppkey) pairs observed
+#   in lineitem (referential integrity is automatic, and the derivation
+#   survives the sf1 key-stride amplification, which preserves FK edges)
+#   with availqty/supplycost as modular arithmetic on the pair keys.
+#   Cost is carried in integer cents (``ps_supplycost_c``) so sums stay
+#   associative/exact; display values divide by 100 once.
+# - ``lineitem_ext`` := lineitem + l_commitdate / l_receiptdate (bounded
+#   day offsets from l_shipdate keyed on (l_orderkey, l_linenumber)) and
+#   l_shipmode (7-way modular pick).  All offsets are nonnegative-mod so
+#   Spark ``%`` and DuckDB ``%`` agree.
+#
+# Scale note: the distinct-pairs derivation is one hash aggregate over
+# lineitem (map-side partial, no window, no driver action) — at 100 TB
+# partsupp would of course be a real table and these CTEs disappear.
+
+_SHIP_MODES = ("MAIL", "SHIP", "AIR", "TRUCK", "RAIL", "REG AIR", "FOB")
+
+
+def _partsupp(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = (
+        load_table(spark, sf, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 9999 + 1)
+        .cast("long")
+        .alias("ps_availqty"),
+        ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 13) % 100000 + 100)
+        .cast("long")
+        .alias("ps_supplycost_c"),
+    )
+
+
+SQL_PARTSUPP_CTE = """partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         ((ps_partkey * 31 + ps_suppkey * 17) % 9999 + 1)::BIGINT AS ps_availqty,
+         ((ps_partkey * 7 + ps_suppkey * 13) % 100000 + 100)::BIGINT AS ps_supplycost_c
+  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem)
+)"""
+
+
+def _lineitem_ext(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    ship = F.to_date("l_shipdate")
+    commit_off = ((F.col("l_orderkey") * 31 + F.col("l_linenumber") * 7) % 61 - 30).cast("int")
+    receipt_off = ((F.col("l_orderkey") * 17 + F.col("l_linenumber") * 11) % 30 + 1).cast("int")
+    modes = F.array(*[F.lit(m) for m in _SHIP_MODES])
+    return (
+        li.withColumn("l_commitdate", F.date_add(ship, commit_off))
+        .withColumn("l_receiptdate", F.date_add(ship, receipt_off))
+        .withColumn(
+            "l_shipmode",
+            F.element_at(modes, ((F.col("l_orderkey") + F.col("l_linenumber")) % 7 + 1).cast("int")),
+        )
+    )
+
+
+_SQL_SHIPMODE_CASE = (
+    "CASE (l_orderkey + l_linenumber) % 7 "
+    + " ".join(f"WHEN {i} THEN '{m}'" for i, m in enumerate(_SHIP_MODES[:-1]))
+    + f" ELSE '{_SHIP_MODES[-1]}' END"
+)
+
+SQL_LINEITEM_EXT_CTE = f"""lineitem_ext AS (
+  SELECT l.*,
+         CAST(l_shipdate AS DATE)
+           + ((l_orderkey * 31 + l_linenumber * 7) % 61 - 30)::INT AS l_commitdate,
+         CAST(l_shipdate AS DATE)
+           + ((l_orderkey * 17 + l_linenumber * 11) % 30 + 1)::INT AS l_receiptdate,
+         {_SQL_SHIPMODE_CASE} AS l_shipmode
+  FROM lineitem l
+)"""
+
+
+# --- Q2 minimum-cost supplier --------------------------------------------
+def q_tpch2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape: for each EUROPE-region part of the probed
+    size/type, the supplier(s) offering the region's minimum supply
+    cost; top 100 by account balance.  The correlated MIN subquery
+    decorrelates to a per-part min aggregate joined back (the classic
+    Spark rewrite — no correlated-scalar rejoin per row); nation/region
+    stay broadcast.  p_type equality replaces the spec's '%BRASS'
+    suffix (single-word p_type in this schema)."""
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    nr = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        "n_nationkey", "n_name"
+    )
+    s = (
+        load_table(spark, sf, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_size").isin(15, 25, 35)) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_type")
+    ps = _partsupp(spark, sf)
+    # region-filtered partsupp: only European suppliers compete for min
+    psr = ps.join(s, ps["ps_suppkey"] == s["s_suppkey"]).join(
+        p, F.col("ps_partkey") == p["p_partkey"]
+    )
+    minc = psr.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_supplycost_c").alias("min_c")
+    )
+    best = psr.join(
+        minc,
+        (F.col("ps_partkey") == F.col("mk"))
+        & (F.col("ps_supplycost_c") == F.col("min_c")),
+    )
+    return (
+        best.select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            (F.col("ps_supplycost_c") / 100.0).alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+SQL_TPCH2 = f"""
+WITH {SQL_PARTSUPP_CTE},
+nr AS (
+  SELECT n_nationkey, n_name FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), s AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nr ON s_nationkey = n_nationkey
+), psr AS (
+  SELECT ps_partkey, ps_supplycost_c, s_acctbal, s_name, n_name, p_partkey, p_type
+  FROM partsupp
+  JOIN s ON ps_suppkey = s_suppkey
+  JOIN part ON ps_partkey = p_partkey
+  WHERE p_size IN (15, 25, 35) AND p_type = 'STANDARD'
+), minc AS (
+  SELECT ps_partkey AS mk, min(ps_supplycost_c) AS min_c FROM psr GROUP BY ps_partkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+       ps_supplycost_c / 100.0 AS supplycost
+FROM psr JOIN minc ON ps_partkey = mk AND ps_supplycost_c = min_c
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+
+
+# --- Q11 important stock identification ----------------------------------
+def q_tpch11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stock value at one nation's
+    suppliers exceeds a fraction of that nation's total stock value.
+    The scalar total arrives via a 1-row broadcast cross join and the
+    threshold compares cross-multiplied BIGINTs (sum * 1000 > total),
+    so no float fraction ever participates in the filter."""
+    n = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_11")
+    s = (
+        load_table(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    ps = _partsupp(spark, sf)
+    psn = ps.join(s, ps["ps_suppkey"] == s["s_suppkey"]).select(
+        "ps_partkey",
+        (F.col("ps_availqty") * F.col("ps_supplycost_c")).alias("val_c"),
+    )
+    tot = psn.agg(F.sum("val_c").alias("tot_c"))
+    per_part = psn.groupBy("ps_partkey").agg(F.sum("val_c").alias("value_c"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_c") * 1000 > F.col("tot_c"))
+        .select("ps_partkey", (F.col("value_c") / 100.0).alias("value"))
+        .orderBy(F.col("value_c").desc(), "ps_partkey")
+    )
+
+
+SQL_TPCH11 = f"""
+WITH {SQL_PARTSUPP_CTE},
+psn AS (
+  SELECT ps_partkey, ps_availqty * ps_supplycost_c AS val_c
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_11'
+), tot AS (SELECT sum(val_c) AS tot_c FROM psn)
+SELECT ps_partkey, sum(val_c) / 100.0 AS value
+FROM psn CROSS JOIN tot
+GROUP BY ps_partkey, tot_c
+HAVING sum(val_c) * 1000 > tot_c
+ORDER BY sum(val_c) DESC, ps_partkey
+"""
+
+
+# --- Q12 shipping-mode / order-priority ----------------------------------
+def q_tpch12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape: late-but-committed lines by cheap ship mode and
+    order priority.  All three date predicates are scan-side (derived
+    columns fold into the scan projection); the join is a plain
+    orderkey equi-join with conditional aggregation on top."""
+    li = _lineitem_ext(spark, sf).filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.to_date("l_shipdate") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= "1997-01-01")
+        & (F.col("l_receiptdate") < "1998-01-01")
+    ).select("l_orderkey", "l_shipmode")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
+SQL_TPCH12 = f"""
+WITH {SQL_LINEITEM_EXT_CTE}
+SELECT l_shipmode,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT
+         AS low_line_count
+FROM lineitem_ext JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipmode IN ('MAIL', 'SHIP')
+  AND l_commitdate < l_receiptdate
+  AND CAST(l_shipdate AS DATE) < l_commitdate
+  AND l_receiptdate >= DATE '1997-01-01' AND l_receiptdate < DATE '1998-01-01'
+GROUP BY l_shipmode ORDER BY l_shipmode
+"""
+
+
+# --- Q16 parts/supplier relationship -------------------------------------
+def q_tpch16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    for probed sizes, excluding flagged suppliers.  The NOT IN
+    subquery decorrelates to a LEFT ANTI join (null-safe because
+    s_suppkey is never null); s_acctbal < 0 stands in for the spec's
+    'Customer Complaints' comment filter (no comment column)."""
+    bad = load_table(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    ps = _partsupp(spark, sf)
+    return (
+        ps.join(bad, ps["ps_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(p, F.col("ps_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_TPCH16 = f"""
+WITH {SQL_PARTSUPP_CTE}
+SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey)::BIGINT AS supplier_cnt
+FROM partsupp JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --- Q20 potential part promotion ----------------------------------------
+def q_tpch20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation holding excess stock
+    (availqty > half the year's shipped quantity) of probed parts.
+    Shipped quantity aggregates BEFORE the partsupp join (one row per
+    (part, supp)); the excess test cross-multiplies integer hundredths
+    (availqty * 200 > qty_c) so no float half ever participates.
+    p_name LIKE 'red%%' replaces the spec's forest%% color prefix."""
+    qty = (
+        load_table(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy(
+            F.col("l_partkey").alias("qk"), F.col("l_suppkey").alias("qs")
+        )
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_c"))
+    )
+    red = load_table(spark, sf, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    ps = _partsupp(spark, sf)
+    eligible = (
+        ps.join(red, ps["ps_partkey"] == red["p_partkey"])
+        .join(qty, (F.col("ps_partkey") == F.col("qk")) & (F.col("ps_suppkey") == F.col("qs")))
+        .filter(F.col("ps_availqty") * 200 > F.col("qty_c"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    n = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_14")
+    s = load_table(spark, sf, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        s.join(eligible, s["s_suppkey"] == eligible["ps_suppkey"], "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+SQL_TPCH20 = f"""
+WITH {SQL_PARTSUPP_CTE},
+qty AS (
+  SELECT l_partkey AS qk, l_suppkey AS qs,
+         sum(round(l_quantity * 100)::BIGINT) AS qty_c
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+), eligible AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  JOIN part ON ps_partkey = p_partkey
+  JOIN qty ON qk = ps_partkey AND qs = ps_suppkey
+  WHERE p_name LIKE 'red%' AND ps_availqty * 200 > qty_c
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_14'
+  AND EXISTS (SELECT 1 FROM eligible WHERE ps_suppkey = s_suppkey)
+ORDER BY s_name
+"""
+
+
+# --- Q21 suppliers who kept orders waiting -------------------------------
+def q_tpch21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape: one nation's suppliers that were the SOLE late
+    supplier on a multi-supplier finalized order.  The spec's triple
+    lineitem self-join (EXISTS other supplier / NOT EXISTS other late
+    supplier) decorrelates to two per-order aggregates — distinct
+    supplier count and distinct LATE supplier count — joined back by
+    orderkey, turning the hardest join-order case into three hash
+    aggregates and equi-joins (no per-row rescan of lineitem).
+    numwait counts late LINES, matching the spec's l1 multiplicity."""
+    ext = _lineitem_ext(spark, sf).select(
+        "l_orderkey", "l_suppkey", (F.col("l_receiptdate") > F.col("l_commitdate")).alias("late")
+    )
+    per_order = ext.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("nsup"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nlate"),
+    )
+    late_lines = ext.filter(F.col("late"))
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    n = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_11")
+    s = (
+        load_table(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        late_lines.join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(
+            per_order.filter((F.col("nsup") >= 2) & (F.col("nlate") == 1)),
+            F.col("l_orderkey") == F.col("ok"),
+        )
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+SQL_TPCH21 = f"""
+WITH {SQL_LINEITEM_EXT_CTE},
+ext AS (
+  SELECT l_orderkey, l_suppkey, l_receiptdate > l_commitdate AS late
+  FROM lineitem_ext
+), per_order AS (
+  SELECT l_orderkey AS ok,
+         count(DISTINCT l_suppkey) AS nsup,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate
+  FROM ext GROUP BY l_orderkey
+)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM ext
+JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+JOIN per_order ON l_orderkey = ok AND nsup >= 2 AND nlate = 1
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE late AND n_name = 'NATION_11'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 100
+"""
+
+
+# --- tagged-union driver gate: A12 rollup + all 22 TPC-H shapes ----------
 def q_a12c(spark: SparkSession, sf: str) -> DataFrame:
     rollup = q_a12(spark, sf).select(
         F.lit("rollup").alias("branch"),
@@ -844,12 +1261,56 @@ def q_a12c(spark: SparkSession, sf: str) -> DataFrame:
         F.col("totacctbal").alias("v2"),
         F.lit(0.0).alias("v3"),
     )
+    t2 = q_tpch2(spark, sf).select(
+        F.lit("tpch2").alias("branch"),
+        F.concat_ws("|", "s_name", "p_partkey").alias("k"),
+        F.col("s_acctbal").alias("v1"),
+        F.col("supplycost").alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    t11 = q_tpch11(spark, sf).select(
+        F.lit("tpch11").alias("branch"),
+        F.col("ps_partkey").cast("string").alias("k"),
+        F.col("value").alias("v1"),
+        F.lit(0.0).alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    t12 = q_tpch12(spark, sf).select(
+        F.lit("tpch12").alias("branch"),
+        F.col("l_shipmode").alias("k"),
+        F.col("high_line_count").cast("double").alias("v1"),
+        F.col("low_line_count").cast("double").alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    t16 = q_tpch16(spark, sf).select(
+        F.lit("tpch16").alias("branch"),
+        F.concat_ws("|", "p_brand", "p_type", "p_size").alias("k"),
+        F.col("supplier_cnt").cast("double").alias("v1"),
+        F.lit(0.0).alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    t20 = q_tpch20(spark, sf).select(
+        F.lit("tpch20").alias("branch"),
+        F.col("s_name").alias("k"),
+        F.col("s_acctbal").alias("v1"),
+        F.lit(0.0).alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    t21 = q_tpch21(spark, sf).select(
+        F.lit("tpch21").alias("branch"),
+        F.col("s_name").alias("k"),
+        F.col("numwait").cast("double").alias("v1"),
+        F.lit(0.0).alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
     return (
         rollup.unionByName(t1).unionByName(t3).unionByName(t5)
         .unionByName(t18).unionByName(t6).unionByName(t4).unionByName(t10)
         .unionByName(t14).unionByName(t19)
         .unionByName(t7).unionByName(t8).unionByName(t9)
         .unionByName(t13).unionByName(t15).unionByName(t17).unionByName(t22)
+        .unionByName(t2).unionByName(t11).unionByName(t12)
+        .unionByName(t16).unionByName(t20).unionByName(t21)
     )
 
 
@@ -893,6 +1354,21 @@ UNION ALL
 SELECT 'tpch17', 'all', avg_yearly, line_ct::DOUBLE, 0.0 FROM ({SQL_TPCH17})
 UNION ALL
 SELECT 'tpch22', cntrycode, numcust::DOUBLE, totacctbal, 0.0 FROM ({SQL_TPCH22})
+UNION ALL
+SELECT 'tpch2', s_name || '|' || p_partkey, s_acctbal, supplycost, 0.0
+FROM ({SQL_TPCH2})
+UNION ALL
+SELECT 'tpch11', ps_partkey::VARCHAR, value, 0.0, 0.0 FROM ({SQL_TPCH11})
+UNION ALL
+SELECT 'tpch12', l_shipmode, high_line_count::DOUBLE, low_line_count::DOUBLE, 0.0
+FROM ({SQL_TPCH12})
+UNION ALL
+SELECT 'tpch16', p_brand || '|' || p_type || '|' || p_size, supplier_cnt::DOUBLE,
+       0.0, 0.0 FROM ({SQL_TPCH16})
+UNION ALL
+SELECT 'tpch20', s_name, s_acctbal, 0.0, 0.0 FROM ({SQL_TPCH20})
+UNION ALL
+SELECT 'tpch21', s_name, numwait::DOUBLE, 0.0, 0.0 FROM ({SQL_TPCH21})
 """
 
 REGISTRY = {

