@@ -40,7 +40,111 @@ def _headline():
     }
 
 
+def _settle_after_generation(sf1_dir: str) -> None:
+    """Make 'cold' mean JVM-cold-but-disk-settled after a fresh sf1 write.
+
+    Immediately after writing ~10x data, the page cache is full of dirty
+    un-synced pages and the first read competes with write-back (round 7:
+    u2 cold 200.7 s vs 4.4 s on identical code). sync() flushes the dirty
+    pages, then one sequential Python read per file repopulates the cache
+    cleanly — so the cold timing measures codegen + AQE at sf1, not the
+    generator's write-back, matching what cached-data rounds measure."""
+    os.sync()
+    for root, _dirs, files in os.walk(sf1_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "rb") as fh:
+                    while fh.read(1 << 22):
+                        pass
+
+
+def run_sf1_tier() -> int:
+    """The sf1 tier as its own process entry (`bench.py --sf1-only`):
+    prints one JSON line {"sf1": {...}, "sf1_gen_sec": ..., "sf1_fresh_gen":
+    ...}. Cold = first run in THIS fresh JVM (codegen + AQE at sf1 size);
+    steady = min-of-3 after it. Persisted/checkpointed RDDs are released
+    after each query so later queries don't pay their predecessors' memory
+    as GC pressure."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from flinkrealtimedatawarehouse_spark.session import get_spark
+    from flinkrealtimedatawarehouse_spark.benchqueries import pipeline, tpch, warehouse as wh
+    from scripts.gen_sf1 import ensure_sf1, OUT_DIR
+
+    spark = get_spark("bench-sf1")
+    fresh = not os.path.exists(os.path.join(OUT_DIR, "_SF1_OK"))
+    t0 = time.time()
+    sf1_dir = ensure_sf1(spark)
+    gen_sec = round(time.time() - t0, 3)
+    if fresh:
+        t0 = time.time()
+        _settle_after_generation(sf1_dir)
+        print(f"# sf1 settle after generation: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    sf1_fns = {
+        "a3_province_stats": wh.q_a3,
+        "a4_keyword_stats": wh.q_a4,
+        "j4_dim_chain_star": wh.q_j4,
+        "u2_product_union": wh.q_u2,
+        "dp2_minhash_lsh_neardup": pipeline.q_minhash_lsh,
+        "dp6_cosine_topk": pipeline.q_cosine_topk,
+        "dp15s_span_dedup": pipeline.q_span_dedup,
+        "dp25_bm25": pipeline.q_bm25c,
+        "tpch7_trade": tpch.q_tpch7,
+        "tpch9_profit": tpch.q_tpch9,
+        "tpch18_bigqty": tpch.q_tpch18,
+    }
+
+    def _release_query_state(s):
+        # dp2/dp15s persist + localCheckpoint inside their pipelines;
+        # without an explicit release those RDDs outlive the query and the
+        # LAST sf1 queries pay their memory as GC pressure (measured:
+        # tpch18 1.4 s isolated vs 5.3 s after 10 contaminating
+        # predecessors)
+        s.catalog.clearCache()
+        for rdd in list(s.sparkContext._jsc.getPersistentRDDs().values()):
+            try:
+                rdd.unpersist()
+            except Exception:
+                pass
+
+    sf1_queries: dict[str, float] = {}
+    sf1_cold: dict[str, float] = {}
+    for name, fn in sf1_fns.items():
+        try:
+            t0 = time.time()
+            fn(spark, sf1_dir).count()  # cold: first run in this JVM
+            sf1_cold[name] = round(time.time() - t0, 3)
+            best, n = float("inf"), -1
+            for _ in range(3):  # min-of-3: C2 compile bursts span runs
+                t0 = time.time()
+                n = fn(spark, sf1_dir).count()
+                best = min(best, time.time() - t0)
+            sf1_queries[name] = round(best, 3)
+            _release_query_state(spark)
+            print(
+                f"# sf1 {name}: {n} rows in {sf1_queries[name]}s "
+                f"(cold {sf1_cold[name]}s)",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"# sf1 {name} FAILED: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "sf1": {
+            "value": round(sum(sf1_queries.values()), 3),
+            "value_cold": round(sum(sf1_cold.get(n, 0.0) for n in sf1_queries), 3),
+            "queries": sf1_queries,
+            "queries_cold": {n: sf1_cold[n] for n in sf1_queries if n in sf1_cold},
+        },
+        "sf1_gen_sec": gen_sec,
+        "sf1_fresh_gen": fresh,
+    }))
+    return 0
+
+
 def main() -> int:
+    if "--sf1-only" in sys.argv:
+        return run_sf1_tier()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -145,66 +249,32 @@ def main() -> int:
     # FROZEN for round-over-round comparability (same rule as the sf0.1
     # headline set) and paired with the DuckDB yardstick recorded by
     # scripts/sf1_yardstick.py in SCALE.md. Disable with
-    # SPARK_GRAFT_SF1=0. Cold = first run in this JVM at this sf (codegen
-    # + AQE at this data size); steady = min-of-3 after it. Persisted /
-    # checkpointed RDDs are released after each query so later queries
-    # don't pay their predecessors' memory as GC pressure.
-    sf1_queries: dict[str, float] = {}
-    sf1_cold: dict[str, float] = {}
+    # SPARK_GRAFT_SF1=0.
+    #
+    # The tier runs in a FRESH subprocess (own JVM): round 7 showed that
+    # running it in the sf0.1 JVM seconds after regenerating 10x data
+    # produced 46x cold swings on identical code (write-back/page-cache
+    # contamination + inherited JIT state). A fresh process makes cold =
+    # "one-shot job at sf1" reproducibly, and the generation settle below
+    # separates disk effects from codegen/AQE effects.
+    sf1_out: dict = {"value": 0.0, "value_cold": 0.0, "queries": {}, "queries_cold": {}}
     sf1_gen_sec = None
+    sf1_fresh_gen = None
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        import subprocess
+
         try:
-            from scripts.gen_sf1 import ensure_sf1
-
-            t0 = time.time()
-            sf1_dir = ensure_sf1(spark)
-            sf1_gen_sec = round(time.time() - t0, 3)
-            sf1_fns = {
-                "a3_province_stats": wh.q_a3,
-                "a4_keyword_stats": wh.q_a4,
-                "j4_dim_chain_star": wh.q_j4,
-                "u2_product_union": wh.q_u2,
-                "dp2_minhash_lsh_neardup": pipeline.q_minhash_lsh,
-                "dp6_cosine_topk": pipeline.q_cosine_topk,
-                "dp15s_span_dedup": pipeline.q_span_dedup,
-                "dp25_bm25": pipeline.q_bm25c,
-                "tpch7_trade": tpch.q_tpch7,
-                "tpch9_profit": tpch.q_tpch9,
-                "tpch18_bigqty": tpch.q_tpch18,
-            }
-            def _release_query_state(s):
-                # dp2/dp15s persist + localCheckpoint inside their
-                # pipelines; without an explicit release those RDDs
-                # outlive the query and the LAST sf1 queries pay their
-                # memory as GC pressure (measured: tpch18 1.4 s isolated
-                # vs 5.3 s after 10 contaminating predecessors)
-                s.catalog.clearCache()
-                for rdd in list(s.sparkContext._jsc.getPersistentRDDs().values()):
-                    try:
-                        rdd.unpersist()
-                    except Exception:
-                        pass
-
-            for name, fn in sf1_fns.items():
-                try:
-                    t0 = time.time()
-                    fn(spark, sf1_dir).count()  # cold: first run at sf1
-                    sf1_cold[name] = round(time.time() - t0, 3)
-                    best = float("inf")
-                    for _ in range(3):  # min-of-3: C2 compile bursts here
-                        # span whole runs (see the sf0.1 note above)
-                        t0 = time.time()
-                        n = fn(spark, sf1_dir).count()
-                        best = min(best, time.time() - t0)
-                    sf1_queries[name] = round(best, 3)
-                    _release_query_state(spark)
-                    print(
-                        f"# sf1 {name}: {n} rows in {sf1_queries[name]}s "
-                        f"(cold {sf1_cold[name]}s)",
-                        file=sys.stderr,
-                    )
-                except Exception as e:
-                    print(f"# sf1 {name} FAILED: {e}", file=sys.stderr)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--sf1-only"],
+                stdout=subprocess.PIPE,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=3600,
+            )
+            line = proc.stdout.decode().strip().splitlines()[-1]
+            frag = json.loads(line)
+            sf1_out = frag["sf1"]
+            sf1_gen_sec = frag.get("sf1_gen_sec")
+            sf1_fresh_gen = frag.get("sf1_fresh_gen")
         except Exception as e:
             print(f"# sf1 tier skipped: {e}", file=sys.stderr)
 
@@ -220,16 +290,13 @@ def main() -> int:
         "queries": timings,
         "queries_cold": {n: cold[n] for n in timings if n in cold},
         "extras": extras,
-        "sf1": {
-            "value": round(sum(sf1_queries.values()), 3),
-            "value_cold": round(sum(sf1_cold.get(n, 0.0) for n in sf1_queries), 3),
-            "queries": sf1_queries,
-            "queries_cold": {n: sf1_cold[n] for n in sf1_queries if n in sf1_cold},
-        },
+        "sf1": sf1_out,
         "sf": sf,
     }
     if sf1_gen_sec is not None:
         out["sf1_gen_sec"] = sf1_gen_sec
+    if sf1_fresh_gen is not None:
+        out["sf1_fresh_gen"] = sf1_fresh_gen
     # a query whose warm-up failed contributes nothing to value_cold and
     # its cold/steady flag can never fire — say so in the JSON instead of
     # letting the cold total silently read as an improvement
