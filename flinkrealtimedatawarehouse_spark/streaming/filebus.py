@@ -71,7 +71,11 @@ class KafkaLikeFileBus:
     # --- producer (K1 fixed-topic / K2 per-row topic) ---------------------
 
     def produce(self, df: DataFrame, checkpoint: str, topic: str | None = None) -> int:
-        """Write a batch through the producer contract: the SAME option
+        """Test harness only, not a production sink (the driver-side
+        ``collect`` below is bounded by the test batch, never by data
+        scale — production traffic goes through the real Kafka sink).
+
+        Write a batch through the producer contract: the SAME option
         dict and value projection the Kafka sink uses. Returns rows
         written. ``topic=None`` requires a per-row ``topic`` column
         (K2); a fixed ``topic`` routes every row (K1)."""
@@ -98,20 +102,42 @@ class KafkaLikeFileBus:
                 )
                 for i, v in enumerate(values)
             ]
-            part = os.path.join(tdir, f"part-{base:012d}-{uuid.uuid4().hex[:8]}.json")
-            tmp = part + ".tmp"
+            name = f"part-{base:012d}-{len(values):06d}-{uuid.uuid4().hex[:8]}.json"
+            part = os.path.join(tdir, name)
+            # Stage under a DOT-prefixed name: Spark's file source ignores
+            # names starting with '.'/'_', so a concurrent read_stream can
+            # never list the half-written file; the visible name appears
+            # only via the atomic rename. (A bare `part-*.json.tmp` name
+            # WOULD be listed — the source filters on leading chars, not
+            # extensions.)
+            tmp = os.path.join(tdir, "." + name + ".tmp")
             with open(tmp, "w") as f:
                 f.write("\n".join(recs) + "\n")
-            os.rename(tmp, part)  # atomic: the file source never sees partials
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, part)
         return len(rows)
 
     def _next_offset(self, tdir: str) -> int:
-        n = 0
+        """Next offset from the part-file names alone: each visible file
+        is ``part-{base:012d}-{count:06d}-{uid}.json``, so the max name's
+        base+count is the log length — O(#files) listing, no re-reads
+        (the old line-count-every-file scheme was O(total records ever
+        written) per produce, quadratic over a long-lived topic). Legacy
+        files without the count field fall back to one line count."""
+        best = 0
         for p in os.listdir(tdir):
-            if p.endswith(".json"):
+            if not (p.startswith("part-") and p.endswith(".json")):
+                continue
+            parts = p[len("part-"):-len(".json")].split("-")
+            base = int(parts[0])
+            if len(parts) >= 3 and parts[1].isdigit():
+                end = base + int(parts[1])
+            else:  # pre-count-field file: count its lines once
                 with open(os.path.join(tdir, p)) as f:
-                    n += sum(1 for line in f if line.strip())
-        return n
+                    end = base + sum(1 for line in f if line.strip())
+            best = max(best, end)
+        return best
 
     # --- consumer (S1 value stream / S4 typed stream) ---------------------
 

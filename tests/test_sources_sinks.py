@@ -198,6 +198,62 @@ def test_filebus_per_row_topic_fanout(spark):
     assert sorted(r["offset"] for r in hot) == [0, 1, 2]
 
 
+def test_filebus_concurrent_reader_never_sees_partials(spark):
+    """A consumer listing the topic dir mid-produce must see either
+    nothing or the complete batch — never a half-written file, and never
+    the same record twice after the rename lands.
+
+    Plants the exact hazard: a half-written staging file sitting in the
+    topic directory (what a slow produce looks like to a concurrent
+    reader), plus a stray legacy-style bare `*.json.tmp`. The dot-prefixed
+    staging name is load-bearing — Spark's file source ignores only
+    leading '.'/'_', not extensions — so the batch tap and the streaming
+    source must both skip it, and offset assignment must not count it."""
+    import json as _json
+
+    bus = _mkbus("conc")
+    bus.produce(
+        spark.createDataFrame([(1,), (2,)], "id int"),
+        runner.scratch_dir("ck_busc"), topic="t",
+    )
+    tdir = _os.path.join(bus.root, "t")
+    # mid-produce snapshot: half-written dot-staged file (ours) and a bare
+    # .tmp (the pre-fix naming, which Spark WOULD list as a corrupt row)
+    staged = _os.path.join(tdir, ".part-000000000002-000001-deadbeef.json.tmp")
+    with open(staged, "w") as f:
+        f.write('{"topic": "t", "partition": 0, "offs')  # torn write
+    rows = bus.read_batch(spark, "t").collect()
+    assert sorted(r["offset"] for r in rows) == [0, 1]  # partial invisible
+    stream = runner.run_to_memory(bus.read_stream(spark, "t", "gc"), "bus_conc")
+    assert len(stream.collect()) == 2
+    # offset allocation ignores the in-flight file: next batch starts at 2
+    bus.produce(
+        spark.createDataFrame([(3,)], "id int"),
+        runner.scratch_dir("ck_busc2"), topic="t",
+    )
+    final = bus.read_batch(spark, "t").collect()
+    assert sorted(r["offset"] for r in final) == [0, 1, 2]  # dense, no dupes
+    assert sorted(_json.loads(r["value"])["id"] for r in final) == [1, 2, 3]
+    _os.remove(staged)
+
+
+def test_filebus_next_offset_from_names_matches_line_counts(spark):
+    """The O(#files) name-derived offset equals the old count-every-line
+    answer, including for a legacy file without the count field."""
+    bus = _mkbus("offs")
+    for batch in ([(1,), (2,), (3,)], [(4,)], [(5,), (6,)]):
+        bus.produce(
+            spark.createDataFrame(batch, "id int"),
+            runner.scratch_dir("ck_buso"), topic="t",
+        )
+    tdir = _os.path.join(bus.root, "t")
+    assert bus._next_offset(tdir) == 6
+    # legacy two-field name (no embedded count) falls back to line-counting
+    with open(_os.path.join(tdir, "part-000000000006-cafe0123.json"), "w") as f:
+        f.write('{"topic": "t", "partition": 0, "offset": 6, "key": null, "value": "x"}\n')
+    assert bus._next_offset(tdir) == 7
+
+
 def test_filebus_typed_stream_decodes_schema(spark):
     """S4 analog: consumer + from_json into a declared schema with the
     epoch-millis rt derivation — same decode path as kafka_json_stream."""
@@ -243,13 +299,18 @@ def test_kafka_real_roundtrip(spark):
     sdf = runner.parquet_stream(
         spark, runner.stage_stream_dir(df, "id", 1, "kbroker"), df.schema
     )
+    # kafka_sink returns an un-started DataStreamWriter; availableNow
+    # drains the staged batch and terminates instead of hanging forever.
     q = sinks.kafka_sink(
         sinks.kafka_value_projection(sdf), _BROKER, topic,
         runner.scratch_dir("ck_kbroker"),
-    )
+    ).trigger(availableNow=True).start()
     q.awaitTermination()
+    # earliest: the consumer starts AFTER the produce completed, so the
+    # default `latest` would begin past the five records just written.
     got = runner.run_to_memory(
-        sources.kafka_stream(spark, _BROKER, topic, "g_it"), "kbroker_read"
+        sources.kafka_stream(spark, _BROKER, topic, "g_it", "earliest"),
+        "kbroker_read",
     ).collect()
     import json as _json
 
