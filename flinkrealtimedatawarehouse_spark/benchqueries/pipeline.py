@@ -427,28 +427,67 @@ FROM f GROUP BY 1
 # --- dp12 multimodal column plumbing -------------------------------------
 
 def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
+    """Three branches against ONE oracle:
+
+    - ``fake``: byte-level features over opaque payloads (the original
+      contract mode — batch shape without codec cost).
+    - ``png``:  the documents encoded as REAL 8-bit grayscale PNGs
+      (zlib-deflated, scanline filter rotating over all five types) and
+      decoded back by the stdlib decoder — inflate + unfilter. The
+      decoded pixel sums equal the text byte sums ONLY if the whole
+      round-trip is correct, so DuckDB checks a real zlib/PNG decode
+      with plain SQL over the text column.
+    - ``wav``:  same documents as PCM-16 RIFF/WAVE files, decoded back
+      by struct parsing; decoded sample sums == byte sums, and the wav
+      container size is closed-form (44 + 2n) so total_bytes is checked
+      too (PNG's deflated size is not SQL-computable -> pinned 0).
+    """
     docs = load_table(spark, sf, "documents")
     media = multimodal.to_media_table(docs, "doc_id", "text", "source")
-    feats = multimodal.extract_features(media, fake=True)
-    return feats.groupBy("kind", "source").agg(
-        F.count(F.lit(1)).alias("ct"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.sum("feat_sum").alias("feat_total"),
-        F.min("feat_head").alias("head_min"),
+
+    def roll(feats, branch, with_bytes):
+        return feats.groupBy("source").agg(
+            F.count(F.lit(1)).alias("ct"),
+            (F.sum("n_bytes") if with_bytes else F.lit(0)).cast("long").alias("total_bytes"),
+            F.sum("feat_sum").alias("feat_total"),
+            F.min("feat_head").alias("head_min"),
+        ).select(F.lit(branch).alias("branch"), "source", "ct",
+                 "total_bytes", "feat_total", "head_min")
+
+    fake = roll(multimodal.extract_features(media, fake=True), "fake", True)
+    png = roll(
+        multimodal.extract_features(
+            multimodal.to_png_media(docs, "doc_id", "text", "source"), fake=False
+        ),
+        "png", False,
     )
+    wav = roll(
+        multimodal.extract_features(
+            multimodal.to_wav_media(docs, "doc_id", "text", "source"), fake=False
+        ),
+        "wav", True,
+    )
+    return fake.unionByName(png).unionByName(wav)
 
 SQL_MULTIMODAL = """
 WITH f AS (
-  SELECT 'image' AS kind, source,
+  SELECT source,
          octet_length(text::BLOB)::BIGINT AS n_bytes,
          list_sum(list_transform(range(1, length(text) + 1), i -> ascii(text[i])))::BIGINT AS feat_sum,
          (ascii(text[1]) * 16777216 + ascii(text[2]) * 65536
           + ascii(text[3]) * 256 + ascii(text[4]))::BIGINT AS feat_head
   FROM documents
+), g AS (
+  SELECT source, count(*)::BIGINT AS ct, sum(n_bytes)::BIGINT AS raw_bytes,
+         sum(feat_sum)::BIGINT AS feat_total, min(feat_head)::BIGINT AS head_min
+  FROM f GROUP BY 1
 )
-SELECT kind, source, count(*)::BIGINT AS ct, sum(n_bytes)::BIGINT AS total_bytes,
-       sum(feat_sum)::BIGINT AS feat_total, min(feat_head)::BIGINT AS head_min
-FROM f GROUP BY 1, 2
+SELECT 'fake' AS branch, source, ct, raw_bytes AS total_bytes, feat_total, head_min FROM g
+UNION ALL
+SELECT 'png', source, ct, 0::BIGINT, feat_total, head_min FROM g
+UNION ALL
+-- PCM-16 RIFF container: 44 header bytes + 2 bytes per sample (= per text byte)
+SELECT 'wav', source, ct, (ct * 44 + raw_bytes * 2)::BIGINT, feat_total, head_min FROM g
 """
 
 # --- dp13 IVF-bucketed ANN top-k (coarse quantizer = label cells) ---------

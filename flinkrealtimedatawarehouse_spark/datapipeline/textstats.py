@@ -583,8 +583,9 @@ def bm25_search(docs: DataFrame, id_col: str, text_col: str, query: str,
     row of a matching term, so the windowed row count IS the corpus df —
     and corpus scalars (N, avgdl) broadcast from a 1-row aggregate. The
     per-term scores sum as integer micros so the ranking key is
-    associative and engine-independent; top-k is a row_number window
-    (WindowGroupLimit partial top-k).
+    associative and engine-independent; the top-k tail is
+    ``orderBy().limit()`` -> TakeOrderedAndProject (per-partition local
+    top-k, k rows per partition to the driver merge — see _bm25_rank).
     """
     terms = query_terms(query)
     if not terms:
@@ -850,8 +851,10 @@ def bm25_terms(docs: DataFrame, id_col: str, text_col: str,
     - corpus scalars (N, avgdl) are a 1-row aggregate cross-joined back —
       a broadcast, never a driver collect (this branch re-scans only the
       pruned text column).
-    - top-k per doc = row_number window -> WindowGroupLimit partial top-k
-      before the exchange (same pruning as topk_per_group).
+    - top-k TERMS per doc = row_number window over id -> WindowGroupLimit
+      partial top-k before the exchange (same pruning as topk_per_group;
+      unlike the search paths, whose global doc ranking tail is
+      TakeOrderedAndProject in _bm25_rank — keyed-many vs global-one).
     Total: 3 data exchanges (tf agg, term window, doc window) + the 1-row
     stats broadcast, independent of corpus size.
     """

@@ -1,0 +1,141 @@
+"""Stdlib PNG/WAV codec correctness: hand-computed fixtures (bytes built
+chunk-by-chunk, NOT via our own encoder) plus encoder round-trips per
+filter type, and the mapInPandas real-decode path end-to-end."""
+
+import struct
+import zlib
+
+import pytest
+
+from flinkrealtimedatawarehouse_spark.datapipeline import codecs, multimodal
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _hand_png(raw_scanlines: bytes, w: int, h: int, ctype: int = 0) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (codecs.PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw_scanlines)) + _chunk(b"IEND", b""))
+
+
+def test_png_decode_hand_built_filter0():
+    # 2x2 gray, pixels 10 20 / 30 40, filter None on both rows
+    png = _hand_png(b"\x00\x0a\x14\x00\x1e\x28", 2, 2)
+    d = codecs.decode_png(png)
+    assert (d["width"], d["height"], d["channels"]) == (2, 2, 1)
+    assert d["pixels"] == bytes([10, 20, 30, 40])
+
+
+def test_png_decode_hand_built_sub_and_up():
+    # Row 1 Sub-filtered BY HAND: pixels 10,20 -> deltas 10,10.
+    # Row 2 Up-filtered BY HAND: pixels 30,40 minus prev 10,20 -> 20,20.
+    png = _hand_png(b"\x01\x0a\x0a\x02\x14\x14", 2, 2)
+    assert codecs.decode_png(png)["pixels"] == bytes([10, 20, 30, 40])
+
+
+def test_png_decode_hand_built_average_and_paeth():
+    # Row 1 Average: pixel p at (x): stored = p - (left + 0)//2.
+    #   pixels 100, 110 -> stored 100, 110 - 100//2 = 60.
+    # Row 2 Paeth: predictor of (a=left, b=up, c=up-left).
+    #   pixels 120, 130; x=0: a=0,b=100,c=0 -> pred=100, stored 20;
+    #   x=1: a=120,b=110,c=100 -> p=130, pa=10,pb=20,pc=30 -> pred=a=120,
+    #   stored 10.
+    png = _hand_png(b"\x03\x64\x3c\x04\x14\x0a", 2, 2)
+    assert codecs.decode_png(png)["pixels"] == bytes([100, 110, 120, 130])
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("ctype", [0, 2, 4, 6])
+def test_png_roundtrip_every_filter_and_colortype(ft, ctype):
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    w, h = 5, 4
+    pixels = bytes((i * 37 + 11) % 256 for i in range(w * h * ch))
+    d = codecs.decode_png(codecs.encode_png(w, h, pixels, ctype, ft))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+    assert d["pixels"] == pixels
+
+
+def test_png_rejects_garbage_and_bad_depth():
+    with pytest.raises(ValueError, match="signature"):
+        codecs.decode_png(b"not a png at all")
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)  # 16-bit depth
+    bad = codecs.PNG_SIG + _chunk(b"IHDR", ihdr)
+    with pytest.raises(ValueError, match="depth"):
+        codecs.decode_png(bad)
+
+
+def test_wav_decode_hand_built():
+    # Hand-packed PCM-16 mono @ 8000 Hz, samples -1 and 258
+    body = b"\xff\xff\x02\x01"  # little-endian int16: -1, 258
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(body)) + body)
+    d = codecs.decode_wav(wav)
+    assert d["sample_rate"] == 8000 and d["n_channels"] == 1
+    assert list(d["samples"]) == [-1, 258]
+
+
+def test_wav_roundtrip_stereo():
+    samples = [0, 32767, -32768, 5, -5, 1000]
+    d = codecs.decode_wav(codecs.encode_wav(samples, 44100, n_channels=2))
+    assert list(d["samples"]) == samples
+    assert d["n_samples"] == 3 and d["n_channels"] == 2
+
+
+def test_wav_total_size_is_closed_form():
+    # the dp12 oracle relies on len(wav) == 44 + 2 * n_samples
+    for n in (0, 1, 7, 100):
+        assert len(codecs.encode_wav(list(range(n)))) == 44 + 2 * n
+
+
+def test_sniff_kind():
+    assert codecs.sniff_kind(codecs.encode_png(1, 1, b"\x05")) == "png"
+    assert codecs.sniff_kind(codecs.encode_wav([1])) == "wav"
+    assert codecs.sniff_kind(b"\x00\x01\x02") == "unknown"
+
+
+def test_real_features_match_fake_features_per_doc(spark):
+    """decode(encode(text)) == text bytes: the real-decode features must
+    equal the fake byte-level features doc-for-doc, across all five
+    scanline filters (media_id % 5 rotation) including an empty doc and
+    a short (<4 byte) doc."""
+    rows = [(0, "hello world", "a"), (1, "x", "a"), (2, "", "b"),
+            (3, "longer text " * 20, "b"), (4, "five!", "c"),
+            (5, "\x01\x02\x7f", "c")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    fake = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(
+            multimodal.to_media_table(docs, "doc_id", "text", "source"), fake=True
+        ).collect()
+    }
+    for builder in (multimodal.to_png_media, multimodal.to_wav_media):
+        real = {
+            r["media_id"]: r
+            for r in multimodal.extract_features(
+                builder(docs, "doc_id", "text", "source"), fake=False
+            ).collect()
+        }
+        assert set(real) == set(fake)
+        for mid, fr in fake.items():
+            assert real[mid]["feat_sum"] == fr["feat_sum"], (builder, mid)
+            assert real[mid]["feat_head"] == fr["feat_head"], (builder, mid)
+
+
+def test_video_seam_still_raises(spark):
+    docs = spark.createDataFrame([(1, "clip", "v")],
+                                 "doc_id long, text string, source string")
+    media = multimodal.to_media_table(docs, "doc_id", "text", "source").select(
+        "media_id", "payload",
+        multimodal.F.struct(
+            multimodal.F.lit("video").alias("kind"),
+            multimodal.F.col("meta.n_bytes").alias("n_bytes"),
+            multimodal.F.col("meta.source").alias("source"),
+        ).alias("meta"),
+    )
+    with pytest.raises(Exception, match="(?i)video|NotImplemented"):
+        multimodal.extract_features(media, fake=False).collect()
