@@ -120,12 +120,33 @@ def lsh_band_rows(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int) 
     ).select(id_col, "band.band_idx", "band.band_key")
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int,
+                        hot_bucket_cap: int | None = None) -> DataFrame:
     """Banded LSH: signature -> ``bands`` keys of ``rows_per_band`` values;
     candidate pair = same (band_idx, band_key). The self-join key is the
     band bucket, so the shuffle is bucket-bounded. Returns distinct
-    (id_a, id_b) with id_a < id_b."""
+    (id_a, id_b) with id_a < id_b.
+
+    ``hot_bucket_cap``: skew guard. A band bucket of size c contributes
+    c*(c-1)/2 join rows — one pathological bucket (empty strings, a
+    boilerplate header shared by millions of docs) turns the bucket-join
+    into an all-pairs quadratic blowup on a single key, the classic LSH
+    scale-killer at 100 TB. With a cap, buckets larger than it are
+    EXCLUDED from pairing (their members still pair through their other
+    cooler bands, if any); use ``lsh_hot_bucket_stats`` to account for
+    what a cap drops. None (default) keeps the exact behavior."""
     exploded = lsh_band_rows(sigs, id_col, bands, rows_per_band)
+    if hot_bucket_cap is not None:
+        sizes = exploded.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        # inner join on the (already-shuffled) bucket key: AQE plans the
+        # size side tiny relative to the explode, and the filter lands
+        # BEFORE the quadratic self-join
+        exploded = exploded.join(
+            sizes.filter(F.col("_bsz") <= hot_bucket_cap),
+            ["band_idx", "band_key"],
+        ).drop("_bsz")
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -137,6 +158,27 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str, bands: int, rows_per_band:
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_hot_bucket_stats(sigs: DataFrame, id_col: str, bands: int,
+                         rows_per_band: int, hot_bucket_cap: int) -> DataFrame:
+    """Accounting for the skew guard: one row with ``hot_buckets`` (band
+    buckets over the cap) and ``dropped_pairs`` (sum of c*(c-1)/2 over
+    them — the candidate pairs the cap removes from THOSE buckets; pairs
+    that also co-occur in a cool bucket still surface there). Run this
+    alongside a capped dedup so the drop is measured, never silent."""
+    sizes = (
+        lsh_band_rows(sigs, id_col, bands, rows_per_band)
+        .groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > hot_bucket_cap)
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("hot_buckets"),
+        F.coalesce(F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0))
+        .cast("long")
+        .alias("dropped_pairs"),
     )
 
 
@@ -157,7 +199,8 @@ def jaccard_verify(pairs: DataFrame, sigs: DataFrame, id_col: str) -> DataFrame:
 
 def minhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
                       shingle_n: int = 3, k: int = 16,
-                      bands: int = 8, threshold: float = 0.5) -> DataFrame:
+                      bands: int = 8, threshold: float = 0.5,
+                      hot_bucket_cap: int | None = None) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: shingle -> sign -> band -> bucket
     self-join -> Jaccard verify -> pairs >= threshold.
 
@@ -173,7 +216,8 @@ def minhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
     sigs = minhash_signatures(docs.repartition(n_part), id_col, text_col, shingle_n, k)
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        cands = lsh_candidate_pairs(sigs, id_col, bands, k // bands)
+        cands = lsh_candidate_pairs(sigs, id_col, bands, k // bands,
+                                    hot_bucket_cap=hot_bucket_cap)
         out = jaccard_verify(cands, sigs, id_col).filter(F.col("jaccard") >= threshold)
         # materialize the (small) pair set, then release the signature
         # cache — repeated invocations otherwise accumulate cached blocks

@@ -111,3 +111,61 @@ def test_runtime_bloom_filter_prunes_fact_shuffle(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_lsh_hot_bucket_cap_bounds_planted_mega_bucket(spark):
+    """One planted mega-bucket (120 identical docs -> every band collides)
+    must not quadratically explode candidate generation when the cap is
+    on, the dropped volume must be accounted, and genuine near-dups that
+    do NOT ride the hot bucket must still surface."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
+
+    boiler = [(i, "the same boilerplate header text appears everywhere")
+              for i in range(120)]
+    real = [
+        (1000, "a genuinely interesting document about spark partitioning"),
+        (1001, "a genuinely interesting document about spark partitions"),
+        (2000, "completely different content with no duplicate at all here"),
+    ]
+    docs = spark.createDataFrame(boiler + real, "doc_id long, text string")
+    sigs = textdedup.minhash_signatures(docs, "doc_id", "text", 3, 16)
+    sigs = sigs.persist()
+    try:
+        uncapped = textdedup.lsh_candidate_pairs(sigs, "doc_id", 8, 2).count()
+        assert uncapped >= 120 * 119 // 2  # the quadratic blowup is real
+        capped = textdedup.lsh_candidate_pairs(
+            sigs, "doc_id", 8, 2, hot_bucket_cap=50
+        ).collect()
+        # bounded: no pair from the mega-bucket survives, the genuine
+        # near-dup pair (from cool buckets) does
+        ids = {(r.id_a, r.id_b) for r in capped}
+        assert (1000, 1001) in ids
+        assert all(not (a < 120 and b < 120) for a, b in ids)
+        # the drop is measured, never silent
+        stats = textdedup.lsh_hot_bucket_stats(
+            sigs, "doc_id", 8, 2, hot_bucket_cap=50
+        ).collect()[0]
+        assert stats.hot_buckets >= 8  # all 8 bands of the planted bucket
+        assert stats.dropped_pairs >= 8 * (120 * 119 // 2)
+    finally:
+        sigs.unpersist()
+
+
+def test_minhash_near_dups_cap_preserves_cool_pairs(spark):
+    """End-to-end capped run: same results as uncapped for docs outside
+    the hot bucket (the dp2 gate's default path stays cap-less/exact)."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
+
+    docs = spark.createDataFrame(
+        [(i, "identical spam body for the mega bucket case") for i in range(60)]
+        + [(500, "quarterly report on regional sales growth and churn"),
+           (501, "quarterly report on regional sales growth and churn rates")],
+        "doc_id long, text string",
+    )
+    capped = textdedup.minhash_near_dups(
+        docs, "doc_id", "text", shingle_n=3, k=16, bands=8,
+        threshold=0.3, hot_bucket_cap=20,
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in capped}
+    assert (500, 501) in pairs
+    assert all(a >= 500 for a, _ in pairs)
