@@ -120,7 +120,9 @@ def make_sentinel(df: DataFrame, ts_col: str, pad: str, marker: dict) -> DataFra
     return df.agg(F.max(F.col(ts_col)).alias("_mx")).select(*cols)
 
 
-def append_sentinel_file(in_dir: str, sentinel: DataFrame, tag: str) -> None:
+def append_sentinel_file(
+    in_dir: str, sentinel: DataFrame, tag: str, name: str = "zzz-sentinel.parquet"
+) -> None:
     """Append a one-row 'watermark sentinel' as the final stream file.
 
     Under ``availableNow`` the run stops when the staged files are drained,
@@ -135,17 +137,17 @@ def append_sentinel_file(in_dir: str, sentinel: DataFrame, tag: str) -> None:
     import glob
     import time as _time
 
-    tmp = scratch_dir(f"sent_{tag}")
+    tmp = scratch_dir(f"sent_{tag}_{name}")
     sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
     part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-    dst = os.path.join(in_dir, "zzz-sentinel.parquet")
+    dst = os.path.join(in_dir, name)
     shutil.copyfile(part, dst)
     # newest mtime among the staged files, but still in the past — a
     # future-dated file is invisible to the availableNow snapshot
     newest = max(
         os.path.getmtime(os.path.join(in_dir, f))
         for f in os.listdir(in_dir)
-        if f.endswith(".parquet") and f != "zzz-sentinel.parquet"
+        if f.endswith(".parquet") and f != name
     )
     os.utime(dst, (newest + 10, newest + 10))
 

@@ -106,6 +106,10 @@ BOUNCE_OUT_SCHEMA = T.StructType(
     ]
 )
 
+BOUNCE_TS_OUT_SCHEMA = T.StructType(
+    list(BOUNCE_OUT_SCHEMA) + [T.StructField("entry_ts", T.TimestampType())]
+)
+
 _BOUNCE_STATE_SCHEMA = T.StructType(
     [
         T.StructField("ts_us", T.ArrayType(T.LongType())),
@@ -115,7 +119,7 @@ _BOUNCE_STATE_SCHEMA = T.StructType(
 )
 
 
-def _bounce_fn(gap_s: int):
+def _bounce_fn(gap_s: int, emit_ts: bool = False):
     # gap comparisons run at full microsecond precision (the data has µs
     # timestamps); the decidability cutoff runs at ms because Spark tracks
     # event-time stats (and hence the watermark) in milliseconds.
@@ -149,7 +153,7 @@ def _bounce_fn(gap_s: int):
         ev_id = [ev_id[i] for i in order]
         is_entry = [is_entry[i] for i in order]
 
-        out_uid, out_eid, out_b = [], [], []
+        out_uid, out_eid, out_b, out_ts = [], [], [], []
         undecided_us = None
         for i in range(len(ts_us)):
             if not is_entry[i]:
@@ -164,6 +168,7 @@ def _bounce_fn(gap_s: int):
                 out_uid.append(user_id)
                 out_eid.append(ev_id[i])
                 out_b.append(bounce)
+                out_ts.append(ts_us[i])
             elif undecided_us is None:
                 undecided_us = ts_us[i]
 
@@ -187,7 +192,10 @@ def _bounce_fn(gap_s: int):
         else:
             state.remove()
 
-        yield pd.DataFrame({"user_id": out_uid, "event_id": out_eid, "is_bounce": out_b})
+        cols = {"user_id": out_uid, "event_id": out_eid, "is_bounce": out_b}
+        if emit_ts:
+            cols["entry_ts"] = pd.to_datetime(pd.Series(out_ts, dtype="int64"), unit="us")
+        yield pd.DataFrame(cols)
 
     return fn
 
@@ -199,13 +207,17 @@ def bounce_stream(
     entry_pred=None,
     gap_s: int = 300,
     delay: str = "30 seconds",
+    emit_ts: bool = False,
 ) -> DataFrame:
     """Streaming W1: bounce detection with event-time timeouts.
 
     ``entry_pred`` is the session-entry predicate (the reference tests
     ``last_page_id`` empty — UserJumpDetailApp.java:63-71). Emits
     (user_id, event_id, is_bounce) for every *decided* entry event:
-    decidable once watermark > entry.ts + gap.
+    decidable once watermark > entry.ts + gap. With ``emit_ts`` the
+    entry's event time rides along as ``entry_ts`` so a downstream
+    event-time operator can consume the decision stream
+    (see ``bounce_stats_stream``).
     """
     if entry_pred is None:
         entry_pred = F.col("event_type") == "view"
@@ -219,11 +231,75 @@ def bounce_stream(
         prepared.withWatermark("ts", delay)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _bounce_fn(gap_s),
-            outputStructType=BOUNCE_OUT_SCHEMA,
+            _bounce_fn(gap_s, emit_ts=emit_ts),
+            outputStructType=BOUNCE_TS_OUT_SCHEMA if emit_ts else BOUNCE_OUT_SCHEMA,
             stateStructType=_BOUNCE_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _delay_seconds(delay: str) -> int:
+    """Parse a '30 seconds' / '2 minutes' / '1 hour' interval to seconds."""
+    n, unit = delay.split()
+    mult = {"second": 1, "minute": 60, "hour": 3600}[unit.rstrip("s")]
+    return int(n) * mult
+
+
+def bounce_stats_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    entry_pred=None,
+    gap_s: int = 300,
+    delay: str = "30 seconds",
+    duration: str = "10 minutes",
+) -> DataFrame:
+    """Multi-stateful chain (T7 → A1): the CEP bounce decision stream
+    feeds a watermarked tumble in the SAME checkpointed query, mirroring
+    the reference's VisitorStatsApp consuming UserJumpDetailApp's output
+    topic (rt/app/dws/VisitorStatsApp.java:126) — but as one job with no
+    intermediate Kafka hop.
+
+    Watermark discipline: an entry at event time T is emitted by the
+    bounce operator once the source watermark passes T+gap, i.e. the
+    decision row is up to ``gap + delay`` behind the max source event
+    time when it reaches the aggregation. The downstream
+    ``withWatermark(entry_ts, gap + delay + 1s)`` therefore holds every
+    window open long enough that no decision row is ever late — output
+    is exactly the batch bounce-per-window rollup (pinned by
+    tests/test_streaming.py::test_stream_bounce_then_window_chain).
+
+    Spark's static checker rejects any stateful operator downstream of
+    applyInPandasWithState because it cannot see this bound, so the
+    query requires ``spark.sql.streaming.statefulOperator.
+    checkCorrectness.enabled=false`` (set here, session-wide — Spark
+    only consults it at stream start). The guarantee the checker cannot
+    prove is exactly the one documented above.
+    """
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false"
+    )
+    events.sparkSession.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+    decided = bounce_stream(
+        events, key, ts_col, entry_pred, gap_s, delay, emit_ts=True
+    )
+    agg_delay = f"{gap_s + _delay_seconds(delay) + 1} seconds"
+    return (
+        decided.withWatermark("entry_ts", agg_delay)
+        .groupBy(F.window(F.col("entry_ts"), duration))
+        .agg(
+            F.count(F.lit(1)).alias("entry_ct"),
+            F.sum("is_bounce").alias("bounce_ct"),
+            F.size(F.collect_set("user_id")).alias("uv_ct"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format(F.col("window.end"), "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "entry_ct",
+            "bounce_ct",
+            "uv_ct",
         )
     )
 

@@ -293,6 +293,66 @@ def test_stream_bounce_exactly_gap_boundary(spark):
     assert got == {1: 1, 3: 0}
 
 
+def test_stream_bounce_then_window_chain(spark):
+    """T7→A1 multi-stateful chain (VisitorStatsApp.java:126): the CEP
+    bounce decision stream feeds a watermarked tumble in ONE checkpointed
+    query. The downstream watermark node only sees *decided* entries, so
+    flushing the tail window needs a decidable sentinel entry (sentinel1,
+    an entry past every real window end + the agg delay) followed by a
+    later watermark pusher (sentinel2 > sentinel1 + gap + delay) that
+    makes sentinel1's decision emit and drag the downstream watermark
+    past the real windows."""
+    rows = [
+        # window [00:00, 00:01): u1 entry -> continuation (no bounce),
+        # u2 entry -> timeout (bounce)
+        (1, 1, ts("2024-01-01 00:00:01"), "view", 0.0, None),
+        (1, 2, ts("2024-01-01 00:00:05"), "click", 0.0, None),
+        (2, 3, ts("2024-01-01 00:00:02"), "view", 0.0, None),
+        # window [00:01, 00:02): u3 entry -> entry (bounce), then
+        # entry -> continuation (no bounce)
+        (3, 4, ts("2024-01-01 00:01:30"), "view", 0.0, None),
+        (3, 5, ts("2024-01-01 00:01:32"), "view", 0.0, None),
+        (3, 6, ts("2024-01-01 00:01:35"), "click", 0.0, None),
+    ]
+    src = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string, value double, props string"
+    )
+    in_dir = runner.stage_stream_dir(src, "ts", 2, "bchain")
+    # sentinel1: an ENTRY at +200s (00:04:55) — decidable, rides through
+    # to the downstream watermark node; its own window is filtered out
+    # sentinel2: +300s (00:06:35) — pushes the source watermark past
+    # sentinel1+gap so sentinel1's decision actually emits
+    for pad, etype, name in [
+        ("200 seconds", "view", "zzz-sentinel.parquet"),
+        ("300 seconds", "__wm__", "zzz-sentinel2.parquet"),
+    ]:
+        sent = runner.make_sentinel(
+            src, "ts", pad, {"user_id": -1, "event_id": -1, "event_type": etype}
+        )
+        runner.append_sentinel_file(in_dir, sent, f"bchain_{name}", name)
+    sdf = runner.parquet_stream(spark, in_dir, src.schema)
+    out = runner.run_to_memory(
+        state.bounce_stats_stream(
+            sdf, gap_s=10, delay="1 second", duration="1 minute"
+        ),
+        "bchain",
+    )
+    got = {
+        r.stt: (r.entry_ct, r.bounce_ct, r.uv_ct)
+        for r in out.filter("stt < '2024-01-01 00:04'").collect()
+    }
+    assert got == {
+        "2024-01-01 00:00:00": (2, 1, 2),
+        "2024-01-01 00:01:00": (2, 1, 1),
+    }
+    # the chain ran as ONE query with BOTH stateful operators, and final
+    # state is bounded: bounce keeps only the undecided tail (sentinel2's
+    # buffered non-entry), the agg only the unclosed sentinel window
+    ops = runner.LAST_PROGRESS[-1]["stateOperators"]
+    assert len(ops) == 2
+    assert sum(op["numRowsTotal"] for op in ops) <= 4
+
+
 def test_stream_session_window_matches_batch_sessionize(spark):
     """W4 twins: the streaming session_window aggregation and the batch
     lag/running-sum sessionizer must produce identical sessions,
