@@ -301,6 +301,72 @@ def q_t7(spark: SparkSession, sf: str) -> DataFrame:
     return runner.run_to_memory(out, "t7").filter(F.col("user_id") >= 0)
 
 
+def q_t7m(spark: SparkSession, sf: str) -> DataFrame:
+    """T7→A1 multi-stateful chain: the CEP decision stream feeds a
+    10-minute tumble in the SAME checkpointed query (VisitorStatsApp
+    consuming UserJumpDetailApp's topic, rt/app/dws/VisitorStatsApp.java:126
+    — as one job, no Kafka hop). Sentinel pad 1200 s > gap(300) + delay(30)
+    + window(600) so the last real entry decides AND its decide_ts-phased
+    window closes; the '__wm__' sentinel is a non-entry on its own key, so
+    it emits no decision and no window of its own."""
+    sdf = _staged_events_stream(spark, sf, "t7m", "1200 seconds")
+    out = state.bounce_stats_stream(sdf, gap_s=300, delay="30 seconds", duration="10 minutes")
+    return runner.run_to_memory(out, "t7m")
+
+
+def q_t7u(spark: SparkSession, sf: str) -> DataFrame:
+    """Tagged union for the driver's 50-entry cap: per-entry decisions
+    (T7) + the chained bounce-per-window rollup (T7→A1)."""
+    dec = q_t7(spark, sf).select(
+        F.lit("decide").alias("branch"),
+        F.concat_ws("|", "user_id", "event_id").alias("k"),
+        F.col("is_bounce").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+        F.lit(0).cast("long").alias("v3"),
+    )
+    chain = q_t7m(spark, sf).select(
+        F.lit("chain").alias("branch"),
+        F.concat_ws("|", "stt", "edt").alias("k"),
+        F.col("entry_ct").cast("long").alias("v1"),
+        F.col("bounce_ct").cast("long").alias("v2"),
+        F.col("uv_ct").cast("long").alias("v3"),
+    )
+    return dec.unionByName(chain)
+
+
+def _sql_t7u() -> str:
+    from flinkrealtimedatawarehouse_spark.benchqueries.warehouse import DUCK_FMT
+
+    return f"""
+SELECT 'decide' AS branch, concat_ws('|', user_id, event_id) AS k,
+       is_bounce::BIGINT AS v1, 0::BIGINT AS v2, 0::BIGINT AS v3
+FROM ({SQL_W1})
+UNION ALL
+SELECT 'chain', concat_ws('|', stt, edt), entry_ct, bounce_ct, uv_ct
+FROM (
+  SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '{DUCK_FMT}') AS stt,
+         strftime(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes', '{DUCK_FMT}') AS edt,
+         count(*)::BIGINT AS entry_ct, sum(is_bounce)::BIGINT AS bounce_ct,
+         count(DISTINCT user_id)::BIGINT AS uv_ct
+  FROM (
+    SELECT user_id, ts,
+           CASE WHEN nts IS NOT NULL AND epoch(nts) - epoch(ts) < 300 AND nie = 0
+                THEN 0 ELSE 1 END AS is_bounce
+    FROM (
+      SELECT user_id, ts, ie,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts,
+             lead(ie) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nie
+      FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ie
+        FROM events
+      )
+    ) WHERE ie = 1
+  ) GROUP BY 1, 2
+)
+"""
+
+
 # --- W4 streaming twin: session_window gap sessionization -----------------
 
 # Planted boundary corpus: the real events table need not contain pairs at
@@ -869,7 +935,7 @@ REGISTRY: dict = {
     "t3_interval_join_stream": (q_t3c2, _sql_t3c2()),
     "t3b_asym_join_stream": (q_t3c, _sql_t3c()),
     "t5_dedup_stream": (q_t5, SQL_T5),
-    "t7_bounce_stream": (q_t7, SQL_W1),
+    "t7_bounce_stream": (q_t7u, _sql_t7u()),
     "w4_session_stats": (q_w4c, SQL_W4C),
     "k2_fanout_stream": (q_k2, SQL_K2),
     "s2_cdc_stream_apply": (q_s2, SQL_S2),

@@ -262,21 +262,31 @@ def bounce_stats_stream(
     topic (rt/app/dws/VisitorStatsApp.java:126) — but as one job with no
     intermediate Kafka hop.
 
-    Watermark discipline: an entry at event time T is emitted by the
-    bounce operator once the source watermark passes T+gap, i.e. the
-    decision row is up to ``gap + delay`` behind the max source event
-    time when it reaches the aggregation. The downstream
-    ``withWatermark(entry_ts, gap + delay + 1s)`` therefore holds every
-    window open long enough that no decision row is ever late — output
-    is exactly the batch bounce-per-window rollup (pinned by
-    tests/test_streaming.py::test_stream_bounce_then_window_chain).
+    Watermark discipline: the bounce operator emits a decision in the
+    first batch whose watermark exceeds ``entry_ts + gap`` — so the
+    decision's *decide time* (entry_ts + gap) is never behind the
+    previous batch's watermark, but the entry time itself can be, by up
+    to ``gap``. Windowing the aggregation on entry_ts is therefore WRONG:
+    an entry in the last ``gap`` seconds of its tumble emits after the
+    watermark may already have passed the window end, and Spark's
+    late-row filter (previous-batch watermark, SPARK-40925) silently
+    drops it — probed empirically, pinned by
+    tests/test_streaming.py::test_stream_bounce_chain_entry_late_in_window.
+    The aggregation instead windows on decide_ts with the window phase
+    shifted by ``gap % duration``: ``window(decide_ts, d, d,
+    startTime=gap % d)`` is exactly ``window(entry_ts, d)`` translated by
+    +gap, so shifting the emitted bounds back by ``gap`` yields the
+    ENTRY-window rollup while no decision row is ever late by
+    construction.
 
     Spark's static checker rejects any stateful operator downstream of
     applyInPandasWithState because it cannot see this bound, so the
     query requires ``spark.sql.streaming.statefulOperator.
     checkCorrectness.enabled=false`` (set here, session-wide — Spark
-    only consults it at stream start). The guarantee the checker cannot
-    prove is exactly the one documented above.
+    only consults it at stream start), and ``multipleWatermarkPolicy=
+    max`` so the downstream watermark node (which starts at epoch 0 and
+    only ever lags the source) cannot hold the global watermark at 0 and
+    deadlock the bounce operator's timers.
     """
     events.sparkSession.conf.set(
         "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false"
@@ -285,18 +295,20 @@ def bounce_stats_stream(
     decided = bounce_stream(
         events, key, ts_col, entry_pred, gap_s, delay, emit_ts=True
     )
-    agg_delay = f"{gap_s + _delay_seconds(delay) + 1} seconds"
+    gap_ival = F.expr(f"INTERVAL {gap_s} SECONDS")
+    phase = f"{gap_s % _delay_seconds(duration)} seconds"
     return (
-        decided.withWatermark("entry_ts", agg_delay)
-        .groupBy(F.window(F.col("entry_ts"), duration))
+        decided.withColumn("decide_ts", F.col("entry_ts") + gap_ival)
+        .withWatermark("decide_ts", delay)
+        .groupBy(F.window(F.col("decide_ts"), duration, duration, phase))
         .agg(
             F.count(F.lit(1)).alias("entry_ct"),
             F.sum("is_bounce").alias("bounce_ct"),
             F.size(F.collect_set("user_id")).alias("uv_ct"),
         )
         .select(
-            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("stt"),
-            F.date_format(F.col("window.end"), "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            F.date_format(F.col("window.start") - gap_ival, "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format(F.col("window.end") - gap_ival, "yyyy-MM-dd HH:mm:ss").alias("edt"),
             "entry_ct",
             "bounce_ct",
             "uv_ct",

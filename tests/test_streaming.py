@@ -353,6 +353,36 @@ def test_stream_bounce_then_window_chain(spark):
     assert sum(op["numRowsTotal"] for op in ops) <= 4
 
 
+def test_stream_bounce_chain_entry_late_in_window(spark):
+    """The chain's hard case: a timeout-decided entry in the LAST ``gap``
+    seconds of its tumble, with the watermark landing between the window
+    end and entry+gap on an intermediate batch. Windowing the rollup on
+    entry_ts silently dropped this row (Spark's late filter uses the
+    previous batch's watermark, which had already passed the window
+    end); the decide_ts-phased window keeps it."""
+    rows = [
+        (9, 1, ts("2024-01-01 00:00:00"), "click", 0.0, None),
+        # entry at 00:00:55: window [00:00, 00:01), decidable at wm > 00:01:05
+        (1, 2, ts("2024-01-01 00:00:55"), "view", 0.0, None),
+        # pushes wm to 00:01:02 — past the window end, short of entry+gap
+        (9, 3, ts("2024-01-01 00:01:03"), "click", 0.0, None),
+        # pushes wm to 00:03:19 — the decision emits in this batch
+        (9, 4, ts("2024-01-01 00:03:20"), "click", 0.0, None),
+        (9, 5, ts("2024-01-01 00:05:00"), "click", 0.0, None),
+    ]
+    src = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string, value double, props string"
+    )
+    in_dir = runner.stage_stream_dir(src, "ts", 5, "bchainlate")
+    sdf = runner.parquet_stream(spark, in_dir, src.schema)
+    out = runner.run_to_memory(
+        state.bounce_stats_stream(sdf, gap_s=10, delay="1 second", duration="1 minute"),
+        "bchainlate",
+    )
+    got = {r.stt: (r.entry_ct, r.bounce_ct, r.uv_ct) for r in out.collect()}
+    assert got == {"2024-01-01 00:00:00": (1, 1, 1)}
+
+
 def test_stream_session_window_matches_batch_sessionize(spark):
     """W4 twins: the streaming session_window aggregation and the batch
     lag/running-sum sessionizer must produce identical sessions,
