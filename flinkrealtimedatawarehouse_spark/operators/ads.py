@@ -8,6 +8,12 @@ group/filter/order/limit — fully Catalyst-optimizable, no shuffles beyond
 the one hash agg, and each limit is executed as a partial top-N per
 partition + final merge (TakeOrderedAndProject), which is exactly what you
 want at 100 TB.
+
+The join-avoidance half of J6 — pay the star join once at build, serve
+every mapper single-table — is implemented in serving.py
+(build_wide_product / WIDE_SERVING_VIEWS) and plan-gated by
+tests/test_serving.py::test_wide_gold_serving_avoids_joins (zero join
+nodes in the serving plans, rows hash-equal the normalized twins).
 """
 
 from __future__ import annotations

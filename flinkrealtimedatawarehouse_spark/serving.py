@@ -131,3 +131,71 @@ def register_serving_views(spark: SparkSession, sf_dir: str) -> list[str]:
     for name, sql in SERVING_VIEWS.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
     return list(SERVING_VIEWS)
+
+
+# --- J6: join avoidance via a pre-joined wide gold table -------------------
+#
+# The reference's DWS layer is wide BY DESIGN so the ADS mappers never join
+# (README:404-410; ProductStatsMapper.java queries product_stats alone,
+# never product x brand x date dims). The same trade here: pay the star
+# join ONCE at build (streaming upkeep would run it through the K4 gold
+# sink), then every dashboard query is a single-table scan -> one hash agg,
+# no per-query shuffle of the dims. At 100 TB the wide table additionally
+# partitions by order-date day, so the mappers' #{date} filters prune
+# partitions instead of scanning history.
+
+WIDE_PRODUCT_SQL = """
+    SELECT l.l_orderkey, l.l_partkey, p.p_brand, l.l_extendedprice,
+           date_format(o.o_orderdate, 'yyyyMMdd') AS dt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+# Single-table mapper twins over the wide build: same answers as running
+# the FROM-base formulation (asserted in tests), zero join nodes in the
+# serving plan (plan-asserted).
+WIDE_SERVING_VIEWS: dict[str, str] = {
+    "ads_top_brand_wide": """
+        SELECT p_brand, round(sum(l_extendedprice), 2) AS order_amount
+        FROM product_wide GROUP BY p_brand HAVING order_amount > 0
+        ORDER BY order_amount DESC, p_brand LIMIT 10
+    """,
+    "ads_top_part_wide": """
+        SELECT l_partkey AS p_partkey,
+               round(sum(l_extendedprice), 2) AS order_amount,
+               count(*) AS order_ct
+        FROM product_wide GROUP BY l_partkey HAVING order_amount > 0
+        ORDER BY order_amount DESC, p_partkey LIMIT 10
+    """,
+    "ads_gmv_day_wide": """
+        SELECT dt, round(sum(l_extendedprice), 2) AS gmv
+        FROM product_wide GROUP BY dt
+    """,
+}
+
+
+def build_wide_product(
+    spark: SparkSession, sf_dir: str, path: str, partition_by_day: bool = False
+) -> None:
+    """Materialize the wide product gold table (the one join J6 pays).
+
+    ``partition_by_day=True`` is the cluster layout (day partition pruning
+    for the mappers' #{date} parameter); at test scale it would shatter
+    tiny files, so it is opt-in.
+    """
+    register_views(spark, sf_dir)
+    wide = spark.sql(WIDE_PRODUCT_SQL)
+    writer = wide.write.mode("overwrite")
+    if partition_by_day:
+        writer = writer.partitionBy("dt")
+    writer.parquet(path)
+
+
+def register_wide_serving_views(spark: SparkSession, path: str) -> list[str]:
+    """Register ``product_wide`` over a built wide table + the single-table
+    ADS views. Idempotent (CREATE OR REPLACE)."""
+    spark.read.parquet(path).createOrReplaceTempView("product_wide")
+    for name, sql in WIDE_SERVING_VIEWS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
+    return list(WIDE_SERVING_VIEWS)

@@ -131,3 +131,46 @@ def test_keyword_score_view_matches_dataframe_twin(spark):
     got = _rows(spark.sql("SELECT * FROM ads_keyword_score"), ["keyword", "ct"])
     want = _rows(warehouse.q_a9(spark, SF), ["keyword", "ct"])
     assert got == want and len(got) == 20
+
+
+def test_wide_gold_serving_avoids_joins(spark, tmp_path):
+    """J6 (README:404-410): build the wide gold table once (the only
+    join), then every mapper twin over it plans ZERO join nodes while
+    returning the same rows as the normalized join-per-query formulation
+    — the reference's DWS-wide / ADS-single-table contract."""
+    from flinkrealtimedatawarehouse_spark import serving
+
+    path = str(tmp_path / "product_wide")
+    serving.build_wide_product(spark, SF, path)
+    names = serving.register_wide_serving_views(spark, path)
+    assert set(names) == set(serving.WIDE_SERVING_VIEWS)
+
+    twins = {
+        "ads_top_brand_wide": f"""
+            SELECT p_brand, round(sum(l_extendedprice), 2) AS order_amount
+            FROM ({serving.WIDE_PRODUCT_SQL}) GROUP BY p_brand
+            HAVING order_amount > 0
+            ORDER BY order_amount DESC, p_brand LIMIT 10
+        """,
+        "ads_top_part_wide": f"""
+            SELECT l_partkey AS p_partkey,
+                   round(sum(l_extendedprice), 2) AS order_amount,
+                   count(*) AS order_ct
+            FROM ({serving.WIDE_PRODUCT_SQL}) GROUP BY l_partkey
+            HAVING order_amount > 0
+            ORDER BY order_amount DESC, p_partkey LIMIT 10
+        """,
+        "ads_gmv_day_wide": f"""
+            SELECT dt, round(sum(l_extendedprice), 2) AS gmv
+            FROM ({serving.WIDE_PRODUCT_SQL}) GROUP BY dt
+        """,
+    }
+    for view, twin_sql in twins.items():
+        wide_df = spark.sql(f"SELECT * FROM {view}")
+        plan = wide_df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, f"{view} serving plan re-joins:\n{plan}"
+        twin_df = spark.sql(twin_sql)
+        twin_plan = twin_df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" in twin_plan  # the per-query cost the wide build avoids
+        cols = wide_df.columns
+        assert _rows(wide_df, cols) == _rows(twin_df, cols), view
