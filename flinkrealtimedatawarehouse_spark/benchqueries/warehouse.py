@@ -776,9 +776,17 @@ SELECT round(coalesce(sum(o_totalprice), 0), 2) AS gmv
 FROM orders WHERE strftime(o_orderdate, '%Y%m%d') = '19960917'
 """
 
-# A7+A10 merged ADS-product gate (tagged): top-N by brand + whole-day GMV
-# in one driver entry — both branches keep their own oracle shape.
+# A7+A10+J6 merged ADS-product gate (tagged): top-N by brand + whole-day
+# GMV + the J6 join-avoidance serving path (build the wide gold table once,
+# then answer the same mapper queries from it with ZERO joins — serving.py;
+# README:404-410). Each branch keeps its own oracle shape; the wide
+# branches' DuckDB twins recompute from the NORMALIZED base tables, so a
+# hash match proves the wide build+serve round-trip end-to-end against an
+# independent engine.
 def q_a7c(spark: SparkSession, sf: str) -> DataFrame:
+    from flinkrealtimedatawarehouse_spark import serving
+    from flinkrealtimedatawarehouse_spark.streaming.runner import scratch_dir
+
     topn = q_a7(spark, sf).select(
         F.lit("topn").alias("kind"), F.col("p_brand").alias("dim"),
         F.col("order_amount").alias("amount"),
@@ -786,12 +794,45 @@ def q_a7c(spark: SparkSession, sf: str) -> DataFrame:
     gmv = q_a10(spark, sf).select(
         F.lit("gmv").alias("kind"), F.lit("ALL").alias("dim"), F.col("gmv").alias("amount")
     )
-    return topn.unionByName(gmv)
+    wide_path = scratch_dir("wide_product")
+    serving.build_wide_product(spark, sf, wide_path)
+    serving.register_wide_serving_views(spark, wide_path)
+    wide_brand = spark.sql("SELECT * FROM ads_top_brand_wide").select(
+        F.lit("wide_brand").alias("kind"), F.col("p_brand").alias("dim"),
+        F.col("order_amount").alias("amount"),
+    )
+    wide_gmv = spark.sql("SELECT * FROM ads_gmv_day_wide").select(
+        F.lit("wide_gmv").alias("kind"), F.col("dt").alias("dim"), F.col("gmv").alias("amount")
+    )
+    return topn.unionByName(gmv).unionByName(wide_brand).unionByName(wide_gmv)
 
+# The wide twins re-derive from base tables with the wide build's INNER
+# joins (WIDE_PRODUCT_SQL), not SQL_A7's LEFT join — exact formulation.
 SQL_A7C = f"""
-SELECT 'topn' AS kind, p_brand AS dim, order_amount AS amount FROM ({SQL_A7})
+SELECT 'topn' AS kind, p_brand AS dim, amount FROM (
+  SELECT p_brand, round(sum(l_extendedprice), 2) AS amount
+  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+  GROUP BY 1 HAVING round(sum(l_extendedprice), 2) > 0
+  ORDER BY amount DESC, p_brand LIMIT 10
+)
 UNION ALL
 SELECT 'gmv', 'ALL', gmv FROM ({SQL_A10})
+UNION ALL
+SELECT 'wide_brand', p_brand, amount FROM (
+  SELECT p_brand, round(sum(l_extendedprice), 2) AS amount
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1 HAVING round(sum(l_extendedprice), 2) > 0
+  ORDER BY amount DESC, p_brand LIMIT 10
+)
+UNION ALL
+SELECT 'wide_gmv', dt, gmv FROM (
+  SELECT strftime(o_orderdate, '%Y%m%d') AS dt,
+         round(sum(l_extendedprice), 2) AS gmv
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+)
 """
 
 # A4+W3+F1 merged keyword gate (tagged): the DataFrame pipeline and the
