@@ -68,11 +68,28 @@ def hyperplane_bucket(q: Column, n_planes: int, plane_offset: int = 0) -> Column
     return bucket.cast("bigint")
 
 
+def _dot(qa: Column, qb: Column) -> Column:
+    return F.aggregate(F.zip_with(qa, qb, lambda x, y: x * y), F.lit(0).cast("long"), lambda a, x: a + x)
+
+
+def _sq_norm(q: Column) -> Column:
+    return F.aggregate(F.transform(q, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x)
+
+
+def _cosine_given_norms(qa: Column, qb: Column, na: Column, nb: Column) -> Column:
+    """Cosine when the (integer) squared norms are already materialized.
+
+    The pair stage of every top-k path is P probes x N candidates; HOFs
+    are interpreted (no whole-stage codegen), so computing each side's
+    norm ONCE per row instead of once per PAIR removes 2 of the 3 O(d)
+    array passes from the hot loop. Same expression tree tail as
+    ``_exact_cosine`` (cast-to-double then multiply), so values are
+    bit-identical to the unfactored form."""
+    return F.round(_dot(qa, qb).cast("double") / F.sqrt(na.cast("double") * nb.cast("double")), 6)
+
+
 def _exact_cosine(qa: Column, qb: Column) -> Column:
-    dot = F.aggregate(F.zip_with(qa, qb, lambda x, y: x * y), F.lit(0).cast("long"), lambda a, x: a + x)
-    na = F.aggregate(F.transform(qa, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x)
-    nb = F.aggregate(F.transform(qb, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x)
-    return F.round(dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double")), 6)
+    return _cosine_given_norms(qa, qb, _sq_norm(qa), _sq_norm(qb))
 
 
 def cosine_topk(emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str,
@@ -81,10 +98,15 @@ def cosine_topk(emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str,
     vectors by cosine (excluding self). Probe side broadcasts — the corpus
     is never replicated, so this scales to any corpus size for a bounded
     probe set; for probe-set ~ corpus use ``ann_topk_lsh``."""
-    corpus = emb.select(F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col), quant).alias("qn"))
-    probe_q = probes.select(F.col(id_col).alias("probe_id"), quantized(F.col(vec_col), quant).alias("qp"))
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col), quant).alias("qn")
+    ).withColumn("_cn", _sq_norm(F.col("qn")))
+    probe_q = probes.select(
+        F.col(id_col).alias("probe_id"), quantized(F.col(vec_col), quant).alias("qp")
+    ).withColumn("_pn", _sq_norm(F.col("qp")))
     scored = corpus.join(F.broadcast(probe_q), F.col("probe_id") != F.col("neighbor_id")).select(
-        "probe_id", "neighbor_id", _exact_cosine(F.col("qp"), F.col("qn")).alias("cosine")
+        "probe_id", "neighbor_id",
+        _cosine_given_norms(F.col("qp"), F.col("qn"), F.col("_pn"), F.col("_cn")).alias("cosine"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -147,21 +169,27 @@ def _rank_probe_cells(probe_q: DataFrame, cent: DataFrame, n_probe: int) -> Data
     asc tie-break) — shared by every IVF path."""
     cw = Window.partitionBy("probe_id").orderBy(F.col("ccos").desc(), F.col("cell").asc())
     return (
-        probe_q.join(F.broadcast(cent))
-        .select("probe_id", "qp", "cell",
-                _exact_cosine(F.col("qp"), F.col("cvec")).alias("ccos"))
+        probe_q.withColumn("_pn", _sq_norm(F.col("qp")))
+        .join(F.broadcast(cent.withColumn("_cvn", _sq_norm(F.col("cvec")))))
+        .select("probe_id", "qp", "_pn", "cell",
+                _cosine_given_norms(
+                    F.col("qp"), F.col("cvec"), F.col("_pn"), F.col("_cvn")
+                ).alias("ccos"))
         .withColumn("crank", F.row_number().over(cw))
         .filter(F.col("crank") <= n_probe)
-        .select("probe_id", "qp", F.col("cell").alias("probe_cell"))
+        .select("probe_id", "qp", "_pn", F.col("cell").alias("probe_cell"))
     )
 
 
 def _cell_rerank(corpus: DataFrame, probe_cells: DataFrame, k: int) -> DataFrame:
     """Exact cosine re-rank of corpus rows inside each probe's cells."""
-    scored = corpus.join(
+    scored = corpus.withColumn("_cn", _sq_norm(F.col("qn"))).join(
         F.broadcast(probe_cells),
         (F.col("cell") == F.col("probe_cell")) & (F.col("probe_id") != F.col("neighbor_id")),
-    ).select("probe_id", "neighbor_id", _exact_cosine(F.col("qp"), F.col("qn")).alias("cosine"))
+    ).select(
+        "probe_id", "neighbor_id",
+        _cosine_given_norms(F.col("qp"), F.col("qn"), F.col("_pn"), F.col("_cn")).alias("cosine"),
+    )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -177,14 +205,21 @@ def ann_topk_lsh(emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str,
     ``cosine_topk`` (ranks are per-probe over the candidate set)."""
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col), quant).alias("qn")
-    ).withColumn("bucket", hyperplane_bucket(F.col("qn"), n_planes))
+    ).withColumn("bucket", hyperplane_bucket(F.col("qn"), n_planes)).withColumn(
+        "_cn", _sq_norm(F.col("qn"))
+    )
     probe_q = probes.select(
         F.col(id_col).alias("probe_id"), quantized(F.col(vec_col), quant).alias("qp")
-    ).withColumn("bucket", hyperplane_bucket(F.col("qp"), n_planes))
+    ).withColumn("bucket", hyperplane_bucket(F.col("qp"), n_planes)).withColumn(
+        "_pn", _sq_norm(F.col("qp"))
+    )
     scored = corpus.join(
         F.broadcast(probe_q),
         (corpus["bucket"] == probe_q["bucket"]) & (F.col("probe_id") != F.col("neighbor_id")),
-    ).select("probe_id", "neighbor_id", _exact_cosine(F.col("qp"), F.col("qn")).alias("cosine"))
+    ).select(
+        "probe_id", "neighbor_id",
+        _cosine_given_norms(F.col("qp"), F.col("qn"), F.col("_pn"), F.col("_cn")).alias("cosine"),
+    )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -215,10 +250,10 @@ def ann_topk_multilsh(emb: DataFrame, probes: DataFrame, id_col: str, vec_col: s
     """
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col), quant).alias("qn")
-    )
+    ).withColumn("_cn", _sq_norm(F.col("qn")))
     probe_q = probes.select(
         F.col(id_col).alias("probe_id"), quantized(F.col(vec_col), quant).alias("qp")
-    )
+    ).withColumn("_pn", _sq_norm(F.col("qp")))
     cand = None
     for t in range(n_tables):
         off = t * n_planes
@@ -227,11 +262,12 @@ def ann_topk_multilsh(emb: DataFrame, probes: DataFrame, id_col: str, vec_col: s
         pairs = c_t.join(
             F.broadcast(p_t),
             (c_t["bucket"] == p_t["bucket"]) & (F.col("probe_id") != F.col("neighbor_id")),
-        ).select("probe_id", "qp", "neighbor_id", "qn")
+        ).select("probe_id", "qp", "_pn", "neighbor_id", "qn", "_cn")
         cand = pairs if cand is None else cand.unionByName(pairs)
     deduped = cand.dropDuplicates(["probe_id", "neighbor_id"])
     scored = deduped.select(
-        "probe_id", "neighbor_id", _exact_cosine(F.col("qp"), F.col("qn")).alias("cosine")
+        "probe_id", "neighbor_id",
+        _cosine_given_norms(F.col("qp"), F.col("qn"), F.col("_pn"), F.col("_cn")).alias("cosine"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -664,12 +700,23 @@ def semdedup(
     q = emb.select(F.col(id_col), quantized(F.col(vec_col), quant).alias("qn"))
     cents = _lloyd(q, id_col, k, iters)
     assigned = _assign_to(q, cents, "cell")
-    a = assigned.select(F.col("cell"), F.col(id_col).alias("_a_id"), F.col("qn").alias("_a_qn"))
-    b = assigned.select(F.col("cell"), F.col(id_col).alias("_b_id"), F.col("qn").alias("_b_qn"))
+    normed = assigned.withColumn("_n", _sq_norm(F.col("qn")))
+    a = normed.select(
+        F.col("cell"), F.col(id_col).alias("_a_id"),
+        F.col("qn").alias("_a_qn"), F.col("_n").alias("_a_n"),
+    )
+    b = normed.select(
+        F.col("cell"), F.col(id_col).alias("_b_id"),
+        F.col("qn").alias("_b_qn"), F.col("_n").alias("_b_n"),
+    )
     dropped = (
         a.join(b, "cell")
         .filter(F.col("_a_id") < F.col("_b_id"))
-        .filter(_exact_cosine(F.col("_a_qn"), F.col("_b_qn")) >= eps)
+        .filter(
+            _cosine_given_norms(
+                F.col("_a_qn"), F.col("_b_qn"), F.col("_a_n"), F.col("_b_n")
+            ) >= eps
+        )
         .select(F.col("_b_id").alias(id_col))
         .distinct()
         .withColumn("_drop", F.lit(True))
