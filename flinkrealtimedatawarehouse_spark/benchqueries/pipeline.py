@@ -176,10 +176,18 @@ SELECT * FROM jv WHERE jaccard >= {_MH_THRESH}
 # --- dp3 SimHash near-dup -------------------------------------------------
 
 _SH_MAXH = 6
+# Hot-band skew guard, mirrored EXACTLY in the DuckDB twin. Sized above the
+# biggest sf0.01 band bucket (279 docs — templated text clusters even
+# there), so at the driver's gate scale the cap binds nothing and the
+# result is bit-identical to the uncapped form; at the 10x sf1 sweep it is
+# what makes the gate finish at all (uncapped: 57k docs -> a 24k-doc band
+# bucket -> 885M candidate pairs -> driver OOM; capped: 3.8M pairs).
+_SH_CAP = 500
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return textdedup.simhash_near_dups(
-        _docs_with_near_dups(spark, sf), "doc_id", "text", max_hamming=_SH_MAXH
+        _docs_with_near_dups(spark, sf), "doc_id", "text",
+        max_hamming=_SH_MAXH, hot_bucket_cap=_SH_CAP,
     )
 
 def _duck_simhash(th: str) -> str:
@@ -202,9 +210,15 @@ bd AS (
   SELECT doc_id, simhash, bi.band_idx, (simhash >> (8 * bi.band_idx)) & 255 AS band_val
   FROM sm CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_idx) bi
 ),
+bsz AS (
+  SELECT band_idx, band_val, count(*) AS c FROM bd GROUP BY 1, 2
+),
+bdc AS (
+  SELECT bd.* FROM bd JOIN bsz USING (band_idx, band_val) WHERE bsz.c <= {_SH_CAP}
+),
 cd AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
-  FROM bd a JOIN bd b
+  FROM bdc a JOIN bdc b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
@@ -239,17 +253,23 @@ FROM pr JOIN ms x ON x.doc_id = id_a JOIN ms y ON y.doc_id = id_b
 # --- dp5 embedding-cosine near-dup ---------------------------------------
 
 _ED_PLANES, _ED_THRESH = 8, 0.99
+# Hot-bucket guard twin of _SH_CAP: above the biggest sf0.01 sign-bucket,
+# so the driver-gate result is unchanged; bounds the sf1 sweep's pair join
+# (measured 9.1M candidate pairs uncapped at sf1 with a 1945-vec bucket).
+_ED_CAP = 1000
 
 def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return textdedup.embedding_near_dups(
         _emb_with_dups(spark, sf), "vec_id", "embedding",
-        threshold=_ED_THRESH, n_planes=_ED_PLANES,
+        threshold=_ED_THRESH, n_planes=_ED_PLANES, hot_bucket_cap=_ED_CAP,
     )
 
 SQL_EMBEDDING_NEARDUP = f"""
 WITH a AS ({_SQL_EMB_DUPS}),
 q AS (SELECT vec_id, {_DUCK_Q} AS q FROM a),
-b AS (SELECT vec_id, q, {_duck_bucket('q', _ED_PLANES)} AS bucket FROM q)
+b0 AS (SELECT vec_id, q, {_duck_bucket('q', _ED_PLANES)} AS bucket FROM q),
+bz AS (SELECT bucket, count(*) AS c FROM b0 GROUP BY 1),
+b AS (SELECT b0.* FROM b0 JOIN bz USING (bucket) WHERE bz.c <= {_ED_CAP})
 SELECT x.vec_id AS id_a, y.vec_id AS id_b, {_duck_cosine('x.q', 'y.q')} AS cosine
 FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
 WHERE {_duck_cosine('x.q', 'y.q')} >= {_ED_THRESH}

@@ -260,10 +260,20 @@ def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
-                      max_hamming: int = 3) -> DataFrame:
+                      max_hamming: int = 3,
+                      hot_bucket_cap: int | None = None) -> DataFrame:
     """SimHash near-dup: band on 8-bit slices (pigeonhole: hamming<=3 over
     4 bands guarantees one identical band), bucket self-join, exact
-    Hamming verify with bit_count(xor)."""
+    Hamming verify with bit_count(xor).
+
+    ``hot_bucket_cap``: the same skew guard as ``banded_lsh_pairs`` — a
+    band bucket of size c contributes c*(c-1)/2 self-join rows, and
+    simhashes of templated/boilerplate corpora CLUSTER (measured on the
+    10x amplified bench corpus: 57k docs -> an 24k-doc band bucket ->
+    885M candidate pairs, a driver-killing blowup on identical code that
+    passes at small scale). Buckets above the cap are excluded from
+    pairing; their members still pair through any cooler band. None keeps
+    the exact all-pairs behavior."""
     sims = simhash(docs, id_col, text_col)
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     exploded = sims.select(
@@ -281,6 +291,14 @@ def simhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
             )
         ).alias("band"),
     ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    if hot_bucket_cap is not None:
+        sizes = exploded.groupBy("band_idx", "band_val").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        exploded = exploded.join(
+            sizes.filter(F.col("_bsz") <= hot_bucket_cap),
+            ["band_idx", "band_val"],
+        ).drop("_bsz")
     a, b = exploded.alias("a"), exploded.alias("b")
     cands = (
         a.join(
@@ -307,13 +325,19 @@ def simhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
 
 def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
                         threshold: float = 0.95, n_planes: int = 8,
-                        quant: int = 1000) -> DataFrame:
+                        quant: int = 1000,
+                        hot_bucket_cap: int | None = None) -> DataFrame:
     """Near-dup pairs by cosine >= threshold, LSH-bucketed by integer
     hyperplane signs (see similarity.hyperplane_bucket): candidates share a
     bucket, then exact integer-quantized cosine verifies. High-cosine pairs
     agree on most hyperplane signs, so same-bucket recall is high at
-    near-dup thresholds; the bucket join keeps the shuffle linear."""
+    near-dup thresholds; the bucket join keeps the shuffle linear.
+
+    ``hot_bucket_cap``: same skew guard as the banded families — buckets
+    above the cap (embedding clusters collapse onto few sign patterns on
+    templated corpora) are excluded from pairing. None = exact."""
     from flinkrealtimedatawarehouse_spark.datapipeline.similarity import (
+        _sq_norm,
         hyperplane_bucket,
         quantized,
     )
@@ -321,15 +345,19 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
     q = emb.select(
         F.col(id_col),
         quantized(F.col(vec_col), quant).alias("q"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("q"), n_planes))
+    ).withColumn("bucket", hyperplane_bucket(F.col("q"), n_planes)).withColumn(
+        "_n", _sq_norm(F.col("q"))  # once per ROW, not twice per PAIR
+    )
+    if hot_bucket_cap is not None:
+        sizes = q.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+        q = q.join(sizes.filter(F.col("_bsz") <= hot_bucket_cap), "bucket").drop("_bsz")
     a, b = q.alias("a"), q.alias("b")
     dot = F.aggregate(
         F.zip_with("a.q", "b.q", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
-    norm = lambda side: F.aggregate(  # noqa: E731
-        F.transform(f"{side}.q", lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+    cos = F.round(
+        dot.cast("double") / F.sqrt(F.col("a._n").cast("double") * F.col("b._n").cast("double")), 6
     )
-    cos = F.round(dot.cast("double") / F.sqrt(norm("a").cast("double") * norm("b").cast("double")), 6)
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(

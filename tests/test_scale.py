@@ -169,3 +169,51 @@ def test_minhash_near_dups_cap_preserves_cool_pairs(spark):
     pairs = {(r.id_a, r.id_b) for r in capped}
     assert (500, 501) in pairs
     assert all(a >= 500 for a, _ in pairs)
+
+
+def test_simhash_hot_bucket_cap_bounds_planted_mega_bucket(spark):
+    """SimHash twin of the LSH guard: identical boilerplate docs all share
+    one simhash (every band collides), so uncapped candidate generation is
+    quadratic in the cluster size; with the cap the mega-cluster is
+    excluded while a genuine near-dup pair outside it still surfaces."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
+
+    boiler = [(i, "the same boilerplate header text appears everywhere")
+              for i in range(120)]
+    real = [
+        (1000, "a genuinely interesting document about spark partitioning"),
+        (1001, "a genuinely interesting document about spark partitioning too"),
+        (2000, "completely different content with no duplicate at all here"),
+    ]
+    docs = spark.createDataFrame(boiler + real, "doc_id long, text string")
+    uncapped = textdedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=6)
+    assert uncapped.count() >= 120 * 119 // 2
+    capped = textdedup.simhash_near_dups(
+        docs, "doc_id", "text", max_hamming=6, hot_bucket_cap=50
+    ).collect()
+    ids = {(r.id_a, r.id_b) for r in capped}
+    assert (1000, 1001) in ids
+    assert all(not (a < 120 and b < 120) for a, b in ids)
+
+
+def test_embedding_neardup_cap_bounds_planted_sign_cluster(spark):
+    """Embedding-cosine twin: one repeated vector (every copy lands in the
+    same sign bucket) must not pair quadratically under the cap, while a
+    distinct near-identical pair in a cool bucket still verifies."""
+    from pyspark.sql import functions as F
+
+    from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
+
+    hot = [(i, [1.0, 0.5, -0.25, 0.125]) for i in range(80)]
+    cool = [(900, [-1.0, 0.9, 0.8, -0.7]), (901, [-1.0, 0.9, 0.8, -0.699])]
+    emb = spark.createDataFrame(hot + cool, "vec_id long, embedding array<float>")
+    uncapped = textdedup.embedding_near_dups(
+        emb, "vec_id", "embedding", threshold=0.99, n_planes=6
+    )
+    assert uncapped.count() >= 80 * 79 // 2
+    capped = textdedup.embedding_near_dups(
+        emb, "vec_id", "embedding", threshold=0.99, n_planes=6, hot_bucket_cap=40
+    ).collect()
+    ids = {(r.id_a, r.id_b) for r in capped}
+    assert (900, 901) in ids
+    assert all(a >= 900 for a, _ in ids)
