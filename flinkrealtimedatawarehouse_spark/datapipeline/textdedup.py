@@ -259,6 +259,70 @@ def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return hashed.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
 
 
+def _simhash_band_rows(sims: DataFrame, id_col: str) -> DataFrame:
+    """(id, simhash) -> one row per (id, band_idx, band_val) 8-bit slice."""
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    return sims.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.shiftright("simhash", bi * SIMHASH_BAND_BITS).bitwiseAND(F.lit(255)).alias("band_val"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+
+
+def _over_cap_stats(sizes: DataFrame, cap: int) -> DataFrame:
+    """(bucket-size rows with column ``c``) -> one accounting row: buckets
+    over the cap and the candidate pairs the cap removes from them (pairs
+    that also co-occur in a cool bucket still surface there)."""
+    hot = sizes.filter(F.col("c") > cap)
+    return hot.agg(
+        F.count(F.lit(1)).alias("hot_buckets"),
+        F.coalesce(F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0))
+        .cast("long")
+        .alias("dropped_pairs"),
+    )
+
+
+def simhash_hot_bucket_stats(docs: DataFrame, id_col: str, text_col: str,
+                             hot_bucket_cap: int) -> DataFrame:
+    """Accounting twin of ``simhash_near_dups(hot_bucket_cap=...)`` — run
+    alongside a capped dedup so the drop is measured, never silent (same
+    contract as ``lsh_hot_bucket_stats``)."""
+    sizes = (
+        _simhash_band_rows(simhash(docs, id_col, text_col), id_col)
+        .groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return _over_cap_stats(sizes, hot_bucket_cap)
+
+
+def embedding_hot_bucket_stats(emb: DataFrame, id_col: str, vec_col: str,
+                               n_planes: int, hot_bucket_cap: int,
+                               quant: int = 1000) -> DataFrame:
+    """Accounting twin of ``embedding_near_dups(hot_bucket_cap=...)``."""
+    from flinkrealtimedatawarehouse_spark.datapipeline.similarity import (
+        hyperplane_bucket,
+        quantized,
+    )
+
+    sizes = (
+        emb.select(quantized(F.col(vec_col), quant).alias("q"))
+        .select(hyperplane_bucket(F.col("q"), n_planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return _over_cap_stats(sizes, hot_bucket_cap)
+
+
 def simhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
                       max_hamming: int = 3,
                       hot_bucket_cap: int | None = None) -> DataFrame:
@@ -274,23 +338,7 @@ def simhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
     passes at small scale). Buckets above the cap are excluded from
     pairing; their members still pair through any cooler band. None keeps
     the exact all-pairs behavior."""
-    sims = simhash(docs, id_col, text_col)
-    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
-    exploded = sims.select(
-        F.col(id_col),
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band_idx"),
-                        F.shiftright("simhash", bi * SIMHASH_BAND_BITS).bitwiseAND(F.lit(255)).alias("band_val"),
-                    )
-                    for bi in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    exploded = _simhash_band_rows(simhash(docs, id_col, text_col), id_col)
     if hot_bucket_cap is not None:
         sizes = exploded.groupBy("band_idx", "band_val").agg(
             F.count(F.lit(1)).alias("_bsz")

@@ -194,14 +194,17 @@ def test_simhash_hot_bucket_cap_bounds_planted_mega_bucket(spark):
     ids = {(r.id_a, r.id_b) for r in capped}
     assert (1000, 1001) in ids
     assert all(not (a < 120 and b < 120) for a, b in ids)
+    stats = textdedup.simhash_hot_bucket_stats(
+        docs, "doc_id", "text", hot_bucket_cap=50
+    ).collect()[0]
+    assert stats.hot_buckets >= 4  # all 4 bands of the identical cluster
+    assert stats.dropped_pairs >= 4 * (120 * 119 // 2)
 
 
 def test_embedding_neardup_cap_bounds_planted_sign_cluster(spark):
     """Embedding-cosine twin: one repeated vector (every copy lands in the
     same sign bucket) must not pair quadratically under the cap, while a
     distinct near-identical pair in a cool bucket still verifies."""
-    from pyspark.sql import functions as F
-
     from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
 
     hot = [(i, [1.0, 0.5, -0.25, 0.125]) for i in range(80)]
@@ -217,3 +220,8 @@ def test_embedding_neardup_cap_bounds_planted_sign_cluster(spark):
     ids = {(r.id_a, r.id_b) for r in capped}
     assert (900, 901) in ids
     assert all(a >= 900 for a, _ in ids)
+    stats = textdedup.embedding_hot_bucket_stats(
+        emb, "vec_id", "embedding", n_planes=6, hot_bucket_cap=40
+    ).collect()[0]
+    assert stats.hot_buckets >= 1
+    assert stats.dropped_pairs >= 80 * 79 // 2
