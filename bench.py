@@ -221,6 +221,12 @@ def main() -> int:
         "tpch15_topsupp": tpch.q_tpch15,
         "tpch17_smallqty": tpch.q_tpch17,
         "tpch22_noorders": tpch.q_tpch22,
+        "tpch2_mincost": tpch.q_tpch2,
+        "tpch11_important": tpch.q_tpch11,
+        "tpch12_shipmode": tpch.q_tpch12,
+        "tpch16_supplier_cnt": tpch.q_tpch16,
+        "tpch20_potential": tpch.q_tpch20,
+        "tpch21_waiting": tpch.q_tpch21,
         "a8f_funnel": wh.q_a8f,
         "a8t_retention": wh.q_a8t,
         "dp15s_span_dedup": pipeline.q_span_dedup,
