@@ -120,7 +120,6 @@ def run_sf1_tier() -> int:
                 n = fn(spark, sf1_dir).count()
                 best = min(best, time.time() - t0)
             sf1_queries[name] = round(best, 3)
-            _release_query_state(spark)
             print(
                 f"# sf1 {name}: {n} rows in {sf1_queries[name]}s "
                 f"(cold {sf1_cold[name]}s)",
@@ -128,6 +127,11 @@ def run_sf1_tier() -> int:
             )
         except Exception as e:
             print(f"# sf1 {name} FAILED: {e}", file=sys.stderr)
+        finally:
+            # release even when the query FAILED mid-run — a failed dp2/
+            # dp15s otherwise leaks its persisted RDDs into every later
+            # query's timing (the contamination the comment above measures)
+            _release_query_state(spark)
 
     print(json.dumps({
         "sf1": {

@@ -311,7 +311,7 @@ def q_t7m(spark: SparkSession, sf: str) -> DataFrame:
     it emits no decision and no window of its own."""
     sdf = _staged_events_stream(spark, sf, "t7m", "1200 seconds")
     out = state.bounce_stats_stream(sdf, gap_s=300, delay="30 seconds", duration="10 minutes")
-    return runner.run_to_memory(out, "t7m")
+    return runner.run_to_memory(out, "t7m", conf_overrides=state.CHAIN_STREAM_CONFS)
 
 
 def q_t7u(spark: SparkSession, sf: str) -> DataFrame:

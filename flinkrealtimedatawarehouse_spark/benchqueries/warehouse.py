@@ -783,6 +783,8 @@ FROM orders WHERE strftime(o_orderdate, '%Y%m%d') = '19960917'
 # branches' DuckDB twins recompute from the NORMALIZED base tables, so a
 # hash match proves the wide build+serve round-trip end-to-end against an
 # independent engine.
+_WIDE_BUILT: dict[str, str] = {}  # sf dir -> built wide-table path (per process)
+
 def q_a7c(spark: SparkSession, sf: str) -> DataFrame:
     from flinkrealtimedatawarehouse_spark import serving
     from flinkrealtimedatawarehouse_spark.streaming.runner import scratch_dir
@@ -794,8 +796,14 @@ def q_a7c(spark: SparkSession, sf: str) -> DataFrame:
     gmv = q_a10(spark, sf).select(
         F.lit("gmv").alias("kind"), F.lit("ALL").alias("dim"), F.col("gmv").alias("amount")
     )
-    wide_path = scratch_dir("wide_product")
-    serving.build_wide_product(spark, sf, wide_path)
+    # J6's whole point is paying the star join ONCE: memoize the build per
+    # (process, sf) so repeated gate/bench invocations serve from the same
+    # wide table instead of rebuilding and accumulating scratch copies.
+    wide_path = _WIDE_BUILT.get(sf)
+    if wide_path is None:
+        wide_path = scratch_dir("wide_product")
+        serving.build_wide_product(spark, sf, wide_path)
+        _WIDE_BUILT[sf] = wide_path
     serving.register_wide_serving_views(spark, wide_path)
     wide_brand = spark.sql("SELECT * FROM ads_top_brand_wide").select(
         F.lit("wide_brand").alias("kind"), F.col("p_brand").alias("dim"),
@@ -809,12 +817,7 @@ def q_a7c(spark: SparkSession, sf: str) -> DataFrame:
 # The wide twins re-derive from base tables with the wide build's INNER
 # joins (WIDE_PRODUCT_SQL), not SQL_A7's LEFT join — exact formulation.
 SQL_A7C = f"""
-SELECT 'topn' AS kind, p_brand AS dim, amount FROM (
-  SELECT p_brand, round(sum(l_extendedprice), 2) AS amount
-  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
-  GROUP BY 1 HAVING round(sum(l_extendedprice), 2) > 0
-  ORDER BY amount DESC, p_brand LIMIT 10
-)
+SELECT 'topn' AS kind, p_brand AS dim, order_amount AS amount FROM ({SQL_A7})
 UNION ALL
 SELECT 'gmv', 'ALL', gmv FROM ({SQL_A10})
 UNION ALL

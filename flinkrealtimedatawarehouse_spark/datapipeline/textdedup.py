@@ -172,14 +172,8 @@ def lsh_hot_bucket_stats(sigs: DataFrame, id_col: str, bands: int,
         lsh_band_rows(sigs, id_col, bands, rows_per_band)
         .groupBy("band_idx", "band_key")
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > hot_bucket_cap)
     )
-    return sizes.agg(
-        F.count(F.lit(1)).alias("hot_buckets"),
-        F.coalesce(F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0))
-        .cast("long")
-        .alias("dropped_pairs"),
-    )
+    return _over_cap_stats(sizes, hot_bucket_cap)
 
 
 def jaccard_verify(pairs: DataFrame, sigs: DataFrame, id_col: str) -> DataFrame:

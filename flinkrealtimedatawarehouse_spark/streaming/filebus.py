@@ -130,6 +130,11 @@ class KafkaLikeFileBus:
             if not (p.startswith("part-") and p.endswith(".json")):
                 continue
             parts = p[len("part-"):-len(".json")].split("-")
+            if not parts[0].isdigit():
+                # foreign file matching the glob (manual copy, editor
+                # backup): ignore it rather than poison every produce —
+                # read_stream never assigns it offsets either
+                continue
             base = int(parts[0])
             if len(parts) >= 3 and parts[1].isdigit():
                 end = base + int(parts[1])

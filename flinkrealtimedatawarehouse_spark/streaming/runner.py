@@ -191,16 +191,39 @@ class _stream_shuffle_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
+class scoped_conf:
+    """Scope session-conf overrides to one replay run: set before the
+    stream starts (Spark consults streaming confs at start), restored to
+    their previous values after termination — so a query that needs a
+    non-default policy (e.g. the T7→A1 chain's multipleWatermarkPolicy)
+    never leaks it into later queries on the shared session."""
+
+    def __init__(self, spark: SparkSession, overrides: dict | None):
+        self.spark, self.overrides = spark, overrides or {}
+
+    def __enter__(self):
+        self.prev = {k: self.spark.conf.get(k) for k in self.overrides}
+        for k, v in self.overrides.items():
+            self.spark.conf.set(k, v)
+
+    def __exit__(self, *exc):
+        for k, v in self.prev.items():
+            self.spark.conf.set(k, v)
+
+
 def run_to_memory(
     sdf: DataFrame,
     tag: str,
     output_mode: str = "append",
     shuffle_partitions: int = 8,
+    conf_overrides: dict | None = None,
 ) -> DataFrame:
     """Run a streaming DF to completion into a memory sink; return the
     sink table as a batch DataFrame. Checkpointing on (T9)."""
     name = f"sink_{tag}_{os.getpid()}_{next(_counter)}"
-    with _stream_shuffle_partitions(sdf.sparkSession, shuffle_partitions):
+    with _stream_shuffle_partitions(sdf.sparkSession, shuffle_partitions), scoped_conf(
+        sdf.sparkSession, conf_overrides
+    ):
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)

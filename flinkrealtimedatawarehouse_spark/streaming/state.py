@@ -247,6 +247,15 @@ def _delay_seconds(delay: str) -> int:
     return int(n) * mult
 
 
+# Stream-start confs the T7→A1 chain needs; scope them to the one run
+# (runner.scoped_conf / run_to_memory(conf_overrides=...)) — never set them
+# on the shared session (see bounce_stats_stream's docstring).
+CHAIN_STREAM_CONFS = {
+    "spark.sql.streaming.statefulOperator.checkCorrectness.enabled": "false",
+    "spark.sql.streaming.multipleWatermarkPolicy": "max",
+}
+
+
 def bounce_stats_stream(
     events: DataFrame,
     key: str = "user_id",
@@ -282,16 +291,17 @@ def bounce_stats_stream(
     Spark's static checker rejects any stateful operator downstream of
     applyInPandasWithState because it cannot see this bound, so the
     query requires ``spark.sql.streaming.statefulOperator.
-    checkCorrectness.enabled=false`` (set here, session-wide — Spark
-    only consults it at stream start), and ``multipleWatermarkPolicy=
+    checkCorrectness.enabled=false``, and ``multipleWatermarkPolicy=
     max`` so the downstream watermark node (which starts at epoch 0 and
     only ever lags the source) cannot hold the global watermark at 0 and
-    deadlock the bounce operator's timers.
+    deadlock the bounce operator's timers. Both confs are consulted at
+    STREAM START and are semantic for every other query on the session
+    ('max' would let one branch of a two-watermark join outrun the
+    other's still-live rows), so this function does NOT set them
+    session-wide: start the query under ``CHAIN_STREAM_CONFS`` — e.g.
+    ``runner.run_to_memory(..., conf_overrides=CHAIN_STREAM_CONFS)`` —
+    which scopes them to the one run and restores the defaults after.
     """
-    events.sparkSession.conf.set(
-        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false"
-    )
-    events.sparkSession.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
     decided = bounce_stream(
         events, key, ts_col, entry_pred, gap_s, delay, emit_ts=True
     )

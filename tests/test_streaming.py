@@ -336,6 +336,7 @@ def test_stream_bounce_then_window_chain(spark):
             sdf, gap_s=10, delay="1 second", duration="1 minute"
         ),
         "bchain",
+        conf_overrides=state.CHAIN_STREAM_CONFS,
     )
     got = {
         r.stt: (r.entry_ct, r.bounce_ct, r.uv_ct)
@@ -375,12 +376,18 @@ def test_stream_bounce_chain_entry_late_in_window(spark):
     )
     in_dir = runner.stage_stream_dir(src, "ts", 5, "bchainlate")
     sdf = runner.parquet_stream(spark, in_dir, src.schema)
+    confs_before = {k: spark.conf.get(k) for k in state.CHAIN_STREAM_CONFS}
     out = runner.run_to_memory(
         state.bounce_stats_stream(sdf, gap_s=10, delay="1 second", duration="1 minute"),
         "bchainlate",
+        conf_overrides=state.CHAIN_STREAM_CONFS,
     )
     got = {r.stt: (r.entry_ct, r.bounce_ct, r.uv_ct) for r in out.collect()}
     assert got == {"2024-01-01 00:00:00": (1, 1, 1)}
+    # the chain's watermark-policy/checker overrides are scoped to the run:
+    # 'max' or a disabled checker leaking session-wide would silently
+    # change every later multi-watermark query (stream-stream joins)
+    assert {k: spark.conf.get(k) for k in state.CHAIN_STREAM_CONFS} == confs_before
 
 
 def test_stream_session_window_matches_batch_sessionize(spark):

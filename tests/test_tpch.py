@@ -101,10 +101,33 @@ def test_q11_threshold_against_recomputed_total(spark):
     # (the sf0.01 driver gate hashes it populated: 299 rows)
     vals = [r["value"] for r in rows]
     assert vals == sorted(vals, reverse=True)
-    if rows:
-        total = sum(vals)  # returned parts are a subset of the nation total
-        assert all(v * 1000 > total * 0 for v in vals)  # positive
-        assert all(v > 0 for v in vals)
+    # independently recompute the nation total AND per-part sums, then
+    # check the returned set is EXACTLY the parts over the threshold
+    from pyspark.sql import functions as F
+
+    from flinkrealtimedatawarehouse_spark.tables import load_table
+
+    n = load_table(spark, SF, "nation").filter(F.col("n_name") == "NATION_11")
+    s = (
+        load_table(spark, SF, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    ps = tpch._partsupp(spark, SF)
+    psn = ps.join(s, ps["ps_suppkey"] == s["s_suppkey"]).select(
+        "ps_partkey", (F.col("ps_availqty") * F.col("ps_supplycost_c")).alias("val_c")
+    )
+    tot_c = psn.agg(F.sum("val_c")).first()[0] or 0
+    per = {
+        r["ps_partkey"]: r["vc"]
+        for r in psn.groupBy("ps_partkey").agg(F.sum("val_c").alias("vc")).collect()
+    }
+    assert {r["ps_partkey"] for r in rows} == {
+        pk for pk, vc in per.items() if vc * 1000 > tot_c
+    }
+    for r in rows:
+        assert per[r["ps_partkey"]] * 1000 > tot_c
+        assert abs(per[r["ps_partkey"]] / 100.0 - r["value"]) < 1e-9
 
 
 def test_q12_shipmode_partition_is_exact(spark):
