@@ -55,6 +55,12 @@ _SQL_EXACT_DUPS = """
 """
 
 def _docs_with_near_dups(spark, sf):
+    # Planted ids are doc_id + 20000. At sf0.01 (the driver gate) that is
+    # disjoint from every real id; at the sf1 sweep's amplified ids it can
+    # COLLIDE with real doc_ids — harmless for gate parity (both engines
+    # apply the identical union, so joins/hashes agree), but means doc_id
+    # is not unique in this fixture at large sf. Kept as-is because the
+    # offset is baked into committed gate outputs' id_b values.
     docs = load_table(spark, sf, "documents")
     planted = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 20000).alias("doc_id"),
