@@ -175,3 +175,44 @@ def test_a12c_gate_has_all_22_branches_at_sf001(spark):
     # in BOTH engines — the oracle hashes the empty branch identically
     assert want - got <= {"tpch22"}
     assert got <= want
+
+
+def test_q21_matches_literal_exists_formulation(spark):
+    """Differential check for the hardest join shape: the decorrelated
+    Q21 (two per-order aggregates) must equal the spec's literal triple
+    self-join — EXISTS other-supplier / NOT EXISTS other-late-supplier —
+    run through Spark SQL's own correlated-subquery planner. Uses sf0.01
+    so NATION_11 is populated."""
+    sf = "/root/testdata/sf0.01"
+    got = {(r["s_name"], r["numwait"]) for r in tpch.q_tpch21(spark, sf).collect()}
+    tpch._lineitem_ext(spark, sf).select(
+        "l_orderkey", "l_suppkey", "l_receiptdate", "l_commitdate"
+    ).createOrReplaceTempView("t21_ext")
+    load_table(spark, sf, "orders").createOrReplaceTempView("t21_orders")
+    load_table(spark, sf, "supplier").createOrReplaceTempView("t21_supplier")
+    load_table(spark, sf, "nation").createOrReplaceTempView("t21_nation")
+    want = {
+        (r["s_name"], r["numwait"])
+        for r in spark.sql(
+            """
+            SELECT s_name, count(*) AS numwait
+            FROM t21_ext l1
+            JOIN t21_orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+            JOIN t21_supplier ON s_suppkey = l1.l_suppkey
+            JOIN t21_nation ON s_nationkey = n_nationkey AND n_name = 'NATION_11'
+            WHERE l1.l_receiptdate > l1.l_commitdate
+              AND EXISTS (
+                SELECT 1 FROM t21_ext l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM t21_ext l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_receiptdate > l3.l_commitdate)
+            GROUP BY s_name
+            """
+        ).collect()
+    }
+    assert len(want) <= 100  # LIMIT 100 in q_tpch21 can't truncate here
+    assert got == want and len(got) > 0
