@@ -216,3 +216,40 @@ def test_q21_matches_literal_exists_formulation(spark):
     }
     assert len(want) <= 100  # LIMIT 100 in q_tpch21 can't truncate here
     assert got == want and len(got) > 0
+
+
+def test_q20_matches_literal_in_subquery_formulation(spark):
+    """Q20 differential twin of the Q21 test: the aggregate-then-semi-join
+    form must equal the spec's literal nested IN-subquery chain
+    (suppkey IN partsupp-with-excess-stock, partkey IN red parts,
+    availqty > half the correlated shipped quantity) through Spark SQL's
+    own subquery planner."""
+    sf = "/root/testdata/sf0.01"
+    got = [(r["s_name"], r["s_acctbal"]) for r in tpch.q_tpch20(spark, sf).collect()]
+    tpch._partsupp(spark, sf).createOrReplaceTempView("t20_ps")
+    for t in ("lineitem", "part", "supplier", "nation"):
+        load_table(spark, sf, t).createOrReplaceTempView(f"t20_{t}")
+    want = [
+        (r["s_name"], r["s_acctbal"])
+        for r in spark.sql(
+            """
+            SELECT s_name, s_acctbal
+            FROM t20_supplier JOIN t20_nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_14'
+              AND s_suppkey IN (
+                SELECT ps_suppkey FROM t20_ps
+                WHERE ps_partkey IN (
+                    SELECT p_partkey FROM t20_part WHERE p_name LIKE 'red%')
+                  AND ps_availqty * 200 > (
+                    -- spec-faithful: empty set -> NULL -> excluded (same
+                    -- as the decorrelated form's INNER join to qty)
+                    SELECT sum(round(l_quantity * 100))
+                    FROM t20_lineitem
+                    WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                      AND l_shipdate >= DATE '1997-01-01'
+                      AND l_shipdate < DATE '1998-01-01'))
+            ORDER BY s_name
+            """
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
