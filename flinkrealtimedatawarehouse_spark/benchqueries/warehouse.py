@@ -784,6 +784,7 @@ FROM orders WHERE strftime(o_orderdate, '%Y%m%d') = '19960917'
 # hash match proves the wide build+serve round-trip end-to-end against an
 # independent engine.
 _WIDE_BUILT: dict[str, str] = {}  # sf dir -> built wide-table path (per process)
+_WIDE_LIVE_BUILT: dict[str, str] = {}  # sf dir -> streaming-maintained wide sink dir
 
 def q_a7c(spark: SparkSession, sf: str) -> DataFrame:
     from flinkrealtimedatawarehouse_spark import serving
@@ -799,7 +800,11 @@ def q_a7c(spark: SparkSession, sf: str) -> DataFrame:
     # J6's whole point is paying the star join ONCE: memoize the build per
     # (process, sf) so repeated gate/bench invocations serve from the same
     # wide table instead of rebuilding and accumulating scratch copies.
+    # Existence-checked: a cleaned scratch dir (or in-process data regen)
+    # invalidates the memo instead of serving views over a missing path.
     wide_path = _WIDE_BUILT.get(sf)
+    if wide_path is not None and not os.path.isdir(wide_path):
+        wide_path = None
     if wide_path is None:
         wide_path = scratch_dir("wide_product")
         serving.build_wide_product(spark, sf, wide_path)
@@ -812,7 +817,40 @@ def q_a7c(spark: SparkSession, sf: str) -> DataFrame:
     wide_gmv = spark.sql("SELECT * FROM ads_gmv_day_wide").select(
         F.lit("wide_gmv").alias("kind"), F.col("dt").alias("dim"), F.col("gmv").alias("amount")
     )
-    return topn.unionByName(gmv).unionByName(wide_brand).unionByName(wide_gmv)
+    # J6 STREAMING upkeep branches: the same wide gold table maintained
+    # incrementally (lineitem stream -> per-batch dim enrich -> K4
+    # AdditiveGoldSink fold, serving.stream_wide_product_upkeep). Their
+    # DuckDB twins recompute from the normalized base, so a hash match
+    # proves stream-maintained == batch-built == independent engine.
+    # Memoized like the batch build (the stream replays identically, the
+    # sink recovers from its committed marker — re-running it would only
+    # re-pay the staging); existence-checked the same way.
+    live_dir = _WIDE_LIVE_BUILT.get(sf)
+    if live_dir is not None and not os.path.isdir(live_dir):
+        live_dir = None
+    if live_dir is None:
+        live_dir = scratch_dir("wide_product_live")
+        serving.stream_wide_product_upkeep(spark, sf, live_dir)
+        _WIDE_LIVE_BUILT[sf] = live_dir
+    from flinkrealtimedatawarehouse_spark.streaming import sinks as _sinks
+
+    live_sink = _sinks.AdditiveGoldSink(
+        live_dir, keys=serving.WIDE_AGG_KEYS,
+        measures={"order_amount": ("l_extendedprice", "sum"),
+                  "order_ct": ("l_extendedprice", "count")},
+    )
+    serving.register_wide_live_views(spark, live_sink.current(spark))
+    live_brand = spark.sql("SELECT * FROM ads_top_brand_wide_live").select(
+        F.lit("live_brand").alias("kind"), F.col("p_brand").alias("dim"),
+        F.col("order_amount").alias("amount"),
+    )
+    live_gmv = spark.sql("SELECT * FROM ads_gmv_day_wide_live").select(
+        F.lit("live_gmv").alias("kind"), F.col("dt").alias("dim"), F.col("gmv").alias("amount")
+    )
+    return (
+        topn.unionByName(gmv).unionByName(wide_brand).unionByName(wide_gmv)
+        .unionByName(live_brand).unionByName(live_gmv)
+    )
 
 # The wide twins re-derive from base tables with the wide build's INNER
 # joins (WIDE_PRODUCT_SQL), not SQL_A7's LEFT join — exact formulation.
@@ -830,6 +868,22 @@ SELECT 'wide_brand', p_brand, amount FROM (
 )
 UNION ALL
 SELECT 'wide_gmv', dt, gmv FROM (
+  SELECT strftime(o_orderdate, '%Y%m%d') AS dt,
+         round(sum(l_extendedprice), 2) AS gmv
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+)
+UNION ALL
+SELECT 'live_brand', p_brand, amount FROM (
+  SELECT p_brand, round(sum(l_extendedprice), 2) AS amount
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1 HAVING round(sum(l_extendedprice), 2) > 0
+  ORDER BY amount DESC, p_brand LIMIT 10
+)
+UNION ALL
+SELECT 'live_gmv', dt, gmv FROM (
   SELECT strftime(o_orderdate, '%Y%m%d') AS dt,
          round(sum(l_extendedprice), 2) AS gmv
   FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -177,14 +177,18 @@ def _rank_probe_cells(probe_q: DataFrame, cent: DataFrame, n_probe: int) -> Data
                 ).alias("ccos"))
         .withColumn("crank", F.row_number().over(cw))
         .filter(F.col("crank") <= n_probe)
-        .select("probe_id", "qp", "_pn", F.col("cell").alias("probe_cell"))
+        # _pn is internal plumbing — probed_cells() exposes this frame as
+        # public API, so the contract is exactly (probe_id, qp, probe_cell);
+        # _cell_rerank re-derives the squared norm (cheap: broadcast side,
+        # one pass per probe row, not per candidate pair)
+        .select("probe_id", "qp", F.col("cell").alias("probe_cell"))
     )
 
 
 def _cell_rerank(corpus: DataFrame, probe_cells: DataFrame, k: int) -> DataFrame:
     """Exact cosine re-rank of corpus rows inside each probe's cells."""
     scored = corpus.withColumn("_cn", _sq_norm(F.col("qn"))).join(
-        F.broadcast(probe_cells),
+        F.broadcast(probe_cells.withColumn("_pn", _sq_norm(F.col("qp")))),
         (F.col("cell") == F.col("probe_cell")) & (F.col("probe_id") != F.col("neighbor_id")),
     ).select(
         "probe_id", "neighbor_id",

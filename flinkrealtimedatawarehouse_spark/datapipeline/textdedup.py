@@ -164,10 +164,12 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str, bands: int, rows_per_band:
 def lsh_hot_bucket_stats(sigs: DataFrame, id_col: str, bands: int,
                          rows_per_band: int, hot_bucket_cap: int) -> DataFrame:
     """Accounting for the skew guard: one row with ``hot_buckets`` (band
-    buckets over the cap) and ``dropped_pairs`` (sum of c*(c-1)/2 over
-    them — the candidate pairs the cap removes from THOSE buckets; pairs
-    that also co-occur in a cool bucket still surface there). Run this
-    alongside a capped dedup so the drop is measured, never silent."""
+    buckets over the cap) and ``dropped_candidates`` (sum of c*(c-1)/2 over
+    them — a per-bucket UPPER BOUND on removed candidates, NOT distinct
+    lost pairs: a pair colliding in several hot bands is counted once per
+    band, and pairs that also co-occur in a cool bucket still surface
+    there, so actual recall loss is <= this figure). Run this alongside a
+    capped dedup so the drop is measured, never silent."""
     sizes = (
         lsh_band_rows(sigs, id_col, bands, rows_per_band)
         .groupBy("band_idx", "band_key")
@@ -275,14 +277,15 @@ def _simhash_band_rows(sims: DataFrame, id_col: str) -> DataFrame:
 
 def _over_cap_stats(sizes: DataFrame, cap: int) -> DataFrame:
     """(bucket-size rows with column ``c``) -> one accounting row: buckets
-    over the cap and the candidate pairs the cap removes from them (pairs
-    that also co-occur in a cool bucket still surface there)."""
+    over the cap and an upper bound on the candidates the cap removes from
+    them (multi-band collisions counted once per band; pairs that also
+    co-occur in a cool bucket still surface there)."""
     hot = sizes.filter(F.col("c") > cap)
     return hot.agg(
         F.count(F.lit(1)).alias("hot_buckets"),
         F.coalesce(F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0))
         .cast("long")
-        .alias("dropped_pairs"),
+        .alias("dropped_candidates"),
     )
 
 

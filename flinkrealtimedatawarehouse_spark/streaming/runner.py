@@ -202,13 +202,19 @@ class scoped_conf:
         self.spark, self.overrides = spark, overrides or {}
 
     def __enter__(self):
-        self.prev = {k: self.spark.conf.get(k) for k in self.overrides}
+        # get(k, None): an override key with no session default must not
+        # raise before the stream starts; None marks "was unset" so exit
+        # unsets it instead of set(k, None)
+        self.prev = {k: self.spark.conf.get(k, None) for k in self.overrides}
         for k, v in self.overrides.items():
             self.spark.conf.set(k, v)
 
     def __exit__(self, *exc):
         for k, v in self.prev.items():
-            self.spark.conf.set(k, v)
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
 
 
 def run_to_memory(

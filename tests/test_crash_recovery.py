@@ -353,3 +353,116 @@ def test_vacuum_concurrent_reader_and_crash_residue(spark, tmp_path, monkeypatch
     sink2 = VersionedSnapshotSink(base)
     removed2 = sink2.vacuum(keep_last=2)
     assert 2 in removed2 and not os.path.exists(os.path.join(base, "v2"))
+
+
+# --- T7→A1 chain: kill mid-batch, restart from the STREAMING checkpoint ----
+#
+# The chained query (state.bounce_stats_stream) carries the subtlest state
+# in the repo: the bounce operator's undecided entry tails + the downstream
+# decide-time tumble's open windows, both in Spark's state store. The crash
+# is injected INSIDE foreachBatch after a partial output write — so recovery
+# exercises (a) state-store restore for BOTH stateful operators, (b) exact
+# replay of the crashed batch from the offsets log, and (c) the idempotent
+# _bid-partition overwrite scrubbing the partial slice.
+
+_CHAIN_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, event_type string, "
+    "value double, props string"
+)
+
+
+def _chain_rows(spark):
+    from datetime import datetime
+
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")  # noqa: E731
+    rows = [
+        (1, 1, t("00:00:05"), "view", 0.0, None),   # entry; next event in gap -> not bounce
+        (1, 2, t("00:00:08"), "click", 0.0, None),
+        (2, 3, t("00:00:12"), "view", 0.0, None),   # entry; silence -> bounce (timeout)
+        (9, 4, t("00:00:30"), "click", 0.0, None),  # wm pusher: decides u2
+        (3, 5, t("00:00:58"), "view", 0.0, None),   # entry in LAST gap-sec of its window -> bounce
+        (9, 6, t("00:01:20"), "click", 0.0, None),  # wm pusher: decides u3 (late-in-window case)
+        (4, 7, t("00:01:30"), "view", 0.0, None),   # entry; click in gap -> not bounce
+        (4, 8, t("00:01:35"), "click", 0.0, None),
+        (5, 9, t("00:03:30"), "view", 0.0, None),   # entry whose DECISION closes the agg windows
+        (9, 10, t("00:05:00"), "click", 0.0, None), # wm pusher: decides u5
+    ]
+    return spark.createDataFrame(rows, _CHAIN_SCHEMA)
+
+
+# entry-window rollups decided AND closed by end of stream. Under the
+# chain's multipleWatermarkPolicy=max the SOURCE watermark (00:04:59 after
+# u9's last click) drives window close, so u5's window closes too even
+# though the last decision row only carries decide_ts 00:03:40.
+_CHAIN_EXPECTED = sorted([
+    ("2024-01-01 00:00:00", "2024-01-01 00:01:00", 3, 2, 3),  # u1,u2,u3; u2+u3 bounced
+    ("2024-01-01 00:01:00", "2024-01-01 00:02:00", 1, 0, 1),  # u4 not bounced
+    ("2024-01-01 00:03:00", "2024-01-01 00:04:00", 1, 1, 1),  # u5 bounced (timeout)
+])
+
+
+def _run_chain(spark, in_dir, work_dir, crash_batch=None):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from flinkrealtimedatawarehouse_spark.streaming import runner, sinks, state
+
+    out_dir = os.path.join(work_dir, "out")
+    ckpt = os.path.join(work_dir, "ckpt")
+    src_schema = _chain_rows(spark).schema
+    crash = {"pending": crash_batch}
+
+    def batch_fn(df, bid):
+        if crash["pending"] is not None and bid == crash["pending"]:
+            crash["pending"] = None
+            # partial slice lands, then the process "dies" before the
+            # batch commits — restart must scrub and rewrite this slice
+            sinks.write_bid_slice(df.limit(1), bid, out_dir)
+            raise _CrashInjected(f"died mid-batch {bid} after partial write")
+        sinks.write_bid_slice(df, bid, out_dir)
+
+    def run_once():
+        sdf = runner.parquet_stream(spark, in_dir, src_schema)
+        chain = state.bounce_stats_stream(
+            sdf, gap_s=10, delay="1 second", duration="1 minute"
+        )
+        with runner._stream_shuffle_partitions(spark, 8), runner.scoped_conf(
+            spark, state.CHAIN_STREAM_CONFS
+        ):
+            q = (
+                chain.writeStream.foreachBatch(batch_fn)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    if crash_batch is not None:
+        with pytest.raises(StreamingQueryException):
+            run_once()
+        run_once()  # restart: same checkpoint, state-store recovery
+    else:
+        run_once()
+    got = spark.read.parquet(out_dir)
+    # multiset (not dict): a double-emitted decision window would surface
+    # as a duplicate tuple here, not be silently collapsed
+    return sorted(
+        (r.stt, r.edt, r.entry_ct, r.bounce_ct, r.uv_ct) for r in got.collect()
+    )
+
+
+def test_chain_restart_mid_batch_state_recovers(spark, tmp_path):
+    from flinkrealtimedatawarehouse_spark.streaming import runner
+
+    src = _chain_rows(spark)
+    in_dir = runner.stage_stream_dir(src, "ts", 6, "chaincrash")
+
+    clean = _run_chain(spark, in_dir, str(tmp_path / "clean"))
+    assert clean == _CHAIN_EXPECTED
+
+    # crash early (undecided tails for u2/u3 pending) and late (open
+    # decide-window holding the first rollup) — both must recover to the
+    # uninterrupted result with zero duplicated window emissions
+    for crash_at in (2, 4):
+        got = _run_chain(spark, in_dir, str(tmp_path / f"crash{crash_at}"),
+                         crash_batch=crash_at)
+        assert got == clean, f"chain diverged after crash at batch {crash_at}"

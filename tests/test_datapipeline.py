@@ -559,6 +559,8 @@ def test_ivf_index_parity_and_partition_pruning(spark, tmp_path):
 
     one_probe = emb.filter(F.col("vec_id") == 0)
     pc = similarity.probed_cells(spark, idx, one_probe, "vec_id", "embedding", 2)
+    # public contract: no internal plumbing columns (_pn) leak out
+    assert set(pc.columns) == {"probe_id", "qp", "probe_cell"}
     cells = sorted(r.probe_cell for r in pc.select("probe_cell").distinct().collect())
     assert len(cells) == 2
     rep = scan_report(spark, f"{idx}/corpus",

@@ -146,7 +146,7 @@ def test_lsh_hot_bucket_cap_bounds_planted_mega_bucket(spark):
             sigs, "doc_id", 8, 2, hot_bucket_cap=50
         ).collect()[0]
         assert stats.hot_buckets >= 8  # all 8 bands of the planted bucket
-        assert stats.dropped_pairs >= 8 * (120 * 119 // 2)
+        assert stats.dropped_candidates >= 8 * (120 * 119 // 2)
     finally:
         sigs.unpersist()
 
@@ -198,7 +198,7 @@ def test_simhash_hot_bucket_cap_bounds_planted_mega_bucket(spark):
         docs, "doc_id", "text", hot_bucket_cap=50
     ).collect()[0]
     assert stats.hot_buckets >= 4  # all 4 bands of the identical cluster
-    assert stats.dropped_pairs >= 4 * (120 * 119 // 2)
+    assert stats.dropped_candidates >= 4 * (120 * 119 // 2)
 
 
 def test_embedding_neardup_cap_bounds_planted_sign_cluster(spark):
@@ -224,4 +224,4 @@ def test_embedding_neardup_cap_bounds_planted_sign_cluster(spark):
         emb, "vec_id", "embedding", n_planes=6, hot_bucket_cap=40
     ).collect()[0]
     assert stats.hot_buckets >= 1
-    assert stats.dropped_pairs >= 80 * 79 // 2
+    assert stats.dropped_candidates >= 80 * 79 // 2

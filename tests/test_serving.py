@@ -174,3 +174,58 @@ def test_wide_gold_serving_avoids_joins(spark, tmp_path):
         assert "Join" in twin_plan  # the per-query cost the wide build avoids
         cols = wide_df.columns
         assert _rows(wide_df, cols) == _rows(twin_df, cols), view
+
+
+def test_wide_cache_invalidated_when_scratch_removed(spark):
+    """q_a7c memoizes the built wide table per (process, sf dir); if the
+    scratch path disappears mid-process the memo must rebuild, not
+    register views over a missing path."""
+    import shutil
+
+    from flinkrealtimedatawarehouse_spark.benchqueries import warehouse
+
+    first = warehouse.q_a7c(spark, SF)
+    n_first = first.count()
+    cached = warehouse._WIDE_BUILT[SF]
+    shutil.rmtree(cached)
+    second = warehouse.q_a7c(spark, SF)
+    assert second.count() == n_first
+    import os
+
+    assert os.path.isdir(warehouse._WIDE_BUILT[SF])
+
+
+def test_streaming_wide_upkeep_matches_batch_build(spark, tmp_path):
+    """J6 streaming upkeep: the AdditiveGoldSink-maintained wide table
+    (lineitem stream -> per-batch enrich -> additive fold) must answer the
+    mapper queries identically to the batch-built wide table, and its
+    serving plans must stay join-free."""
+    from flinkrealtimedatawarehouse_spark import serving
+    from flinkrealtimedatawarehouse_spark.streaming.sinks import AdditiveGoldSink
+
+    live = serving.stream_wide_product_upkeep(
+        spark, SF, str(tmp_path / "wide_live"), n_batches=3, tag="widetest"
+    )
+    serving.register_wide_live_views(spark, live.current(spark))
+
+    serving.build_wide_product(spark, SF, str(tmp_path / "wide_batch"))
+    serving.register_wide_serving_views(spark, str(tmp_path / "wide_batch"))
+
+    for live_view, batch_view, cols in [
+        ("ads_top_brand_wide_live", "ads_top_brand_wide", ["p_brand", "order_amount"]),
+        ("ads_gmv_day_wide_live", "ads_gmv_day_wide", ["dt", "gmv"]),
+    ]:
+        live_df = spark.sql(f"SELECT * FROM {live_view}")
+        plan = live_df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, f"{live_view} serving plan re-joins:\n{plan}"
+        assert _rows(live_df, cols) == _rows(spark.sql(f"SELECT * FROM {batch_view}"), cols)
+
+    # restart recovery: a fresh sink object over the same dir resumes the
+    # committed running table (no re-streaming)
+    resumed = AdditiveGoldSink(
+        str(tmp_path / "wide_live"), keys=serving.WIDE_AGG_KEYS,
+        measures={"order_amount": ("l_extendedprice", "sum"),
+                  "order_ct": ("l_extendedprice", "count")},
+    )
+    cols = serving.WIDE_AGG_KEYS + ["order_amount", "order_ct"]
+    assert _rows(resumed.current(spark), cols) == _rows(live.current(spark), cols)

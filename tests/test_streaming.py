@@ -1388,3 +1388,17 @@ def test_span_state_sink_marks_late_smaller_id(spark, tmp_path):
     got = {r.doc_id: r.dup_windows for r in sink.flags(spark).collect()}
     assert got[10] == 0      # emitted first, unmarked
     assert got[5] > 0        # late arrival carries the dup flag
+
+
+def test_scoped_conf_restores_and_unsets(spark):
+    """scoped_conf must tolerate override keys with NO session default:
+    set them for the scope, then unset (not set-to-None) on exit; keys
+    that had a value are restored to it."""
+    key_unset = "spark.flinkrealtimedatawarehouse.test.noDefault"
+    key_set = "spark.sql.session.timeZone"
+    prev_tz = spark.conf.get(key_set)
+    with runner.scoped_conf(spark, {key_unset: "v1", key_set: "UTC"}):
+        assert spark.conf.get(key_unset) == "v1"
+        assert spark.conf.get(key_set) == "UTC"
+    assert spark.conf.get(key_unset, None) is None
+    assert spark.conf.get(key_set) == prev_tz
