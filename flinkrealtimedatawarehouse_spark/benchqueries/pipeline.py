@@ -467,6 +467,11 @@ def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
       by struct parsing; decoded sample sums == byte sums, and the wav
       container size is closed-form (44 + 2n) so total_bytes is checked
       too (PNG's deflated size is not SQL-computable -> pinned 0).
+    - ``y4m``:  same documents as uncompressed YUV4MPEG2 video — text
+      bytes chunked into 8x8 Cmono luma frames — demuxed back by the
+      stdlib Y4M decoder; decoded frame-byte sums == byte sums, and the
+      container size is closed-form (36-byte header + 70 per frame) so
+      total_bytes checks the frame count too.
     """
     docs = load_table(spark, sf, "documents")
     media = multimodal.to_media_table(docs, "doc_id", "text", "source")
@@ -493,7 +498,13 @@ def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
         ),
         "wav", True,
     )
-    return fake.unionByName(png).unionByName(wav)
+    y4m = roll(
+        multimodal.extract_features(
+            multimodal.to_y4m_media(docs, "doc_id", "text", "source"), fake=False
+        ),
+        "y4m", True,
+    )
+    return fake.unionByName(png).unionByName(wav).unionByName(y4m)
 
 SQL_MULTIMODAL = """
 WITH f AS (
@@ -505,7 +516,8 @@ WITH f AS (
   FROM documents
 ), g AS (
   SELECT source, count(*)::BIGINT AS ct, sum(n_bytes)::BIGINT AS raw_bytes,
-         sum(feat_sum)::BIGINT AS feat_total, min(feat_head)::BIGINT AS head_min
+         sum(feat_sum)::BIGINT AS feat_total, min(feat_head)::BIGINT AS head_min,
+         sum(greatest(1, cast(ceil(n_bytes / 64.0) AS BIGINT)))::BIGINT AS y4m_frames
   FROM f GROUP BY 1
 )
 SELECT 'fake' AS branch, source, ct, raw_bytes AS total_bytes, feat_total, head_min FROM g
@@ -514,6 +526,9 @@ SELECT 'png', source, ct, 0::BIGINT, feat_total, head_min FROM g
 UNION ALL
 -- PCM-16 RIFF container: 44 header bytes + 2 bytes per sample (= per text byte)
 SELECT 'wav', source, ct, (ct * 44 + raw_bytes * 2)::BIGINT, feat_total, head_min FROM g
+UNION ALL
+-- Y4M container: 36-byte stream header + 70 bytes (FRAME marker + 8x8 luma) per frame
+SELECT 'y4m', source, ct, (ct * 36 + 70 * y4m_frames)::BIGINT, feat_total, head_min FROM g
 """
 
 # --- dp13 IVF-bucketed ANN top-k (coarse quantizer = label cells) ---------

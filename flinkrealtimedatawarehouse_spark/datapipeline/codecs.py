@@ -1,9 +1,11 @@
 """Stdlib-only media codecs for the multimodal harness (dp12).
 
-The container has no PIL/librosa/av, but PNG and WAV are simple enough to
-decode with ``zlib`` + ``struct`` alone — so the image and audio halves of
+The container has no PIL/librosa/av, but PNG, WAV, and uncompressed
+YUV4MPEG2 video are simple enough to decode with ``zlib`` + ``struct`` +
+byte slicing alone — so all three modality halves of
 ``multimodal.extract_features`` run a REAL decode (bytes -> pixels /
-samples), and only video keeps its honest ``NotImplementedError`` seam.
+samples / frames). Compressed video (mp4/webm) would still need a real
+demuxer; Y4M is the uncompressed interchange format ffmpeg round-trips.
 
 PNG (ISO/IEC 15948): 8-byte signature, length-typed chunks; pixel data is
 the zlib-deflated concatenation of per-scanline ``filter_type + bytes``
@@ -13,6 +15,10 @@ rows. Supported here: bit depth 8, color types 0 (gray), 2 (RGB),
 
 WAV (RIFF): ``RIFF<size>WAVE`` then ``fmt ``/``data`` chunks; PCM 16-bit
 little-endian samples via the ``array`` module (stdlib, C-speed).
+
+Y4M (YUV4MPEG2, mjpegtools): ASCII stream header + per-frame ``FRAME``
+markers with fixed-size raw planar payloads; colorspaces C420*/C422/
+C444/Cmono.
 
 Everything is per-record and pure-Python by design: these run INSIDE the
 Arrow-batched ``mapInPandas`` decoders in ``multimodal``, so the cluster
@@ -212,6 +218,109 @@ def decode_wav(data: bytes) -> dict:
             "samples": pcm}
 
 
+# --- Y4M (YUV4MPEG2) ------------------------------------------------------
+#
+# The uncompressed video interchange format (mjpegtools; what ffmpeg emits
+# with `-f yuv4mpeg`): one ASCII stream header `YUV4MPEG2 W<w> H<h>
+# F<n>:<d> ...\n`, then per frame an ASCII `FRAME...\n` marker followed by
+# raw planar YUV bytes. Header+raw-planes makes it stdlib-parseable the
+# same way WAV was — this closes the video half of dp12's decode seam.
+
+Y4M_SIG = b"YUV4MPEG2 "
+
+_Y4M_PLANES = {  # colorspace tag -> frame size in bytes as fn(w, h)
+    "C420": lambda w, h: w * h + 2 * ((w // 2) * (h // 2)),
+    "C420jpeg": lambda w, h: w * h + 2 * ((w // 2) * (h // 2)),
+    "C420mpeg2": lambda w, h: w * h + 2 * ((w // 2) * (h // 2)),
+    "C420paldv": lambda w, h: w * h + 2 * ((w // 2) * (h // 2)),
+    "C422": lambda w, h: w * h + 2 * ((w // 2) * h),
+    "C444": lambda w, h: 3 * w * h,
+    "Cmono": lambda w, h: w * h,
+}
+
+
+def _y4m_frame_size(width: int, height: int, colorspace: str) -> int:
+    if colorspace not in _Y4M_PLANES:
+        raise ValueError(f"unsupported Y4M colorspace {colorspace!r}")
+    if colorspace.startswith(("C420", "C422")) and (width % 2 or
+                                                    colorspace.startswith("C420") and height % 2):
+        raise ValueError(f"{colorspace} requires even dimensions, got {width}x{height}")
+    return _Y4M_PLANES[colorspace](width, height)
+
+
+def encode_y4m(width: int, height: int, frames, fps: tuple[int, int] = (25, 1),
+               colorspace: str = "C420jpeg") -> bytes:
+    """Minimal YUV4MPEG2 encoder (fixtures). ``frames``: iterable of raw
+    planar frame bytes, each exactly the colorspace's frame size."""
+    size = _y4m_frame_size(width, height, colorspace)
+    head = f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 {colorspace}\n"
+    out = bytearray(head.encode("ascii"))
+    for f in frames:
+        if len(f) != size:
+            raise ValueError(f"frame must be {size} bytes, got {len(f)}")
+        out.extend(b"FRAME\n")
+        out.extend(f)
+    return bytes(out)
+
+
+def decode_y4m(data: bytes) -> dict:
+    """Real Y4M decode: stream-header token parse, then FRAME-marker walk
+    slicing fixed-size planar payloads. Returns {width, height, fps,
+    colorspace, n_frames, frames} with ``frames`` a list of raw planar
+    bytes (Y plane first, then subsampled U/V per the colorspace)."""
+    if data[:10] != Y4M_SIG:
+        raise ValueError("not a YUV4MPEG2 stream (bad signature)")
+    nl = data.index(b"\n")
+    width = height = None
+    fps = (25, 1)
+    colorspace = "C420jpeg"  # the spec's default when no C tag is present
+    for tok in data[10:nl].split(b" "):
+        t = tok.decode("ascii", errors="replace")
+        if t.startswith("W"):
+            width = int(t[1:])
+        elif t.startswith("H"):
+            height = int(t[1:])
+        elif t.startswith("F"):
+            n, d = t[1:].split(":")
+            fps = (int(n), int(d))
+        elif t.startswith("C"):
+            colorspace = t
+    if width is None or height is None:
+        raise ValueError("Y4M header missing W/H")
+    size = _y4m_frame_size(width, height, colorspace)
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        if data[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        fnl = data.index(b"\n", pos)  # FRAME may carry its own params
+        body = data[fnl + 1:fnl + 1 + size]
+        if len(body) != size:
+            raise ValueError("truncated frame payload")
+        frames.append(bytes(body))
+        pos = fnl + 1 + size
+    return {"width": width, "height": height, "fps": fps,
+            "colorspace": colorspace, "n_frames": len(frames), "frames": frames}
+
+
+# --- resampling (nearest-neighbor, stdlib) --------------------------------
+
+def resample_plane(plane: bytes, w: int, h: int, new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resample of one row-major byte plane — the real
+    (if basic) kernel behind image/video resize; PIL would do the same
+    math with a better filter."""
+    if new_w <= 0 or new_h <= 0:
+        raise ValueError("target dimensions must be positive")
+    out = bytearray(new_w * new_h)
+    for y in range(new_h):
+        sy = min(h - 1, (y * h) // new_h)
+        row = sy * w
+        orow = y * new_w
+        for x in range(new_w):
+            out[orow + x] = plane[row + min(w - 1, (x * w) // new_w)]
+    return bytes(out)
+
+
 def sniff_kind(data: bytes) -> str:
     """Container detection by magic bytes — what a real ingest pipeline
     does before routing to a decoder."""
@@ -219,4 +328,6 @@ def sniff_kind(data: bytes) -> str:
         return "png"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:10] == Y4M_SIG:
+        return "y4m"
     return "unknown"

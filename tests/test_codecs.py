@@ -95,7 +95,58 @@ def test_wav_total_size_is_closed_form():
 def test_sniff_kind():
     assert codecs.sniff_kind(codecs.encode_png(1, 1, b"\x05")) == "png"
     assert codecs.sniff_kind(codecs.encode_wav([1])) == "wav"
+    assert codecs.sniff_kind(codecs.encode_y4m(2, 2, [b"\0" * 4],
+                                               colorspace="Cmono")) == "y4m"
     assert codecs.sniff_kind(b"\x00\x01\x02") == "unknown"
+
+
+def test_y4m_decode_hand_built():
+    """Byte-exact hand-built YUV4MPEG2 stream: 2x2 mono, two frames."""
+    raw = (b"YUV4MPEG2 W2 H2 F30:1 Ip A1:1 Cmono\n"
+           b"FRAME\n\x01\x02\x03\x04"
+           b"FRAME\n\x05\x06\x07\x08")
+    v = codecs.decode_y4m(raw)
+    assert (v["width"], v["height"], v["fps"]) == (2, 2, (30, 1))
+    assert v["colorspace"] == "Cmono" and v["n_frames"] == 2
+    assert v["frames"] == [b"\x01\x02\x03\x04", b"\x05\x06\x07\x08"]
+
+
+def test_y4m_c420_roundtrip_and_frame_params():
+    """C420 plane sizing (w*h + 2*(w/2*h/2)) and FRAME markers that carry
+    their own parameters (allowed by the spec) both decode."""
+    w, h = 4, 2
+    size = w * h + 2 * ((w // 2) * (h // 2))
+    f0 = bytes(range(size))
+    enc = codecs.encode_y4m(w, h, [f0], fps=(25, 1), colorspace="C420jpeg")
+    assert codecs.decode_y4m(enc)["frames"] == [f0]
+    # inject per-frame params after the FRAME tag
+    patched = enc.replace(b"FRAME\n", b"FRAME Xsome=param\n")
+    assert codecs.decode_y4m(patched)["frames"] == [f0]
+
+
+def test_y4m_rejects_bad_input():
+    with pytest.raises(ValueError):
+        codecs.decode_y4m(b"not a video")
+    with pytest.raises(ValueError):
+        codecs.decode_y4m(b"YUV4MPEG2 F25:1\nFRAME\n")  # no W/H
+    with pytest.raises(ValueError):
+        codecs.encode_y4m(3, 3, [b"\0" * 9], colorspace="C420jpeg")  # odd dims
+    with pytest.raises(ValueError):
+        codecs.encode_y4m(2, 2, [b"\0" * 3], colorspace="Cmono")  # short frame
+    # truncated payload
+    good = codecs.encode_y4m(2, 2, [b"\x01\x02\x03\x04"], colorspace="Cmono")
+    with pytest.raises(ValueError):
+        codecs.decode_y4m(good[:-1])
+
+
+def test_resample_plane_nearest_neighbor_hand_computed():
+    # 4x2 -> 2x1: picks src (0,0) and (0,2)
+    plane = bytes([10, 20, 30, 40,
+                   50, 60, 70, 80])
+    assert codecs.resample_plane(plane, 4, 2, 2, 1) == bytes([10, 30])
+    # upscale 2x1 -> 4x2 duplicates
+    assert codecs.resample_plane(bytes([1, 2]), 2, 1, 4, 2) == bytes(
+        [1, 1, 2, 2, 1, 1, 2, 2])
 
 
 def test_real_features_match_fake_features_per_doc(spark):
@@ -113,7 +164,8 @@ def test_real_features_match_fake_features_per_doc(spark):
             multimodal.to_media_table(docs, "doc_id", "text", "source"), fake=True
         ).collect()
     }
-    for builder in (multimodal.to_png_media, multimodal.to_wav_media):
+    for builder in (multimodal.to_png_media, multimodal.to_wav_media,
+                    multimodal.to_y4m_media):
         real = {
             r["media_id"]: r
             for r in multimodal.extract_features(
@@ -126,7 +178,9 @@ def test_real_features_match_fake_features_per_doc(spark):
             assert real[mid]["feat_head"] == fr["feat_head"], (builder, mid)
 
 
-def test_video_seam_still_raises(spark):
+def test_undecodable_payload_raises(spark):
+    """A payload that is no known container must fail loudly in real
+    mode (no silent fake fallback), whatever the claimed kind."""
     docs = spark.createDataFrame([(1, "clip", "v")],
                                  "doc_id long, text string, source string")
     media = multimodal.to_media_table(docs, "doc_id", "text", "source").select(
@@ -137,5 +191,69 @@ def test_video_seam_still_raises(spark):
             multimodal.F.col("meta.source").alias("source"),
         ).alias("meta"),
     )
-    with pytest.raises(Exception, match="(?i)video|NotImplemented"):
+    with pytest.raises(Exception, match="(?i)undecodable"):
         multimodal.extract_features(media, fake=False).collect()
+
+
+def test_real_frame_sample_demuxes_y4m(spark):
+    """fake=False frame sampling returns the ACTUAL decoded frames: text
+    bytes chunked into 8x8 luma planes, zero-padded tail, capped at
+    max_frames."""
+    text = "".join(chr(65 + (i % 26)) for i in range(150))  # 3 frames of 64
+    docs = spark.createDataFrame([(7, text, "v")],
+                                 "doc_id long, text string, source string")
+    media = multimodal.to_y4m_media(docs, "doc_id", "text", "source")
+    rows = sorted(
+        multimodal.frame_sample(media, max_frames=2, fake=False).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    raw = text.encode()
+    assert [r.frame_idx for r in rows] == [0, 1]  # capped below the 3rd
+    assert bytes(rows[0].frame) == raw[:64]
+    assert bytes(rows[1].frame) == raw[64:128]
+
+    # PNG -> its single pixel buffer; WAV -> PCM windows
+    png = multimodal.to_png_media(docs, "doc_id", "text", "source")
+    prow = multimodal.frame_sample(png, fake=False).collect()
+    assert len(prow) == 1 and bytes(prow[0].frame).rstrip(b"\0") == raw
+    wav = multimodal.to_wav_media(docs, "doc_id", "text", "source")
+    wrows = multimodal.frame_sample(wav, every_n_bytes=64, max_frames=99,
+                                    fake=False).collect()
+    assert len(wrows) == len(raw) * 2 // 64  # PCM-16: 2 bytes per text byte
+
+
+def test_real_resize_resamples_all_containers(spark):
+    """fake=False resize really resamples: decoded content shrinks toward
+    target_bytes and the result is a valid container of the same type."""
+    text = "resize me " * 40  # 400 bytes
+    docs = spark.createDataFrame([(3, text, "r")],
+                                 "doc_id long, text string, source string")
+    for builder, container in [(multimodal.to_png_media, "png"),
+                               (multimodal.to_wav_media, "wav"),
+                               (multimodal.to_y4m_media, "y4m")]:
+        media = builder(docs, "doc_id", "text", "source")
+        out = multimodal.resize(media, target_bytes=64, fake=False).collect()
+        assert len(out) == 1
+        payload = bytes(out[0].payload)
+        assert codecs.sniff_kind(payload) == container
+        assert out[0].meta.n_bytes == len(payload)
+        if container == "png":
+            img = codecs.decode_png(payload)
+            assert 0 < img["width"] * img["height"] <= 100  # ~64 target
+        elif container == "wav":
+            assert codecs.decode_wav(payload)["n_samples"] == 32  # 64 // 2
+        else:
+            v = codecs.decode_y4m(payload)
+            assert v["n_frames"] == 7  # frame count preserved
+            assert 0 < v["width"] * v["height"] < 64  # each frame shrank
+
+
+def test_real_resize_nearest_neighbor_values_hand_computed():
+    """The resample kernel itself, end-to-end through a PNG payload:
+    4x4 gray gradient -> 2x2 picks the (0,0),(0,2),(2,0),(2,2) pixels."""
+    px = bytes(range(16))
+    png = codecs.encode_png(4, 4, px, color_type=0)
+    out = multimodal._real_resize(png, target_bytes=4)
+    img = codecs.decode_png(out)
+    assert (img["width"], img["height"]) == (2, 2)
+    assert img["pixels"] == bytes([0, 2, 8, 10])

@@ -164,8 +164,10 @@ def test_frame_sample_and_resize_contracts(spark):
     resized = multimodal.resize(media, target_bytes=32).collect()
     assert all(r["meta"]["n_bytes"] == 32 and len(bytes(r["payload"])) == 32 for r in resized)
 
+    # real mode on a raw-text payload (no container) must fail loudly —
+    # Y4M/PNG/WAV payloads decode for real now (tests/test_codecs.py)
     import pytest as _pytest
-    with _pytest.raises(Exception, match="NotImplementedError|real frame"):
+    with _pytest.raises(Exception, match="(?i)undecodable"):
         multimodal.frame_sample(media, fake=False).collect()
 
 
