@@ -35,8 +35,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 AMP = 10
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       ".benchdata", "sf1")
+_BENCHDATA = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          ".benchdata")
+OUT_DIR = os.path.join(_BENCHDATA, "sf1")
+SF2_DIR = os.path.join(_BENCHDATA, "sf2")
 SRC_DIR = "/root/testdata/sf0.1"
 
 # strides sit above each key's sf0.1 max so copies never collide
@@ -52,12 +54,12 @@ STRIDE = {
 }
 
 
-def _amplified(df, shifts: dict[str, int], mutate=None):
-    """Union of AMP copies; copy i shifts each key col by i*stride.
+def _amplified(df, shifts: dict[str, int], mutate=None, amp: int = AMP):
+    """Union of ``amp`` copies; copy i shifts each key col by i*stride.
     ``mutate(copy_df, i)`` applies per-copy content changes after the
     shift."""
     parts = []
-    for i in range(AMP):
+    for i in range(amp):
         c = df
         for col, stride in shifts.items():
             c = c.withColumn(col, (F.col(col) + F.lit(i * stride)).cast("long"))
@@ -72,7 +74,21 @@ def _amplified(df, shifts: dict[str, int], mutate=None):
 
 def ensure_sf1(spark, src_dir: str = SRC_DIR, out_dir: str = OUT_DIR) -> str:
     """Generate the sf1 dir if missing; return its path."""
-    marker = os.path.join(out_dir, "_SF1_OK")
+    return _ensure_amplified(spark, AMP, out_dir, src_dir, "_SF1_OK")
+
+
+def ensure_sf2(spark) -> str:
+    """sf2 = 20x sf0.1, same construction as sf1 (strides separate the
+    copies regardless of copy count). Used by the fixed-floor
+    decomposition: if a query's Spark-DuckDB gap is a scheduling
+    constant, it stays ~flat from sf1 to sf2 while both compute terms
+    double."""
+    return _ensure_amplified(spark, 2 * AMP, SF2_DIR, SRC_DIR, "_SF2_OK")
+
+
+def _ensure_amplified(spark, amp: int, out_dir: str, src_dir: str,
+                      marker_name: str) -> str:
+    marker = os.path.join(out_dir, marker_name)
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -86,21 +102,21 @@ def ensure_sf1(spark, src_dir: str = SRC_DIR, out_dir: str = OUT_DIR) -> str:
         write(name, load_table(spark, src_dir, name))
 
     write("customer", _amplified(load_table(spark, src_dir, "customer"),
-                                 {"c_custkey": STRIDE["cust"]}))
+                                 {"c_custkey": STRIDE["cust"]}, amp=amp))
     write("supplier", _amplified(load_table(spark, src_dir, "supplier"),
-                                 {"s_suppkey": STRIDE["supp"]}))
+                                 {"s_suppkey": STRIDE["supp"]}, amp=amp))
     write("part", _amplified(load_table(spark, src_dir, "part"),
-                             {"p_partkey": STRIDE["part"]}))
+                             {"p_partkey": STRIDE["part"]}, amp=amp))
     write("orders", _amplified(load_table(spark, src_dir, "orders"),
                                {"o_orderkey": STRIDE["order"],
-                                "o_custkey": STRIDE["cust"]}))
+                                "o_custkey": STRIDE["cust"]}, amp=amp))
     write("lineitem", _amplified(load_table(spark, src_dir, "lineitem"),
                                  {"l_orderkey": STRIDE["order"],
                                   "l_partkey": STRIDE["part"],
-                                  "l_suppkey": STRIDE["supp"]}))
+                                  "l_suppkey": STRIDE["supp"]}, amp=amp))
     write("events", _amplified(load_table(spark, src_dir, "events"),
                                {"event_id": STRIDE["event"],
-                                "user_id": STRIDE["user"]}))
+                                "user_id": STRIDE["user"]}, amp=amp))
 
     def mutate_docs(c, i):
         if i == 0:
@@ -114,7 +130,7 @@ def ensure_sf1(spark, src_dir: str = SRC_DIR, out_dir: str = OUT_DIR) -> str:
         )
 
     write("documents", _amplified(load_table(spark, src_dir, "documents"),
-                                  {"doc_id": STRIDE["doc"]}, mutate_docs))
+                                  {"doc_id": STRIDE["doc"]}, mutate_docs, amp=amp))
 
     def mutate_vecs(c, i):
         if i == 0:
@@ -132,7 +148,7 @@ def ensure_sf1(spark, src_dir: str = SRC_DIR, out_dir: str = OUT_DIR) -> str:
         )
 
     write("embeddings", _amplified(load_table(spark, src_dir, "embeddings"),
-                                   {"vec_id": STRIDE["vec"]}, mutate_vecs))
+                                   {"vec_id": STRIDE["vec"]}, mutate_vecs, amp=amp))
 
     with open(marker, "w") as f:
         f.write("ok\n")

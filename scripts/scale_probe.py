@@ -64,7 +64,8 @@ def main() -> int:
     from flinkrealtimedatawarehouse_spark.streaming import state as sstate
     from flinkrealtimedatawarehouse_spark.tables import load_table
 
-    sweeps = {"batch", "cep", "sinks", "funnel", "scd2topk", "spans", "spansink"}
+    sweeps = {"batch", "cep", "sinks", "funnel", "scd2topk", "spans", "spansink",
+              "dp3cap"}
     args = sys.argv[1:]
     sf = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
     picked = {a for a in args if a in sweeps} or sweeps
@@ -126,6 +127,121 @@ def main() -> int:
             f"minhash_lsh={t_mh:.1f}s ({n_pairs} pairs) corpus_ngrams={t_ng:.1f}s "
             f"bm25={t_bm:.1f}s line_dedup={t_ld:.1f}s ann_lsh={t_lsh:.1f}s "
             f"bruteforce_arrow={t_bf:.1f}s sessionize={t_se:.1f}s ({n_sess} sessions)",
+            flush=True,
+        )
+
+    # post-cap linearity for the capped near-dup families (round-8 skew
+    # guards), TWO growth models per multiple:
+    #
+    # - grow: each copy's text gets a distinct per-copy suffix (the
+    #   gen_sf1 realistic-growth model) — cluster COUNT scales, cluster
+    #   sizes don't, so kept candidates, wall time, AND the dropped
+    #   fraction must all stay ~linear/stable;
+    # - inflate: id-shifted IDENTICAL copies — every band bucket's
+    #   population multiplies by m, the adversarial worst case (without
+    #   the cap, candidates grow ~m^2: the sf1 kernel-OOM). Here the
+    #   dropped-candidate UPPER BOUND necessarily grows ~m^2 (it counts
+    #   the over-cap bucket mass) — the property under test is that kept
+    #   candidates and wall time stay bounded anyway.
+    #
+    # Embeddings amplify with the gen_sf1 +-0.6% perturbation (distinct
+    # points, same cluster geometry; sign buckets still inflate because
+    # perturbation rarely flips a hyperplane sign — the realistic
+    # behavior for clustered embeddings). Feeds the POST-CAP-LINEARITY
+    # table in SCALE.md.
+    def _cand_split(sizes, cap):
+        row = sizes.select(
+            F.when(F.col("c") <= cap, F.col("c") * (F.col("c") - 1) / 2)
+            .otherwise(0.0).alias("kept"),
+            F.when(F.col("c") > cap, F.col("c") * (F.col("c") - 1) / 2)
+            .otherwise(0.0).alias("dropped"),
+        ).agg(F.sum("kept"), F.sum("dropped")).collect()[0]
+        kept, dropped = int(row[0] or 0), int(row[1] or 0)
+        frac = dropped / (kept + dropped) if kept + dropped else 0.0
+        return kept, dropped, frac
+
+    def amplify_grow(df, id_col, m):
+        """Distinct content per copy (gen_sf1's realistic growth model)."""
+        out = df
+        for i in range(1, m):
+            out = out.unionByName(
+                df.withColumn(id_col, F.col(id_col) + i * 1_000_000)
+                .withColumn("text", F.concat("text", F.lit(" x"), F.col(id_col)))
+            )
+        return out
+
+    def amplify_perturb(df, id_col, vec_col, m):
+        """gen_sf1's +-0.6% deterministic embedding perturbation."""
+        out = df
+        for i in range(1, m):
+            out = out.unionByName(
+                df.withColumn(id_col, F.col(id_col) + i * 1_000_000).withColumn(
+                    vec_col,
+                    F.transform(
+                        vec_col,
+                        lambda x, j: (
+                            x * (1.0 + ((F.col(id_col) * 31 + j) % 13 - 6) / 1000.0)
+                        ).cast("float"),
+                    ),
+                )
+            )
+        return out
+
+    for m in (multiples if want("dp3cap") else []):
+        sh_cap, mh_cap, ed_cap = 500, 500, 1000  # the gate/sweep guard values
+        for variant, d in (("grow", amplify_grow(docs, "doc_id", m)),
+                           ("inflate", amplify(docs, "doc_id", m))):
+            t0 = time.time()
+            n_sh = textdedup.simhash_near_dups(
+                d, "doc_id", "text", max_hamming=6, hot_bucket_cap=sh_cap
+            ).count()
+            t_sh = time.time() - t0
+            sh_sizes = (
+                textdedup._simhash_band_rows(
+                    textdedup.simhash(d, "doc_id", "text"), "doc_id"
+                ).groupBy("band_idx", "band_val").agg(F.count(F.lit(1)).alias("c"))
+            )
+            sh_k, sh_d, sh_f = _cand_split(sh_sizes, sh_cap)
+
+            t0 = time.time()
+            n_mh = textdedup.minhash_near_dups(
+                d, "doc_id", "text", 3, 16, 8, 0.5, hot_bucket_cap=mh_cap
+            ).count()
+            t_mh = time.time() - t0
+            mh_sizes = (
+                textdedup.lsh_band_rows(
+                    textdedup.minhash_signatures(d, "doc_id", "text", 3, 16),
+                    "doc_id", 8, 2,
+                ).groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("c"))
+            )
+            mh_k, mh_d, mh_f = _cand_split(mh_sizes, mh_cap)
+            print(
+                f"x{m} dp3cap[{variant}]: simhash={t_sh:.1f}s ({n_sh} pairs, "
+                f"kept {sh_k} / dropped<= {sh_d}, {sh_f:.1%}) "
+                f"minhash={t_mh:.1f}s ({n_mh} pairs, kept {mh_k} / "
+                f"dropped<= {mh_d}, {mh_f:.1%})",
+                flush=True,
+            )
+
+        from flinkrealtimedatawarehouse_spark.datapipeline.similarity import (
+            hyperplane_bucket, quantized,
+        )
+
+        e = amplify_perturb(emb, "vec_id", "embedding", m)
+        t0 = time.time()
+        n_ed = textdedup.embedding_near_dups(
+            e, "vec_id", "embedding", threshold=0.99, n_planes=8,
+            hot_bucket_cap=ed_cap,
+        ).count()
+        t_ed = time.time() - t0
+        ed_sizes = (
+            e.select(hyperplane_bucket(quantized(F.col("embedding"), 1000), 8).alias("b"))
+            .groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+        )
+        ed_k, ed_d, ed_f = _cand_split(ed_sizes, ed_cap)
+        print(
+            f"x{m} dp3cap[perturb]: embcos={t_ed:.1f}s ({n_ed} pairs, "
+            f"kept {ed_k} / dropped<= {ed_d}, {ed_f:.1%})",
             flush=True,
         )
 

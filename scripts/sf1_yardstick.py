@@ -8,7 +8,12 @@ the contract is "no query > 2x its DuckDB twin" (compute-bound wins like
 dp2 are expected, fixed per-stage scheduling overhead losses on tiny
 queries are noted and amortize at real scale).
 
-Run from the repo root: ``python scripts/sf1_yardstick.py``.
+Run from the repo root: ``python scripts/sf1_yardstick.py`` — or
+``python scripts/sf1_yardstick.py sf2`` for the fixed-floor decomposition
+run: same pairs at 2x the data (scripts/gen_sf1.ensure_sf2). If a >2x row
+is truly floor-dominated, its ABSOLUTE gap (delta) stays ~constant from
+sf1 to sf2 while both engines' compute terms grow; a row whose delta
+scales with the data gets flagged (INVESTIGATE: gap scaled).
 """
 
 from __future__ import annotations
@@ -24,7 +29,28 @@ SCALE_MD = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__
                         "SCALE.md")
 MARK_BEGIN = "<!-- SF1-YARDSTICK:BEGIN -->"
 MARK_END = "<!-- SF1-YARDSTICK:END -->"
+MARK2_BEGIN = "<!-- SF2-YARDSTICK:BEGIN -->"
+MARK2_END = "<!-- SF2-YARDSTICK:END -->"
 N_RUNS = 3
+
+
+def _sf1_deltas() -> dict[str, float]:
+    """Parse the committed SF1 table's per-row absolute gaps so the sf2
+    run can test gap-constancy row by row."""
+    try:
+        txt = open(SCALE_MD).read()
+        block = txt.split(MARK_BEGIN)[1].split(MARK_END)[0]
+    except (FileNotFoundError, IndexError):
+        return {}
+    out = {}
+    for line in block.splitlines():
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        if len(cells) == 5 and not cells[0].startswith(("query", "---", "**")):
+            try:
+                out[cells[0]] = float(cells[4])
+            except ValueError:
+                pass
+    return out
 
 
 def pairs():
@@ -54,10 +80,12 @@ def main() -> int:
 
     from flinkrealtimedatawarehouse_spark.session import get_spark
     from flinkrealtimedatawarehouse_spark.tables import TABLE_NAMES
-    from scripts.gen_sf1 import ensure_sf1
+    from scripts.gen_sf1 import ensure_sf1, ensure_sf2
 
-    spark = get_spark("sf1_yardstick")
-    sf1_dir = ensure_sf1(spark)
+    sf2_mode = "sf2" in sys.argv[1:]
+    spark = get_spark("sf2_yardstick" if sf2_mode else "sf1_yardstick")
+    sf1_dir = ensure_sf2(spark) if sf2_mode else ensure_sf1(spark)
+    sf1_gaps = _sf1_deltas() if sf2_mode else {}
 
     con = duckdb.connect()
     con.execute(f"SET threads = {os.cpu_count() or 32}")
@@ -94,6 +122,13 @@ def main() -> int:
     s_tot = round(sum(r[1] for r in rows), 3)
     d_tot = round(sum(r[2] for r in rows), 3)
     def _note(r):
+        if sf2_mode and r[0] in sf1_gaps:
+            # the decomposition test: a floor gap is CONSTANT in data
+            # size — allow 0.75 s of measurement slack before flagging
+            grew = r[4] - sf1_gaps[r[0]]
+            if r[3] > 2.0 and grew > 0.75:
+                return " (INVESTIGATE: gap scaled)"
+            return " (floor held)" if r[3] > 2.0 else ""
         if r[3] <= 2.0:
             return ""
         # Spark's per-query floor in local mode is its multi-stage task
@@ -101,34 +136,60 @@ def main() -> int:
         # term; rows whose absolute gap is ~1 s are floor-dominated and
         # the ratio shrinks as data grows
         return " (fixed-floor)" if r[4] < 1.5 else " (INVESTIGATE)"
-    lines = [
-        MARK_BEGIN,
-        "### sf1 DuckDB yardstick (scripts/sf1_yardstick.py, min-of-"
-        f"{N_RUNS} warm, {os.cpu_count()} threads both engines)",
-        "",
-        "| query | spark s | duckdb s | ratio | delta s |",
-        "| --- | --- | --- | --- | --- |",
-        *[f"| {n} | {s} | {d} | {r}x{_note((n, s, d, r, dl))} | {dl} |"
-          for n, s, d, r, dl in rows],
-        f"| **total** | **{s_tot}** | **{d_tot}** | "
-        f"**{round(s_tot / d_tot, 2) if d_tot else 'inf'}x** | |",
-        "",
-        "Ratios < 1 are Spark wins — the compute-bound operators where",
-        "the engines do real work (dp2 MinHash-LSH, dp15s span dedup).",
-        "Rows tagged (fixed-floor) lose only Spark's constant multi-stage",
-        "scheduling cost (absolute gap ~1 s, invariant in data size): at",
-        "sf1 DuckDB finishes these in well under a second, so the RATIO",
-        "is large while the absolute cost is a constant that amortizes as",
-        "data grows (the gap stays ~1 s while both engines' compute term",
-        "scales).",
-        "(INVESTIGATE) marks a > 2x row whose gap exceeds the floor.",
-        MARK_END,
-    ]
+    if sf2_mode:
+        lines = [
+            MARK2_BEGIN,
+            "### sf2 fixed-floor decomposition (scripts/sf1_yardstick.py "
+            f"sf2 — 2x the sf1 data, min-of-{N_RUNS} warm)",
+            "",
+            "| query | spark s | duckdb s | ratio | delta s | sf1 delta s |",
+            "| --- | --- | --- | --- | --- | --- |",
+            *[f"| {n} | {s} | {d} | {r}x{_note((n, s, d, r, dl))} | {dl} | "
+              f"{sf1_gaps.get(n, '-')} |"
+              for n, s, d, r, dl in rows],
+            f"| **total** | **{s_tot}** | **{d_tot}** | "
+            f"**{round(s_tot / d_tot, 2) if d_tot else 'inf'}x** | | |",
+            "",
+            "The decomposition the sf1 (fixed-floor) tags claim: if a",
+            ">2x row loses only Spark's constant multi-stage scheduling",
+            "cost, doubling the data must leave its ABSOLUTE gap (delta)",
+            "~unchanged while both engines' compute terms grow. Rows",
+            "tagged (floor held) pass; (INVESTIGATE: gap scaled) marks a",
+            "row whose gap grew > 0.75 s over its sf1 gap — a data-",
+            "proportional loss, not a floor.",
+            MARK2_END,
+        ]
+        mb, me = MARK2_BEGIN, MARK2_END
+    else:
+        lines = [
+            MARK_BEGIN,
+            "### sf1 DuckDB yardstick (scripts/sf1_yardstick.py, min-of-"
+            f"{N_RUNS} warm, {os.cpu_count()} threads both engines)",
+            "",
+            "| query | spark s | duckdb s | ratio | delta s |",
+            "| --- | --- | --- | --- | --- |",
+            *[f"| {n} | {s} | {d} | {r}x{_note((n, s, d, r, dl))} | {dl} |"
+              for n, s, d, r, dl in rows],
+            f"| **total** | **{s_tot}** | **{d_tot}** | "
+            f"**{round(s_tot / d_tot, 2) if d_tot else 'inf'}x** | |",
+            "",
+            "Ratios < 1 are Spark wins — the compute-bound operators where",
+            "the engines do real work (dp2 MinHash-LSH, dp15s span dedup).",
+            "Rows tagged (fixed-floor) lose only Spark's constant multi-stage",
+            "scheduling cost (absolute gap ~1 s, invariant in data size): at",
+            "sf1 DuckDB finishes these in well under a second, so the RATIO",
+            "is large while the absolute cost is a constant that amortizes as",
+            "data grows (the gap stays ~1 s while both engines' compute term",
+            "scales).",
+            "(INVESTIGATE) marks a > 2x row whose gap exceeds the floor.",
+            MARK_END,
+        ]
+        mb, me = MARK_BEGIN, MARK_END
     block = "\n".join(lines)
     txt = open(SCALE_MD).read()
-    if MARK_BEGIN in txt:
+    if mb in txt:
         txt = re.sub(
-            re.escape(MARK_BEGIN) + ".*?" + re.escape(MARK_END),
+            re.escape(mb) + ".*?" + re.escape(me),
             block, txt, flags=re.S,
         )
     else:
