@@ -163,6 +163,15 @@ def run_headline_tier() -> int:
     {"headline": {...}}. Fresh JVM per invocation so cold = one-shot job
     and steady timings can't inherit JIT/page-cache state from other
     tiers (round 8's in-process run drifted +5.4% on untouched code)."""
+    print(json.dumps(_collect_headline()))
+    return 0
+
+
+def _collect_headline() -> dict:
+    """Run the sf0.1 headline + extras tiers in THIS process and return
+    the {"headline": {...}} fragment. Stops the SparkSession on the way
+    out so the in-process fallback in main() doesn't hold a live context
+    while the sf1 subprocess JVM runs."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -264,7 +273,8 @@ def run_headline_tier() -> int:
         extras[name] = round(best, 3)
         print(f"# extra {name}: {n} rows in {extras[name]}s", file=sys.stderr)
 
-    frag = {
+    spark.stop()
+    return {
         "headline": {
             "value": round(sum(timings.values()), 3),
             "value_cold": round(sum(cold.get(n, 0.0) for n in timings), 3),
@@ -274,8 +284,6 @@ def run_headline_tier() -> int:
             "cold_incomplete": [n for n in timings if n not in cold],
         }
     }
-    print(json.dumps(frag))
-    return 0
 
 
 def _run_tier_subprocess(flag: str, timeout: int) -> dict | None:
@@ -311,9 +319,11 @@ def main() -> int:
     if head_frag is None:
         # fallback: run in this process (still a fresh JVM — the parent
         # never started one) so a subprocess-plumbing bug can't void the
-        # whole bench record
+        # whole bench record; flows through the normal output path below
+        # so the tail still ends with the {"metric": ...} summary line
+        # the driver parses
         print("# falling back to in-process headline tier", file=sys.stderr)
-        return run_headline_tier()
+        head_frag = _collect_headline()
     head = head_frag["headline"]
 
     # sf1 HEADLINE tier (frozen since round 6): at sf0.1 every headline
