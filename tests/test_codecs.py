@@ -257,3 +257,92 @@ def test_real_resize_nearest_neighbor_values_hand_computed():
     img = codecs.decode_png(out)
     assert (img["width"], img["height"]) == (2, 2)
     assert img["pixels"] == bytes([0, 2, 8, 10])
+
+
+# --- property tests (hypothesis, pure-Python — no Spark) -------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_CODEC_SETTINGS = dict(max_examples=60, deadline=None)
+
+
+@st.composite
+def _y4m_streams(draw):
+    cs = draw(st.sampled_from(sorted(codecs._Y4M_PLANES)))
+    # C420* needs even w AND h, C422 even w; sample even and odd candidates
+    w = draw(st.integers(1, 8).map(lambda v: v * 2))
+    h = draw(st.integers(1, 8).map(lambda v: v * 2))
+    if cs in ("C444", "Cmono"):
+        w += draw(st.integers(0, 1))  # odd dims legal here
+        h += draw(st.integers(0, 1))
+    elif cs == "C422":
+        h += draw(st.integers(0, 1))
+    size = codecs._y4m_frame_size(w, h, cs)
+    n = draw(st.integers(0, 4))
+    frames = [bytes(draw(st.binary(min_size=size, max_size=size))) for _ in range(n)]
+    fps = (draw(st.integers(1, 120)), draw(st.integers(1, 2)))
+    return w, h, cs, fps, frames
+
+
+@given(_y4m_streams())
+@settings(**_CODEC_SETTINGS)
+def test_y4m_roundtrip_property(stream):
+    """encode->decode recovers every header field and every frame byte,
+    for all 7 colorspaces, odd dims where legal, and 0..4 frames."""
+    w, h, cs, fps, frames = stream
+    v = codecs.decode_y4m(codecs.encode_y4m(w, h, frames, fps=fps, colorspace=cs))
+    assert (v["width"], v["height"], v["fps"], v["colorspace"]) == (w, h, fps, cs)
+    assert v["frames"] == frames
+
+
+@given(
+    w=st.integers(1, 12), h=st.integers(1, 12),
+    new_w=st.integers(1, 12), new_h=st.integers(1, 12),
+    data=st.data(),
+)
+@settings(**_CODEC_SETTINGS)
+def test_resample_plane_property(w, h, new_w, new_h, data):
+    """Nearest-neighbor invariants for arbitrary dims: output size is
+    new_w*new_h, every output byte exists in the input, corner pixels map
+    to corner pixels, and same-size resample is the identity."""
+    plane = bytes(data.draw(st.binary(min_size=w * h, max_size=w * h)))
+    out = codecs.resample_plane(plane, w, h, new_w, new_h)
+    assert len(out) == new_w * new_h
+    assert set(out) <= set(plane)
+    assert out[0] == plane[0]  # top-left maps to top-left (floor indexing)
+    if (new_w, new_h) == (w, h):
+        assert out == plane
+
+
+@given(
+    w=st.integers(1, 6), h=st.integers(1, 6),
+    ctype=st.sampled_from([0, 2, 4, 6]), ft=st.integers(0, 4),
+    data=st.data(),
+)
+@settings(**_CODEC_SETTINGS)
+def test_png_roundtrip_property(w, h, ctype, ft, data):
+    """PNG encode->decode is lossless for random pixel bytes across all
+    supported color types x filter types and arbitrary small dims (the
+    parametrized test pins one fixed 5x4 image; this walks the dim grid
+    where filter byte offsets are most error-prone: w=1, h=1)."""
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    px = bytes(data.draw(st.binary(min_size=w * h * ch, max_size=w * h * ch)))
+    d = codecs.decode_png(codecs.encode_png(w, h, px, ctype, ft))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+    assert d["pixels"] == px
+
+
+@given(st.integers(0, 40), st.integers(1, 2), st.data())
+@settings(**_CODEC_SETTINGS)
+def test_wav_roundtrip_property(n, n_ch, data):
+    """WAV PCM-16 encode->decode recovers samples, channel count, and the
+    closed-form container size (44 + 2*n) for any sample values incl.
+    the int16 extremes."""
+    samples = data.draw(st.lists(st.integers(-32768, 32767), min_size=n, max_size=n))
+    if n % n_ch:
+        samples = samples[: n - (n % n_ch)]
+    raw = codecs.encode_wav(samples, n_channels=n_ch)
+    assert len(raw) == 44 + 2 * len(samples)
+    d = codecs.decode_wav(raw)
+    assert list(d["samples"]) == samples and d["n_channels"] == n_ch
