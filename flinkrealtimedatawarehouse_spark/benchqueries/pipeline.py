@@ -17,6 +17,8 @@ expressions (datapipeline.hashing) — bit-for-bit identical signatures.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1599,6 +1601,9 @@ SELECT doc_id, rank, n_hit, score FROM (
 SQL_BM25_SEARCH = _sql_bm25_search()
 
 
+_POSTIDX_BUILT: dict[str, str] = {}  # sf dir -> streamed postings index dir
+
+
 def q_bm25c(spark: SparkSession, sf: str) -> DataFrame:
     terms_b = q_bm25(spark, sf).select(
         F.lit("terms").alias("branch"), "doc_id",
@@ -1614,7 +1619,37 @@ def q_bm25c(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_hit_terms").cast("double").alias("v1"),
         F.col("score").alias("v2"),
     )
-    return terms_b.unionByName(search_b)
+    # sindex branch: the SAME search answered by the stream-maintained
+    # postings index (searchindex.stream_postings_upkeep — documents
+    # ingested in micro-batches, index folded incrementally). Its DuckDB
+    # twin recomputes from the raw documents table, so a hash match
+    # proves stream-maintained index == batch scoring == independent
+    # engine. Memoized per (process, sf) like _WIDE_BUILT, existence-
+    # checked so a cleaned scratch dir invalidates the memo.
+    from flinkrealtimedatawarehouse_spark.streaming import searchindex
+    from flinkrealtimedatawarehouse_spark.streaming.runner import scratch_dir
+
+    idx_dir = _POSTIDX_BUILT.get(sf)
+    if idx_dir is not None and not os.path.isdir(idx_dir):
+        idx_dir = None
+    if idx_dir is None:
+        idx_dir = scratch_dir("postidx")
+        searchindex.stream_postings_upkeep(
+            load_table(spark, sf, "documents").select("doc_id", "text"),
+            "doc_id", "text", idx_dir,
+        )
+        _POSTIDX_BUILT[sf] = idx_dir
+    sindex_b = searchindex.streamed_postings_search(
+        spark, idx_dir, "doc_id", _BM25_QUERY,
+        k1=_BM25_K1, b=_BM25_B, k=_BM25_SEARCH_K,
+    ).select(
+        F.lit("sindex").alias("branch"), "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.lit("q").alias("key"),
+        F.col("n_hit_terms").cast("double").alias("v1"),
+        F.col("score").alias("v2"),
+    )
+    return terms_b.unionByName(search_b).unionByName(sindex_b)
 
 
 SQL_BM25C = f"""
@@ -1622,6 +1657,8 @@ SELECT 'terms' AS branch, doc_id, rank, term AS key, tf_ct::DOUBLE AS v1, score 
 FROM ({SQL_BM25})
 UNION ALL
 SELECT 'search', doc_id, rank::INT, 'q', n_hit::DOUBLE, score FROM ({SQL_BM25_SEARCH})
+UNION ALL
+SELECT 'sindex', doc_id, rank::INT, 'q', n_hit::DOUBLE, score FROM ({SQL_BM25_SEARCH})
 """
 
 # dp20+dp21+dp27: mix sampling feeding sequence packing, plus the

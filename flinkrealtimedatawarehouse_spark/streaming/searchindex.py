@@ -1,0 +1,175 @@
+"""Streaming upkeep for the dp25 inverted index (BM25 full-text serving).
+
+Reference parity: the reference never rebuilds a serving table from
+scratch — every DWS/ADS surface is maintained continuously and queried
+in place (rt/app/dws/KeywordStatsApp.java:79-108 folds 10 s keyword
+tumbles to ClickHouse; pub/mapper/KeywordStatsMapper.java:15-20 serves
+straight from the maintained table). ``textstats.build_postings`` gave
+the search index the batch treatment; this module gives it the
+streaming one: documents arrive in micro-batches and the persisted
+index stays query-able and EXACTLY equal to a batch rebuild after every
+fold (gate- and test-asserted).
+
+Incremental design — what makes this cheap per batch:
+
+- **Postings are append-only.** A new document only ADDS (term, doc,
+  tf, dl) rows; existing rows never change. Each micro-batch writes its
+  own ``postings/batch=<id>/bucket=<hash>/`` parquet partition —
+  replay-safe because a re-delivered batch overwrites its own directory
+  with identical bytes, and nothing else.
+- **df is NOT stored.** ``build_postings`` denormalizes df onto every
+  posting row, which is the right call for a write-once index but would
+  turn incremental upkeep into a rewrite of every matching row per
+  batch (df(term) changes corpus-wide when one new doc mentions the
+  term). Instead the search side recomputes df over the rows it already
+  read: bucket + term pruning keeps EVERY posting of a matching term,
+  so a per-term window count over the pruned scan IS the corpus df —
+  the same identity ``bm25_search`` uses. Cost is O(matching rows),
+  paid only at query time, only for query terms.
+- **Corpus scalars fold additively.** (n_docs, sum_dl) go through the
+  K4 ``AdditiveGoldSink`` (replay-safe batch-id marker, versioned
+  snapshots); avgdl = sum_dl / n_docs. Both are integer-valued sums, so
+  the double accumulation is exact below 2^53 and the streamed avgdl is
+  bit-identical to the batch ``avg(size(toks))`` regardless of how the
+  stream was split.
+
+Scale: per batch the work is tokenize + one partial agg + one
+partitioned parquet write of |batch| rows — no read-modify-write of the
+existing index, no vocabulary-sized merge. The index directory grows
+one partition per batch; ``layout.compact_dir`` is the standard remedy
+when small files accumulate (same answer as every append sink here).
+
+Crash contract (same as the other sinks): postings land BEFORE the
+stats marker, so a crash between the two replays the batch on restart —
+the postings overwrite is a no-op and the stats fold applies once. A
+search against an index whose stream died mid-batch and never restarted
+may see that batch's postings without its stats; restart-to-recover
+completes the fold (pinned in tests/test_crash_recovery.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flinkrealtimedatawarehouse_spark.datapipeline.hashing import spark_tokens
+from flinkrealtimedatawarehouse_spark.datapipeline.textstats import (
+    POSTINGS_BUCKETS,
+    _bm25_rank,
+    _term_buckets,
+    query_terms,
+)
+from flinkrealtimedatawarehouse_spark.streaming.sinks import AdditiveGoldSink
+
+_STATS_KEYS = ["all_docs"]
+_STATS_MEASURES = {"n_docs": ("dl", "count"), "sum_dl": ("dl", "sum")}
+
+
+def _stats_sink(out_dir: str) -> AdditiveGoldSink:
+    return AdditiveGoldSink(
+        os.path.join(out_dir, "stats"), keys=_STATS_KEYS, measures=_STATS_MEASURES
+    )
+
+
+class PostingsIndexSink:
+    """foreachBatch writer that maintains the streamed inverted index:
+    per batch, (1) tokenize + tf-aggregate, (2) overwrite the batch's own
+    bucket-partitioned postings directory, (3) fold (n_docs, sum_dl)
+    through the replay-safe AdditiveGoldSink. Postings-before-marker
+    ordering makes the pair recoverable (module docstring)."""
+
+    def __init__(self, out_dir: str, id_col: str, text_col: str,
+                 n_buckets: int = POSTINGS_BUCKETS):
+        self.out_dir = out_dir
+        self.id_col, self.text_col = id_col, text_col
+        self.n_buckets = n_buckets
+        self.stats = _stats_sink(out_dir)
+        # layout marker: the bucket modulus is part of the on-disk index
+        # (a mismatched search-time modulus silently prunes REAL postings
+        # — same rule as build_postings' stats row). Write-once, before
+        # any batch, so even a crash after batch 0 leaves it readable.
+        meta = os.path.join(out_dir, "layout.json")
+        if not os.path.exists(meta):
+            os.makedirs(out_dir, exist_ok=True)
+            with open(meta, "w") as f:
+                json.dump({"n_buckets": n_buckets}, f)
+
+    def write_batch(self, batch: DataFrame, batch_id: int) -> None:
+        toks = batch.select(
+            F.col(self.id_col), spark_tokens(F.col(self.text_col)).alias("toks")
+        ).filter(F.size("toks") > 0)
+        tf = (
+            toks.select(
+                F.col(self.id_col), F.size("toks").alias("dl"),
+                F.explode("toks").alias("term"),
+            )
+            .groupBy(self.id_col, "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int"),
+            )
+        )
+        # idempotent under replay: the batch owns this directory
+        tf.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(self.out_dir, "postings", f"batch={batch_id}")
+        )
+        self.stats.write_batch(
+            toks.select(F.lit(0).alias("all_docs"), F.size("toks").alias("dl")),
+            batch_id,
+        )
+
+
+def stream_postings_upkeep(docs: DataFrame, id_col: str, text_col: str,
+                           out_dir: str, n_batches: int = 4,
+                           n_buckets: int = POSTINGS_BUCKETS,
+                           tag: str = "postidx") -> PostingsIndexSink:
+    """Run ``docs`` through the index upkeep as a checkpointed stream
+    (file source standing in for the Kafka topic, n_batches micro-
+    batches) and return the sink. The resulting index answers
+    ``streamed_postings_search`` EXACTLY like ``bm25_search`` over the
+    same corpus — regardless of the batch split."""
+    from flinkrealtimedatawarehouse_spark.streaming import runner
+
+    src = docs.select(id_col, text_col)
+    in_dir = runner.stage_stream_dir(src, id_col, n_batches, tag)
+    sdf = runner.parquet_stream(docs.sparkSession, in_dir, src.schema)
+    sink = PostingsIndexSink(out_dir, id_col, text_col, n_buckets)
+    runner.run_foreach_batch(sdf, sink.write_batch, tag)
+    return sink
+
+
+def streamed_postings_search(spark: SparkSession, out_dir: str, id_col: str,
+                             query: str, k1: float = 1.2, b: float = 0.75,
+                             k: int = 10) -> DataFrame:
+    """Search the stream-maintained index: bucket-pruned, term-filtered
+    postings scan (reads 1/n_buckets of the index per term — the batch
+    partitions under each bucket are pruned directories too), per-term
+    window count = corpus df, corpus scalars from the additive stats
+    snapshot, then the shared ``_bm25_rank`` tail — one definition of
+    the formula across bm25_search / postings_search / this."""
+    terms = query_terms(query)
+    if not terms:
+        raise ValueError("query has no tokens")
+    with open(os.path.join(out_dir, "layout.json")) as f:
+        n_buckets = json.load(f)["n_buckets"]
+    cur = _stats_sink(out_dir).current(spark)
+    if cur is None:
+        raise ValueError(f"postings index at {out_dir} has no committed batches")
+    stats = cur.select(
+        F.col("n_docs"), (F.col("sum_dl") / F.col("n_docs")).alias("avgdl")
+    )
+    buckets = sorted(set(_term_buckets(spark, terms, n_buckets).values()))
+    rows = (
+        spark.read.parquet(os.path.join(out_dir, "postings"))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    term_w = Window.partitionBy("term")
+    postings = rows.withColumn("df", F.count(F.lit(1)).over(term_w)).drop(
+        "batch", "bucket"
+    )
+    return _bm25_rank(postings, stats, id_col, k1, b, k)

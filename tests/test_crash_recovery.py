@@ -126,6 +126,43 @@ def test_additive_gold_restart_mid_batch_no_double_fold(spark, tmp_path):
         assert got == clean, f"totals double-folded after crash at batch {crash_at}"
 
 
+def _run_postidx(spark, base_dir, crash_batch=None):
+    from flinkrealtimedatawarehouse_spark.streaming.searchindex import (
+        PostingsIndexSink,
+        streamed_postings_search,
+    )
+
+    def fresh():
+        return PostingsIndexSink(base_dir, "doc_id", "text", n_buckets=8)
+
+    sink = fresh()
+    for bid, rows in enumerate([B0, B1, B2]):
+        if bid == crash_batch:
+            # postings for bid have landed (they're written before the
+            # stats fold); the crash fires inside the stats marker commit
+            _arm_marker_crash(sink.stats)
+            with pytest.raises(_CrashInjected):
+                sink.write_batch(_docs(spark, rows), bid)
+            sink = fresh()  # restart recovers the marker, bid redelivers
+        sink.write_batch(_docs(spark, rows), bid)
+    out = streamed_postings_search(
+        spark, base_dir, "doc_id", "quick fox spark", k=10
+    ).collect()
+    return [tuple(r) for r in out]
+
+
+def test_postings_index_restart_mid_batch_exactly_once(spark, tmp_path):
+    """dp25 streamed index: a crash between the postings write and the
+    stats marker must not double-count n_docs/sum_dl (which would shift
+    every BM25 idf/avgdl) or lose the batch's postings on replay."""
+    clean = _run_postidx(spark, str(tmp_path / "clean"))
+    assert clean and clean[0][1] == 1  # ranked results, rank starts at 1
+    for crash_at in (0, 1, 2):
+        got = _run_postidx(spark, str(tmp_path / f"crash{crash_at}"),
+                           crash_batch=crash_at)
+        assert got == clean, f"streamed index diverged after crash at batch {crash_at}"
+
+
 def _run_scd2(spark, base_dir, crash_batch=None):
     from flinkrealtimedatawarehouse_spark.streaming.sinks import Scd2HistorySink
 

@@ -1329,6 +1329,43 @@ def test_postings_search_matches_bm25_search_and_prunes(spark, tmp_path):
     assert rep["n_files_scanned"] < rep["n_files_total"]
 
 
+def test_streamed_postings_index_matches_batch_search(spark, tmp_path):
+    """dp25 streaming upkeep: the stream-maintained inverted index answers
+    the query EXACTLY like direct bm25_search over the same corpus, for
+    any micro-batch split (1 batch == the degenerate batch build; 3
+    batches crosses document boundaries), and the search scan is
+    partition-pruned on the streamed batch=*/bucket=* layout too."""
+    from flinkrealtimedatawarehouse_spark.streaming import searchindex
+
+    import random
+    random.seed(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    rows = [(i, " ".join(random.choices(vocab, k=12))) for i in range(1, 81)]
+    d = _docs(spark, rows)
+    q = "alpha zeta"
+    direct = textstats.bm25_search(d, "doc_id", "text", q, k=15).collect()
+
+    idx = ""
+    for n_batches in (1, 3):
+        idx = str(tmp_path / f"sidx{n_batches}")
+        searchindex.stream_postings_upkeep(
+            d, "doc_id", "text", idx, n_batches=n_batches, n_buckets=16,
+            tag=f"sidx{n_batches}",
+        )
+        got = searchindex.streamed_postings_search(
+            spark, idx, "doc_id", q, k=15
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in direct], n_batches
+
+    from flinkrealtimedatawarehouse_spark.operators.layout import scan_report
+    buckets = sorted({textstats._xxhash64_bucket(t, 16) for t in ["alpha", "zeta"]})
+    rep = scan_report(
+        spark, f"{idx}/postings", f"bucket in ({','.join(map(str, buckets))})"
+    )
+    assert rep["plan_has_partition_filters"]
+    assert rep["n_files_scanned"] < rep["n_files_total"]
+
+
 # --- model-based quality filtering (linear classifier) --------------------
 
 def test_logreg_learns_separable_planted_data(spark):
