@@ -9,9 +9,11 @@ demuxer; Y4M is the uncompressed interchange format ffmpeg round-trips.
 
 PNG (ISO/IEC 15948): 8-byte signature, length-typed chunks; pixel data is
 the zlib-deflated concatenation of per-scanline ``filter_type + bytes``
-rows. Supported here: bit depth 8, color types 0 (gray), 2 (RGB),
-4 (gray+alpha), 6 (RGBA), no interlacing — with ALL five scanline filters
-(None/Sub/Up/Average/Paeth) implemented in ``_unfilter``.
+rows. Supported here: bit depths 8 and 16, color types 0 (gray), 2 (RGB),
+4 (gray+alpha), 6 (RGBA), sequential AND Adam7-interlaced row order —
+with ALL five scanline filters (None/Sub/Up/Average/Paeth) implemented in
+``_unfilter``. (Out of scope: palette color type 3 and sub-byte depths
+1/2/4 — bit-packed indexed forms the synthetic corpus never produces.)
 
 WAV (RIFF): ``RIFF<size>WAVE`` then ``fmt ``/``data`` chunks; PCM 16-bit
 little-endian samples via the ``array`` module (stdlib, C-speed).
@@ -39,25 +41,70 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
 
 # --- PNG ------------------------------------------------------------------
 
-def encode_png(width: int, height: int, pixels: bytes, color_type: int = 0,
-               filter_type: int = 0) -> bytes:
-    """Minimal 8-bit PNG encoder (fixtures + fake->real payload bridges).
+# Adam7 pass grid (spec §8.2): per pass (x0, y0, dx, dy) — pass k holds the
+# pixels at (x0 + i*dx, y0 + j*dy). Each non-empty pass is filtered as an
+# independent sub-image inside the single zlib stream.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    ``pixels``: raw rows, ``width * channels`` bytes each, no filtering
-    applied by the caller. ``filter_type`` stamps every scanline with one
-    filter (0-4) so tests can exercise each ``_unfilter`` branch; the
-    encoder applies the matching forward filter."""
+
+def _adam7_passes(w: int, h: int):
+    """Non-empty Adam7 passes as (x0, y0, dx, dy, pass_w, pass_h)."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw and ph:
+            yield x0, y0, dx, dy, pw, ph
+
+
+def _filter_rows(rows, bpp: int, ft: int) -> bytearray:
+    """Forward-filter a sub-image's rows into filter_byte+row scanlines
+    (prev starts at the zero row — each pass/image filters independently)."""
+    raw = bytearray()
+    prev = bytes(len(rows[0])) if rows else b""
+    for row in rows:
+        raw.append(ft)
+        raw.extend(_filter_row(ft, row, prev, bpp))
+        prev = row
+    return raw
+
+
+def encode_png(width: int, height: int, pixels: bytes, color_type: int = 0,
+               filter_type: int = 0, bit_depth: int = 8,
+               interlace: bool = False) -> bytes:
+    """Minimal PNG encoder (fixtures + fake->real payload bridges).
+
+    ``pixels``: raw rows, ``width * channels * bit_depth/8`` bytes each
+    (16-bit samples big-endian per spec), no filtering applied by the
+    caller. ``filter_type`` stamps every scanline with one filter (0-4)
+    so tests can exercise each ``_unfilter`` branch; ``interlace`` emits
+    the seven Adam7 passes instead of sequential rows."""
+    if bit_depth not in (8, 16):
+        raise ValueError(f"unsupported bit depth {bit_depth} (8/16)")
     ch = _CHANNELS[color_type]
-    stride = width * ch
+    bpp = ch * (bit_depth // 8)
+    stride = width * bpp
     if len(pixels) != stride * height:
         raise ValueError(f"need {stride * height} pixel bytes, got {len(pixels)}")
-    raw = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        row = pixels[y * stride:(y + 1) * stride]
-        raw.append(filter_type)
-        raw.extend(_filter_row(filter_type, row, prev, ch))
-        prev = row
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+            rows = []
+            for j in range(ph):
+                src = (y0 + j * dy) * stride
+                rows.append(b"".join(
+                    pixels[src + (x0 + i * dx) * bpp:
+                           src + (x0 + i * dx) * bpp + bpp]
+                    for i in range(pw)
+                ))
+            raw.extend(_filter_rows(rows, bpp, filter_type))
+    else:
+        raw = _filter_rows(
+            [pixels[y * stride:(y + 1) * stride] for y in range(height)],
+            bpp, filter_type,
+        )
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -65,7 +112,8 @@ def encode_png(width: int, height: int, pixels: bytes, color_type: int = 0,
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type,
+                       0, 0, int(interlace))
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -127,10 +175,28 @@ def _unfilter(ft: int, cur: bytearray, prev: bytes, bpp: int) -> None:
         raise ValueError(f"unknown filter {ft}")
 
 
+def _unfilter_rows(raw: bytes, pos: int, n_rows: int, stride: int, bpp: int):
+    """Unfilter ``n_rows`` scanlines starting at ``raw[pos]``; returns
+    (rows, new_pos). prev starts at the zero row (sub-image boundary)."""
+    if pos + (stride + 1) * n_rows > len(raw):
+        raise ValueError("IDAT size does not match dimensions")
+    rows, prev = [], bytes(stride)
+    for _ in range(n_rows):
+        ft = raw[pos]
+        cur = bytearray(raw[pos + 1:pos + 1 + stride])
+        _unfilter(ft, cur, prev, bpp)
+        rows.append(bytes(cur))
+        prev = rows[-1]
+        pos += stride + 1
+    return rows, pos
+
+
 def decode_png(data: bytes) -> dict:
     """Real PNG decode: chunk walk -> IDAT zlib inflate -> scanline
-    unfilter. Returns {width, height, channels, bit_depth, pixels} with
-    ``pixels`` the reconstructed raw bytes (row-major, no padding)."""
+    unfilter (Adam7 passes deinterlaced when IHDR says so). Returns
+    {width, height, channels, bit_depth, pixels} with ``pixels`` the
+    reconstructed raw bytes (row-major, 16-bit samples big-endian, no
+    padding)."""
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, idat, meta = 8, bytearray(), None
@@ -139,13 +205,13 @@ def decode_png(data: bytes) -> dict:
         body = data[pos + 8:pos + 8 + length]
         if tag == b"IHDR":
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
-            if depth != 8:
-                raise ValueError(f"unsupported bit depth {depth} (only 8)")
+            if depth not in (8, 16):
+                raise ValueError(f"unsupported bit depth {depth} (8/16)")
             if ctype not in _CHANNELS:
                 raise ValueError(f"unsupported color type {ctype}")
-            if interlace:
-                raise ValueError("Adam7 interlacing unsupported")
-            meta = (w, h, _CHANNELS[ctype])
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
+            meta = (w, h, _CHANNELS[ctype], depth, interlace)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -153,21 +219,29 @@ def decode_png(data: bytes) -> dict:
         pos += 12 + length  # len + tag + body + crc
     if meta is None:
         raise ValueError("no IHDR chunk")
-    w, h, ch = meta
+    w, h, ch, depth, interlace = meta
+    bpp = ch * (depth // 8)
+    stride = w * bpp
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("IDAT size does not match dimensions")
-    out = bytearray()
-    prev = bytes(stride)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        cur = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
-        _unfilter(ft, cur, prev, ch)
-        out.extend(cur)
-        prev = bytes(cur)
-    return {"width": w, "height": h, "channels": ch, "bit_depth": 8,
-            "pixels": bytes(out)}
+    if interlace:
+        out, rpos = bytearray(stride * h), 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+            rows, rpos = _unfilter_rows(raw, rpos, ph, pw * bpp, bpp)
+            for j, row in enumerate(rows):
+                dst_row = (y0 + j * dy) * stride
+                for i in range(pw):
+                    dst = dst_row + (x0 + i * dx) * bpp
+                    out[dst:dst + bpp] = row[i * bpp:(i + 1) * bpp]
+        if rpos != len(raw):
+            raise ValueError("IDAT size does not match dimensions")
+        pixels = bytes(out)
+    else:
+        if len(raw) != (stride + 1) * h:
+            raise ValueError("IDAT size does not match dimensions")
+        rows, _ = _unfilter_rows(raw, 0, h, stride, bpp)
+        pixels = b"".join(rows)
+    return {"width": w, "height": h, "channels": ch, "bit_depth": depth,
+            "pixels": pixels}
 
 
 # --- WAV ------------------------------------------------------------------

@@ -15,8 +15,9 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
 
 
-def _hand_png(raw_scanlines: bytes, w: int, h: int, ctype: int = 0) -> bytes:
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+def _hand_png(raw_scanlines: bytes, w: int, h: int, ctype: int = 0,
+              depth: int = 8, interlace: int = 0) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
     return (codecs.PNG_SIG + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(raw_scanlines)) + _chunk(b"IEND", b""))
 
@@ -58,12 +59,51 @@ def test_png_roundtrip_every_filter_and_colortype(ft, ctype):
     assert d["pixels"] == pixels
 
 
+def test_png_decode_hand_built_adam7():
+    """Byte-exact hand-built Adam7 stream: 3x3 gray, pixels 1..9. The
+    non-empty passes for 3x3 are 1 (0,0), 4 (2,0), 5 ((0,2),(2,2)),
+    6 ((1,0),(1,2)), 7 (row y=1) — laid out BY HAND in pass order with
+    filter-0 scanlines, so the deinterlace scatter is pinned against the
+    spec's pixel-extraction grid, not against our own encoder."""
+    raw = (b"\x00\x01"              # pass 1: (0,0)=1
+           b"\x00\x03"              # pass 4: (2,0)=3
+           b"\x00\x07\x09"          # pass 5: (0,2)=7 (2,2)=9
+           b"\x00\x02" b"\x00\x08"  # pass 6: (1,0)=2 then (1,2)=8
+           b"\x00\x04\x05\x06")     # pass 7: row y=1 = 4 5 6
+    d = codecs.decode_png(_hand_png(raw, 3, 3, interlace=1))
+    assert (d["width"], d["height"], d["channels"]) == (3, 3, 1)
+    assert d["pixels"] == bytes(range(1, 10))
+
+
+def test_png_decode_hand_built_16bit_sub_filter():
+    """16-bit gray: bpp is 2, so the Sub filter's left neighbor is the
+    byte TWO back. 2x1 pixels 0x0102 0x0304 sub-filtered by hand:
+    stored = 01 02 (03-01) (04-02)."""
+    png = _hand_png(b"\x01\x01\x02\x02\x02", 2, 1, depth=16)
+    d = codecs.decode_png(png)
+    assert (d["bit_depth"], d["channels"]) == (16, 1)
+    assert d["pixels"] == b"\x01\x02\x03\x04"
+
+
+def test_png_adam7_roundtrip_edge_dims():
+    """Interlaced encode->decode across dims that exercise empty passes
+    (w or h below the pass grid's offsets) and the single-pixel corner."""
+    for w, h in [(1, 1), (3, 3), (8, 8), (9, 10), (2, 16), (16, 2), (5, 1)]:
+        px = bytes((i * 31 + 7) % 256 for i in range(w * h))
+        out = codecs.decode_png(codecs.encode_png(w, h, px, 0, 4, interlace=True))
+        assert out["pixels"] == px, (w, h)
+
+
 def test_png_rejects_garbage_and_bad_depth():
     with pytest.raises(ValueError, match="signature"):
         codecs.decode_png(b"not a png at all")
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)  # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)  # sub-byte depth
     bad = codecs.PNG_SIG + _chunk(b"IHDR", ihdr)
     with pytest.raises(ValueError, match="depth"):
+        codecs.decode_png(bad)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2)  # unknown interlace
+    bad = codecs.PNG_SIG + _chunk(b"IHDR", ihdr)
+    with pytest.raises(ValueError, match="interlace"):
         codecs.decode_png(bad)
 
 
@@ -316,20 +356,25 @@ def test_resample_plane_property(w, h, new_w, new_h, data):
 
 
 @given(
-    w=st.integers(1, 6), h=st.integers(1, 6),
+    w=st.integers(1, 9), h=st.integers(1, 9),
     ctype=st.sampled_from([0, 2, 4, 6]), ft=st.integers(0, 4),
+    depth=st.sampled_from([8, 16]), interlace=st.booleans(),
     data=st.data(),
 )
 @settings(**_CODEC_SETTINGS)
-def test_png_roundtrip_property(w, h, ctype, ft, data):
+def test_png_roundtrip_property(w, h, ctype, ft, depth, interlace, data):
     """PNG encode->decode is lossless for random pixel bytes across all
-    supported color types x filter types and arbitrary small dims (the
-    parametrized test pins one fixed 5x4 image; this walks the dim grid
-    where filter byte offsets are most error-prone: w=1, h=1)."""
+    supported color types x filter types x bit depths x row orders
+    (sequential + Adam7) and arbitrary small dims (the parametrized test
+    pins one fixed 5x4 image; this walks the dim grid where filter byte
+    offsets and empty interlace passes are most error-prone: w=1, h=1)."""
     ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
-    px = bytes(data.draw(st.binary(min_size=w * h * ch, max_size=w * h * ch)))
-    d = codecs.decode_png(codecs.encode_png(w, h, px, ctype, ft))
-    assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+    n = w * h * ch * (depth // 8)
+    px = bytes(data.draw(st.binary(min_size=n, max_size=n)))
+    d = codecs.decode_png(
+        codecs.encode_png(w, h, px, ctype, ft, bit_depth=depth, interlace=interlace)
+    )
+    assert (d["width"], d["height"], d["channels"], d["bit_depth"]) == (w, h, ch, depth)
     assert d["pixels"] == px
 
 
