@@ -99,7 +99,10 @@ def run_sf1_tier() -> int:
         "dp2_minhash_lsh_neardup": pipeline.q_minhash_lsh,
         "dp6_cosine_topk": pipeline.q_cosine_topk,
         "dp15s_span_dedup": pipeline.q_span_dedup,
-        "dp25_bm25": pipeline.q_bm25c,
+        # the frozen tier times the two batch branches only — the gate's
+        # streamed-index branch (q_bm25c) would fold a one-off stream
+        # ingest into a steady-state timing (see q_bm25_batch docstring)
+        "dp25_bm25": pipeline.q_bm25_batch,
         "tpch7_trade": tpch.q_tpch7,
         "tpch9_profit": tpch.q_tpch9,
         "tpch18_bigqty": tpch.q_tpch18,

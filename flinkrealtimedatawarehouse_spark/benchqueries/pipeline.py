@@ -1604,7 +1604,12 @@ SQL_BM25_SEARCH = _sql_bm25_search()
 _POSTIDX_BUILT: dict[str, str] = {}  # sf dir -> streamed postings index dir
 
 
-def q_bm25c(spark: SparkSession, sf: str) -> DataFrame:
+def q_bm25_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """The two BATCH branches (terms + search) — what the frozen sf1
+    bench tier has timed since round 6. The driver gate runs ``q_bm25c``
+    (this + the streamed-index branch); the bench stays on this twin so
+    the tier keeps measuring the same workload round-over-round instead
+    of absorbing the one-off stream-ingest cost."""
     terms_b = q_bm25(spark, sf).select(
         F.lit("terms").alias("branch"), "doc_id",
         F.col("rank").cast("int").alias("rank"),
@@ -1619,6 +1624,11 @@ def q_bm25c(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_hit_terms").cast("double").alias("v1"),
         F.col("score").alias("v2"),
     )
+    return terms_b.unionByName(search_b)
+
+
+def q_bm25c(spark: SparkSession, sf: str) -> DataFrame:
+    batch_b = q_bm25_batch(spark, sf)
     # sindex branch: the SAME search answered by the stream-maintained
     # postings index (searchindex.stream_postings_upkeep — documents
     # ingested in micro-batches, index folded incrementally). Its DuckDB
@@ -1649,14 +1659,17 @@ def q_bm25c(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_hit_terms").cast("double").alias("v1"),
         F.col("score").alias("v2"),
     )
-    return terms_b.unionByName(search_b).unionByName(sindex_b)
+    return batch_b.unionByName(sindex_b)
 
 
-SQL_BM25C = f"""
+SQL_BM25_BATCH = f"""
 SELECT 'terms' AS branch, doc_id, rank, term AS key, tf_ct::DOUBLE AS v1, score AS v2
 FROM ({SQL_BM25})
 UNION ALL
 SELECT 'search', doc_id, rank::INT, 'q', n_hit::DOUBLE, score FROM ({SQL_BM25_SEARCH})
+"""
+
+SQL_BM25C = f"""{SQL_BM25_BATCH}
 UNION ALL
 SELECT 'sindex', doc_id, rank::INT, 'q', n_hit::DOUBLE, score FROM ({SQL_BM25_SEARCH})
 """

@@ -68,7 +68,7 @@ def pairs():
         ("dp2_minhash_lsh_neardup", pipeline.q_minhash_lsh, pipeline.SQL_MINHASH_LSH),
         ("dp6_cosine_topk", pipeline.q_cosine_topk_both, pipeline.SQL_COSINE_TOPK_BOTH),
         ("dp15s_span_dedup", pipeline.q_span_dedup, pipeline.SQL_SPAN_DEDUP),
-        ("dp25_bm25", pipeline.q_bm25c, pipeline.SQL_BM25C),
+        ("dp25_bm25", pipeline.q_bm25_batch, pipeline.SQL_BM25_BATCH),
         ("tpch7_trade", tpch.q_tpch7, tpch.SQL_TPCH7),
         ("tpch9_profit", tpch.q_tpch9, tpch.SQL_TPCH9),
         ("tpch18_bigqty", tpch.q_tpch18, tpch.SQL_TPCH18),
