@@ -1093,11 +1093,37 @@ SELECT probe_id, neighbor_id, cosine, rank::INT AS rank FROM (
 SQL_ANN_MLSH = _sql_ann_mlsh()
 
 
+_IVFIDX_BUILT: dict[str, object] = {}  # sf dir -> streamed IVF index sink
+
+
 def q_ann_both(spark: SparkSession, sf: str) -> DataFrame:
     lsh = q_ann_lsh(spark, sf).withColumn("method", F.lit("lsh"))
     mlsh = q_ann_mlsh(spark, sf).withColumn("method", F.lit("mlsh"))
     ivf = q_ivf_topk(spark, sf).withColumn("method", F.lit("ivf"))
-    return lsh.unionByName(mlsh).unionByName(ivf)
+    # sivf branch: the SAME IVF search answered by the stream-maintained
+    # persisted index (simsearch.stream_ivf_upkeep — vectors ingested in
+    # micro-batches, centroid component sums folded additively; integer
+    # sums are associative, so the maintained centroids are bit-equal to
+    # a batch rebuild). DuckDB twin = the same SQL_IVF recomputation from
+    # the raw embeddings table. Memoized per (process, sf) like
+    # _POSTIDX_BUILT, existence-checked on the sink's corpus dir.
+    from flinkrealtimedatawarehouse_spark.streaming import simsearch
+    from flinkrealtimedatawarehouse_spark.streaming.runner import scratch_dir
+
+    sink = _IVFIDX_BUILT.get(sf)
+    if sink is not None and not os.path.isdir(os.path.join(sink.out_dir, "corpus")):
+        sink = None
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _TK_PROBES)
+    if sink is None:
+        sink = simsearch.stream_ivf_upkeep(
+            emb, "vec_id", "embedding", "label", scratch_dir("ivfidx")
+        )
+        _IVFIDX_BUILT[sf] = sink
+    sivf = simsearch.streamed_ivf_topk(
+        spark, sink, probes, k=_TK_K, n_probe=_IVF_NPROBE
+    ).withColumn("method", F.lit("sivf"))
+    return lsh.unionByName(mlsh).unionByName(ivf).unionByName(sivf)
 
 SQL_ANN_BOTH = f"""
 SELECT *, 'lsh' AS method FROM ({SQL_ANN_LSH})
@@ -1105,6 +1131,8 @@ UNION ALL
 SELECT *, 'mlsh' AS method FROM ({SQL_ANN_MLSH})
 UNION ALL
 SELECT *, 'ivf' AS method FROM ({SQL_IVF})
+UNION ALL
+SELECT *, 'sivf' AS method FROM ({SQL_IVF})
 """
 
 # dp8+dp9+dp10+dp14: per-document text-analysis metrics over a sampled

@@ -72,3 +72,142 @@ class IncrementalTopKSink(VersionedSnapshotSink):
                     F.col("new_rank").alias("rank"))
         )
         self.commit_snapshot(merged, batch_id)
+
+
+# --- streaming upkeep for the persisted IVF index --------------------------
+#
+# The persisted index (similarity.build_ivf_index) gets the same
+# continuous-maintenance treatment the BM25 postings got (searchindex.py):
+# vectors arrive in micro-batches, the index stays query-able, and the
+# maintained state equals a batch rebuild EXACTLY — not approximately —
+# because the shared centroid definition (_cell_centroids) is an
+# element-wise INTEGER sum of quantized components: integer sums are
+# associative, so folding per-batch partial sums through the additive
+# sink reproduces the batch sum bit-for-bit under any stream split.
+#
+# What's appended vs folded:
+# - corpus rows (neighbor_id, cell, qn): append-only — each batch writes
+#   its own corpus/batch=<id>/cell=<k>/ partition, replay-safe by
+#   overwriting only its own directory. Search prunes by cell exactly as
+#   against the batch-built layout (the extra batch partition column
+#   rides along and prunes nothing away).
+# - per-(cell, pos) component sums: AdditiveGoldSink (replay-safe
+#   batch-id marker); centroids are assembled at read time by the same
+#   collect_list/array_sort shape _cell_centroids uses. Values are
+#   integer-valued doubles, exact below 2^53.
+#
+# Scale: per batch = quantize + one explode/partial-agg (|batch| x dim
+# rows) + a keyed merge into a |cells x dim| running table — dimension-
+# bounded, never corpus-bounded. Centroid drift is the documented
+# operational caveat of any frozen coarse quantizer: here cells come
+# from the assignment column, and the centroids themselves keep moving
+# with the data because the sums fold continuously.
+
+
+class IvfIndexSink:
+    """foreachBatch writer maintaining the persisted IVF index
+    incrementally. ``streamed_ivf_topk`` answers searches from it,
+    identically to ``ivf_topk`` over the full corpus (gate- and
+    parity-tested)."""
+
+    def __init__(self, out_dir: str, id_col: str, vec_col: str,
+                 label_col: str, quant: int | None = None):
+        import os
+
+        from flinkrealtimedatawarehouse_spark.datapipeline import similarity
+        from flinkrealtimedatawarehouse_spark.streaming.sinks import AdditiveGoldSink
+
+        self.out_dir = out_dir
+        self.id_col, self.vec_col, self.label_col = id_col, vec_col, label_col
+        self.quant = similarity.QUANT if quant is None else quant
+        self.cent = AdditiveGoldSink(
+            os.path.join(out_dir, "centsums"), keys=["cell", "pos"],
+            measures={"s": ("qv", "sum")},
+        )
+
+    def _corpus_rows(self, batch: DataFrame) -> DataFrame:
+        from flinkrealtimedatawarehouse_spark.datapipeline.similarity import quantized
+
+        return batch.select(
+            F.col(self.id_col).alias("neighbor_id"),
+            F.col(self.label_col).alias("cell"),
+            quantized(F.col(self.vec_col), self.quant).alias("qn"),
+        )
+
+    def write_batch(self, batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        corpus = self._corpus_rows(batch)
+        # corpus lands before the centroid marker (crash between the two
+        # replays the batch: directory overwrite is a no-op, fold applies
+        # once — same ordering contract as PostingsIndexSink)
+        corpus.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(self.out_dir, "corpus", f"batch={batch_id}")
+        )
+        pos = corpus.select("cell", F.posexplode(F.col("qn")).alias("pos", "qv"))
+        self.cent.write_batch(pos, batch_id)
+
+    def centroids(self, spark: SparkSession) -> DataFrame:
+        """The maintained centroid table, in _cell_centroids' exact shape
+        (cell, cvec) — integer-valued sums, bit-equal to a batch rebuild."""
+        cur = self.cent.current(spark)
+        if cur is None:
+            raise ValueError(f"IVF index at {self.out_dir} has no committed batches")
+        # cast the folded sums back to bigint: each per-component sum is
+        # integer-valued and far below 2^53 (exact in the double fold), and
+        # the bigint cvec keeps the downstream dot/sq-norm arithmetic on
+        # the batch path's exact integer types
+        return cur.select(
+            "cell", "pos", F.col("s").cast("bigint").alias("s")
+        ).groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("s")))),
+                lambda x: x["s"],
+            ).alias("cvec")
+        )
+
+
+def stream_ivf_upkeep(emb: DataFrame, id_col: str, vec_col: str,
+                      label_col: str, out_dir: str, n_batches: int = 4,
+                      quant: int | None = None,
+                      tag: str = "ivfidx") -> IvfIndexSink:
+    """Run ``emb`` through the IVF index upkeep as a checkpointed stream
+    (n_batches micro-batches) and return the sink."""
+    from flinkrealtimedatawarehouse_spark.streaming import runner
+
+    src = emb.select(id_col, vec_col, label_col)
+    in_dir = runner.stage_stream_dir(src, id_col, n_batches, tag)
+    sdf = runner.parquet_stream(emb.sparkSession, in_dir, src.schema)
+    sink = IvfIndexSink(out_dir, id_col, vec_col, label_col, quant)
+    runner.run_foreach_batch(sdf, sink.write_batch, tag)
+    return sink
+
+
+def streamed_ivf_topk(spark: SparkSession, sink: IvfIndexSink,
+                      probes: DataFrame, k: int = 5,
+                      n_probe: int = 2) -> DataFrame:
+    """Search the stream-maintained IVF index: rank cells per probe
+    against the folded centroids, then scan ONLY the probed cells'
+    partition directories for the exact re-rank — the same plan shape
+    (and the same shared helpers) as ``ivf_index_topk`` on a batch-built
+    index. The probed-cell list collects to the driver, bounded by
+    |probes| x n_probe (the pruning predicate, not data movement)."""
+    import os
+
+    from flinkrealtimedatawarehouse_spark.datapipeline.similarity import (
+        _cell_rerank,
+        _rank_probe_cells,
+        quantized,
+    )
+
+    probe_q = probes.select(
+        F.col(sink.id_col).alias("probe_id"),
+        quantized(F.col(sink.vec_col), sink.quant).alias("qp"),
+    )
+    probe_cells = _rank_probe_cells(probe_q, sink.centroids(spark), n_probe)
+    cells = [r.probe_cell
+             for r in probe_cells.select("probe_cell").distinct().collect()]
+    corpus = spark.read.parquet(os.path.join(sink.out_dir, "corpus")).filter(
+        F.col("cell").isin(cells)
+    )
+    return _cell_rerank(corpus, probe_cells, k)

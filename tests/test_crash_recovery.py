@@ -151,6 +151,49 @@ def _run_postidx(spark, base_dir, crash_batch=None):
     return [tuple(r) for r in out]
 
 
+def _run_ivfidx(spark, base_dir, crash_batch=None):
+    from flinkrealtimedatawarehouse_spark.streaming.simsearch import (
+        IvfIndexSink,
+        streamed_ivf_topk,
+    )
+
+    vecs = [
+        (i, [float((i * 7 + d * 3) % 11 - 5) / 5 for d in range(4)], i % 2)
+        for i in range(1, 13)
+    ]
+    batches = [vecs[:4], vecs[4:8], vecs[8:]]
+    schema = "vec_id long, embedding array<double>, label int"
+
+    def fresh():
+        return IvfIndexSink(base_dir, "vec_id", "embedding", "label")
+
+    sink = fresh()
+    for bid, rows in enumerate(batches):
+        if bid == crash_batch:
+            # the corpus partition for bid has landed; the crash fires in
+            # the centroid-sum marker commit
+            _arm_marker_crash(sink.cent)
+            with pytest.raises(_CrashInjected):
+                sink.write_batch(spark.createDataFrame(rows, schema), bid)
+            sink = fresh()
+        sink.write_batch(spark.createDataFrame(rows, schema), bid)
+    probes = spark.createDataFrame(vecs[:2], schema)
+    out = streamed_ivf_topk(spark, sink, probes, k=3, n_probe=1).collect()
+    return [tuple(r) for r in out]
+
+
+def test_ivf_index_restart_mid_batch_exactly_once(spark, tmp_path):
+    """Streamed IVF index: a crash between the corpus append and the
+    centroid-sum marker must not double-fold the sums (which would move
+    every centroid and re-rank cells) or lose the batch's vectors."""
+    clean = _run_ivfidx(spark, str(tmp_path / "clean"))
+    assert clean and clean[0][3] == 1  # ranked results, rank starts at 1
+    for crash_at in (0, 1, 2):
+        got = _run_ivfidx(spark, str(tmp_path / f"crash{crash_at}"),
+                          crash_batch=crash_at)
+        assert got == clean, f"streamed IVF index diverged after crash at batch {crash_at}"
+
+
 def test_postings_index_restart_mid_batch_exactly_once(spark, tmp_path):
     """dp25 streamed index: a crash between the postings write and the
     stats marker must not double-count n_docs/sum_dl (which would shift

@@ -1366,6 +1366,51 @@ def test_streamed_postings_index_matches_batch_search(spark, tmp_path):
     assert rep["n_files_scanned"] < rep["n_files_total"]
 
 
+def test_streamed_ivf_index_matches_batch_topk(spark, tmp_path):
+    """dp7/dp13 streaming upkeep: the stream-maintained persisted IVF
+    index answers top-k EXACTLY like in-memory ivf_topk over the full
+    corpus, for any batch split — and the folded centroids are bit-equal
+    to the batch _cell_centroids (integer sums are associative)."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import similarity
+    from flinkrealtimedatawarehouse_spark.streaming import simsearch
+
+    import random
+    random.seed(7)
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(6)], i % 3)
+        for i in range(1, 61)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    probes = emb.filter(F.col("vec_id") <= 4)
+    direct = similarity.ivf_topk(
+        emb, probes, "vec_id", "embedding", "label", k=5, n_probe=2
+    ).collect()
+
+    for n_batches in (1, 3):
+        sink = simsearch.stream_ivf_upkeep(
+            emb, "vec_id", "embedding", "label",
+            str(tmp_path / f"ivfidx{n_batches}"), n_batches=n_batches,
+            tag=f"tivf{n_batches}",
+        )
+        got = simsearch.streamed_ivf_topk(spark, sink, probes, k=5, n_probe=2).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in direct], n_batches
+
+        batch_cent = {
+            r.cell: list(r.cvec)
+            for r in similarity._cell_centroids(
+                emb.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("cell"),
+                    similarity.quantized(F.col("embedding")).alias("qn"),
+                )
+            ).collect()
+        }
+        folded_cent = {r.cell: list(r.cvec) for r in sink.centroids(spark).collect()}
+        assert folded_cent == batch_cent
+
+
 # --- model-based quality filtering (linear classifier) --------------------
 
 def test_logreg_learns_separable_planted_data(spark):
