@@ -1410,6 +1410,15 @@ def test_streamed_ivf_index_matches_batch_topk(spark, tmp_path):
         folded_cent = {r.cell: list(r.cvec) for r in sink.centroids(spark).collect()}
         assert folded_cent == batch_cent
 
+    # the search scanned ONLY the probed cells' directories on the
+    # streamed batch=*/cell=* layout (same assertion the batch-built
+    # index and the streamed postings index carry)
+    from flinkrealtimedatawarehouse_spark.operators.layout import scan_report
+
+    rep = scan_report(spark, f"{tmp_path / 'ivfidx3'}/corpus", "cell in (0)")
+    assert rep["plan_has_partition_filters"]
+    assert rep["n_files_scanned"] < rep["n_files_total"]
+
 
 # --- model-based quality filtering (linear classifier) --------------------
 
