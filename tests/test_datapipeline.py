@@ -1366,6 +1366,39 @@ def test_streamed_postings_index_matches_batch_search(spark, tmp_path):
     assert rep["n_files_scanned"] < rep["n_files_total"]
 
 
+def test_streamed_postings_compaction_preserves_search(spark, tmp_path):
+    """The documented small-files remedy for streamed indexes: compact the
+    per-batch postings partitions down to per-bucket files (compact_dir),
+    swap directories, and the search answers identically — while the file
+    count actually drops (the batch=* split is gone)."""
+    import os
+    import shutil
+
+    from flinkrealtimedatawarehouse_spark.operators.layout import compact_dir
+    from flinkrealtimedatawarehouse_spark.streaming import searchindex
+
+    import random
+    random.seed(23)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = [(i, " ".join(random.choices(vocab, k=10))) for i in range(1, 61)]
+    d = _docs(spark, rows)
+    idx = str(tmp_path / "cidx")
+    searchindex.stream_postings_upkeep(
+        d, "doc_id", "text", idx, n_batches=3, n_buckets=8, tag="cidx"
+    )
+    q = "alpha zeta"
+    before = searchindex.streamed_postings_search(spark, idx, "doc_id", q, k=15).collect()
+
+    post = os.path.join(idx, "postings")
+    stats = compact_dir(spark, post, post + "_compact", partition_cols=["bucket"])
+    assert stats["files_after"] < stats["files_before"]
+    shutil.move(post, post + "_old")
+    shutil.move(post + "_compact", post)
+
+    after = searchindex.streamed_postings_search(spark, idx, "doc_id", q, k=15).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+
 def test_streamed_ivf_index_matches_batch_topk(spark, tmp_path):
     """dp7/dp13 streaming upkeep: the stream-maintained persisted IVF
     index answers top-k EXACTLY like in-memory ivf_topk over the full
