@@ -111,7 +111,8 @@ class IvfIndexSink:
     parity-tested)."""
 
     def __init__(self, out_dir: str, id_col: str, vec_col: str,
-                 label_col: str, quant: int | None = None):
+                 label_col: str, quant: int | None = None,
+                 meta_cols: list[str] | None = None):
         import os
 
         from flinkrealtimedatawarehouse_spark.datapipeline import similarity
@@ -120,6 +121,7 @@ class IvfIndexSink:
         self.out_dir = out_dir
         self.id_col, self.vec_col, self.label_col = id_col, vec_col, label_col
         self.quant = similarity.QUANT if quant is None else quant
+        self.meta_cols = list(meta_cols or [])
         self.cent = AdditiveGoldSink(
             os.path.join(out_dir, "centsums"), keys=["cell", "pos"],
             measures={"s": ("qv", "sum")},
@@ -128,10 +130,13 @@ class IvfIndexSink:
     def _corpus_rows(self, batch: DataFrame) -> DataFrame:
         from flinkrealtimedatawarehouse_spark.datapipeline.similarity import quantized
 
+        # meta_cols ride into the index rows for filtered vector search,
+        # same contract as build_ivf_index
         return batch.select(
             F.col(self.id_col).alias("neighbor_id"),
             F.col(self.label_col).alias("cell"),
             quantized(F.col(self.vec_col), self.quant).alias("qn"),
+            *[F.col(c) for c in self.meta_cols],
         )
 
     def write_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -170,28 +175,33 @@ class IvfIndexSink:
 def stream_ivf_upkeep(emb: DataFrame, id_col: str, vec_col: str,
                       label_col: str, out_dir: str, n_batches: int = 4,
                       quant: int | None = None,
+                      meta_cols: list[str] | None = None,
                       tag: str = "ivfidx") -> IvfIndexSink:
     """Run ``emb`` through the IVF index upkeep as a checkpointed stream
     (n_batches micro-batches) and return the sink."""
     from flinkrealtimedatawarehouse_spark.streaming import runner
 
-    src = emb.select(id_col, vec_col, label_col)
+    src = emb.select(id_col, vec_col, label_col, *(meta_cols or []))
     in_dir = runner.stage_stream_dir(src, id_col, n_batches, tag)
     sdf = runner.parquet_stream(emb.sparkSession, in_dir, src.schema)
-    sink = IvfIndexSink(out_dir, id_col, vec_col, label_col, quant)
+    sink = IvfIndexSink(out_dir, id_col, vec_col, label_col, quant, meta_cols)
     runner.run_foreach_batch(sdf, sink.write_batch, tag)
     return sink
 
 
 def streamed_ivf_topk(spark: SparkSession, sink: IvfIndexSink,
                       probes: DataFrame, k: int = 5,
-                      n_probe: int = 2) -> DataFrame:
+                      n_probe: int = 2, corpus_filter=None) -> DataFrame:
     """Search the stream-maintained IVF index: rank cells per probe
     against the folded centroids, then scan ONLY the probed cells'
     partition directories for the exact re-rank — the same plan shape
     (and the same shared helpers) as ``ivf_index_topk`` on a batch-built
-    index. The probed-cell list collects to the driver, bounded by
-    |probes| x n_probe (the pruning predicate, not data movement)."""
+    index, including ``corpus_filter`` (an optional Column predicate
+    over the index's corpus columns — filtered vector search: partition
+    pruning first, then the row filter pushed into the pruned scan, and
+    the top-k ranks only qualifying neighbors). The probed-cell list
+    collects to the driver, bounded by |probes| x n_probe (the pruning
+    predicate, not data movement)."""
     import os
 
     from flinkrealtimedatawarehouse_spark.datapipeline.similarity import (
@@ -210,4 +220,6 @@ def streamed_ivf_topk(spark: SparkSession, sink: IvfIndexSink,
     corpus = spark.read.parquet(os.path.join(sink.out_dir, "corpus")).filter(
         F.col("cell").isin(cells)
     )
+    if corpus_filter is not None:
+        corpus = corpus.filter(corpus_filter)
     return _cell_rerank(corpus, probe_cells, k)

@@ -1452,6 +1452,20 @@ def test_streamed_ivf_index_matches_batch_topk(spark, tmp_path):
     assert rep["plan_has_partition_filters"]
     assert rep["n_files_scanned"] < rep["n_files_total"]
 
+    # filtered vector search parity: the same corpus predicate against the
+    # streamed index and against a batch-built persisted index
+    flt = F.col("neighbor_id") % 2 == 0
+    bidx = str(tmp_path / "bidx")
+    similarity.build_ivf_index(emb, bidx, "vec_id", "embedding", "label")
+    via_batch = similarity.ivf_index_topk(
+        spark, bidx, probes, "vec_id", "embedding", k=5, n_probe=2,
+        corpus_filter=flt,
+    ).collect()
+    via_stream = simsearch.streamed_ivf_topk(
+        spark, sink, probes, k=5, n_probe=2, corpus_filter=flt
+    ).collect()
+    assert [tuple(r) for r in via_stream] == [tuple(r) for r in via_batch]
+
 
 # --- model-based quality filtering (linear classifier) --------------------
 
