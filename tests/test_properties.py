@@ -10,6 +10,7 @@ from datetime import datetime, timedelta
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from flinkrealtimedatawarehouse_spark.operators.joins import interval_join
 from flinkrealtimedatawarehouse_spark.operators.merge import upsert_latest
@@ -446,3 +447,112 @@ def test_repeated_spans_equal_python_reference(spark, docs, w):
         for r in repeated_spans(df, "doc_id", "text", w).collect()
     }
     assert got == expect
+
+
+# --- streamed serving indexes: split invariance over random corpora --------
+
+_IDX_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _split_rows(rows, cuts):
+    bounds = sorted({c for c in cuts if c < len(rows)})
+    slices, prev = [], 0
+    for c in bounds + [len(rows)]:
+        if c > prev:
+            slices.append(rows[prev:c])
+            prev = c
+    return slices
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "zeta"]),
+                 min_size=0, max_size=8),
+        min_size=1, max_size=16,
+    ),
+    cuts=st.sets(st.integers(1, 15), max_size=3),
+)
+@settings(**_IDX_SETTINGS)
+def test_streamed_postings_split_invariant(spark, tmp_path_factory, docs, cuts):
+    """For ANY corpus and ANY micro-batch split, the stream-maintained
+    postings index answers the query exactly like direct bm25_search over
+    the whole corpus — the algebraic claim behind the dp25 sindex gate
+    (additive integer stats + append-only postings + query-time df)."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import textstats
+    from flinkrealtimedatawarehouse_spark.streaming.searchindex import (
+        PostingsIndexSink,
+        streamed_postings_search,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs, start=1)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    q = "alpha zeta"
+    if not any("alpha" in t or "zeta" in t for _, t in rows):
+        return  # nothing to rank either way; search still needs >=1 committed batch
+
+    base = str(tmp_path_factory.mktemp("pidx"))
+    sink = PostingsIndexSink(base, "doc_id", "text", n_buckets=4)
+    for i, sl in enumerate(_split_rows(rows, cuts)):
+        sink.write_batch(spark.createDataFrame(sl, "doc_id long, text string"), i)
+
+    direct = textstats.bm25_search(d, "doc_id", "text", q, k=10).collect()
+    got = streamed_postings_search(spark, base, "doc_id", q, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in direct]
+
+
+@given(
+    vecs=st.lists(
+        # strictly positive components: zero-norm vectors (and cells whose
+        # integer centroid sums cancel to zero) are outside the cosine
+        # contract — real embeddings are L2-normalized (embed_text), so a
+        # zero vector can never reach these operators
+        st.lists(st.integers(1, 9), min_size=3, max_size=3),
+        min_size=2, max_size=14,
+    ),
+    cuts=st.sets(st.integers(1, 13), max_size=3),
+)
+@settings(**_IDX_SETTINGS)
+def test_streamed_ivf_split_invariant(spark, tmp_path_factory, vecs, cuts):
+    """For ANY (nonzero) vector corpus and ANY micro-batch split: folded
+    centroids are BIT-equal to the batch definition (integer-sum
+    associativity) and the streamed search equals in-memory ivf_topk over
+    the full corpus."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import similarity
+    from flinkrealtimedatawarehouse_spark.streaming.simsearch import (
+        IvfIndexSink,
+        streamed_ivf_topk,
+    )
+
+    schema = "vec_id long, embedding array<double>, label int"
+    rows = [(i, [v / 10.0 for v in vec], i % 2)
+            for i, vec in enumerate(vecs, start=1)]
+    emb = spark.createDataFrame(rows, schema)
+    probes = emb.filter(F.col("vec_id") <= 2)
+
+    base = str(tmp_path_factory.mktemp("vidx"))
+    sink = IvfIndexSink(base, "vec_id", "embedding", "label")
+    for i, sl in enumerate(_split_rows(rows, cuts)):
+        sink.write_batch(spark.createDataFrame(sl, schema), i)
+
+    batch_cent = {
+        r.cell: list(r.cvec)
+        for r in similarity._cell_centroids(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("cell"),
+                similarity.quantized(F.col("embedding")).alias("qn"),
+            )
+        ).collect()
+    }
+    folded = {r.cell: list(r.cvec) for r in sink.centroids(spark).collect()}
+    assert folded == batch_cent
+
+    direct = similarity.ivf_topk(
+        emb, probes, "vec_id", "embedding", "label", k=3, n_probe=1
+    ).collect()
+    got = streamed_ivf_topk(spark, sink, probes, k=3, n_probe=1).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in direct]
