@@ -84,8 +84,19 @@ def _cosine_given_norms(qa: Column, qb: Column, na: Column, nb: Column) -> Colum
     norm ONCE per row instead of once per PAIR removes 2 of the 3 O(d)
     array passes from the hot loop. Same expression tree tail as
     ``_exact_cosine`` (cast-to-double then multiply), so values are
-    bit-identical to the unfactored form."""
-    return F.round(_dot(qa, qb).cast("double") / F.sqrt(na.cast("double") * nb.cast("double")), 6)
+    bit-identical to the unfactored form.
+
+    Zero-norm convention: cosine is undefined for the zero vector, and
+    zero vectors DO reach these paths in real corpora (``embed_text``
+    maps an empty document to the zero vector by its own guard). Define
+    similarity as 0.0 — "similar to nothing" — instead of letting ANSI
+    mode abort the whole job with DIVIDE_BY_ZERO. The guard leaves the
+    nonzero branch's expression tree untouched, so all existing values
+    stay bit-identical."""
+    prod = na.cast("double") * nb.cast("double")
+    return F.when(
+        prod > 0, F.round(_dot(qa, qb).cast("double") / F.sqrt(prod), 6)
+    ).otherwise(F.lit(0.0))
 
 
 def _exact_cosine(qa: Column, qb: Column) -> Column:
@@ -344,9 +355,13 @@ def cosine_topk_batch(emb: DataFrame, probes: DataFrame, id_col: str, vec_col: s
         F.col(id_col).alias("_nid"), quantized(F.col(vec_col), quant).alias("_q")
     )
     cand = corpus.mapInPandas(score, out_schema)
-    cosine = F.round(
-        F.col("dot").cast("double") / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")), 6
-    )
+    # same zero-norm convention as _cosine_given_norms: 0.0, not a
+    # DIVIDE_BY_ZERO abort, when a zero vector (empty-doc embedding)
+    # reaches the pair stage
+    _prod = F.col("na").cast("double") * F.col("nb").cast("double")
+    cosine = F.when(
+        _prod > 0, F.round(F.col("dot").cast("double") / F.sqrt(_prod), 6)
+    ).otherwise(F.lit(0.0))
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         cand.select("probe_id", "neighbor_id", cosine.alias("cosine"))

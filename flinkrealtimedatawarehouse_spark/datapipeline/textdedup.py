@@ -400,9 +400,13 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
     dot = F.aggregate(
         F.zip_with("a.q", "b.q", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
-    cos = F.round(
-        dot.cast("double") / F.sqrt(F.col("a._n").cast("double") * F.col("b._n").cast("double")), 6
-    )
+    # same zero-norm convention as similarity._cosine_given_norms: a zero
+    # vector (empty-doc embedding) is similar to nothing (0.0), never a
+    # DIVIDE_BY_ZERO abort
+    _prod = F.col("a._n").cast("double") * F.col("b._n").cast("double")
+    cos = F.when(
+        _prod > 0, F.round(dot.cast("double") / F.sqrt(_prod), 6)
+    ).otherwise(F.lit(0.0))
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(

@@ -1366,6 +1366,48 @@ def test_streamed_postings_index_matches_batch_search(spark, tmp_path):
     assert rep["n_files_scanned"] < rep["n_files_total"]
 
 
+def test_zero_vector_cosine_is_defined_not_divide_by_zero(spark):
+    """An empty document reaches the vector stack as the ZERO embedding
+    (embed_text's own guard) — every cosine path must treat it as
+    similar-to-nothing (0.0), not abort the job with ANSI DIVIDE_BY_ZERO.
+    Covers brute-force top-k, IVF (zero vector in a cell drags the
+    centroid; a cell of mirrored vectors cancels it to exactly zero), and
+    the embedding-cosine near-dup family."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import similarity, textdedup
+
+    schema = "vec_id long, embedding array<double>, label int"
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0], 0),      # the empty-doc embedding
+            (2, [0.5, 0.1, -0.2], 0),
+            (3, [0.4, 0.2, -0.1], 1),
+            (4, [-0.4, -0.2, 0.1], 1),    # cell 1 centroid sums cancel to 0
+        ],
+        schema,
+    )
+    probes = emb.filter(F.col("vec_id") <= 2)
+
+    topk = similarity.cosine_topk(emb, probes, "vec_id", "embedding", k=3).collect()
+    zero_rows = [r for r in topk if r.probe_id == 1 or r.neighbor_id == 1]
+    assert zero_rows and all(r.cosine == 0.0 for r in zero_rows)
+
+    ivf = similarity.ivf_topk(
+        emb, probes, "vec_id", "embedding", "label", k=3, n_probe=2
+    ).collect()
+    assert all(r.cosine == 0.0 for r in ivf if 1 in (r.probe_id, r.neighbor_id))
+
+    # embedding-cosine near-dup family: zero vector pairs score 0.0 and
+    # are therefore never near-dups, but the query must RUN
+    docs = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [0.5, 0.1, -0.2]), (3, [0.5, 0.1, -0.2])],
+        "doc_id long, embedding array<double>",
+    )
+    pairs = textdedup.embedding_near_dups(
+        docs, "doc_id", "embedding", threshold=0.9
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(2, 3)}
+
+
 def test_streamed_postings_compaction_preserves_search(spark, tmp_path):
     """The documented small-files remedy for streamed indexes: compact the
     per-batch postings partitions down to per-bucket files (compact_dir),
