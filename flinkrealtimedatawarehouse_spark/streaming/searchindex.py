@@ -144,21 +144,33 @@ def stream_postings_upkeep(docs: DataFrame, id_col: str, text_col: str,
 
 def streamed_postings_search(spark: SparkSession, out_dir: str, id_col: str,
                              query: str, k1: float = 1.2, b: float = 0.75,
-                             k: int = 10) -> DataFrame:
+                             k: int = 10,
+                             as_of_batch: int | None = None) -> DataFrame:
     """Search the stream-maintained index: bucket-pruned, term-filtered
     postings scan (reads 1/n_buckets of the index per term — the batch
     partitions under each bucket are pruned directories too), per-term
     window count = corpus df, corpus scalars from the additive stats
     snapshot, then the shared ``_bm25_rank`` tail — one definition of
-    the formula across bm25_search / postings_search / this."""
+    the formula across bm25_search / postings_search / this.
+
+    ``as_of_batch`` = point-in-time search: answer as the index stood
+    after that stream batch committed — stats from the matching snapshot
+    version (one commit per applied batch, ids sequential from 0, so
+    version == batch id) and postings pruned to ``batch <= as_of_batch``
+    directories. Versions the stats sink has vacuumed raise, per
+    ``read_version``'s own contract."""
     terms = query_terms(query)
     if not terms:
         raise ValueError("query has no tokens")
     with open(os.path.join(out_dir, "layout.json")) as f:
         n_buckets = json.load(f)["n_buckets"]
-    cur = _stats_sink(out_dir).current(spark)
-    if cur is None:
-        raise ValueError(f"postings index at {out_dir} has no committed batches")
+    sink = _stats_sink(out_dir)
+    if as_of_batch is None:
+        cur = sink.current(spark)
+        if cur is None:
+            raise ValueError(f"postings index at {out_dir} has no committed batches")
+    else:
+        cur = sink.read_version(spark, as_of_batch)
     stats = cur.select(
         F.col("n_docs"), (F.col("sum_dl") / F.col("n_docs")).alias("avgdl")
     )
@@ -168,6 +180,8 @@ def streamed_postings_search(spark: SparkSession, out_dir: str, id_col: str,
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
     )
+    if as_of_batch is not None:
+        rows = rows.filter(F.col("batch") <= as_of_batch)
     term_w = Window.partitionBy("term")
     postings = rows.withColumn("df", F.count(F.lit(1)).over(term_w)).drop(
         "batch", "bucket"

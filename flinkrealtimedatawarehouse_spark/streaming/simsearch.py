@@ -152,10 +152,16 @@ class IvfIndexSink:
         pos = corpus.select("cell", F.posexplode(F.col("qn")).alias("pos", "qv"))
         self.cent.write_batch(pos, batch_id)
 
-    def centroids(self, spark: SparkSession) -> DataFrame:
+    def centroids(self, spark: SparkSession,
+                  as_of_batch: int | None = None) -> DataFrame:
         """The maintained centroid table, in _cell_centroids' exact shape
-        (cell, cvec) — integer-valued sums, bit-equal to a batch rebuild."""
-        cur = self.cent.current(spark)
+        (cell, cvec) — integer-valued sums, bit-equal to a batch rebuild.
+        ``as_of_batch``: the table as it stood after that stream batch
+        committed (one snapshot version per applied batch)."""
+        if as_of_batch is not None:
+            cur = self.cent.read_version(spark, as_of_batch)
+        else:
+            cur = self.cent.current(spark)
         if cur is None:
             raise ValueError(f"IVF index at {self.out_dir} has no committed batches")
         # cast the folded sums back to bigint: each per-component sum is
@@ -191,7 +197,8 @@ def stream_ivf_upkeep(emb: DataFrame, id_col: str, vec_col: str,
 
 def streamed_ivf_topk(spark: SparkSession, sink: IvfIndexSink,
                       probes: DataFrame, k: int = 5,
-                      n_probe: int = 2, corpus_filter=None) -> DataFrame:
+                      n_probe: int = 2, corpus_filter=None,
+                      as_of_batch: int | None = None) -> DataFrame:
     """Search the stream-maintained IVF index: rank cells per probe
     against the folded centroids, then scan ONLY the probed cells'
     partition directories for the exact re-rank — the same plan shape
@@ -214,12 +221,18 @@ def streamed_ivf_topk(spark: SparkSession, sink: IvfIndexSink,
         F.col(sink.id_col).alias("probe_id"),
         quantized(F.col(sink.vec_col), sink.quant).alias("qp"),
     )
-    probe_cells = _rank_probe_cells(probe_q, sink.centroids(spark), n_probe)
+    probe_cells = _rank_probe_cells(
+        probe_q, sink.centroids(spark, as_of_batch), n_probe
+    )
     cells = [r.probe_cell
              for r in probe_cells.select("probe_cell").distinct().collect()]
     corpus = spark.read.parquet(os.path.join(sink.out_dir, "corpus")).filter(
         F.col("cell").isin(cells)
     )
+    if as_of_batch is not None:
+        # point-in-time: only the corpus partitions that existed when
+        # that batch committed (ids sequential from 0 == snapshot version)
+        corpus = corpus.filter(F.col("batch") <= as_of_batch)
     if corpus_filter is not None:
         corpus = corpus.filter(corpus_filter)
     return _cell_rerank(corpus, probe_cells, k)

@@ -1366,6 +1366,61 @@ def test_streamed_postings_index_matches_batch_search(spark, tmp_path):
     assert rep["n_files_scanned"] < rep["n_files_total"]
 
 
+def test_streamed_indexes_answer_as_of_any_batch(spark, tmp_path):
+    """Point-in-time queries on both streamed indexes: as_of_batch=b must
+    answer EXACTLY like the batch engine over the prefix corpus that had
+    arrived by batch b (stats snapshot version == batch id; postings /
+    corpus partitions pruned to batch <= b)."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import similarity, textstats
+    from flinkrealtimedatawarehouse_spark.streaming.searchindex import (
+        PostingsIndexSink,
+        streamed_postings_search,
+    )
+    from flinkrealtimedatawarehouse_spark.streaming.simsearch import (
+        IvfIndexSink,
+        streamed_ivf_topk,
+    )
+
+    import random
+    random.seed(31)
+    vocab = ["alpha", "beta", "gamma", "delta", "zeta"]
+    doc_rows = [(i, " ".join(random.choices(vocab, k=8))) for i in range(1, 31)]
+    doc_slices = [doc_rows[:10], doc_rows[10:20], doc_rows[20:]]
+    pidx = str(tmp_path / "pidx")
+    psink = PostingsIndexSink(pidx, "doc_id", "text", n_buckets=4)
+    for bid, sl in enumerate(doc_slices):
+        psink.write_batch(_docs(spark, sl), bid)
+    for b in range(3):
+        prefix = _docs(spark, [r for sl in doc_slices[: b + 1] for r in sl])
+        expect = textstats.bm25_search(prefix, "doc_id", "text", "alpha zeta", k=10).collect()
+        got = streamed_postings_search(
+            spark, pidx, "doc_id", "alpha zeta", k=10, as_of_batch=b
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in expect], b
+
+    vec_rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(4)], i % 2)
+        for i in range(1, 25)
+    ]
+    vec_slices = [vec_rows[:8], vec_rows[8:16], vec_rows[16:]]
+    schema = "vec_id long, embedding array<double>, label int"
+    vsink = IvfIndexSink(str(tmp_path / "vidx"), "vec_id", "embedding", "label")
+    for bid, sl in enumerate(vec_slices):
+        vsink.write_batch(spark.createDataFrame(sl, schema), bid)
+    probes = spark.createDataFrame(vec_rows[:2], schema)
+    for b in range(3):
+        prefix = spark.createDataFrame(
+            [r for sl in vec_slices[: b + 1] for r in sl], schema
+        )
+        expect = similarity.ivf_topk(
+            prefix, probes, "vec_id", "embedding", "label", k=4, n_probe=2
+        ).collect()
+        got = streamed_ivf_topk(
+            spark, vsink, probes, k=4, n_probe=2, as_of_batch=b
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in expect], b
+
+
 def test_zero_vector_cosine_is_defined_not_divide_by_zero(spark):
     """An empty document reaches the vector stack as the ZERO embedding
     (embed_text's own guard) — every cosine path must treat it as
