@@ -834,10 +834,13 @@ def q_a7c(spark: SparkSession, sf: str) -> DataFrame:
         _WIDE_LIVE_BUILT[sf] = live_dir
     from flinkrealtimedatawarehouse_spark.streaming import sinks as _sinks
 
+    # READ handle (read_only: a reader must not claim the dir and fence
+    # the upkeep stream's writer)
     live_sink = _sinks.AdditiveGoldSink(
         live_dir, keys=serving.WIDE_AGG_KEYS,
         measures={"order_amount": ("l_extendedprice", "sum"),
                   "order_ct": ("l_extendedprice", "count")},
+        read_only=True,
     )
     serving.register_wide_live_views(spark, live_sink.current(spark))
     live_brand = spark.sql("SELECT * FROM ads_top_brand_wide_live").select(

@@ -68,9 +68,10 @@ _STATS_KEYS = ["all_docs"]
 _STATS_MEASURES = {"n_docs": ("dl", "count"), "sum_dl": ("dl", "sum")}
 
 
-def _stats_sink(out_dir: str) -> AdditiveGoldSink:
+def _stats_sink(out_dir: str, read_only: bool = False) -> AdditiveGoldSink:
     return AdditiveGoldSink(
-        os.path.join(out_dir, "stats"), keys=_STATS_KEYS, measures=_STATS_MEASURES
+        os.path.join(out_dir, "stats"), keys=_STATS_KEYS,
+        measures=_STATS_MEASURES, read_only=read_only,
     )
 
 
@@ -164,7 +165,9 @@ def streamed_postings_search(spark: SparkSession, out_dir: str, id_col: str,
         raise ValueError("query has no tokens")
     with open(os.path.join(out_dir, "layout.json")) as f:
         n_buckets = json.load(f)["n_buckets"]
-    sink = _stats_sink(out_dir)
+    # READ handle: must not claim the dir (claiming would fence a live
+    # upkeep stream's writer)
+    sink = _stats_sink(out_dir, read_only=True)
     if as_of_batch is None:
         cur = sink.current(spark)
         if cur is None:

@@ -112,7 +112,8 @@ class IvfIndexSink:
 
     def __init__(self, out_dir: str, id_col: str, vec_col: str,
                  label_col: str, quant: int | None = None,
-                 meta_cols: list[str] | None = None):
+                 meta_cols: list[str] | None = None,
+                 read_only: bool = False):
         import os
 
         from flinkrealtimedatawarehouse_spark.datapipeline import similarity
@@ -122,9 +123,12 @@ class IvfIndexSink:
         self.id_col, self.vec_col, self.label_col = id_col, vec_col, label_col
         self.quant = similarity.QUANT if quant is None else quant
         self.meta_cols = list(meta_cols or [])
+        # read_only = a search-side handle over an index another process
+        # maintains: sees committed snapshots, never claims/fences the
+        # live writer, and write_batch on it refuses to commit
         self.cent = AdditiveGoldSink(
             os.path.join(out_dir, "centsums"), keys=["cell", "pos"],
-            measures={"s": ("qv", "sum")},
+            measures={"s": ("qv", "sum")}, read_only=read_only,
         )
 
     def _corpus_rows(self, batch: DataFrame) -> DataFrame:

@@ -51,13 +51,15 @@ class VersionedSnapshotSink:
     eventually-consistent store, swap this class for real Delta.
     """
 
-    def __init__(self, base_dir: str, lineage: str | None = None):
+    def __init__(self, base_dir: str, lineage: str | None = None,
+                 read_only: bool = False):
         self.base_dir = base_dir
         self.version = -1
         self.last_bid = -1
         self.min_version = 0  # oldest retained snapshot (raised by vacuum)
         self.lineage = lineage
         self.meta: dict = {}
+        self.read_only = read_only
         self._writer_id = uuid.uuid4().hex
         marker = self._marker_path()
         if os.path.exists(marker):  # restart: resume committed state
@@ -75,7 +77,13 @@ class VersionedSnapshotSink:
             self.last_bid = state["last_bid"]
             self.min_version = state.get("min_version", 0)
             self.meta = state.get("meta", {})
-        self._claim()
+        # a READ handle must not claim the dir: claiming fences the live
+        # writer (single-writer contract), and serving-side readers — the
+        # streamed-index searches, the wide-gold live views — would
+        # otherwise kill the upkeep stream they read from. Readers see
+        # the last committed marker and never commit.
+        if not read_only:
+            self._claim()
 
     def _path(self, v: int) -> str:
         return os.path.join(self.base_dir, f"v{v}")
@@ -228,6 +236,8 @@ class VersionedSnapshotSink:
 
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        if self.read_only:
+            raise RuntimeError("read-only snapshot handle cannot vacuum")
         self._check_fence()
         new_min = max(self.min_version, self.version - keep_last + 1)
         if new_min != self.min_version:
@@ -255,6 +265,8 @@ class VersionedSnapshotSink:
         """Write ``df`` as the next snapshot, then commit the marker with
         the batch id and any sink metadata (crash between the two leaves
         the previous consistent state)."""
+        if self.read_only:
+            raise RuntimeError("read-only snapshot handle cannot commit")
         self._check_fence()  # cheap early exit for already-fenced writers
         next_v = self.version + 1
         self._write_snapshot(df, next_v)

@@ -194,6 +194,33 @@ def test_ivf_index_restart_mid_batch_exactly_once(spark, tmp_path):
         assert got == clean, f"streamed IVF index diverged after crash at batch {crash_at}"
 
 
+def test_reader_handles_do_not_fence_the_index_writer(spark, tmp_path):
+    """A serving-side search between micro-batches must NOT fence the
+    upkeep stream's writer (read handles skip the single-writer claim).
+    Before read_only handles existed, the search's stats-sink
+    construction claimed the dir and the writer's next commit died with
+    the fencing RuntimeError."""
+    from flinkrealtimedatawarehouse_spark.streaming.searchindex import (
+        PostingsIndexSink,
+        streamed_postings_search,
+    )
+
+    base = str(tmp_path / "live")
+    sink = PostingsIndexSink(base, "doc_id", "text", n_buckets=4)
+    sink.write_batch(_docs(spark, B0), 0)
+    mid = streamed_postings_search(spark, base, "doc_id", "quick fox", k=5).collect()
+    assert mid  # reader saw batch 0
+    sink.write_batch(_docs(spark, B1), 1)  # must not raise "fenced"
+    sink.write_batch(_docs(spark, B2), 2)
+    final = streamed_postings_search(spark, base, "doc_id", "quick fox", k=5).collect()
+    assert len(final) >= len(mid)
+    # and a read handle refuses to mutate
+    from flinkrealtimedatawarehouse_spark.streaming import searchindex
+    ro = searchindex._stats_sink(base, read_only=True)
+    with pytest.raises(RuntimeError, match="read-only"):
+        ro.vacuum(keep_last=1)
+
+
 def test_postings_index_restart_mid_batch_exactly_once(spark, tmp_path):
     """dp25 streamed index: a crash between the postings write and the
     stats marker must not double-count n_docs/sum_dl (which would shift

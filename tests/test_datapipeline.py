@@ -1421,6 +1421,38 @@ def test_streamed_indexes_answer_as_of_any_batch(spark, tmp_path):
         assert [tuple(r) for r in got] == [tuple(r) for r in expect], b
 
 
+def test_streamed_postings_vacuum_keeps_current_drops_as_of(spark, tmp_path):
+    """Vacuuming the index's stats snapshots (retention) must leave
+    current-state search untouched while vacuumed as-of versions raise —
+    read_version's existing contract, proven on the index surface."""
+    import pytest as _pytest
+
+    from flinkrealtimedatawarehouse_spark.streaming import searchindex
+    from flinkrealtimedatawarehouse_spark.streaming.searchindex import (
+        PostingsIndexSink,
+        streamed_postings_search,
+    )
+
+    rows = [(i, "alpha beta" if i % 2 else "gamma zeta") for i in range(1, 13)]
+    base = str(tmp_path / "vidx")
+    sink = PostingsIndexSink(base, "doc_id", "text", n_buckets=4)
+    for bid in range(3):
+        sink.write_batch(_docs(spark, rows[bid * 4:(bid + 1) * 4]), bid)
+
+    before = streamed_postings_search(spark, base, "doc_id", "alpha zeta", k=10).collect()
+    removed = sink.stats.vacuum(keep_last=1)
+    assert removed  # something was actually reclaimed
+    after = streamed_postings_search(spark, base, "doc_id", "alpha zeta", k=10).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+    # a fresh handle (recovered from the marker) agrees post-vacuum
+    fresh = searchindex._stats_sink(base)
+    assert fresh.version == sink.stats.version
+    with _pytest.raises(ValueError):
+        streamed_postings_search(
+            spark, base, "doc_id", "alpha zeta", k=10, as_of_batch=0
+        )
+
+
 def test_zero_vector_cosine_is_defined_not_divide_by_zero(spark):
     """An empty document reaches the vector stack as the ZERO embedding
     (embed_text's own guard) — every cosine path must treat it as
