@@ -610,6 +610,83 @@ def bm25_search(docs: DataFrame, id_col: str, text_col: str, query: str,
 POSTINGS_BUCKETS = 64
 
 
+def bm25_search_many(docs: DataFrame, id_col: str, text_col: str,
+                     queries: list[tuple[int, str]],
+                     k1: float = 1.2, b: float = 0.75, k: int = 10) -> DataFrame:
+    """Batched full-text retrieval: score N queries in ONE corpus pass —
+    the serving pattern that matters at scale (N sequential
+    ``bm25_search`` calls re-tokenize and re-scan the corpus N times;
+    this tokenizes once, filters once on the UNION of query terms, and
+    fans out per-query via a broadcast (query_id, term) join).
+
+    Per query the result is IDENTICAL to ``bm25_search`` with that query
+    (parity-pinned): df(term) is counted over the term's postings BEFORE
+    the query join (a term shared by many queries is still one corpus
+    count), per-term scores quantize to integer micros through the same
+    formula, and the per-query top-k is a rank-over-window capped at k —
+    Catalyst executes the row_number + filter as a keyed WindowGroupLimit
+    (per-partition per-query top-k, never a global funnel).
+
+    Returns (query_id, ``id_col``, rank, n_hit_terms, score).
+    """
+    per_q = {qid: query_terms(q) for qid, q in queries}
+    if not any(per_q.values()):
+        raise ValueError("no query has tokens")
+    qrows = [(qid, t) for qid, terms in per_q.items() for t in terms]
+    all_terms = sorted({t for _, t in qrows})
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(qrows, "query_id long, term string")
+
+    toks = docs.select(F.col(id_col), spark_tokens(F.col(text_col)).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    tf = (
+        toks.select(F.col(id_col), F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(all_terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    term_w = Window.partitionBy("term")
+    # df BEFORE the query fan-out join: the filtered scan keeps every
+    # posting of a matching term, so the window count IS the corpus df,
+    # and a term shared by several queries is never double-counted
+    postings = tf.withColumn("df", F.count(F.lit(1)).over(term_w))
+    scored = (
+        postings.join(F.broadcast(qdf), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "score_u",
+            F.round(
+                F.round(
+                    F.col("idf") * (F.col("tf") * (k1 + 1.0))
+                    / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+                    6,
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    total = scored.groupBy("query_id", id_col).agg(
+        F.count(F.lit(1)).alias("n_hit_terms"), F.sum("score_u").alias("score_u")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_u").desc(), F.col(id_col).asc()
+    )
+    return (
+        total.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "n_hit_terms",
+                (F.col("score_u") / 1_000_000).alias("score"))
+    )
+
+
 def build_postings(docs: DataFrame, id_col: str, text_col: str, out_dir: str,
                    n_buckets: int = POSTINGS_BUCKETS) -> None:
     """Persist an inverted index: one parquet table of postings

@@ -1305,6 +1305,35 @@ def test_bm25_search_ranks_matching_docs(spark):
     assert [r.rank for r in out] == list(range(1, len(out) + 1))
 
 
+def test_bm25_search_many_matches_per_query_search(spark):
+    """Batched N-query retrieval == N independent bm25_search calls, per
+    query — including queries sharing terms (df must stay the corpus
+    count, not double) and a zero-hit query (absent from the output).
+    The per-query top-k executes as a keyed WindowGroupLimit, never a
+    global single-partition funnel."""
+    import random
+    random.seed(17)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = [(i, " ".join(random.choices(vocab, k=10))) for i in range(1, 61)]
+    d = _docs(spark, rows)
+    queries = [(1, "alpha zeta"), (2, "alpha beta gamma"), (3, "nosuchterm")]
+
+    many = textstats.bm25_search_many(d, "doc_id", "text", queries, k=7)
+    got = {}
+    for r in many.collect():
+        got.setdefault(r.query_id, []).append((r.doc_id, r.rank, r.n_hit_terms, r.score))
+    assert 3 not in got  # zero-hit query surfaces nothing
+    for qid, q in queries[:2]:
+        expect = [(r.doc_id, r.rank, r.n_hit_terms, r.score)
+                  for r in textstats.bm25_search(d, "doc_id", "text", q, k=7).collect()]
+        assert got[qid] == expect, qid
+
+    plan = many._sc._jvm.PythonSQLUtils.explainString(
+        many._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowGroupLimit" in plan
+
+
 def test_postings_search_matches_bm25_search_and_prunes(spark, tmp_path):
     import random
     random.seed(11)
