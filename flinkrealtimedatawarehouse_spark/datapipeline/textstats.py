@@ -654,6 +654,16 @@ def bm25_search_many(docs: DataFrame, id_col: str, text_col: str,
     # posting of a matching term, so the window count IS the corpus df,
     # and a term shared by several queries is never double-counted
     postings = tf.withColumn("df", F.count(F.lit(1)).over(term_w))
+    return _bm25_rank_many(postings, qdf, stats, id_col, k1, b, k)
+
+
+def _bm25_rank_many(postings: DataFrame, qdf: DataFrame, stats: DataFrame,
+                    id_col: str, k1: float, b: float, k: int) -> DataFrame:
+    """Shared multi-query scoring tail (``bm25_search_many`` and
+    ``postings_search_many`` — one definition, the two paths cannot
+    drift). ``postings``: (id, dl, term, tf, df) rows covering the UNION
+    of query terms; ``qdf``: (query_id, term); ``stats``: 1-row
+    (n_docs, avgdl). Per-query top-k = keyed WindowGroupLimit."""
     scored = (
         postings.join(F.broadcast(qdf), "term")
         .crossJoin(F.broadcast(stats))
@@ -744,6 +754,34 @@ def postings_search(spark, out_dir: str, id_col: str, query: str,
         .filter(F.col("term").isin(terms))
     )
     return _bm25_rank(postings, stats, id_col, k1, b, k)
+
+
+def postings_search_many(spark, out_dir: str, id_col: str,
+                         queries: list[tuple[int, str]],
+                         k1: float = 1.2, b: float = 0.75,
+                         k: int = 10) -> DataFrame:
+    """Batched search over the persisted index: ONE pruned index read for
+    N queries (partition pruning on the union of the queries' term
+    buckets, df/dl/stats all precomputed at build time), fanned out
+    per-query via the shared ``_bm25_rank_many`` tail. Per query the
+    result is identical to ``postings_search`` (parity-pinned)."""
+    per_q = {qid: query_terms(q) for qid, q in queries}
+    if not any(per_q.values()):
+        raise ValueError("no query has tokens")
+    qrows = [(qid, t) for qid, terms in per_q.items() for t in terms]
+    all_terms = sorted({t for _, t in qrows})
+    qdf = spark.createDataFrame(qrows, "query_id long, term string")
+
+    stats = spark.read.parquet(f"{out_dir}/stats")
+    n_buckets = stats.select("n_buckets").first()["n_buckets"]
+    stats = stats.drop("n_buckets")
+    buckets = sorted(set(_term_buckets(spark, all_terms, n_buckets).values()))
+    postings = (
+        spark.read.parquet(f"{out_dir}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(all_terms))
+    )
+    return _bm25_rank_many(postings, qdf, stats, id_col, k1, b, k)
 
 
 def _term_buckets(spark, terms: list[str], n_buckets: int) -> dict[str, int]:

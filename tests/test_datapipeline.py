@@ -1334,6 +1334,28 @@ def test_bm25_search_many_matches_per_query_search(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_postings_search_many_matches_per_query(spark, tmp_path):
+    """Batched persisted-index search == per-query postings_search, with
+    one pruned read covering the union of the queries' term buckets."""
+    import random
+    random.seed(19)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = [(i, " ".join(random.choices(vocab, k=11))) for i in range(1, 71)]
+    d = _docs(spark, rows)
+    idx = str(tmp_path / "midx")
+    textstats.build_postings(d, "doc_id", "text", idx, n_buckets=16)
+
+    queries = [(10, "alpha zeta"), (20, "beta eta delta")]
+    many = textstats.postings_search_many(spark, idx, "doc_id", queries, k=8)
+    got = {}
+    for r in many.collect():
+        got.setdefault(r.query_id, []).append((r.doc_id, r.rank, r.n_hit_terms, r.score))
+    for qid, q in queries:
+        expect = [(r.doc_id, r.rank, r.n_hit_terms, r.score)
+                  for r in textstats.postings_search(spark, idx, "doc_id", q, k=8).collect()]
+        assert got[qid] == expect, qid
+
+
 def test_postings_search_matches_bm25_search_and_prunes(spark, tmp_path):
     import random
     random.seed(11)
