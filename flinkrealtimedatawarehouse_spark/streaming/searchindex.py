@@ -59,6 +59,7 @@ from flinkrealtimedatawarehouse_spark.datapipeline.hashing import spark_tokens
 from flinkrealtimedatawarehouse_spark.datapipeline.textstats import (
     POSTINGS_BUCKETS,
     _bm25_rank,
+    _bm25_rank_many,
     _term_buckets,
     query_terms,
 )
@@ -163,10 +164,21 @@ def streamed_postings_search(spark: SparkSession, out_dir: str, id_col: str,
     terms = query_terms(query)
     if not terms:
         raise ValueError("query has no tokens")
+    rows, stats = _streamed_index_rows(spark, out_dir, terms, as_of_batch)
+    term_w = Window.partitionBy("term")
+    postings = rows.withColumn("df", F.count(F.lit(1)).over(term_w)).drop(
+        "batch", "bucket"
+    )
+    return _bm25_rank(postings, stats, id_col, k1, b, k)
+
+
+def _streamed_index_rows(spark: SparkSession, out_dir: str, terms: list[str],
+                         as_of_batch: int | None):
+    """Shared read path for single- and multi-query streamed search:
+    (pruned+filtered postings rows, stats frame). df is NOT stored in the
+    streamed layout — callers window-count it over these rows."""
     with open(os.path.join(out_dir, "layout.json")) as f:
         n_buckets = json.load(f)["n_buckets"]
-    # READ handle: must not claim the dir (claiming would fence a live
-    # upkeep stream's writer)
     sink = _stats_sink(out_dir, read_only=True)
     if as_of_batch is None:
         cur = sink.current(spark)
@@ -185,8 +197,31 @@ def streamed_postings_search(spark: SparkSession, out_dir: str, id_col: str,
     )
     if as_of_batch is not None:
         rows = rows.filter(F.col("batch") <= as_of_batch)
+    return rows, stats
+
+
+def streamed_postings_search_many(spark: SparkSession, out_dir: str,
+                                  id_col: str,
+                                  queries: list[tuple[int, str]],
+                                  k1: float = 1.2, b: float = 0.75,
+                                  k: int = 10,
+                                  as_of_batch: int | None = None) -> DataFrame:
+    """Batched search over the STREAMED index: one pruned read covering
+    the union of the queries' term buckets, per-term window count = df
+    (the same identity as the single-query path — pruning keeps every
+    posting of a matching term, and the count is query-independent),
+    then the shared ``_bm25_rank_many`` fan-out tail. Per query identical
+    to ``streamed_postings_search`` (parity-pinned); ``as_of_batch``
+    time travel composes the same way."""
+    per_q = {qid: query_terms(q) for qid, q in queries}
+    if not any(per_q.values()):
+        raise ValueError("no query has tokens")
+    qrows = [(qid, t) for qid, terms in per_q.items() for t in terms]
+    all_terms = sorted({t for _, t in qrows})
+    qdf = spark.createDataFrame(qrows, "query_id long, term string")
+    rows, stats = _streamed_index_rows(spark, out_dir, all_terms, as_of_batch)
     term_w = Window.partitionBy("term")
     postings = rows.withColumn("df", F.count(F.lit(1)).over(term_w)).drop(
         "batch", "bucket"
     )
-    return _bm25_rank(postings, stats, id_col, k1, b, k)
+    return _bm25_rank_many(postings, qdf, stats, id_col, k1, b, k)

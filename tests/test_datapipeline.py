@@ -1546,6 +1546,44 @@ def test_zero_vector_cosine_is_defined_not_divide_by_zero(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(2, 3)}
 
 
+def test_streamed_postings_search_many_matches_per_query(spark, tmp_path):
+    """Batched search over the STREAMED index == per-query
+    streamed_postings_search, including composed as_of_batch time travel."""
+    from flinkrealtimedatawarehouse_spark.streaming.searchindex import (
+        PostingsIndexSink,
+        streamed_postings_search,
+        streamed_postings_search_many,
+    )
+
+    import random
+    random.seed(29)
+    vocab = ["alpha", "beta", "gamma", "delta", "zeta", "eta"]
+    rows = [(i, " ".join(random.choices(vocab, k=9))) for i in range(1, 41)]
+    base = str(tmp_path / "smidx")
+    sink = PostingsIndexSink(base, "doc_id", "text", n_buckets=4)
+    for bid in range(2):
+        sink.write_batch(_docs(spark, rows[bid * 20:(bid + 1) * 20]), bid)
+
+    queries = [(7, "alpha zeta"), (8, "beta eta")]
+    for as_of in (None, 0):
+        many = streamed_postings_search_many(
+            spark, base, "doc_id", queries, k=6, as_of_batch=as_of
+        )
+        got = {}
+        for r in many.collect():
+            got.setdefault(r.query_id, []).append(
+                (r.doc_id, r.rank, r.n_hit_terms, r.score)
+            )
+        for qid, q in queries:
+            expect = [
+                (r.doc_id, r.rank, r.n_hit_terms, r.score)
+                for r in streamed_postings_search(
+                    spark, base, "doc_id", q, k=6, as_of_batch=as_of
+                ).collect()
+            ]
+            assert got.get(qid, []) == expect, (qid, as_of)
+
+
 def test_streamed_postings_compaction_preserves_search(spark, tmp_path):
     """The documented small-files remedy for streamed indexes: compact the
     per-batch postings partitions down to per-bucket files (compact_dir),
