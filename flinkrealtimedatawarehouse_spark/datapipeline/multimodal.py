@@ -300,14 +300,18 @@ def _real_resize(payload: bytes, target_bytes: int) -> bytes:
     if container == "png":
         img = codecs.decode_png(payload)
         w, h, ch = img["width"], img["height"], img["channels"]
-        s = math.sqrt(target_bytes / max(1, w * h * ch))
+        # bytes per PIXEL, not per channel: a 16-bit sample is 2 bytes,
+        # and the nearest-neighbor kernel moves whole pixel groups — at
+        # depth 8 this degenerates to the old ch-byte grouping
+        bpp = ch * (img["bit_depth"] // 8)
+        s = math.sqrt(target_bytes / max(1, w * h * bpp))
         new_w = max(1, round(w * s))
         new_h = max(1, round(h * s))
         ctype = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
         return codecs.encode_png(
             new_w, new_h,
-            _nn_resize_interleaved(img["pixels"], w, h, ch, new_w, new_h),
-            color_type=ctype,
+            _nn_resize_interleaved(img["pixels"], w, h, bpp, new_w, new_h),
+            color_type=ctype, bit_depth=img["bit_depth"],
         )
     if container == "wav":
         a = codecs.decode_wav(payload)

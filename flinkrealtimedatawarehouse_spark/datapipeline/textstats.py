@@ -610,6 +610,26 @@ def bm25_search(docs: DataFrame, id_col: str, text_col: str, query: str,
 POSTINGS_BUCKETS = 64
 
 
+def _query_term_rows(queries: list[tuple[int, str]]) -> list[tuple[int, str]]:
+    """(query_id, term) rows for the batched searches, enforcing the
+    single-query path's contract per query: a token-less query raises
+    (not silently-zero-rows) and duplicate query ids raise (the dict-
+    of-queries shape would silently discard one)."""
+    seen: set = set()
+    qrows: list[tuple[int, str]] = []
+    for qid, q in queries:
+        if qid in seen:
+            raise ValueError(f"duplicate query_id {qid}")
+        seen.add(qid)
+        terms = query_terms(q)
+        if not terms:
+            raise ValueError(f"query {qid} has no tokens")
+        qrows.extend((qid, t) for t in terms)
+    if not qrows:
+        raise ValueError("no queries given")
+    return qrows
+
+
 def bm25_search_many(docs: DataFrame, id_col: str, text_col: str,
                      queries: list[tuple[int, str]],
                      k1: float = 1.2, b: float = 0.75, k: int = 10) -> DataFrame:
@@ -629,10 +649,7 @@ def bm25_search_many(docs: DataFrame, id_col: str, text_col: str,
 
     Returns (query_id, ``id_col``, rank, n_hit_terms, score).
     """
-    per_q = {qid: query_terms(q) for qid, q in queries}
-    if not any(per_q.values()):
-        raise ValueError("no query has tokens")
-    qrows = [(qid, t) for qid, terms in per_q.items() for t in terms]
+    qrows = _query_term_rows(queries)
     all_terms = sorted({t for _, t in qrows})
     spark = docs.sparkSession
     qdf = spark.createDataFrame(qrows, "query_id long, term string")
@@ -744,6 +761,15 @@ def postings_search(spark, out_dir: str, id_col: str, query: str,
     terms = query_terms(query)
     if not terms:
         raise ValueError("query has no tokens")
+    postings, stats = _postings_index_rows(spark, out_dir, terms)
+    return _bm25_rank(postings, stats, id_col, k1, b, k)
+
+
+def _postings_index_rows(spark, out_dir: str, terms: list[str]):
+    """Shared read path for single- and batched search over the persisted
+    index: (bucket-pruned term-filtered postings rows, stats frame). The
+    bucket modulus comes from the index's own stats row — never a caller
+    parameter."""
     stats = spark.read.parquet(f"{out_dir}/stats")
     n_buckets = stats.select("n_buckets").first()["n_buckets"]
     stats = stats.drop("n_buckets")
@@ -753,7 +779,7 @@ def postings_search(spark, out_dir: str, id_col: str, query: str,
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
     )
-    return _bm25_rank(postings, stats, id_col, k1, b, k)
+    return postings, stats
 
 
 def postings_search_many(spark, out_dir: str, id_col: str,
@@ -765,22 +791,10 @@ def postings_search_many(spark, out_dir: str, id_col: str,
     buckets, df/dl/stats all precomputed at build time), fanned out
     per-query via the shared ``_bm25_rank_many`` tail. Per query the
     result is identical to ``postings_search`` (parity-pinned)."""
-    per_q = {qid: query_terms(q) for qid, q in queries}
-    if not any(per_q.values()):
-        raise ValueError("no query has tokens")
-    qrows = [(qid, t) for qid, terms in per_q.items() for t in terms]
+    qrows = _query_term_rows(queries)
     all_terms = sorted({t for _, t in qrows})
     qdf = spark.createDataFrame(qrows, "query_id long, term string")
-
-    stats = spark.read.parquet(f"{out_dir}/stats")
-    n_buckets = stats.select("n_buckets").first()["n_buckets"]
-    stats = stats.drop("n_buckets")
-    buckets = sorted(set(_term_buckets(spark, all_terms, n_buckets).values()))
-    postings = (
-        spark.read.parquet(f"{out_dir}/postings")
-        .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("term").isin(all_terms))
-    )
+    postings, stats = _postings_index_rows(spark, out_dir, all_terms)
     return _bm25_rank_many(postings, qdf, stats, id_col, k1, b, k)
 
 

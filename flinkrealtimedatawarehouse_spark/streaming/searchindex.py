@@ -92,9 +92,22 @@ class PostingsIndexSink:
         # layout marker: the bucket modulus is part of the on-disk index
         # (a mismatched search-time modulus silently prunes REAL postings
         # — same rule as build_postings' stats row). Write-once, before
-        # any batch, so even a crash after batch 0 leaves it readable.
+        # any batch, so even a crash after batch 0 leaves it readable; a
+        # restarted writer passing a DIFFERENT modulus must refuse rather
+        # than mix moduli in one directory (the silent corruption the
+        # marker exists to prevent).
         meta = os.path.join(out_dir, "layout.json")
-        if not os.path.exists(meta):
+        if os.path.exists(meta):
+            with open(meta) as f:
+                stored = json.load(f)["n_buckets"]
+            if stored != n_buckets:
+                raise ValueError(
+                    f"index at {out_dir} was built with n_buckets={stored}; "
+                    f"refusing to append with n_buckets={n_buckets} (postings "
+                    "bucketed under two moduli would be silently pruned away "
+                    "at search time)"
+                )
+        else:
             os.makedirs(out_dir, exist_ok=True)
             with open(meta, "w") as f:
                 json.dump({"n_buckets": n_buckets}, f)
@@ -103,26 +116,33 @@ class PostingsIndexSink:
         toks = batch.select(
             F.col(self.id_col), spark_tokens(F.col(self.text_col)).alias("toks")
         ).filter(F.size("toks") > 0)
-        tf = (
-            toks.select(
-                F.col(self.id_col), F.size("toks").alias("dl"),
-                F.explode("toks").alias("term"),
+        # two actions read this lineage (postings write + stats fold);
+        # without the batch-scoped persist every document would be
+        # regex-tokenized twice per micro-batch
+        toks.persist()
+        try:
+            tf = (
+                toks.select(
+                    F.col(self.id_col), F.size("toks").alias("dl"),
+                    F.explode("toks").alias("term"),
+                )
+                .groupBy(self.id_col, "dl", "term")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int"),
+                )
             )
-            .groupBy(self.id_col, "dl", "term")
-            .agg(F.count(F.lit(1)).alias("tf"))
-            .withColumn(
-                "bucket",
-                F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int"),
+            # idempotent under replay: the batch owns this directory
+            tf.write.mode("overwrite").partitionBy("bucket").parquet(
+                os.path.join(self.out_dir, "postings", f"batch={batch_id}")
             )
-        )
-        # idempotent under replay: the batch owns this directory
-        tf.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(self.out_dir, "postings", f"batch={batch_id}")
-        )
-        self.stats.write_batch(
-            toks.select(F.lit(0).alias("all_docs"), F.size("toks").alias("dl")),
-            batch_id,
-        )
+            self.stats.write_batch(
+                toks.select(F.lit(0).alias("all_docs"), F.size("toks").alias("dl")),
+                batch_id,
+            )
+        finally:
+            toks.unpersist()
 
 
 def stream_postings_upkeep(docs: DataFrame, id_col: str, text_col: str,
@@ -213,10 +233,9 @@ def streamed_postings_search_many(spark: SparkSession, out_dir: str,
     then the shared ``_bm25_rank_many`` fan-out tail. Per query identical
     to ``streamed_postings_search`` (parity-pinned); ``as_of_batch``
     time travel composes the same way."""
-    per_q = {qid: query_terms(q) for qid, q in queries}
-    if not any(per_q.values()):
-        raise ValueError("no query has tokens")
-    qrows = [(qid, t) for qid, terms in per_q.items() for t in terms]
+    from flinkrealtimedatawarehouse_spark.datapipeline.textstats import _query_term_rows
+
+    qrows = _query_term_rows(queries)
     all_terms = sorted({t for _, t in qrows})
     qdf = spark.createDataFrame(qrows, "query_id long, term string")
     rows, stats = _streamed_index_rows(spark, out_dir, all_terms, as_of_batch)

@@ -114,6 +114,7 @@ class IvfIndexSink:
                  label_col: str, quant: int | None = None,
                  meta_cols: list[str] | None = None,
                  read_only: bool = False):
+        import json
         import os
 
         from flinkrealtimedatawarehouse_spark.datapipeline import similarity
@@ -130,6 +131,27 @@ class IvfIndexSink:
             os.path.join(out_dir, "centsums"), keys=["cell", "pos"],
             measures={"s": ("qv", "sum")}, read_only=read_only,
         )
+        # layout marker (same rule as the postings index): quant and
+        # meta_cols are part of the on-disk layout — a handle with a
+        # different quant would quantize probes on a different grid than
+        # the stored corpus/centroid sums, silently shifting near-tie
+        # rankings instead of erroring. Write-once by the writer;
+        # validated by every handle, read handles adopt nothing blindly.
+        meta = os.path.join(out_dir, "layout.json")
+        layout = {"quant": self.quant, "meta_cols": self.meta_cols}
+        if os.path.exists(meta):
+            with open(meta) as f:
+                stored = json.load(f)
+            if stored != layout:
+                raise ValueError(
+                    f"IVF index at {out_dir} has layout {stored}; this handle "
+                    f"was constructed with {layout} — a mismatched quant or "
+                    "meta_cols set silently degrades results, so refuse"
+                )
+        elif not read_only:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(meta, "w") as f:
+                json.dump(layout, f)
 
     def _corpus_rows(self, batch: DataFrame) -> DataFrame:
         from flinkrealtimedatawarehouse_spark.datapipeline.similarity import quantized
@@ -147,14 +169,20 @@ class IvfIndexSink:
         import os
 
         corpus = self._corpus_rows(batch)
-        # corpus lands before the centroid marker (crash between the two
-        # replays the batch: directory overwrite is a no-op, fold applies
-        # once — same ordering contract as PostingsIndexSink)
-        corpus.write.mode("overwrite").partitionBy("cell").parquet(
-            os.path.join(self.out_dir, "corpus", f"batch={batch_id}")
-        )
-        pos = corpus.select("cell", F.posexplode(F.col("qn")).alias("pos", "qv"))
-        self.cent.write_batch(pos, batch_id)
+        # two actions read this lineage (corpus write + centroid fold);
+        # batch-scoped persist so every vector is quantized once, not twice
+        corpus.persist()
+        try:
+            # corpus lands before the centroid marker (crash between the
+            # two replays the batch: directory overwrite is a no-op, fold
+            # applies once — same ordering contract as PostingsIndexSink)
+            corpus.write.mode("overwrite").partitionBy("cell").parquet(
+                os.path.join(self.out_dir, "corpus", f"batch={batch_id}")
+            )
+            pos = corpus.select("cell", F.posexplode(F.col("qn")).alias("pos", "qv"))
+            self.cent.write_batch(pos, batch_id)
+        finally:
+            corpus.unpersist()
 
     def centroids(self, spark: SparkSession,
                   as_of_batch: int | None = None) -> DataFrame:

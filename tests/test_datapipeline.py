@@ -1584,6 +1584,57 @@ def test_streamed_postings_search_many_matches_per_query(spark, tmp_path):
             assert got.get(qid, []) == expect, (qid, as_of)
 
 
+def test_index_layout_mismatches_refuse_loudly(spark, tmp_path):
+    """Review fixes pinned: (1) a restarted postings writer with a
+    different bucket modulus must refuse (mixed moduli silently prune
+    real postings at search time); (2) an IVF handle with a different
+    quant must refuse (probes quantized on a different grid silently
+    shift near-tie rankings); (3) the batched BM25 APIs enforce the
+    single-query error contract — token-less queries and duplicate
+    query ids raise instead of silently vanishing."""
+    import pytest as _pytest
+
+    from flinkrealtimedatawarehouse_spark.streaming.searchindex import PostingsIndexSink
+    from flinkrealtimedatawarehouse_spark.streaming.simsearch import IvfIndexSink
+
+    pdir = str(tmp_path / "p")
+    PostingsIndexSink(pdir, "doc_id", "text", n_buckets=16)
+    with _pytest.raises(ValueError, match="n_buckets=16"):
+        PostingsIndexSink(pdir, "doc_id", "text", n_buckets=8)
+
+    vdir = str(tmp_path / "v")
+    IvfIndexSink(vdir, "vec_id", "embedding", "label")
+    with _pytest.raises(ValueError, match="quant"):
+        IvfIndexSink(vdir, "vec_id", "embedding", "label", quant=100)
+    # matching layout (incl. a read handle) is fine
+    IvfIndexSink(vdir, "vec_id", "embedding", "label", read_only=True)
+
+    d = _docs(spark, [(1, "alpha beta")])
+    with _pytest.raises(ValueError, match="no tokens"):
+        textstats.bm25_search_many(d, "doc_id", "text", [(1, "alpha"), (2, "!!!")])
+    with _pytest.raises(ValueError, match="duplicate"):
+        textstats.bm25_search_many(d, "doc_id", "text", [(1, "alpha"), (1, "beta")])
+
+
+def test_real_resize_16bit_png_preserves_samples(spark):
+    """Review fix pinned: _real_resize on a 16-bit PNG must move whole
+    2-byte samples (bpp = channels * depth/8) and re-encode at the same
+    depth — before the fix it split samples in half and re-encoded the
+    corrupted buffer at 8-bit."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import codecs, multimodal
+
+    w, h = 4, 4
+    # distinct hi/lo bytes per pixel so misalignment is detectable
+    px = bytes(b for i in range(w * h) for b in (0x10 + i, 0xA0 + i))
+    png16 = codecs.encode_png(w, h, px, color_type=0, bit_depth=16)
+    out = codecs.decode_png(multimodal._real_resize(png16, target_bytes=8))
+    assert out["bit_depth"] == 16
+    assert (out["width"], out["height"]) == (2, 2)
+    # nearest-neighbor picks pixels (0,0),(0,2),(2,0),(2,2) = indices 0,2,8,10
+    expect = b"".join(px[i * 2:i * 2 + 2] for i in (0, 2, 8, 10))
+    assert out["pixels"] == expect
+
+
 def test_streamed_postings_compaction_preserves_search(spark, tmp_path):
     """The documented small-files remedy for streamed indexes: compact the
     per-batch postings partitions down to per-bucket files (compact_dir),
