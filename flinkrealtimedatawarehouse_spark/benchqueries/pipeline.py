@@ -219,15 +219,25 @@ bd AS (
   FROM sm CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_idx) bi
 ),
 bsz AS (
-  SELECT band_idx, band_val, count(*) AS c FROM bd GROUP BY 1, 2
+  SELECT band_idx, band_val, count(*) AS c,
+         min(doc_id) AS rep_id, arg_min(simhash, doc_id) AS rep_sim
+  FROM bd GROUP BY 1, 2
 ),
 bdc AS (
   SELECT bd.* FROM bd JOIN bsz USING (band_idx, band_val) WHERE bsz.c <= {_SH_CAP}
 ),
 cd AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
-  FROM bdc a JOIN bdc b
-    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  SELECT DISTINCT * FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
+    FROM bdc a JOIN bdc b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    UNION ALL
+    -- over-cap buckets: representative chaining (member vs min-id rep),
+    -- mirroring textdedup.simhash_near_dups's hot branch term-for-term
+    SELECT bsz.rep_id AS id_a, bd.doc_id AS id_b, bsz.rep_sim AS sa, bd.simhash AS sb
+    FROM bd JOIN bsz USING (band_idx, band_val)
+    WHERE bsz.c > {_SH_CAP} AND bd.doc_id > bsz.rep_id
+  )
 )
 SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
 FROM cd WHERE bit_count(xor(sa, sb)) <= {_SH_MAXH}
@@ -276,11 +286,22 @@ SQL_EMBEDDING_NEARDUP = f"""
 WITH a AS ({_SQL_EMB_DUPS}),
 q AS (SELECT vec_id, {_DUCK_Q} AS q FROM a),
 b0 AS (SELECT vec_id, q, {_duck_bucket('q', _ED_PLANES)} AS bucket FROM q),
-bz AS (SELECT bucket, count(*) AS c FROM b0 GROUP BY 1),
-b AS (SELECT b0.* FROM b0 JOIN bz USING (bucket) WHERE bz.c <= {_ED_CAP})
-SELECT x.vec_id AS id_a, y.vec_id AS id_b, {_duck_cosine('x.q', 'y.q')} AS cosine
-FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-WHERE {_duck_cosine('x.q', 'y.q')} >= {_ED_THRESH}
+bz AS (SELECT bucket, count(*) AS c,
+              min(vec_id) AS rep_id, arg_min(q, vec_id) AS rep_q
+       FROM b0 GROUP BY 1),
+b AS (SELECT b0.* FROM b0 JOIN bz USING (bucket) WHERE bz.c <= {_ED_CAP}),
+cd AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.q AS qa, y.q AS qb
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  UNION ALL
+  -- over-cap sign buckets: representative chaining (member vs min-id rep),
+  -- mirroring textdedup.embedding_near_dups's hot branch term-for-term
+  SELECT bz.rep_id AS id_a, m.vec_id AS id_b, bz.rep_q AS qa, m.q AS qb
+  FROM b0 m JOIN bz USING (bucket)
+  WHERE bz.c > {_ED_CAP} AND m.vec_id > bz.rep_id
+)
+SELECT id_a, id_b, {_duck_cosine('qa', 'qb')} AS cosine
+FROM cd WHERE {_duck_cosine('qa', 'qb')} >= {_ED_THRESH}
 """
 
 # --- dp6 brute-force cosine top-k ----------------------------------------

@@ -131,45 +131,64 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str, bands: int, rows_per_band:
     c*(c-1)/2 join rows — one pathological bucket (empty strings, a
     boilerplate header shared by millions of docs) turns the bucket-join
     into an all-pairs quadratic blowup on a single key, the classic LSH
-    scale-killer at 100 TB. With a cap, buckets larger than it are
-    EXCLUDED from pairing (their members still pair through their other
-    cooler bands, if any); use ``lsh_hot_bucket_stats`` to account for
-    what a cap drops. None (default) keeps the exact behavior."""
+    scale-killer at 100 TB. Buckets larger than the cap switch from
+    all-pairs to REPRESENTATIVE CHAINING: every member pairs only against
+    the bucket's min-id member — c-1 rows instead of c*(c-1)/2, so the
+    work is O(c) per hot bucket while the dup graph stays CONNECTED (a
+    boilerplate megacluster that is hot in every band still collapses to
+    one survivor under ``dedup_clusters``; pre-round-10 semantics excluded
+    hot buckets entirely, which made all-bands-hot clusters invisible).
+    Use ``lsh_hot_bucket_stats`` to account for the non-witness candidate
+    mass the chaining skips. None (default) keeps the exact behavior."""
     exploded = lsh_band_rows(sigs, id_col, bands, rows_per_band)
     if hot_bucket_cap is not None:
         sizes = exploded.groupBy("band_idx", "band_key").agg(
-            F.count(F.lit(1)).alias("_bsz")
+            F.count(F.lit(1)).alias("_bsz"), F.min(id_col).alias("_rep")
         )
         # inner join on the (already-shuffled) bucket key: AQE plans the
-        # size side tiny relative to the explode, and the filter lands
+        # size side tiny relative to the explode, and the split lands
         # BEFORE the quadratic self-join
-        exploded = exploded.join(
-            sizes.filter(F.col("_bsz") <= hot_bucket_cap),
+        cool = exploded.join(
+            sizes.filter(F.col("_bsz") <= hot_bucket_cap).select("band_idx", "band_key"),
             ["band_idx", "band_key"],
-        ).drop("_bsz")
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+        hot_pairs = (
+            exploded.join(
+                sizes.filter(F.col("_bsz") > hot_bucket_cap).select(
+                    "band_idx", "band_key", "_rep"
+                ),
+                ["band_idx", "band_key"],
+            )
+            .filter(F.col(id_col) > F.col("_rep"))
+            .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+    else:
+        cool, hot_pairs = exploded, None
+    a = cool.alias("a")
+    b = cool.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    if hot_pairs is not None:
+        pairs = pairs.unionByName(hot_pairs)
+    return pairs.distinct()
 
 
 def lsh_hot_bucket_stats(sigs: DataFrame, id_col: str, bands: int,
                          rows_per_band: int, hot_bucket_cap: int) -> DataFrame:
     """Accounting for the skew guard: one row with ``hot_buckets`` (band
-    buckets over the cap) and ``dropped_candidates`` (sum of c*(c-1)/2 over
-    them — a per-bucket UPPER BOUND on removed candidates, NOT distinct
-    lost pairs: a pair colliding in several hot bands is counted once per
-    band, and pairs that also co-occur in a cool bucket still surface
-    there, so actual recall loss is <= this figure). Run this alongside a
-    capped dedup so the drop is measured, never silent."""
+    buckets over the cap) and ``dropped_candidates`` (sum of
+    c*(c-1)/2 - (c-1) over them — the NON-WITNESS candidate mass that
+    representative chaining skips: each hot bucket still emits its c-1
+    min-id-representative pairs, so connectivity survives, and this figure
+    is a per-bucket UPPER BOUND on skipped candidates, NOT distinct lost
+    pairs: a pair colliding in several hot bands is counted once per band,
+    and pairs that also co-occur in a cool bucket still surface there in
+    full). Run this alongside a capped dedup so the skip is measured,
+    never silent."""
     sizes = (
         lsh_band_rows(sigs, id_col, bands, rows_per_band)
         .groupBy("band_idx", "band_key")
@@ -277,13 +296,17 @@ def _simhash_band_rows(sims: DataFrame, id_col: str) -> DataFrame:
 
 def _over_cap_stats(sizes: DataFrame, cap: int) -> DataFrame:
     """(bucket-size rows with column ``c``) -> one accounting row: buckets
-    over the cap and an upper bound on the candidates the cap removes from
-    them (multi-band collisions counted once per band; pairs that also
-    co-occur in a cool bucket still surface there)."""
+    over the cap and an upper bound on the candidates the cap's
+    representative chaining skips in them — c*(c-1)/2 all-pairs minus the
+    c-1 witness pairs each hot bucket still emits (multi-band collisions
+    counted once per band; pairs that also co-occur in a cool bucket still
+    surface there)."""
     hot = sizes.filter(F.col("c") > cap)
     return hot.agg(
         F.count(F.lit(1)).alias("hot_buckets"),
-        F.coalesce(F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0))
+        F.coalesce(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2 - (F.col("c") - 1)), F.lit(0.0)
+        )
         .cast("long")
         .alias("dropped_candidates"),
     )
@@ -327,39 +350,59 @@ def simhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
     4 bands guarantees one identical band), bucket self-join, exact
     Hamming verify with bit_count(xor).
 
-    ``hot_bucket_cap``: the same skew guard as ``banded_lsh_pairs`` — a
+    ``hot_bucket_cap``: the same skew guard as ``lsh_candidate_pairs`` — a
     band bucket of size c contributes c*(c-1)/2 self-join rows, and
     simhashes of templated/boilerplate corpora CLUSTER (measured on the
     10x amplified bench corpus: 57k docs -> an 24k-doc band bucket ->
     885M candidate pairs, a driver-killing blowup on identical code that
-    passes at small scale). Buckets above the cap are excluded from
-    pairing; their members still pair through any cooler band. None keeps
-    the exact all-pairs behavior."""
+    passes at small scale). Buckets above the cap switch to representative
+    chaining: each member pairs only against the bucket's min-id member
+    (c-1 rows, O(c) work), so an all-bands-hot megacluster still verifies
+    witness pairs and collapses under ``dedup_clusters`` instead of
+    becoming invisible to near-dedup. None keeps the exact all-pairs
+    behavior."""
     exploded = _simhash_band_rows(simhash(docs, id_col, text_col), id_col)
     if hot_bucket_cap is not None:
         sizes = exploded.groupBy("band_idx", "band_val").agg(
-            F.count(F.lit(1)).alias("_bsz")
+            F.count(F.lit(1)).alias("_bsz"),
+            F.min(F.struct(F.col(id_col), F.col("simhash"))).alias("_rep"),
         )
-        exploded = exploded.join(
-            sizes.filter(F.col("_bsz") <= hot_bucket_cap),
+        cool = exploded.join(
+            sizes.filter(F.col("_bsz") <= hot_bucket_cap).select("band_idx", "band_val"),
             ["band_idx", "band_val"],
-        ).drop("_bsz")
-    a, b = exploded.alias("a"), exploded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+        hot_pairs = (
+            exploded.join(
+                sizes.filter(F.col("_bsz") > hot_bucket_cap).select(
+                    "band_idx", "band_val", "_rep"
+                ),
+                ["band_idx", "band_val"],
+            )
+            .filter(F.col(id_col) > F.col(f"_rep.{id_col}"))
+            .select(
+                F.col(f"_rep.{id_col}").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.col("_rep.simhash").alias("sim_a"),
+                F.col("simhash").alias("sim_b"),
+            )
         )
-        .distinct()
+    else:
+        cool, hot_pairs = exploded, None
+    a, b = cool.alias("a"), cool.alias("b")
+    cands = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.simhash").alias("sim_a"),
+        F.col("b.simhash").alias("sim_b"),
     )
+    if hot_pairs is not None:
+        cands = cands.unionByName(hot_pairs)
+    cands = cands.distinct()
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
@@ -380,7 +423,10 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
 
     ``hot_bucket_cap``: same skew guard as the banded families — buckets
     above the cap (embedding clusters collapse onto few sign patterns on
-    templated corpora) are excluded from pairing. None = exact."""
+    templated corpora) switch to representative chaining: each member
+    pairs only against the bucket's min-id member (c-1 rows, O(c) work),
+    keeping the dup graph connected for ``dedup_clusters``. None =
+    exact."""
     from flinkrealtimedatawarehouse_spark.datapipeline.similarity import (
         _sq_norm,
         hyperplane_bucket,
@@ -394,27 +440,55 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
         "_n", _sq_norm(F.col("q"))  # once per ROW, not twice per PAIR
     )
     if hot_bucket_cap is not None:
-        sizes = q.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz"))
-        q = q.join(sizes.filter(F.col("_bsz") <= hot_bucket_cap), "bucket").drop("_bsz")
-    a, b = q.alias("a"), q.alias("b")
+        sizes = q.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("_bsz"),
+            F.min(F.struct(F.col(id_col), F.col("q"), F.col("_n"))).alias("_rep"),
+        )
+        cool = q.join(
+            sizes.filter(F.col("_bsz") <= hot_bucket_cap).select("bucket"), "bucket"
+        )
+        hot_cands = (
+            q.join(
+                sizes.filter(F.col("_bsz") > hot_bucket_cap).select("bucket", "_rep"),
+                "bucket",
+            )
+            .filter(F.col(id_col) > F.col(f"_rep.{id_col}"))
+            .select(
+                F.col(f"_rep.{id_col}").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.col("_rep.q").alias("qa"),
+                F.col("q").alias("qb"),
+                F.col("_rep._n").alias("na"),
+                F.col("_n").alias("nb"),
+            )
+        )
+    else:
+        cool, hot_cands = q, None
+    a, b = cool.alias("a"), cool.alias("b")
+    cands = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.q").alias("qa"),
+        F.col("b.q").alias("qb"),
+        F.col("a._n").alias("na"),
+        F.col("b._n").alias("nb"),
+    )
+    if hot_cands is not None:
+        cands = cands.unionByName(hot_cands)
     dot = F.aggregate(
-        F.zip_with("a.q", "b.q", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
     # same zero-norm convention as similarity._cosine_given_norms: a zero
     # vector (empty-doc embedding) is similar to nothing (0.0), never a
     # DIVIDE_BY_ZERO abort
-    _prod = F.col("a._n").cast("double") * F.col("b._n").cast("double")
+    _prod = F.col("na").cast("double") * F.col("nb").cast("double")
     cos = F.when(
         _prod > 0, F.round(dot.cast("double") / F.sqrt(_prod), 6)
     ).otherwise(F.lit(0.0))
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    return cands.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
     )
 
 

@@ -116,8 +116,10 @@ def test_runtime_bloom_filter_prunes_fact_shuffle(spark):
 def test_lsh_hot_bucket_cap_bounds_planted_mega_bucket(spark):
     """One planted mega-bucket (120 identical docs -> every band collides)
     must not quadratically explode candidate generation when the cap is
-    on, the dropped volume must be accounted, and genuine near-dups that
-    do NOT ride the hot bucket must still surface."""
+    on, the skipped volume must be accounted, genuine near-dups that do
+    NOT ride the hot bucket must still surface, AND — the round-10 rule —
+    the megacluster itself must stay CONNECTED via min-id representative
+    chaining (c-1 witness pairs, not zero)."""
     from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
 
     boiler = [(i, "the same boilerplate header text appears everywhere")
@@ -136,17 +138,19 @@ def test_lsh_hot_bucket_cap_bounds_planted_mega_bucket(spark):
         capped = textdedup.lsh_candidate_pairs(
             sigs, "doc_id", 8, 2, hot_bucket_cap=50
         ).collect()
-        # bounded: no pair from the mega-bucket survives, the genuine
-        # near-dup pair (from cool buckets) does
         ids = {(r.id_a, r.id_b) for r in capped}
+        # the genuine near-dup pair (from cool buckets) survives
         assert (1000, 1001) in ids
-        assert all(not (a < 120 and b < 120) for a, b in ids)
-        # the drop is measured, never silent
+        # representative chaining: every megacluster member pairs with the
+        # min-id rep (doc 0) — connectivity preserved at O(c) cost
+        mega = {(a, b) for a, b in ids if a < 120 and b < 120}
+        assert mega == {(0, j) for j in range(1, 120)}
+        # the skipped (non-witness) mass is measured, never silent
         stats = textdedup.lsh_hot_bucket_stats(
             sigs, "doc_id", 8, 2, hot_bucket_cap=50
         ).collect()[0]
         assert stats.hot_buckets >= 8  # all 8 bands of the planted bucket
-        assert stats.dropped_candidates >= 8 * (120 * 119 // 2)
+        assert stats.dropped_candidates >= 8 * (120 * 119 // 2 - 119)
     finally:
         sigs.unpersist()
 
@@ -168,7 +172,10 @@ def test_minhash_near_dups_cap_preserves_cool_pairs(spark):
     ).collect()
     pairs = {(r.id_a, r.id_b) for r in capped}
     assert (500, 501) in pairs
-    assert all(a >= 500 for a, _ in pairs)
+    # hot-bucket members pair ONLY via the min-id rep (identical text ->
+    # jaccard 1.0 passes verify), never all-pairs
+    mega = {(a, b) for a, b in pairs if a < 60 and b < 60}
+    assert mega == {(0, j) for j in range(1, 60)}
 
 
 def test_simhash_hot_bucket_cap_bounds_planted_mega_bucket(spark):
@@ -193,12 +200,14 @@ def test_simhash_hot_bucket_cap_bounds_planted_mega_bucket(spark):
     ).collect()
     ids = {(r.id_a, r.id_b) for r in capped}
     assert (1000, 1001) in ids
-    assert all(not (a < 120 and b < 120) for a, b in ids)
+    # representative chaining keeps the identical cluster connected
+    mega = {(a, b) for a, b in ids if a < 120 and b < 120}
+    assert mega == {(0, j) for j in range(1, 120)}
     stats = textdedup.simhash_hot_bucket_stats(
         docs, "doc_id", "text", hot_bucket_cap=50
     ).collect()[0]
     assert stats.hot_buckets >= 4  # all 4 bands of the identical cluster
-    assert stats.dropped_candidates >= 4 * (120 * 119 // 2)
+    assert stats.dropped_candidates >= 4 * (120 * 119 // 2 - 119)
 
 
 def test_embedding_neardup_cap_bounds_planted_sign_cluster(spark):
@@ -219,9 +228,49 @@ def test_embedding_neardup_cap_bounds_planted_sign_cluster(spark):
     ).collect()
     ids = {(r.id_a, r.id_b) for r in capped}
     assert (900, 901) in ids
-    assert all(a >= 900 for a, _ in ids)
+    # representative chaining: identical vectors all pair with vec 0
+    mega = {(a, b) for a, b in ids if a < 80 and b < 80}
+    assert mega == {(0, j) for j in range(1, 80)}
     stats = textdedup.embedding_hot_bucket_stats(
         emb, "vec_id", "embedding", n_planes=6, hot_bucket_cap=40
     ).collect()[0]
     assert stats.hot_buckets >= 1
-    assert stats.dropped_candidates >= 80 * 79 // 2
+    assert stats.dropped_candidates >= 80 * 79 // 2 - 79
+
+
+def test_all_bands_hot_megacluster_still_collapses_in_dedup_clusters(spark):
+    """The round-10 recall fix end-to-end: a boilerplate cluster whose
+    signature is hot in EVERY band (identical text -> identical minhash
+    AND simhash -> no cool band anywhere) used to emit ZERO near-dup
+    pairs under the cap, making it invisible to dp19's connected
+    components. With min-id representative chaining it must collapse to
+    ONE cluster (the min id survives; all other members are the drop
+    set), for both the MinHash-LSH and SimHash families."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
+
+    n = 150
+    boiler = [(i, "unsubscribe from this mailing list by clicking the footer link")
+              for i in range(n)]
+    other = [(9000, "completely unrelated technical discussion of query planners")]
+    docs = spark.createDataFrame(boiler + other, "doc_id long, text string")
+    ids = docs.select("doc_id")
+
+    mh_pairs = textdedup.minhash_near_dups(
+        docs, "doc_id", "text", shingle_n=3, k=16, bands=8,
+        threshold=0.5, hot_bucket_cap=50,
+    )
+    # witness pairs exist (pre-fix: zero — every band over-cap)
+    assert mh_pairs.count() >= n - 1
+    cl = textdedup.dedup_clusters(mh_pairs.select("id_a", "id_b"), ids, "doc_id").collect()
+    by_doc = {r.doc_id: r.cluster for r in cl}
+    assert all(by_doc[i] == 0 for i in range(n))   # one surviving canonical id
+    assert by_doc[9000] == 9000                     # untouched singleton
+
+    sh_pairs = textdedup.simhash_near_dups(
+        docs, "doc_id", "text", max_hamming=6, hot_bucket_cap=50
+    )
+    assert sh_pairs.count() >= n - 1
+    cl2 = textdedup.dedup_clusters(sh_pairs.select("id_a", "id_b"), ids, "doc_id").collect()
+    by_doc2 = {r.doc_id: r.cluster for r in cl2}
+    assert all(by_doc2[i] == 0 for i in range(n))
+    assert by_doc2[9000] == 9000
