@@ -37,7 +37,13 @@ Scale: per batch the work is tokenize + one partial agg + one
 partitioned parquet write of |batch| rows — no read-modify-write of the
 existing index, no vocabulary-sized merge. The index directory grows
 one partition per batch; ``layout.compact_dir`` is the standard remedy
-when small files accumulate (same answer as every append sink here).
+when small files accumulate (same answer as every append sink here) —
+compact with ``partition_cols=["batch", "bucket"]`` (the IVF twin:
+``["batch", "cell"]``) so BOTH directory levels survive: dropping
+``batch`` keeps current-state search identical but silently demotes
+``as_of_batch`` point-in-time queries from directory pruning to a
+full-bucket row filter (pinned in
+tests/test_datapipeline.py::test_streamed_postings_compaction_preserves_search).
 
 Crash contract (same as the other sinks): postings land BEFORE the
 stats marker, so a crash between the two replays the batch on restart —

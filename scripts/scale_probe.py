@@ -150,10 +150,15 @@ def main() -> int:
     # behavior for clustered embeddings). Feeds the POST-CAP-LINEARITY
     # table in SCALE.md.
     def _cand_split(sizes, cap):
+        # over-cap buckets now emit c-1 min-id representative pairs
+        # (round-10 chaining), so kept includes the witness rows and
+        # dropped counts only the skipped non-witness mass — matching
+        # textdedup._over_cap_stats
         row = sizes.select(
             F.when(F.col("c") <= cap, F.col("c") * (F.col("c") - 1) / 2)
-            .otherwise(0.0).alias("kept"),
-            F.when(F.col("c") > cap, F.col("c") * (F.col("c") - 1) / 2)
+            .otherwise((F.col("c") - 1).cast("double")).alias("kept"),
+            F.when(F.col("c") > cap,
+                   F.col("c") * (F.col("c") - 1) / 2 - (F.col("c") - 1))
             .otherwise(0.0).alias("dropped"),
         ).agg(F.sum("kept"), F.sum("dropped")).collect()[0]
         kept, dropped = int(row[0] or 0), int(row[1] or 0)

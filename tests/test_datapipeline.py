@@ -1637,9 +1637,12 @@ def test_real_resize_16bit_png_preserves_samples(spark):
 
 def test_streamed_postings_compaction_preserves_search(spark, tmp_path):
     """The documented small-files remedy for streamed indexes: compact the
-    per-batch postings partitions down to per-bucket files (compact_dir),
-    swap directories, and the search answers identically — while the file
-    count actually drops (the batch=* split is gone)."""
+    postings with partition_cols=["batch", "bucket"] (BOTH directory
+    levels — dropping batch would demote point-in-time queries from
+    directory pruning to a full-bucket row filter), swap directories, and
+    both current-state AND as-of search answer identically — while the
+    file count actually drops and the as-of scan still prunes batch
+    directories in the executed plan."""
     import os
     import shutil
 
@@ -1657,15 +1660,97 @@ def test_streamed_postings_compaction_preserves_search(spark, tmp_path):
     )
     q = "alpha zeta"
     before = searchindex.streamed_postings_search(spark, idx, "doc_id", q, k=15).collect()
+    before_asof = [
+        searchindex.streamed_postings_search(
+            spark, idx, "doc_id", q, k=15, as_of_batch=b
+        ).collect()
+        for b in range(3)
+    ]
 
     post = os.path.join(idx, "postings")
-    stats = compact_dir(spark, post, post + "_compact", partition_cols=["bucket"])
+    # model the accumulated-small-files state compaction exists for: at
+    # test scale each micro-batch wrote ONE file per (batch, bucket) leaf,
+    # so fragment the index (several files per leaf — what parallel write
+    # tasks produce on a real stream) before compacting it back down
+    frag = spark.read.parquet(post).repartition(5)
+    frag.write.mode("overwrite").partitionBy("batch", "bucket").parquet(post + "_frag")
+    shutil.move(post, post + "_orig")
+    shutil.move(post + "_frag", post)
+    stats = compact_dir(
+        spark, post, post + "_compact", partition_cols=["batch", "bucket"]
+    )
     assert stats["files_after"] < stats["files_before"]
     shutil.move(post, post + "_old")
     shutil.move(post + "_compact", post)
 
     after = searchindex.streamed_postings_search(spark, idx, "doc_id", q, k=15).collect()
     assert [tuple(r) for r in after] == [tuple(r) for r in before]
+    for b in range(3):
+        got = searchindex.streamed_postings_search(
+            spark, idx, "doc_id", q, k=15, as_of_batch=b
+        )
+        assert [tuple(r) for r in got.collect()] == [tuple(r) for r in before_asof[b]], b
+    # point-in-time pruning SURVIVES compaction: batch stays a directory
+    # partition, so the as-of predicate is a PartitionFilter, not a row scan
+    asof0 = searchindex.streamed_postings_search(
+        spark, idx, "doc_id", q, k=15, as_of_batch=0
+    )
+    plan = asof0._sc._jvm.PythonSQLUtils.explainString(
+        asof0._jdf.queryExecution(), "extended"
+    )
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:300]
+    assert "batch" in pf and "bucket" in pf, pf
+
+
+def test_streamed_ivf_compaction_preserves_topk_and_as_of(spark, tmp_path):
+    """IVF twin of the postings compaction contract: compact the corpus
+    with partition_cols=["batch", "cell"], swap, and current-state +
+    point-in-time top-k answer identically with cell/batch directory
+    pruning intact."""
+    import os
+    import shutil
+
+    from flinkrealtimedatawarehouse_spark.operators.layout import compact_dir
+    from flinkrealtimedatawarehouse_spark.streaming.simsearch import (
+        IvfIndexSink,
+        streamed_ivf_topk,
+    )
+
+    import random
+    random.seed(29)
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(4)], i % 2)
+        for i in range(1, 25)
+    ]
+    schema = "vec_id long, embedding array<double>, label int"
+    slices = [rows[:8], rows[8:16], rows[16:]]
+    sink = IvfIndexSink(str(tmp_path / "vidx"), "vec_id", "embedding", "label")
+    for bid, sl in enumerate(slices):
+        sink.write_batch(spark.createDataFrame(sl, schema), bid)
+    probes = spark.createDataFrame(rows[:2], schema)
+
+    before = streamed_ivf_topk(spark, sink, probes, k=4, n_probe=2).collect()
+    before_asof = [
+        streamed_ivf_topk(spark, sink, probes, k=4, n_probe=2, as_of_batch=b).collect()
+        for b in range(3)
+    ]
+
+    corp = os.path.join(sink.out_dir, "corpus")
+    stats = compact_dir(
+        spark, corp, corp + "_compact", partition_cols=["batch", "cell"]
+    )
+    assert stats["files_after"] < stats["files_before"]
+    shutil.move(corp, corp + "_old")
+    shutil.move(corp + "_compact", corp)
+
+    after = streamed_ivf_topk(spark, sink, probes, k=4, n_probe=2).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+    for b in range(3):
+        got = streamed_ivf_topk(
+            spark, sink, probes, k=4, n_probe=2, as_of_batch=b
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in before_asof[b]], b
 
 
 def test_streamed_ivf_index_matches_batch_topk(spark, tmp_path):
