@@ -160,6 +160,155 @@ def run_sf1_tier() -> int:
     return 0
 
 
+_SERVING_QUERY = "fast hash join"  # same vocabulary as the dp25 gate query
+_SERVING_QUERIES_8 = [
+    (0, "fast hash join"),
+    (1, "spark shuffle partition"),
+    (2, "sort merge join"),
+    (3, "column scan filter"),
+    (4, "stream window agg"),
+    (5, "broadcast small table"),
+    (6, "query plan order"),
+    (7, "group key value"),
+]
+
+
+def run_serving_tier() -> int:
+    """Streamed serving read paths vs their batch-index twins
+    (`bench.py --serving-only`): prints one JSON fragment line
+    {"serving": {"sf0.1": {...}, "sf1": {...}}}.
+
+    What this measures (round-9 VERDICT's main evidence gap): the
+    streamed index designs trade write-path cost for read-path cost —
+    the postings index recomputes df per query over the pruned scan, the
+    IVF index folds centroids at read — and until now that per-query
+    cost was invisible (the frozen tiers deliberately exclude the one-off
+    stream ingest). Per sf: build each index ONCE (wall reported under
+    "build"), then time each read path min-of-N in this JVM, exactly the
+    frozen tiers' methodology. Keys pair each streamed path with its
+    batch twin so the read-path premium is a direct ratio."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from flinkrealtimedatawarehouse_spark.session import get_spark
+
+    spark = get_spark("bench-serving")
+    out: dict[str, dict] = {}
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out[os.path.basename(sf_dir.rstrip("/"))] = _serving_measure(spark, sf_dir)
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        from scripts.gen_sf1 import ensure_sf1
+
+        out["sf1"] = _serving_measure(spark, ensure_sf1(spark))
+    print(json.dumps({"serving": out}))
+    return 0
+
+
+def _serving_measure(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from flinkrealtimedatawarehouse_spark import serving
+    from flinkrealtimedatawarehouse_spark.datapipeline import similarity, textstats
+    from flinkrealtimedatawarehouse_spark.streaming import searchindex, simsearch
+    from flinkrealtimedatawarehouse_spark.streaming.runner import scratch_dir
+    from flinkrealtimedatawarehouse_spark.streaming.sinks import AdditiveGoldSink
+    from flinkrealtimedatawarehouse_spark.tables import load_table
+
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+
+    def timed(fn):
+        fn()  # warm-up: codegen + worker forks, same rule as the tiers
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    build: dict[str, float] = {}
+    queries: dict[str, float] = {}
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # --- dp25 postings: streamed upkeep vs batch build ---
+    spost = scratch_dir("serv_spost")
+    t0 = time.time()
+    searchindex.stream_postings_upkeep(docs, "doc_id", "text", spost, tag="servpost")
+    build["postings_stream_upkeep"] = round(time.time() - t0, 3)
+    bpost = scratch_dir("serv_bpost")
+    t0 = time.time()
+    textstats.build_postings(docs, "doc_id", "text", bpost)
+    build["postings_batch_build"] = round(time.time() - t0, 3)
+
+    queries["post_stream_single"] = timed(
+        lambda: searchindex.streamed_postings_search(
+            spark, spost, "doc_id", _SERVING_QUERY, k=10).count())
+    queries["post_batch_single"] = timed(
+        lambda: textstats.postings_search(
+            spark, bpost, "doc_id", _SERVING_QUERY, k=10).count())
+    queries["post_stream_many8"] = timed(
+        lambda: searchindex.streamed_postings_search_many(
+            spark, spost, "doc_id", _SERVING_QUERIES_8, k=10).count())
+    queries["post_batch_many8"] = timed(
+        lambda: textstats.postings_search_many(
+            spark, bpost, "doc_id", _SERVING_QUERIES_8, k=10).count())
+    queries["post_stream_asof"] = timed(
+        lambda: searchindex.streamed_postings_search(
+            spark, spost, "doc_id", _SERVING_QUERY, k=10, as_of_batch=2).count())
+
+    # --- dp7 IVF: streamed upkeep vs batch-built persisted index ---
+    probes = emb.filter(F.col("vec_id") < 8)
+    sivf_dir = scratch_dir("serv_sivf")
+    t0 = time.time()
+    vsink = simsearch.stream_ivf_upkeep(
+        emb, "vec_id", "embedding", "label", sivf_dir, tag="servivf")
+    build["ivf_stream_upkeep"] = round(time.time() - t0, 3)
+    bivf = scratch_dir("serv_bivf")
+    t0 = time.time()
+    similarity.build_ivf_index(emb, bivf, "vec_id", "embedding", "label")
+    build["ivf_batch_build"] = round(time.time() - t0, 3)
+
+    queries["ivf_stream_topk"] = timed(
+        lambda: simsearch.streamed_ivf_topk(
+            spark, vsink, probes, k=5, n_probe=2).count())
+    queries["ivf_batch_topk"] = timed(
+        lambda: similarity.ivf_index_topk(
+            spark, bivf, probes, "vec_id", "embedding", k=5, n_probe=2).count())
+    queries["ivf_stream_asof"] = timed(
+        lambda: simsearch.streamed_ivf_topk(
+            spark, vsink, probes, k=5, n_probe=2, as_of_batch=2).count())
+
+    # --- J6 wide gold: live (stream-maintained) vs batch-built views ---
+    live_dir = scratch_dir("serv_wlive")
+    t0 = time.time()
+    serving.stream_wide_product_upkeep(spark, sf_dir, live_dir, tag="servwide")
+    build["wide_stream_upkeep"] = round(time.time() - t0, 3)
+    wide_dir = scratch_dir("serv_wbatch")
+    t0 = time.time()
+    serving.build_wide_product(spark, sf_dir, wide_dir)
+    build["wide_batch_build"] = round(time.time() - t0, 3)
+
+    live_sink = AdditiveGoldSink(
+        live_dir, keys=serving.WIDE_AGG_KEYS,
+        measures={"order_amount": ("l_extendedprice", "sum"),
+                  "order_ct": ("l_extendedprice", "count")},
+        read_only=True,
+    )
+    serving.register_wide_live_views(spark, live_sink.current(spark))
+    serving.register_wide_serving_views(spark, wide_dir)
+    queries["wide_live_brand"] = timed(
+        lambda: spark.sql("SELECT * FROM ads_top_brand_wide_live").count())
+    queries["wide_batch_brand"] = timed(
+        lambda: spark.sql("SELECT * FROM ads_top_brand_wide").count())
+    queries["wide_live_gmv"] = timed(
+        lambda: spark.sql("SELECT * FROM ads_gmv_day_wide_live").count())
+    queries["wide_batch_gmv"] = timed(
+        lambda: spark.sql("SELECT * FROM ads_gmv_day_wide").count())
+
+    for name in sorted(queries):
+        print(f"# serving {os.path.basename(sf_dir)} {name}: {queries[name]}s",
+              file=sys.stderr)
+    return {"queries": queries, "build": build}
+
+
 def run_headline_tier() -> int:
     """The sf0.1 headline tier as its own process entry
     (`bench.py --headline-only`): prints one JSON fragment line
@@ -313,6 +462,8 @@ def main() -> int:
         return run_sf1_tier()
     if "--headline-only" in sys.argv:
         return run_headline_tier()
+    if "--serving-only" in sys.argv:
+        return run_serving_tier()
 
     # Orchestrator: no SparkSession here. Tiers run SEQUENTIALLY in fresh
     # subprocesses (two concurrent full-size JVMs would exceed this
@@ -349,6 +500,15 @@ def main() -> int:
             sf1_gen_sec = sf1_frag.get("sf1_gen_sec")
             sf1_fresh_gen = sf1_frag.get("sf1_fresh_gen")
 
+    # serving tier (round 10): streamed-index read paths vs batch twins.
+    # Its own fresh JVM like the other tiers; disable with
+    # SPARK_GRAFT_SERVING=0.
+    serving_out: dict = {}
+    if os.environ.get("SPARK_GRAFT_SERVING", "1") != "0":
+        serving_frag = _run_tier_subprocess("--serving-only", timeout=3600)
+        if serving_frag is not None:
+            serving_out = serving_frag["serving"]
+
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
@@ -362,6 +522,7 @@ def main() -> int:
         "queries_cold": head["queries_cold"],
         "extras": head["extras"],
         "sf1": sf1_out,
+        "serving": serving_out,
         "sf": sf,
     }
     if sf1_gen_sec is not None:
@@ -374,6 +535,19 @@ def main() -> int:
     if head.get("cold_incomplete"):
         out["cold_incomplete"] = head["cold_incomplete"]
     print(json.dumps(out))
+
+    # Self-contained round record: the driver's tail capture truncates the
+    # long line above (round 9's extras/sf1 detail survived only via the
+    # tail fragment), so the FULL record also lands in a committed file.
+    try:
+        detail_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_DETAIL",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        )
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError as e:
+        print(f"# bench detail write failed: {e}", file=sys.stderr)
 
     # FINAL short summary line — the full line above outgrew the driver's
     # tail-capture window in round 8 (BENCH_r08.json parsed:null). The
@@ -390,6 +564,10 @@ def main() -> int:
         "sf": sf,
         "sf1_value": sf1_out.get("value"),
         "sf1_value_cold": sf1_out.get("value_cold"),
+        "serving_totals": {
+            label: round(sum(d.get("queries", {}).values()), 3)
+            for label, d in serving_out.items()
+        },
         "summary_line": True,
     }))
     return 0
