@@ -796,9 +796,39 @@ WHERE dup_windows > 0
 SQL_SPAN_DEDUP = _sql_span_dedup()
 
 
+def q_span_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of ``q_span_dedup`` (previously pytest-only): the
+    same planted corpus replayed as id-ordered micro-batches through
+    ``SpanStateDedupSink`` (window-hash -> canonical (min id, pos) state,
+    first-arrival-wins). Under id-ordered replay the accumulated flags
+    equal batch ``repeated_spans`` exactly for any split
+    (streaming/neardup.py contract), so the oracle is the same
+    SQL_SPAN_DEDUP recomputation."""
+    from flinkrealtimedatawarehouse_spark.streaming import neardup, runner
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" " + _SPAN_BOILER))
+        ).otherwise(F.col("text")),
+    )
+    in_dir = runner.stage_stream_dir(planted, "doc_id", 4, "dp15sp")
+    sdf = runner.parquet_stream(spark, in_dir, planted.schema)
+    sink = neardup.SpanStateDedupSink(
+        runner.scratch_dir("sp_dp15"), "doc_id", "text", window_n=_SPAN_W
+    )
+    sink.init(spark)
+    runner.run_foreach_batch(sdf, sink.write_batch, "dp15sp")
+    return sink.flags(spark).filter(F.col("dup_windows") > 0).select(
+        "doc_id", "dup_windows", F.col("n_windows").cast("long").alias("n_windows"),
+        "dup_coverage",
+    )
+
+
 # dp15 combined gate (tagged): PII redaction + line-level corpus dedup +
-# repeated-span substring dedup — the three text-cleaning transforms in
-# one entry.
+# repeated-span substring dedup (batch + streaming) — the text-cleaning
+# transforms in one entry.
 def q_dp15c(spark: SparkSession, sf: str) -> DataFrame:
     pii = q_pii_redact(spark, sf).select(
         F.lit("pii").alias("branch"), "doc_id",
@@ -817,7 +847,13 @@ def q_dp15c(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_windows").alias("v2"),
         F.col("dup_coverage").alias("v3"),
     )
-    return pii.unionByName(ld).unionByName(sp)
+    sps = q_span_stream(spark, sf).select(
+        F.lit("spanstream").alias("branch"), "doc_id",
+        F.col("dup_windows").alias("v1"),
+        F.col("n_windows").alias("v2"),
+        F.col("dup_coverage").alias("v3"),
+    )
+    return pii.unionByName(ld).unionByName(sp).unionByName(sps)
 
 SQL_DP15C = f"""
 SELECT 'pii' AS branch, doc_id, n_emails::BIGINT AS v1, n_phones::BIGINT AS v2,
@@ -826,6 +862,8 @@ UNION ALL
 SELECT 'linededup', doc_id, n_kept, n_lines, new_len FROM ({SQL_LINE_DEDUP})
 UNION ALL
 SELECT 'spandedup', doc_id, dup_windows, n_windows, dup_coverage FROM ({SQL_SPAN_DEDUP})
+UNION ALL
+SELECT 'spanstream', doc_id, dup_windows, n_windows, dup_coverage FROM ({SQL_SPAN_DEDUP})
 """
 
 # --- dp16 corpus-level top-k n-grams --------------------------------------

@@ -429,11 +429,20 @@ def q_w4c(spark: SparkSession, sf: str) -> DataFrame:
     sessions on the same events — same gap semantics (end-inclusive merge),
     same bounds/duration — against one oracle. The streaming side runs a
     real watermarked query; the sentinel (> gap + delay past max ts)
-    flushes every open session before the replay drains."""
+    flushes every open session before the replay drains.
+
+    Round-10 ``sliding`` branch: the T4 hopping-window aggregation
+    (``windows.sliding_stats_stream`` — previously pytest-only) over the
+    same events stream, 10 min windows hopping every 5 min, mapped into
+    this union's shape (window bounds in session_start/end, count in
+    n_events, the rounded value sum in dur_sec, event_type in grp). Its
+    DuckDB twin enumerates each event's size/slide windows explicitly —
+    epoch-aligned starts, the same alignment Spark's ``window()`` uses."""
     from pyspark.sql import Window
     from flinkrealtimedatawarehouse_spark.benchqueries.warehouse import q_w4
 
-    batch = q_w4(spark, sf).withColumn("kind", F.lit("batch"))
+    _null_grp = F.lit(None).cast("string").alias("grp")
+    batch = q_w4(spark, sf).withColumn("kind", F.lit("batch")).withColumn("grp", _null_grp)
 
     sdf = _staged_events_stream(spark, sf, "w4s", "40 minutes")
     agg = windows.session_stats_stream(sdf, "user_id", "ts", "30 minutes", "30 seconds")
@@ -447,20 +456,59 @@ def q_w4c(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "dur_sec",
         F.lit("stream").alias("kind"),
+        _null_grp,
     )
-    planted = q_w4b(spark, sf).withColumn("kind", F.lit("planted"))
-    return batch.unionByName(stream).unionByName(planted)
+    planted = q_w4b(spark, sf).withColumn("kind", F.lit("planted")).withColumn("grp", _null_grp)
+
+    sdf2 = _staged_events_stream(spark, sf, "w4sl", "11 minutes")
+    sl = windows.sliding_stats_stream(sdf2, "ts", "10 minutes", "5 minutes", "30 seconds")
+    # the sentinel (max ts + 11 min) flushes every real window — the last
+    # real window ends <= max+10 min < watermark; its own windows start
+    # past max ts, so the stt cutoff drops exactly them
+    slout = runner.run_to_memory(sl, "w4sl").filter(
+        F.col("stt") <= _real_max_stt(spark, sf)
+    )
+    sliding = slout.select(
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("session_idx"),
+        F.col("pv_ct").cast("long").alias("n_events"),
+        F.col("stt").alias("session_start"),
+        F.col("edt").alias("session_end"),
+        F.col("value_sum").alias("dur_sec"),
+        F.lit("sliding").alias("kind"),
+        F.col("event_type").alias("grp"),
+    )
+    return batch.unionByName(stream).unionByName(planted).unionByName(sliding)
 
 
 def _sql_w4c() -> str:
     from flinkrealtimedatawarehouse_spark.benchqueries.warehouse import SQL_W4
 
+    # sliding twin: start_k = (floor(epoch/slide) - i) * slide for
+    # i in 0..size/slide-1 — every window containing the event, aligned to
+    # the epoch like Spark's window(); bounds formatted like WINDOW_FMT
+    sliding = """
+SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS session_idx,
+       count(*)::BIGINT AS n_events,
+       strftime(ws, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(ws + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       round(sum(value), 2) AS dur_sec,
+       'sliding' AS kind, event_type AS grp
+FROM (
+  SELECT e.*, to_timestamp((floor(epoch(ts) / 300) - i.i) * 300) AS ws
+  FROM events e CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS i) i
+)
+GROUP BY ws, event_type
+"""
     return f"""
-SELECT *, 'batch' AS kind FROM ({SQL_W4})
+SELECT *, CAST(NULL AS VARCHAR) AS grp, 'batch' AS kind FROM ({SQL_W4})
 UNION ALL
-SELECT *, 'stream' AS kind FROM ({SQL_W4})
+SELECT *, CAST(NULL AS VARCHAR) AS grp, 'stream' AS kind FROM ({SQL_W4})
 UNION ALL
-SELECT *, 'planted' AS kind FROM ({SQL_W4B})
+SELECT *, CAST(NULL AS VARCHAR) AS grp, 'planted' AS kind FROM ({SQL_W4B})
+UNION ALL
+SELECT user_id, session_idx, n_events, session_start, session_end, dur_sec, grp, kind
+FROM ({sliding})
 """
 
 

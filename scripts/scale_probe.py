@@ -65,7 +65,7 @@ def main() -> int:
     from flinkrealtimedatawarehouse_spark.tables import load_table
 
     sweeps = {"batch", "cep", "sinks", "funnel", "scd2topk", "spans", "spansink",
-              "dp3cap"}
+              "dp3cap", "sindexcost"}
     args = sys.argv[1:]
     sf = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
     picked = {a for a in args if a in sweeps} or sweeps
@@ -247,6 +247,55 @@ def main() -> int:
         print(
             f"x{m} dp3cap[perturb]: embcos={t_ed:.1f}s ({n_ed} pairs, "
             f"kept {ed_k} / dropped<= {ed_d}, {ed_f:.1%})",
+            flush=True,
+        )
+
+    # streamed-index upkeep cost vs INDEX size: fold the (amplified)
+    # corpus into the postings/IVF streamed indexes as N equal batches,
+    # timing EACH write_batch. The append-only design claims per-batch
+    # work is O(|batch|) with no read-modify-write of the existing index —
+    # so the per-batch wall must stay FLAT from batch 0 (empty index) to
+    # batch N-1 (N-1 batches already on disk). A growing per-batch wall
+    # would expose a hidden index-size term (e.g. an accidental full-index
+    # read in the fold).
+    for m in (multiples if want("sindexcost") else []):
+        from flinkrealtimedatawarehouse_spark.streaming import searchindex, simsearch
+        from flinkrealtimedatawarehouse_spark.streaming.runner import scratch_dir
+
+        n_b = 8
+        d = amplify(docs, "doc_id", m)
+        psink = searchindex.PostingsIndexSink(
+            scratch_dir(f"sidxcost_p{m}"), "doc_id", "text"
+        )
+        bt: list[float] = []
+
+        def _fold_post(b, i):
+            t0 = time.time()
+            psink.write_batch(b, i)
+            bt.append(time.time() - t0)
+
+        drive_batches(_fold_post, d, "doc_id", n=n_b)
+        print(
+            f"x{m} sindexcost postings ({base_n * m} docs, {n_b} batches): "
+            + " ".join(f"b{i}={t:.1f}s" for i, t in enumerate(bt)),
+            flush=True,
+        )
+
+        e = amplify_perturb(emb, "vec_id", "embedding", m)
+        vsink = simsearch.IvfIndexSink(
+            scratch_dir(f"sidxcost_v{m}"), "vec_id", "embedding", "label"
+        )
+        vt: list[float] = []
+
+        def _fold_ivf(b, i):
+            t0 = time.time()
+            vsink.write_batch(b, i)
+            vt.append(time.time() - t0)
+
+        drive_batches(_fold_ivf, e, "vec_id", n=n_b)
+        print(
+            f"x{m} sindexcost ivf ({base_e * m} vecs, {n_b} batches): "
+            + " ".join(f"b{i}={t:.1f}s" for i, t in enumerate(vt)),
             flush=True,
         )
 
