@@ -555,3 +555,56 @@ def test_streamed_ivf_split_invariant(spark, tmp_path_factory, vecs, cuts):
     ).collect()
     got = streamed_ivf_topk(spark, sink, probes, k=3, n_probe=1).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in direct]
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 2),          # template id: 3 possible texts
+            st.booleans(),              # mutate tail word?
+        ),
+        min_size=4, max_size=24,
+    ),
+    cap=st.integers(2, 6),
+)
+@settings(**_SETTINGS)
+def test_capped_lsh_pairs_subset_and_megacluster_connected(spark, docs, cap):
+    """Round-10 representative-chaining algebra, for ANY corpus and cap:
+    (1) a capped run's candidate pairs are a SUBSET of the uncapped run's
+    (chaining only selects witness pairs, never invents collisions), and
+    (2) every member of an over-cap bucket still reaches the bucket's
+    min-id member — one hop — so connectivity through that bucket is
+    preserved (the megacluster recall guarantee)."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
+
+    templates = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "red orange yellow green blue indigo violet colors",
+    ]
+    rows = [
+        (i, templates[t] + (" mutated" if m else ""))
+        for i, (t, m) in enumerate(docs)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = textdedup.minhash_signatures(d, "doc_id", "text", 3, 8).persist()
+    try:
+        uncapped = {(r.id_a, r.id_b) for r in
+                    textdedup.lsh_candidate_pairs(sigs, "doc_id", 4, 2).collect()}
+        capped = {(r.id_a, r.id_b) for r in
+                  textdedup.lsh_candidate_pairs(
+                      sigs, "doc_id", 4, 2, hot_bucket_cap=cap).collect()}
+        assert capped <= uncapped
+        # per over-cap bucket: every member pairs with the bucket min id
+        bands = textdedup.lsh_band_rows(sigs, "doc_id", 4, 2).collect()
+        buckets: dict = {}
+        for r in bands:
+            buckets.setdefault((r.band_idx, r.band_key), []).append(r.doc_id)
+        for members in buckets.values():
+            if len(members) > cap:
+                rep = min(members)
+                for m_id in members:
+                    if m_id != rep:
+                        assert (rep, m_id) in capped, (rep, m_id, len(members))
+    finally:
+        sigs.unpersist()
