@@ -209,7 +209,6 @@ def _serving_measure(spark, sf_dir: str) -> dict:
     from flinkrealtimedatawarehouse_spark.datapipeline import similarity, textstats
     from flinkrealtimedatawarehouse_spark.streaming import searchindex, simsearch
     from flinkrealtimedatawarehouse_spark.streaming.runner import scratch_dir
-    from flinkrealtimedatawarehouse_spark.streaming.sinks import AdditiveGoldSink
     from flinkrealtimedatawarehouse_spark.tables import load_table
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
@@ -279,19 +278,17 @@ def _serving_measure(spark, sf_dir: str) -> dict:
     # --- J6 wide gold: live (stream-maintained) vs batch-built views ---
     live_dir = scratch_dir("serv_wlive")
     t0 = time.time()
-    serving.stream_wide_product_upkeep(spark, sf_dir, live_dir, tag="servwide")
+    # the upkeep stream has drained by the time we read, so its own sink
+    # handle serves the reads — no separate read_only twin needed here
+    live_sink = serving.stream_wide_product_upkeep(
+        spark, sf_dir, live_dir, tag="servwide"
+    )
     build["wide_stream_upkeep"] = round(time.time() - t0, 3)
     wide_dir = scratch_dir("serv_wbatch")
     t0 = time.time()
     serving.build_wide_product(spark, sf_dir, wide_dir)
     build["wide_batch_build"] = round(time.time() - t0, 3)
 
-    live_sink = AdditiveGoldSink(
-        live_dir, keys=serving.WIDE_AGG_KEYS,
-        measures={"order_amount": ("l_extendedprice", "sum"),
-                  "order_ct": ("l_extendedprice", "count")},
-        read_only=True,
-    )
     serving.register_wide_live_views(spark, live_sink.current(spark))
     serving.register_wide_serving_views(spark, wide_dir)
     queries["wide_live_brand"] = timed(

@@ -484,9 +484,12 @@ def q_w4c(spark: SparkSession, sf: str) -> DataFrame:
 def _sql_w4c() -> str:
     from flinkrealtimedatawarehouse_spark.benchqueries.warehouse import SQL_W4
 
-    # sliding twin: start_k = (floor(epoch/slide) - i) * slide for
-    # i in 0..size/slide-1 — every window containing the event, aligned to
-    # the epoch like Spark's window(); bounds formatted like WINDOW_FMT
+    # sliding twin: window starts = the event's 5-min bucket minus
+    # i*slide for i in 0..size/slide-1 — every window containing the
+    # event, epoch-aligned like Spark's window(). time_bucket (the same
+    # tz-stable pattern as every other twin here) operates on the plain
+    # TIMESTAMP — to_timestamp/strftime would render in DuckDB's session
+    # timezone and break the gate on any non-UTC host.
     sliding = """
 SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS session_idx,
        count(*)::BIGINT AS n_events,
@@ -495,7 +498,7 @@ SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS session_idx,
        round(sum(value), 2) AS dur_sec,
        'sliding' AS kind, event_type AS grp
 FROM (
-  SELECT e.*, to_timestamp((floor(epoch(ts) / 300) - i.i) * 300) AS ws
+  SELECT e.*, time_bucket(INTERVAL '5 minutes', ts) - i.i * INTERVAL '5 minutes' AS ws
   FROM events e CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS i) i
 )
 GROUP BY ws, event_type
