@@ -252,7 +252,14 @@ def stream_wide_product_upkeep(spark: SparkSession, sf_dir: str, out_dir: str,
     like WIDE_PRODUCT_SQL) -> fold additively into (dt, l_partkey,
     p_brand) running totals. The final table answers the same mapper
     queries as the batch ``build_wide_product`` output (hash-asserted in
-    the a7_ads_product gate and tests)."""
+    the a7_ads_product gate and tests).
+
+    Point-in-time: the sink commits one snapshot version per applied
+    batch, so ``sink.read_version(spark, b)`` is the wide table as of
+    stream batch ``b`` — the same as-of contract as the streamed postings
+    and IVF indexes; register it with ``register_wide_live_views`` for
+    time-traveled serving views (pinned in
+    tests/test_serving.py::test_wide_live_answers_as_of_any_batch)."""
     from flinkrealtimedatawarehouse_spark.streaming import runner, sinks
 
     li = load_table(spark, sf_dir, "lineitem").select(

@@ -229,3 +229,74 @@ def test_streaming_wide_upkeep_matches_batch_build(spark, tmp_path):
     )
     cols = serving.WIDE_AGG_KEYS + ["order_amount", "order_ct"]
     assert _rows(resumed.current(spark), cols) == _rows(live.current(spark), cols)
+
+
+def test_wide_live_answers_as_of_any_batch(spark, tmp_path):
+    """J6 point-in-time serving: snapshot version b of the
+    streaming-maintained wide table equals a direct additive aggregation
+    over the lineitem prefix that had arrived by batch b — one snapshot
+    version per applied batch, the same as-of contract the streamed
+    postings and IVF indexes expose — and the live serving views compose
+    with time travel (register over read_version(b))."""
+    from pyspark.sql import functions as F
+
+    from flinkrealtimedatawarehouse_spark import serving
+    from flinkrealtimedatawarehouse_spark.streaming.sinks import AdditiveGoldSink
+    from flinkrealtimedatawarehouse_spark.tables import load_table
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    part = load_table(spark, SF, "part").select("p_partkey", "p_brand")
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyyMMdd").alias("dt")
+    )
+
+    def enrich(batch):
+        # same INNER enrich as serving.stream_wide_product_upkeep
+        return (
+            batch.join(F.broadcast(part), batch["l_partkey"] == part["p_partkey"])
+            .join(orders, batch["l_orderkey"] == orders["o_orderkey"])
+        )
+
+    cut = li.approxQuantile("l_orderkey", [1 / 3, 2 / 3], 0.001)
+    slices = [
+        li.filter(F.col("l_orderkey") <= cut[0]),
+        li.filter((F.col("l_orderkey") > cut[0]) & (F.col("l_orderkey") <= cut[1])),
+        li.filter(F.col("l_orderkey") > cut[1]),
+    ]
+    sink = AdditiveGoldSink(
+        str(tmp_path / "wlive"), keys=serving.WIDE_AGG_KEYS,
+        measures={"order_amount": ("l_extendedprice", "sum"),
+                  "order_ct": ("l_extendedprice", "count")},
+    )
+    for bid, sl in enumerate(slices):
+        sink.write_batch(enrich(sl), bid)
+
+    cols = serving.WIDE_AGG_KEYS + ["order_amount", "order_ct"]
+    prefix = None
+    for b, sl in enumerate(slices):
+        prefix = sl if prefix is None else prefix.unionByName(sl)
+        want = _rows(
+            enrich(prefix).groupBy(*serving.WIDE_AGG_KEYS).agg(
+                F.sum("l_extendedprice").cast("double").alias("order_amount"),
+                F.count(F.lit(1)).cast("double").alias("order_ct"),
+            ),
+            cols,
+        )
+        got = _rows(sink.read_version(spark, b), cols)
+        assert got == want, f"as-of batch {b} diverged"
+
+    # the live views time-travel too: registered over version 0 they
+    # answer from the first batch's totals only
+    serving.register_wide_live_views(spark, sink.read_version(spark, 0))
+    v0_brand = _rows(spark.sql("SELECT * FROM ads_top_brand_wide_live"),
+                     ["p_brand", "order_amount"])
+    direct0 = enrich(slices[0]).groupBy(*serving.WIDE_AGG_KEYS).agg(
+        F.sum("l_extendedprice").cast("double").alias("order_amount"),
+        F.count(F.lit(1)).cast("double").alias("order_ct"),
+    )
+    serving.register_wide_live_views(spark, direct0)
+    want0 = _rows(spark.sql("SELECT * FROM ads_top_brand_wide_live"),
+                  ["p_brand", "order_amount"])
+    assert v0_brand == want0
