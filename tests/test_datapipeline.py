@@ -1751,6 +1751,15 @@ def test_streamed_ivf_compaction_preserves_topk_and_as_of(spark, tmp_path):
             spark, sink, probes, k=4, n_probe=2, as_of_batch=b
         ).collect()
         assert [tuple(r) for r in got] == [tuple(r) for r in before_asof[b]], b
+    # batch + cell both survive compaction as directory partitions: the
+    # as-of corpus scan prunes on BOTH in the executed plan
+    asof0 = streamed_ivf_topk(spark, sink, probes, k=4, n_probe=2, as_of_batch=0)
+    plan = asof0._sc._jvm.PythonSQLUtils.explainString(
+        asof0._jdf.queryExecution(), "extended"
+    )
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:300]
+    assert "batch" in pf and "cell" in pf, pf
 
 
 def test_streamed_ivf_index_matches_batch_topk(spark, tmp_path):

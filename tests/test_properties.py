@@ -608,3 +608,85 @@ def test_capped_lsh_pairs_subset_and_megacluster_connected(spark, docs, cap):
                         assert (rep, m_id) in capped, (rep, m_id, len(members))
     finally:
         sigs.unpersist()
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 2), st.booleans()),
+        min_size=4, max_size=20,
+    ),
+    cap=st.integers(2, 6),
+)
+@settings(**_SETTINGS)
+def test_capped_simhash_and_embedding_keep_megacluster_connected(spark, docs, cap):
+    """The chaining algebra holds for the SimHash and embedding-cosine
+    families too: capped verified pairs are a subset of uncapped, and in
+    any over-cap bucket every member reaches the min-id rep (the verify
+    stage may still reject a witness pair on its own merits — subset, not
+    equality, is the invariant on the verified output)."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
+
+    templates = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "red orange yellow green blue indigo violet colors",
+    ]
+    rows = [
+        (i, templates[t] + (" mutated" if m else ""))
+        for i, (t, m) in enumerate(docs)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    # max_hamming=32: every candidate passes verify, so the pair sets ARE
+    # the candidate sets and the subset/witness laws are exact
+    unc = {(r.id_a, r.id_b) for r in
+           textdedup.simhash_near_dups(d, "doc_id", "text", max_hamming=32).collect()}
+    cap_pairs = {(r.id_a, r.id_b) for r in
+                 textdedup.simhash_near_dups(
+                     d, "doc_id", "text", max_hamming=32, hot_bucket_cap=cap).collect()}
+    assert cap_pairs <= unc
+    bands = textdedup._simhash_band_rows(
+        textdedup.simhash(d, "doc_id", "text"), "doc_id").collect()
+    buckets: dict = {}
+    for r in bands:
+        buckets.setdefault((r.band_idx, r.band_val), []).append(r.doc_id)
+    for members in buckets.values():
+        if len(members) > cap:
+            rep = min(members)
+            for m_id in members:
+                if m_id != rep:
+                    assert (rep, m_id) in cap_pairs
+
+    # embedding twin: vectors derived from the template id (identical
+    # within a template -> one sign bucket per template), threshold -1
+    # accepts every candidate for the same exactness reason
+    from flinkrealtimedatawarehouse_spark.datapipeline.similarity import (
+        hyperplane_bucket,
+        quantized,
+    )
+
+    vecs = [
+        (i, [float(t + 1), float(t) - 0.5, 0.25 * (t + 1), -1.0 + t])
+        for i, (t, _m) in enumerate(docs)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    unc_e = {(r.id_a, r.id_b) for r in
+             textdedup.embedding_near_dups(
+                 emb, "vec_id", "embedding", threshold=-1.0, n_planes=4).collect()}
+    cap_e = {(r.id_a, r.id_b) for r in
+             textdedup.embedding_near_dups(
+                 emb, "vec_id", "embedding", threshold=-1.0, n_planes=4,
+                 hot_bucket_cap=cap).collect()}
+    assert cap_e <= unc_e
+    bk = emb.select(
+        "vec_id",
+        hyperplane_bucket(quantized(F.col("embedding"), 1000), 4).alias("b"),
+    ).collect()
+    ebuckets: dict = {}
+    for r in bk:
+        ebuckets.setdefault(r.b, []).append(r.vec_id)
+    for members in ebuckets.values():
+        if len(members) > cap:
+            rep = min(members)
+            for m_id in members:
+                if m_id != rep:
+                    assert (rep, m_id) in cap_e
