@@ -181,6 +181,67 @@ jv AS (
 SELECT * FROM jv WHERE jaccard >= {_MH_THRESH}
 """
 
+# A cap that BINDS at the driver's gate scale (max sf0.01 band bucket = 4
+# docs), so the gate exercises the round-10 representative-chaining rule on
+# the MinHash family too — not just the planted tests: over-cap buckets
+# emit only (min-id rep, member) candidates, mirrored in SQL below.
+_MH_CAP_GATE = 2
+
+def q_dp2c(spark: SparkSession, sf: str) -> DataFrame:
+    """dp2 tagged union: the exact (uncapped) MinHash-LSH near-dup run +
+    the same run under a deliberately-binding hot-bucket cap, so the
+    chaining candidate algebra is hash-verified against an independent
+    engine at every gate scale."""
+    exact = q_minhash_lsh(spark, sf).select(
+        F.lit("exact").alias("branch"), "id_a", "id_b", "jaccard"
+    )
+    capped = textdedup.minhash_near_dups(
+        _docs_with_near_dups(spark, sf), "doc_id", "text",
+        shingle_n=_MH_N, k=_MH_K, bands=_MH_BANDS, threshold=_MH_THRESH,
+        hot_bucket_cap=_MH_CAP_GATE,
+    ).select(F.lit("capped").alias("branch"), "id_a", "id_b", "jaccard")
+    return exact.unionByName(capped)
+
+SQL_DP2C = f"""
+SELECT 'exact' AS branch, * FROM ({SQL_MINHASH_LSH})
+UNION ALL
+SELECT 'capped' AS branch, * FROM (
+WITH {_sql_sigs_cte()},
+bd AS (
+  SELECT doc_id, bi.band_idx,
+         concat_ws('_', sig[2 * bi.band_idx + 1], sig[2 * bi.band_idx + 2]) AS band_key
+  FROM ms CROSS JOIN (SELECT unnest(generate_series(0, {_MH_BANDS - 1})) AS band_idx) bi
+),
+bsz AS (
+  SELECT band_idx, band_key, count(*) AS c, min(doc_id) AS rep_id
+  FROM bd GROUP BY 1, 2
+),
+bdc AS (
+  SELECT bd.* FROM bd JOIN bsz USING (band_idx, band_key) WHERE bsz.c <= {_MH_CAP_GATE}
+),
+cd AS (
+  SELECT DISTINCT * FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bdc a JOIN bdc b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    UNION ALL
+    -- over-cap buckets: representative chaining, mirroring
+    -- textdedup.lsh_candidate_pairs's hot branch term-for-term
+    SELECT bsz.rep_id AS id_a, bd.doc_id AS id_b
+    FROM bd JOIN bsz USING (band_idx, band_key)
+    WHERE bsz.c > {_MH_CAP_GATE} AND bd.doc_id > bsz.rep_id
+  )
+),
+jv AS (
+  SELECT id_a, id_b,
+         round(len(list_intersect(x.shingles, y.shingles))::DOUBLE /
+               len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS jaccard
+  FROM cd JOIN ms x ON x.doc_id = id_a JOIN ms y ON y.doc_id = id_b
+)
+SELECT * FROM jv WHERE jaccard >= {_MH_THRESH}
+)
+"""
+
 # --- dp3 SimHash near-dup -------------------------------------------------
 
 _SH_MAXH = 6
@@ -1870,7 +1931,7 @@ SQL_MIX_PACK = _sql_mix_pack()
 # per-operator q_* functions stay defined for tests and bench.
 REGISTRY = {
     "dp1_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
-    "dp2_minhash_lsh_neardup": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "dp2_minhash_lsh_neardup": (q_dp2c, SQL_DP2C),
     "dp3_neardup_family": (q_neardup_family, SQL_NEARDUP_FAMILY),
     "dp6_cosine_topk": (q_cosine_topk_both, SQL_COSINE_TOPK_BOTH),
     "dp7_ann_topk": (q_ann_both, SQL_ANN_BOTH),
