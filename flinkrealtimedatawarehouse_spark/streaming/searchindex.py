@@ -37,13 +37,22 @@ Scale: per batch the work is tokenize + one partial agg + one
 partitioned parquet write of |batch| rows — no read-modify-write of the
 existing index, no vocabulary-sized merge. The index directory grows
 one partition per batch; ``layout.compact_dir`` is the standard remedy
-when small files accumulate (same answer as every append sink here) —
-compact with ``partition_cols=["batch", "bucket"]`` (the IVF twin:
-``["batch", "cell"]``) so BOTH directory levels survive: dropping
-``batch`` keeps current-state search identical but silently demotes
-``as_of_batch`` point-in-time queries from directory pruning to a
-full-bucket row filter (pinned in
-tests/test_datapipeline.py::test_streamed_postings_compaction_preserves_search).
+when small files accumulate (same answer as every append sink here).
+Two compaction layouts, both answer-identical for current AND as-of
+queries (pinned in tests/test_datapipeline.py::
+test_streamed_postings_compaction_preserves_search); pick by batch
+count — measured at sf1 with 32 batches x 64 buckets (SCALE.md):
+
+- ``partition_cols=["batch", "bucket"]`` (IVF twin: ``["batch",
+  "cell"]``): keeps both directory levels, so ``as_of_batch`` stays a
+  directory PartitionFilter. Right while the batch count is small; at
+  32 batches it merges nothing (each leaf already one file) and the
+  1922-leaf listing dominates reads (~4.5 s/query).
+- ``partition_cols=["bucket"]``: demotes ``batch`` to a data column —
+  64 files, ~0.9-1.1 s/query, and even the as-of ROW filter beats the
+  1922-dir pruning 4x, because at high batch counts the metadata cost
+  IS the read cost. The as-of contract still holds (batch rides in the
+  rows; min/max row-group stats narrow the scan).
 
 Crash contract (same as the other sinks): postings land BEFORE the
 stats marker, so a crash between the two replays the batch on restart —
