@@ -182,25 +182,47 @@ SELECT * FROM jv WHERE jaccard >= {_MH_THRESH}
 """
 
 # A cap that BINDS at the driver's gate scale (max sf0.01 band bucket = 4
-# docs), so the gate exercises the round-10 representative-chaining rule on
-# the MinHash family too — not just the planted tests: over-cap buckets
-# emit only (min-id rep, member) candidates, mirrored in SQL below.
+# docs; tests/test_datapipeline.py::test_mh_gate_cap_binds_at_gate_scale
+# asserts it stays binding if the corpus regenerates), so the gate
+# exercises the representative-chaining rule on the MinHash family too —
+# not just the planted tests: over-cap buckets emit only (rotating rep,
+# member) candidates, mirrored in SQL below.
 _MH_CAP_GATE = 2
 
 def q_dp2c(spark: SparkSession, sf: str) -> DataFrame:
     """dp2 tagged union: the exact (uncapped) MinHash-LSH near-dup run +
     the same run under a deliberately-binding hot-bucket cap, so the
     chaining candidate algebra is hash-verified against an independent
-    engine at every gate scale."""
-    exact = q_minhash_lsh(spark, sf).select(
-        F.lit("exact").alias("branch"), "id_a", "id_b", "jaccard"
-    )
-    capped = textdedup.minhash_near_dups(
-        _docs_with_near_dups(spark, sf), "doc_id", "text",
-        shingle_n=_MH_N, k=_MH_K, bands=_MH_BANDS, threshold=_MH_THRESH,
-        hot_bucket_cap=_MH_CAP_GATE,
-    ).select(F.lit("capped").alias("branch"), "id_a", "id_b", "jaccard")
-    return exact.unionByName(capped)
+    engine at every gate scale.
+
+    The CPU-dense signature stage (tokenize -> shingle -> md5 -> k
+    permutation mins) is computed ONCE and shared by both branches —
+    only the candidate generation differs between them, so running
+    ``minhash_near_dups`` end-to-end twice would re-pay the dominant
+    stage for nothing (round-10 ADVICE)."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = _docs_with_near_dups(spark, sf)
+    n_part = spark.sparkContext.defaultParallelism
+    sigs = textdedup.minhash_signatures(
+        docs.repartition(n_part), "doc_id", "text", _MH_N, _MH_K
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        branches = []
+        for branch, cap in (("exact", None), ("capped", _MH_CAP_GATE)):
+            cands = textdedup.lsh_candidate_pairs(
+                sigs, "doc_id", _MH_BANDS, _MH_K // _MH_BANDS, hot_bucket_cap=cap
+            )
+            branches.append(
+                textdedup.jaccard_verify(cands, sigs, "doc_id")
+                .filter(F.col("jaccard") >= _MH_THRESH)
+                .select(F.lit(branch).alias("branch"), "id_a", "id_b", "jaccard")
+            )
+        # materialize before releasing the shared signature cache (same
+        # rule as minhash_near_dups' own tail)
+        return branches[0].unionByName(branches[1]).localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
 
 SQL_DP2C = f"""
 SELECT 'exact' AS branch, * FROM ({SQL_MINHASH_LSH})
@@ -213,7 +235,8 @@ bd AS (
   FROM ms CROSS JOIN (SELECT unnest(generate_series(0, {_MH_BANDS - 1})) AS band_idx) bi
 ),
 bsz AS (
-  SELECT band_idx, band_key, count(*) AS c, min(doc_id) AS rep_id
+  SELECT band_idx, band_key, count(*) AS c,
+         CASE WHEN band_idx % 2 = 0 THEN min(doc_id) ELSE max(doc_id) END AS rep_id
   FROM bd GROUP BY 1, 2
 ),
 bdc AS (
@@ -225,11 +248,12 @@ cd AS (
     FROM bdc a JOIN bdc b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     UNION ALL
-    -- over-cap buckets: representative chaining, mirroring
-    -- textdedup.lsh_candidate_pairs's hot branch term-for-term
-    SELECT bsz.rep_id AS id_a, bd.doc_id AS id_b
+    -- over-cap buckets: representative chaining (min-id rep on even
+    -- bands, max-id on odd), mirroring textdedup.lsh_candidate_pairs's
+    -- hot branch term-for-term
+    SELECT least(bd.doc_id, bsz.rep_id) AS id_a, greatest(bd.doc_id, bsz.rep_id) AS id_b
     FROM bd JOIN bsz USING (band_idx, band_key)
-    WHERE bsz.c > {_MH_CAP_GATE} AND bd.doc_id > bsz.rep_id
+    WHERE bsz.c > {_MH_CAP_GATE} AND bd.doc_id <> bsz.rep_id
   )
 ),
 jv AS (
@@ -281,7 +305,9 @@ bd AS (
 ),
 bsz AS (
   SELECT band_idx, band_val, count(*) AS c,
-         min(doc_id) AS rep_id, arg_min(simhash, doc_id) AS rep_sim
+         CASE WHEN band_idx % 2 = 0 THEN min(doc_id) ELSE max(doc_id) END AS rep_id,
+         CASE WHEN band_idx % 2 = 0 THEN arg_min(simhash, doc_id)
+              ELSE arg_max(simhash, doc_id) END AS rep_sim
   FROM bd GROUP BY 1, 2
 ),
 bdc AS (
@@ -293,11 +319,15 @@ cd AS (
     FROM bdc a JOIN bdc b
       ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     UNION ALL
-    -- over-cap buckets: representative chaining (member vs min-id rep),
-    -- mirroring textdedup.simhash_near_dups's hot branch term-for-term
-    SELECT bsz.rep_id AS id_a, bd.doc_id AS id_b, bsz.rep_sim AS sa, bd.simhash AS sb
+    -- over-cap buckets: representative chaining (member vs the rotating
+    -- rep: min id on even bands, max id on odd; sa stays the simhash OF
+    -- id_a), mirroring textdedup.simhash_near_dups's hot branch
+    SELECT least(bd.doc_id, bsz.rep_id) AS id_a,
+           greatest(bd.doc_id, bsz.rep_id) AS id_b,
+           CASE WHEN bd.doc_id < bsz.rep_id THEN bd.simhash ELSE bsz.rep_sim END AS sa,
+           CASE WHEN bd.doc_id < bsz.rep_id THEN bsz.rep_sim ELSE bd.simhash END AS sb
     FROM bd JOIN bsz USING (band_idx, band_val)
-    WHERE bsz.c > {_SH_CAP} AND bd.doc_id > bsz.rep_id
+    WHERE bsz.c > {_SH_CAP} AND bd.doc_id <> bsz.rep_id
   )
 )
 SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
@@ -348,18 +378,27 @@ WITH a AS ({_SQL_EMB_DUPS}),
 q AS (SELECT vec_id, {_DUCK_Q} AS q FROM a),
 b0 AS (SELECT vec_id, q, {_duck_bucket('q', _ED_PLANES)} AS bucket FROM q),
 bz AS (SELECT bucket, count(*) AS c,
-              min(vec_id) AS rep_id, arg_min(q, vec_id) AS rep_q
+              min(vec_id) AS lo_id, arg_min(q, vec_id) AS lo_q,
+              max(vec_id) AS hi_id, arg_max(q, vec_id) AS hi_q
        FROM b0 GROUP BY 1),
 b AS (SELECT b0.* FROM b0 JOIN bz USING (bucket) WHERE bz.c <= {_ED_CAP}),
 cd AS (
-  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.q AS qa, y.q AS qb
-  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-  UNION ALL
-  -- over-cap sign buckets: representative chaining (member vs min-id rep),
-  -- mirroring textdedup.embedding_near_dups's hot branch term-for-term
-  SELECT bz.rep_id AS id_a, m.vec_id AS id_b, bz.rep_q AS qa, m.q AS qb
-  FROM b0 m JOIN bz USING (bucket)
-  WHERE bz.c > {_ED_CAP} AND m.vec_id > bz.rep_id
+  SELECT DISTINCT * FROM (
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.q AS qa, y.q AS qb
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    UNION ALL
+    -- over-cap sign buckets: BOTH-ENDS representative chaining (member vs
+    -- min-id rep AND member vs max-id rep; the shared (lo, hi) pair
+    -- dedupes under the DISTINCT), mirroring
+    -- textdedup.embedding_near_dups's hot branch term-for-term
+    SELECT bz.lo_id AS id_a, m.vec_id AS id_b, bz.lo_q AS qa, m.q AS qb
+    FROM b0 m JOIN bz USING (bucket)
+    WHERE bz.c > {_ED_CAP} AND m.vec_id > bz.lo_id
+    UNION ALL
+    SELECT m.vec_id AS id_a, bz.hi_id AS id_b, m.q AS qa, bz.hi_q AS qb
+    FROM b0 m JOIN bz USING (bucket)
+    WHERE bz.c > {_ED_CAP} AND m.vec_id < bz.hi_id
+  )
 )
 SELECT id_a, id_b, {_duck_cosine('qa', 'qb')} AS cosine
 FROM cd WHERE {_duck_cosine('qa', 'qb')} >= {_ED_THRESH}

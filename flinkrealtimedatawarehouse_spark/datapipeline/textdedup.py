@@ -133,17 +133,23 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str, bands: int, rows_per_band:
     into an all-pairs quadratic blowup on a single key, the classic LSH
     scale-killer at 100 TB. Buckets larger than the cap switch from
     all-pairs to REPRESENTATIVE CHAINING: every member pairs only against
-    the bucket's min-id member — c-1 rows instead of c*(c-1)/2, so the
+    the bucket's representative — c-1 rows instead of c*(c-1)/2, so the
     work is O(c) per hot bucket while the dup graph stays CONNECTED (a
     boilerplate megacluster that is hot in every band still collapses to
     one survivor under ``dedup_clusters``; pre-round-10 semantics excluded
     hot buckets entirely, which made all-bands-hot clusters invisible).
+    The representative ROTATES by band parity — min id on even bands, max
+    id on odd bands (round 11) — so a drift-shaped chain (A~B~…~Z where
+    the ends are not near-dups of each other) collects witnesses from
+    BOTH ends instead of only the min-id end, at the same O(c) cost.
     Use ``lsh_hot_bucket_stats`` to account for the non-witness candidate
     mass the chaining skips. None (default) keeps the exact behavior."""
     exploded = lsh_band_rows(sigs, id_col, bands, rows_per_band)
     if hot_bucket_cap is not None:
         sizes = exploded.groupBy("band_idx", "band_key").agg(
-            F.count(F.lit(1)).alias("_bsz"), F.min(id_col).alias("_rep")
+            F.count(F.lit(1)).alias("_bsz"),
+            F.min(id_col).alias("_lo"),
+            F.max(id_col).alias("_hi"),
         )
         # inner join on the (already-shuffled) bucket key: AQE plans the
         # size side tiny relative to the explode, and the split lands
@@ -152,15 +158,19 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str, bands: int, rows_per_band:
             sizes.filter(F.col("_bsz") <= hot_bucket_cap).select("band_idx", "band_key"),
             ["band_idx", "band_key"],
         )
+        rep = F.when(F.col("band_idx") % 2 == 0, F.col("_lo")).otherwise(F.col("_hi"))
         hot_pairs = (
             exploded.join(
                 sizes.filter(F.col("_bsz") > hot_bucket_cap).select(
-                    "band_idx", "band_key", "_rep"
+                    "band_idx", "band_key", rep.alias("_rep")
                 ),
                 ["band_idx", "band_key"],
             )
-            .filter(F.col(id_col) > F.col("_rep"))
-            .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+            .filter(F.col(id_col) != F.col("_rep"))
+            .select(
+                F.least(F.col(id_col), F.col("_rep")).alias("id_a"),
+                F.greatest(F.col(id_col), F.col("_rep")).alias("id_b"),
+            )
         )
     else:
         cool, hot_pairs = exploded, None
@@ -183,12 +193,13 @@ def lsh_hot_bucket_stats(sigs: DataFrame, id_col: str, bands: int,
     buckets over the cap) and ``dropped_candidates`` (sum of
     c*(c-1)/2 - (c-1) over them — the NON-WITNESS candidate mass that
     representative chaining skips: each hot bucket still emits its c-1
-    min-id-representative pairs, so connectivity survives, and this figure
-    is a per-bucket UPPER BOUND on skipped candidates, NOT distinct lost
-    pairs: a pair colliding in several hot bands is counted once per band,
-    and pairs that also co-occur in a cool bucket still surface there in
-    full). Run this alongside a capped dedup so the skip is measured,
-    never silent."""
+    representative pairs (min id on even bands, max id on odd — the
+    rotation changes WHICH pairs are witnesses, not how many per bucket),
+    so connectivity survives, and this figure is a per-bucket UPPER BOUND
+    on skipped candidates, NOT distinct lost pairs: a pair colliding in
+    several hot bands is counted once per band, and pairs that also
+    co-occur in a cool bucket still surface there in full). Run this
+    alongside a capped dedup so the skip is measured, never silent."""
     sizes = (
         lsh_band_rows(sigs, id_col, bands, rows_per_band)
         .groupBy("band_idx", "band_key")
@@ -294,18 +305,25 @@ def _simhash_band_rows(sims: DataFrame, id_col: str) -> DataFrame:
     ).select(id_col, "simhash", "band.band_idx", "band.band_val")
 
 
-def _over_cap_stats(sizes: DataFrame, cap: int) -> DataFrame:
+def _over_cap_stats(sizes: DataFrame, cap: int,
+                    both_ends: bool = False) -> DataFrame:
     """(bucket-size rows with column ``c``) -> one accounting row: buckets
     over the cap and an upper bound on the candidates the cap's
     representative chaining skips in them — c*(c-1)/2 all-pairs minus the
-    c-1 witness pairs each hot bucket still emits (multi-band collisions
+    witness pairs each hot bucket still emits (multi-band collisions
     counted once per band; pairs that also co-occur in a cool bucket still
-    surface there)."""
+    surface there). Witnesses per hot bucket: c-1 for the banded families
+    (one rotating representative per band), 2c-3 with ``both_ends`` (the
+    bandless embedding family chains against BOTH the min- and max-id
+    member; the (min, max) pair is shared between the two ends)."""
     hot = sizes.filter(F.col("c") > cap)
+    witnesses = (
+        (2 * F.col("c") - 3) if both_ends else (F.col("c") - 1)
+    )
     return hot.agg(
         F.count(F.lit(1)).alias("hot_buckets"),
         F.coalesce(
-            F.sum(F.col("c") * (F.col("c") - 1) / 2 - (F.col("c") - 1)), F.lit(0.0)
+            F.sum(F.col("c") * (F.col("c") - 1) / 2 - witnesses), F.lit(0.0)
         )
         .cast("long")
         .alias("dropped_candidates"),
@@ -340,7 +358,7 @@ def embedding_hot_bucket_stats(emb: DataFrame, id_col: str, vec_col: str,
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    return _over_cap_stats(sizes, hot_bucket_cap)
+    return _over_cap_stats(sizes, hot_bucket_cap, both_ends=True)
 
 
 def simhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
@@ -356,34 +374,42 @@ def simhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
     10x amplified bench corpus: 57k docs -> an 24k-doc band bucket ->
     885M candidate pairs, a driver-killing blowup on identical code that
     passes at small scale). Buckets above the cap switch to representative
-    chaining: each member pairs only against the bucket's min-id member
-    (c-1 rows, O(c) work), so an all-bands-hot megacluster still verifies
-    witness pairs and collapses under ``dedup_clusters`` instead of
-    becoming invisible to near-dedup. None keeps the exact all-pairs
-    behavior."""
+    chaining: each member pairs only against the bucket's representative
+    (c-1 rows, O(c) work; min id on even bands, max id on odd — the
+    parity rotation gives drift-shaped chains witnesses from both ends),
+    so an all-bands-hot megacluster still verifies witness pairs and
+    collapses under ``dedup_clusters`` instead of becoming invisible to
+    near-dedup. None keeps the exact all-pairs behavior."""
     exploded = _simhash_band_rows(simhash(docs, id_col, text_col), id_col)
     if hot_bucket_cap is not None:
         sizes = exploded.groupBy("band_idx", "band_val").agg(
             F.count(F.lit(1)).alias("_bsz"),
-            F.min(F.struct(F.col(id_col), F.col("simhash"))).alias("_rep"),
+            F.min(F.struct(F.col(id_col), F.col("simhash"))).alias("_lo"),
+            F.max(F.struct(F.col(id_col), F.col("simhash"))).alias("_hi"),
         )
         cool = exploded.join(
             sizes.filter(F.col("_bsz") <= hot_bucket_cap).select("band_idx", "band_val"),
             ["band_idx", "band_val"],
         )
+        rep = F.when(F.col("band_idx") % 2 == 0, F.col("_lo")).otherwise(F.col("_hi"))
+        _mem_first = F.col(id_col) < F.col(f"_rep.{id_col}")
         hot_pairs = (
             exploded.join(
                 sizes.filter(F.col("_bsz") > hot_bucket_cap).select(
-                    "band_idx", "band_val", "_rep"
+                    "band_idx", "band_val", rep.alias("_rep")
                 ),
                 ["band_idx", "band_val"],
             )
-            .filter(F.col(id_col) > F.col(f"_rep.{id_col}"))
+            .filter(F.col(id_col) != F.col(f"_rep.{id_col}"))
+            # sim_a stays the simhash OF id_a (the cool branch's invariant,
+            # so a pair surfacing in both branches dedupes under distinct)
             .select(
-                F.col(f"_rep.{id_col}").alias("id_a"),
-                F.col(id_col).alias("id_b"),
-                F.col("_rep.simhash").alias("sim_a"),
-                F.col("simhash").alias("sim_b"),
+                F.least(F.col(id_col), F.col(f"_rep.{id_col}")).alias("id_a"),
+                F.greatest(F.col(id_col), F.col(f"_rep.{id_col}")).alias("id_b"),
+                F.when(_mem_first, F.col("simhash"))
+                .otherwise(F.col("_rep.simhash")).alias("sim_a"),
+                F.when(_mem_first, F.col("_rep.simhash"))
+                .otherwise(F.col("simhash")).alias("sim_b"),
             )
         )
     else:
@@ -423,10 +449,11 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
 
     ``hot_bucket_cap``: same skew guard as the banded families — buckets
     above the cap (embedding clusters collapse onto few sign patterns on
-    templated corpora) switch to representative chaining: each member
-    pairs only against the bucket's min-id member (c-1 rows, O(c) work),
-    keeping the dup graph connected for ``dedup_clusters``. None =
-    exact."""
+    templated corpora) switch to representative chaining. This family has
+    no bands to rotate a representative across, so a hot bucket chains
+    against BOTH its min-id and max-id member (2c-3 distinct rows, still
+    O(c)) — a drift-shaped chain gets witnesses from both ends — keeping
+    the dup graph connected for ``dedup_clusters``. None = exact."""
     from flinkrealtimedatawarehouse_spark.datapipeline.similarity import (
         _sq_norm,
         hyperplane_bucket,
@@ -442,26 +469,36 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
     if hot_bucket_cap is not None:
         sizes = q.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("_bsz"),
-            F.min(F.struct(F.col(id_col), F.col("q"), F.col("_n"))).alias("_rep"),
+            F.min(F.struct(F.col(id_col), F.col("q"), F.col("_n"))).alias("_lo"),
+            F.max(F.struct(F.col(id_col), F.col("q"), F.col("_n"))).alias("_hi"),
         )
         cool = q.join(
             sizes.filter(F.col("_bsz") <= hot_bucket_cap).select("bucket"), "bucket"
         )
-        hot_cands = (
-            q.join(
-                sizes.filter(F.col("_bsz") > hot_bucket_cap).select("bucket", "_rep"),
-                "bucket",
-            )
-            .filter(F.col(id_col) > F.col(f"_rep.{id_col}"))
-            .select(
-                F.col(f"_rep.{id_col}").alias("id_a"),
-                F.col(id_col).alias("id_b"),
-                F.col("_rep.q").alias("qa"),
-                F.col("q").alias("qb"),
-                F.col("_rep._n").alias("na"),
-                F.col("_n").alias("nb"),
-            )
+        hot_members = q.join(
+            sizes.filter(F.col("_bsz") > hot_bucket_cap).select("bucket", "_lo", "_hi"),
+            "bucket",
         )
+        # both-ends chaining (no bands to rotate across): member vs min-id
+        # rep AND member vs max-id rep; the shared (lo, hi) pair carries
+        # identical values from both arms, deduped by the distinct below
+        lo_cands = hot_members.filter(F.col(id_col) > F.col(f"_lo.{id_col}")).select(
+            F.col(f"_lo.{id_col}").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.col("_lo.q").alias("qa"),
+            F.col("q").alias("qb"),
+            F.col("_lo._n").alias("na"),
+            F.col("_n").alias("nb"),
+        )
+        hi_cands = hot_members.filter(F.col(id_col) < F.col(f"_hi.{id_col}")).select(
+            F.col(id_col).alias("id_a"),
+            F.col(f"_hi.{id_col}").alias("id_b"),
+            F.col("q").alias("qa"),
+            F.col("_hi.q").alias("qb"),
+            F.col("_n").alias("na"),
+            F.col("_hi._n").alias("nb"),
+        )
+        hot_cands = lo_cands.unionByName(hi_cands)
     else:
         cool, hot_cands = q, None
     a, b = cool.alias("a"), cool.alias("b")
@@ -476,7 +513,10 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
         F.col("b._n").alias("nb"),
     )
     if hot_cands is not None:
-        cands = cands.unionByName(hot_cands)
+        # distinct is only needed on the chained path: cool buckets emit a
+        # pair once (one bucket per doc), but the (lo, hi) witness arrives
+        # from both ends of every hot bucket
+        cands = cands.unionByName(hot_cands).distinct()
     dot = F.aggregate(
         F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
     )

@@ -149,16 +149,19 @@ def main() -> int:
     # perturbation rarely flips a hyperplane sign — the realistic
     # behavior for clustered embeddings). Feeds the POST-CAP-LINEARITY
     # table in SCALE.md.
-    def _cand_split(sizes, cap):
-        # over-cap buckets now emit c-1 min-id representative pairs
-        # (round-10 chaining), so kept includes the witness rows and
-        # dropped counts only the skipped non-witness mass — matching
-        # textdedup._over_cap_stats
+    def _cand_split(sizes, cap, both_ends=False):
+        # over-cap buckets emit representative witness pairs (round-10
+        # chaining; round-11 rotation doesn't change the count for the
+        # banded families: c-1 per bucket; the bandless embedding family
+        # chains BOTH ends: 2c-3 distinct), so kept includes the witness
+        # rows and dropped counts only the skipped non-witness mass —
+        # matching textdedup._over_cap_stats
+        wit = (2 * F.col("c") - 3) if both_ends else (F.col("c") - 1)
         row = sizes.select(
             F.when(F.col("c") <= cap, F.col("c") * (F.col("c") - 1) / 2)
-            .otherwise((F.col("c") - 1).cast("double")).alias("kept"),
+            .otherwise(wit.cast("double")).alias("kept"),
             F.when(F.col("c") > cap,
-                   F.col("c") * (F.col("c") - 1) / 2 - (F.col("c") - 1))
+                   F.col("c") * (F.col("c") - 1) / 2 - wit)
             .otherwise(0.0).alias("dropped"),
         ).agg(F.sum("kept"), F.sum("dropped")).collect()[0]
         kept, dropped = int(row[0] or 0), int(row[1] or 0)
@@ -243,7 +246,7 @@ def main() -> int:
             e.select(hyperplane_bucket(quantized(F.col("embedding"), 1000), 8).alias("b"))
             .groupBy("b").agg(F.count(F.lit(1)).alias("c"))
         )
-        ed_k, ed_d, ed_f = _cand_split(ed_sizes, ed_cap)
+        ed_k, ed_d, ed_f = _cand_split(ed_sizes, ed_cap, both_ends=True)
         print(
             f"x{m} dp3cap[perturb]: embcos={t_ed:.1f}s ({n_ed} pairs, "
             f"kept {ed_k} / dropped<= {ed_d}, {ed_f:.1%})",

