@@ -244,7 +244,8 @@ WIDE_LIVE_SERVING_VIEWS: dict[str, str] = {
 
 
 def stream_wide_product_upkeep(spark: SparkSession, sf_dir: str, out_dir: str,
-                               n_batches: int = 4, tag: str = "widegold"):
+                               n_batches: int = 4, tag: str = "widegold",
+                               retain_versions: int | None = 64):
     """Maintain the wide product gold table incrementally from a lineitem
     stream; returns the AdditiveGoldSink holding the running table.
 
@@ -259,7 +260,15 @@ def stream_wide_product_upkeep(spark: SparkSession, sf_dir: str, out_dir: str,
     stream batch ``b`` — the same as-of contract as the streamed postings
     and IVF indexes; register it with ``register_wide_live_views`` for
     time-traveled serving views (pinned in
-    tests/test_serving.py::test_wide_live_answers_as_of_any_batch)."""
+    tests/test_serving.py::test_wide_live_answers_as_of_any_batch).
+
+    ``retain_versions`` (default 64) is this sink's compaction policy:
+    each version is a COMPLETE |days x parts x brands| table (reads never
+    touch more than one version dir, so there is no read-latency decay to
+    compact away — unlike the append-only postings/IVF corpora), but a
+    long stream would hoard O(commits x table) storage; auto-vacuum keeps
+    the as-of horizon a sliding window of the newest N batches. None
+    retains everything."""
     from flinkrealtimedatawarehouse_spark.streaming import runner, sinks
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -278,6 +287,7 @@ def stream_wide_product_upkeep(spark: SparkSession, sf_dir: str, out_dir: str,
             "order_amount": ("l_extendedprice", "sum"),
             "order_ct": ("l_extendedprice", "count"),
         },
+        retain_versions=retain_versions,
     )
 
     def _enrich_and_fold(batch, bid):

@@ -35,24 +35,22 @@ Incremental design — what makes this cheap per batch:
 
 Scale: per batch the work is tokenize + one partial agg + one
 partitioned parquet write of |batch| rows — no read-modify-write of the
-existing index, no vocabulary-sized merge. The index directory grows
-one partition per batch; ``layout.compact_dir`` is the standard remedy
-when small files accumulate (same answer as every append sink here).
-Two compaction layouts, both answer-identical for current AND as-of
-queries (pinned in tests/test_datapipeline.py::
-test_streamed_postings_compaction_preserves_search); pick by batch
-count — measured at sf1 with 32 batches x 64 buckets (SCALE.md):
-
-- ``partition_cols=["batch", "bucket"]`` (IVF twin: ``["batch",
-  "cell"]``): keeps both directory levels, so ``as_of_batch`` stays a
-  directory PartitionFilter. Right while the batch count is small; at
-  32 batches it merges nothing (each leaf already one file) and the
-  1922-leaf listing dominates reads (~4.5 s/query).
-- ``partition_cols=["bucket"]``: demotes ``batch`` to a data column —
-  64 files, ~0.9-1.1 s/query, and even the as-of ROW filter beats the
-  1922-dir pruning 4x, because at high batch counts the metadata cost
-  IS the read cost. The as-of contract still holds (batch rides in the
-  rows; min/max row-group stats narrow the scan).
+existing index, no vocabulary-sized merge. The index directory would
+grow one partition per batch forever; since round 11 the sink runs the
+``compaction.TieredAppendStore`` policy BY DEFAULT (an LSM tree on raw
+parquet: the tail of recent ``batch=`` dirs stays bounded, older
+batches fold into bucket-partitioned chunks with ``batch`` as a sorted
+data column, chunks merge size-tiered). The policy encodes the round-10
+measurement: at 32 batches x 64 buckets the batch-partitioned layout
+cost ~4.5 s/query in 1,922-leaf directory listing, the bucket-only
+layout ~1 s/query with the as-of ROW filter beating directory pruning
+4x — at high batch counts the metadata cost IS the read cost, so the
+compacted layout demotes ``batch`` to data and keeps as-of correct via
+chunk-range pruning + row-group min/max. Both manual layouts remain
+answer-identical and test-pinned (tests/test_datapipeline.py::
+test_streamed_postings_compaction_preserves_search); automatic
+compaction is pinned across >= 64 batches in
+tests/test_streaming.py::test_auto_compaction_bounds_postings_layout.
 
 Crash contract (same as the other sinks): postings land BEFORE the
 stats marker, so a crash between the two replays the batch on restart —
@@ -78,6 +76,7 @@ from flinkrealtimedatawarehouse_spark.datapipeline.textstats import (
     _term_buckets,
     query_terms,
 )
+from flinkrealtimedatawarehouse_spark.streaming.compaction import TieredAppendStore
 from flinkrealtimedatawarehouse_spark.streaming.sinks import AdditiveGoldSink
 
 _STATS_KEYS = ["all_docs"]
@@ -91,19 +90,40 @@ def _stats_sink(out_dir: str, read_only: bool = False) -> AdditiveGoldSink:
     )
 
 
+def _postings_store(out_dir: str, fence_check=None, **policy) -> TieredAppendStore:
+    # sort chunks by term first (every query filters terms: dictionary +
+    # min/max prune within the bucket), batch second (as-of row filter)
+    return TieredAppendStore(
+        os.path.join(out_dir, "postings"), "bucket",
+        sort_cols=["term", "batch"], fence_check=fence_check, **policy,
+    )
+
+
 class PostingsIndexSink:
     """foreachBatch writer that maintains the streamed inverted index:
     per batch, (1) tokenize + tf-aggregate, (2) overwrite the batch's own
     bucket-partitioned postings directory, (3) fold (n_docs, sum_dl)
-    through the replay-safe AdditiveGoldSink. Postings-before-marker
-    ordering makes the pair recoverable (module docstring)."""
+    through the replay-safe AdditiveGoldSink, (4) run the tiered
+    compaction policy (``compaction`` module; pass
+    ``compact_every=None`` to disable). Postings-before-marker ordering
+    makes the pair recoverable (module docstring); compaction folds only
+    stats-committed batches and is gated against replays by
+    ``folded_through``."""
 
     def __init__(self, out_dir: str, id_col: str, text_col: str,
-                 n_buckets: int = POSTINGS_BUCKETS):
+                 n_buckets: int = POSTINGS_BUCKETS,
+                 compact_every: int | None = 16, keep_recent: int = 4,
+                 max_chunks: int = 8):
         self.out_dir = out_dir
         self.id_col, self.text_col = id_col, text_col
         self.n_buckets = n_buckets
         self.stats = _stats_sink(out_dir)
+        self.compact_every = compact_every
+        self.store = _postings_store(
+            out_dir, fence_check=self.stats._check_fence,
+            compact_every=compact_every or 16, keep_recent=keep_recent,
+            max_chunks=max_chunks,
+        )
         # layout marker: the bucket modulus is part of the on-disk index
         # (a mismatched search-time modulus silently prunes REAL postings
         # — same rule as build_postings' stats row). Write-once, before
@@ -128,6 +148,12 @@ class PostingsIndexSink:
                 json.dump({"n_buckets": n_buckets}, f)
 
     def write_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.store.folded_through():
+            # redelivered batch whose rows already live in a compacted
+            # chunk: recreating its tail directory would double-count the
+            # rows (chunk + tail), and its stats fold was committed before
+            # the batch became foldable — the whole redelivery is a no-op
+            return
         toks = batch.select(
             F.col(self.id_col), spark_tokens(F.col(self.text_col)).alias("toks")
         ).filter(F.size("toks") > 0)
@@ -158,6 +184,9 @@ class PostingsIndexSink:
             )
         finally:
             toks.unpersist()
+        if self.compact_every is not None:
+            # after the stats marker: only committed batches ever fold
+            self.store.maybe_compact(batch.sparkSession, self.stats.last_bid)
 
 
 def stream_postings_upkeep(docs: DataFrame, id_col: str, text_col: str,
@@ -211,7 +240,10 @@ def _streamed_index_rows(spark: SparkSession, out_dir: str, terms: list[str],
                          as_of_batch: int | None):
     """Shared read path for single- and multi-query streamed search:
     (pruned+filtered postings rows, stats frame). df is NOT stored in the
-    streamed layout — callers window-count it over these rows."""
+    streamed layout — callers window-count it over these rows. Reads go
+    through the tiered store: chunk + tail union once auto-compaction has
+    run, a plain directory read (identical to the pre-compaction plan)
+    before it."""
     with open(os.path.join(out_dir, "layout.json")) as f:
         n_buckets = json.load(f)["n_buckets"]
     sink = _stats_sink(out_dir, read_only=True)
@@ -226,12 +258,10 @@ def _streamed_index_rows(spark: SparkSession, out_dir: str, terms: list[str],
     )
     buckets = sorted(set(_term_buckets(spark, terms, n_buckets).values()))
     rows = (
-        spark.read.parquet(os.path.join(out_dir, "postings"))
+        _postings_store(out_dir).read(spark, as_of_batch)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
     )
-    if as_of_batch is not None:
-        rows = rows.filter(F.col("batch") <= as_of_batch)
     return rows, stats
 
 

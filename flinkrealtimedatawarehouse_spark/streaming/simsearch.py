@@ -108,16 +108,25 @@ class IvfIndexSink:
     """foreachBatch writer maintaining the persisted IVF index
     incrementally. ``streamed_ivf_topk`` answers searches from it,
     identically to ``ivf_topk`` over the full corpus (gate- and
-    parity-tested)."""
+    parity-tested). Corpus partitions run the same tiered compaction
+    policy as the postings index (``compaction`` module, on by default;
+    ``compact_every=None`` disables): recent batches stay as directories,
+    older ones fold into cell-partitioned chunks with ``batch`` demoted
+    to a sorted data column, size-tiered major merges bound chunk count."""
 
     def __init__(self, out_dir: str, id_col: str, vec_col: str,
                  label_col: str, quant: int | None = None,
                  meta_cols: list[str] | None = None,
-                 read_only: bool = False):
+                 read_only: bool = False,
+                 compact_every: int | None = 16, keep_recent: int = 4,
+                 max_chunks: int = 8):
         import json
         import os
 
         from flinkrealtimedatawarehouse_spark.datapipeline import similarity
+        from flinkrealtimedatawarehouse_spark.streaming.compaction import (
+            TieredAppendStore,
+        )
         from flinkrealtimedatawarehouse_spark.streaming.sinks import AdditiveGoldSink
 
         self.out_dir = out_dir
@@ -130,6 +139,15 @@ class IvfIndexSink:
         self.cent = AdditiveGoldSink(
             os.path.join(out_dir, "centsums"), keys=["cell", "pos"],
             measures={"s": ("qv", "sum")}, read_only=read_only,
+        )
+        self.compact_every = compact_every
+        # as-of reads filter batch, then cell-pruned scans re-rank: sort
+        # chunk rows by batch so its row-group envelopes stay tight
+        self.store = TieredAppendStore(
+            os.path.join(out_dir, "corpus"), "cell", sort_cols=["batch"],
+            fence_check=None if read_only else self.cent._check_fence,
+            compact_every=compact_every or 16, keep_recent=keep_recent,
+            max_chunks=max_chunks,
         )
         # layout marker (same rule as the postings index): quant and
         # meta_cols are part of the on-disk layout — a handle with a
@@ -168,6 +186,11 @@ class IvfIndexSink:
     def write_batch(self, batch: DataFrame, batch_id: int) -> None:
         import os
 
+        if batch_id <= self.store.folded_through():
+            # redelivery of a batch already folded into a chunk: writing
+            # its corpus directory back would double the rows, and its
+            # centroid fold committed before it became foldable — no-op
+            return
         corpus = self._corpus_rows(batch)
         # two actions read this lineage (corpus write + centroid fold);
         # batch-scoped persist so every vector is quantized once, not twice
@@ -183,6 +206,8 @@ class IvfIndexSink:
             self.cent.write_batch(pos, batch_id)
         finally:
             corpus.unpersist()
+        if self.compact_every is not None:
+            self.store.maybe_compact(batch.sparkSession, self.cent.last_bid)
 
     def centroids(self, spark: SparkSession,
                   as_of_batch: int | None = None) -> DataFrame:
@@ -241,8 +266,6 @@ def streamed_ivf_topk(spark: SparkSession, sink: IvfIndexSink,
     the top-k ranks only qualifying neighbors). The probed-cell list
     collects to the driver, bounded by |probes| x n_probe (the pruning
     predicate, not data movement)."""
-    import os
-
     from flinkrealtimedatawarehouse_spark.datapipeline.similarity import (
         _cell_rerank,
         _rank_probe_cells,
@@ -258,13 +281,10 @@ def streamed_ivf_topk(spark: SparkSession, sink: IvfIndexSink,
     )
     cells = [r.probe_cell
              for r in probe_cells.select("probe_cell").distinct().collect()]
-    corpus = spark.read.parquet(os.path.join(sink.out_dir, "corpus")).filter(
-        F.col("cell").isin(cells)
-    )
-    if as_of_batch is not None:
-        # point-in-time: only the corpus partitions that existed when
-        # that batch committed (ids sequential from 0 == snapshot version)
-        corpus = corpus.filter(F.col("batch") <= as_of_batch)
+    # tiered read: chunk + tail union after auto-compaction, a plain
+    # directory read before it; as-of (ids sequential from 0 == snapshot
+    # version) prunes chunks by range and filters the batch column
+    corpus = sink.store.read(spark, as_of_batch).filter(F.col("cell").isin(cells))
     if corpus_filter is not None:
         corpus = corpus.filter(corpus_filter)
     return _cell_rerank(corpus, probe_cells, k)

@@ -207,8 +207,10 @@ class AdditiveGoldSink(VersionedSnapshotSink):
     """
 
     def __init__(self, base_dir: str, keys: list[str], measures: dict[str, tuple[str, str]],
-                 lineage: str | None = None, read_only: bool = False):
-        super().__init__(base_dir, lineage, read_only=read_only)
+                 lineage: str | None = None, read_only: bool = False,
+                 retain_versions: int | None = None):
+        super().__init__(base_dir, lineage, read_only=read_only,
+                         retain_versions=retain_versions)
         self.keys = keys
         self.measures = measures
 

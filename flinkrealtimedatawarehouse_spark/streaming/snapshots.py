@@ -52,11 +52,20 @@ class VersionedSnapshotSink:
     """
 
     def __init__(self, base_dir: str, lineage: str | None = None,
-                 read_only: bool = False):
+                 read_only: bool = False,
+                 retain_versions: int | None = None):
+        # retain_versions: auto-vacuum policy — after every commit, keep
+        # only the newest N snapshot versions (the as-of horizon becomes a
+        # sliding window of N batches). None = retain everything: right
+        # for the tiny stats sinks (one row / |cells x dim| rows per
+        # version), required for unlimited time travel; a long-running
+        # stream folding a LARGE table (the wide gold sink) must bound
+        # storage at O(N x table) instead of O(commits x table).
         self.base_dir = base_dir
         self.version = -1
         self.last_bid = -1
         self.min_version = 0  # oldest retained snapshot (raised by vacuum)
+        self.retain_versions = retain_versions
         self.lineage = lineage
         self.meta: dict = {}
         self.read_only = read_only
@@ -274,3 +283,7 @@ class VersionedSnapshotSink:
         self.last_bid = batch_id
         self.meta.update(meta)
         self._commit()
+        if self.retain_versions is not None:
+            # bounded-retention policy: vacuum is a no-op (no second
+            # marker write) until the window actually slides
+            self.vacuum(self.retain_versions)

@@ -573,3 +573,139 @@ def test_chain_restart_mid_batch_state_recovers(spark, tmp_path):
         got = _run_chain(spark, in_dir, str(tmp_path / f"crash{crash_at}"),
                          crash_batch=crash_at)
         assert got == clean, f"chain diverged after crash at batch {crash_at}"
+
+
+def test_compaction_crash_between_marker_and_cleanup(spark, tmp_path):
+    """Tiered compaction's write-then-commit contract: if the process
+    dies AFTER the compaction marker commits but BEFORE the folded tail
+    directories are deleted, the read path must already ignore the
+    orphans (their rows live in the chunk; counting both would double
+    every posting) and the next policy run must sweep them."""
+    import shutil as _shutil
+
+    from flinkrealtimedatawarehouse_spark.datapipeline import textstats
+    from flinkrealtimedatawarehouse_spark.streaming.searchindex import (
+        PostingsIndexSink,
+        streamed_postings_search,
+    )
+
+    rows = [(i, "alpha beta" if i % 2 else "gamma zeta") for i in range(24)]
+    idx = str(tmp_path / "ccomp")
+    sink = PostingsIndexSink(
+        idx, "doc_id", "text", n_buckets=4,
+        compact_every=4, keep_recent=2, max_chunks=3,
+    )
+    # crash simulation: capture every folded tail dir and RESTORE it
+    # after the fold (marker committed, cleanup "never happened")
+    real_rmtree = _shutil.rmtree
+    stashed: dict[str, str] = {}
+
+    def _stash_rmtree(path, *a, **kw):
+        if "/postings/batch=" in str(path) and os.path.isdir(path):
+            dst = str(tmp_path / f"stash_{len(stashed)}")
+            _shutil.copytree(path, dst)
+            stashed[str(path)] = dst
+        return real_rmtree(path, *a, **kw)
+
+    docs = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        rows[lo:hi], "doc_id long, text string")
+    for bid in range(6):  # tail hits 6 = compact_every + keep_recent
+        if bid == 5:
+            _shutil.rmtree = _stash_rmtree
+        try:
+            sink.write_batch(docs(bid * 4, bid * 4 + 4), bid)
+        finally:
+            _shutil.rmtree = real_rmtree
+    st = sink.store._load()
+    assert st["folded_through"] == 3 and stashed  # fold ran, dirs captured
+    for orig, dst in stashed.items():  # resurrect the "undeleted" dirs
+        _shutil.copytree(dst, orig)
+
+    # read path ignores the orphans: equals the batch engine, no doubling
+    expect = textstats.bm25_search(
+        docs(0, 24), "doc_id", "text", "alpha zeta", k=20).collect()
+    got = streamed_postings_search(
+        spark, idx, "doc_id", "alpha zeta", k=20).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+
+    # next policy run sweeps them (no new fold needed to trigger GC)
+    sink.store.maybe_compact(spark, sink.stats.last_bid)
+    left = sink.store._tail_batch_ids()
+    assert all(b > st["folded_through"] for b in left), left
+
+
+def test_compaction_crash_before_marker_is_invisible(spark, tmp_path):
+    """The other half of write-then-commit: a chunk directory written by
+    a fold that died BEFORE its marker commit must be invisible to reads
+    and harmlessly overwritten by the next successful fold (next_id was
+    never advanced)."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import textstats
+    from flinkrealtimedatawarehouse_spark.streaming.searchindex import (
+        PostingsIndexSink,
+        streamed_postings_search,
+    )
+
+    rows = [(i, "alpha beta gamma"[: 5 + (i % 3) * 5]) for i in range(20)]
+    idx = str(tmp_path / "ccomp2")
+    sink = PostingsIndexSink(
+        idx, "doc_id", "text", n_buckets=4,
+        compact_every=4, keep_recent=2, max_chunks=3,
+    )
+    docs = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        rows[lo:hi], "doc_id long, text string")
+    for bid in range(5):  # one short of the fold trigger
+        sink.write_batch(docs(bid * 4, bid * 4 + 4), bid)
+
+    # simulate the doomed fold: chunk data written, marker never commits
+    st0 = sink.store._load()
+    doomed = sink.store.tail_dir + "_chunks/c000000"
+    spark.read.parquet(sink.store.tail_dir).filter(
+        F.col("batch") <= 1
+    ).write.mode("overwrite").partitionBy("bucket").parquet(doomed)
+    assert sink.store._load() == st0  # marker untouched
+
+    expect = textstats.bm25_search(
+        docs(0, 20), "doc_id", "text", "alpha beta", k=20).collect()
+    got = streamed_postings_search(
+        spark, idx, "doc_id", "alpha beta", k=20).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+
+    # the 6th batch triggers the real fold, which reclaims the name
+    sink.write_batch(docs(16, 20).limit(0).unionByName(docs(0, 0)).unionByName(
+        spark.createDataFrame([(100, "alpha zeta")], "doc_id long, text string")
+    ), 5)
+    st = sink.store._load()
+    assert st["folded_through"] == 3
+    assert [c["name"] for c in st["chunks"]] == ["c000000"]
+    got2 = streamed_postings_search(
+        spark, idx, "doc_id", "alpha beta", k=25).collect()
+    expect2 = textstats.bm25_search(
+        docs(0, 20).unionByName(spark.createDataFrame(
+            [(100, "alpha zeta")], "doc_id long, text string")),
+        "doc_id", "text", "alpha beta", k=25).collect()
+    assert [tuple(r) for r in got2] == [tuple(r) for r in expect2]
+
+
+def test_compaction_respects_writer_fence(spark, tmp_path):
+    """A fenced (superseded) postings writer must not compact: the
+    marker commit re-checks the owning stats sink's fence and raises
+    before touching the compaction marker or deleting data."""
+    from flinkrealtimedatawarehouse_spark.streaming.searchindex import (
+        PostingsIndexSink,
+    )
+
+    idx = str(tmp_path / "fcomp")
+    sink = PostingsIndexSink(
+        idx, "doc_id", "text", n_buckets=4,
+        compact_every=2, keep_recent=1, max_chunks=3,
+    )
+    docs = lambda i: spark.createDataFrame(  # noqa: E731
+        [(i, "alpha beta gamma")], "doc_id long, text string")
+    for bid in range(2):
+        sink.write_batch(docs(bid), bid)
+    # a new writer claims the dir -> the old sink is fenced
+    PostingsIndexSink(idx, "doc_id", "text", n_buckets=4)
+    st0 = sink.store._load()
+    with pytest.raises(RuntimeError, match="fenced|claimed"):
+        sink.write_batch(docs(2), 2)  # stats fold raises on the fence
+    assert sink.store._load() == st0  # compaction state untouched

@@ -17,6 +17,10 @@ def ts(s: str) -> datetime:
     return datetime.fromisoformat(s)
 
 
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
 def _stream_events(spark, rows, n_files, tag, sentinel_pad=None):
     df = spark.createDataFrame(
         rows, "user_id long, event_id long, ts timestamp, event_type string, value double, props string"
@@ -1402,3 +1406,129 @@ def test_scoped_conf_restores_and_unsets(spark):
         assert spark.conf.get(key_set) == "UTC"
     assert spark.conf.get(key_unset, None) is None
     assert spark.conf.get(key_set) == prev_tz
+
+
+def test_auto_compaction_bounds_postings_layout(spark, tmp_path):
+    """Round-11 lead task: the tiered compaction policy, driven 64
+    batches deep through the postings sink. Asserts (a) the on-disk
+    layout stays BOUNDED — tail directories <= compact_every +
+    keep_recent, chunks <= max_chunks + 1, total reachable files far
+    below the one-dir-per-batch count; (b) current-state search equals a
+    batch bm25_search over the full corpus AFTER many automatic minor
+    folds and at least one size-tiered major merge; (c) as-of answers at
+    horizons inside chunks, across chunk boundaries, and in the live
+    tail all equal the batch engine over the matching prefix corpus;
+    (d) a foreachBatch redelivery of an already-folded batch is a no-op
+    (the crash-replay contract compaction must preserve)."""
+    import random
+
+    from flinkrealtimedatawarehouse_spark.datapipeline import textstats
+    from flinkrealtimedatawarehouse_spark.streaming.searchindex import (
+        PostingsIndexSink,
+        streamed_postings_search,
+    )
+
+    random.seed(41)
+    vocab = ["alpha", "beta", "gamma", "delta", "zeta", "omega"]
+    n_batches, per_batch = 64, 2
+    rows = [(i, " ".join(random.choices(vocab, k=8)))
+            for i in range(n_batches * per_batch)]
+    idx = str(tmp_path / "acomp")
+    sink = PostingsIndexSink(
+        idx, "doc_id", "text", n_buckets=8,
+        compact_every=8, keep_recent=2, max_chunks=3,
+    )
+    for bid in range(n_batches):
+        sink.write_batch(
+            _docs(spark, rows[bid * per_batch:(bid + 1) * per_batch]), bid
+        )
+
+    st = sink.store._load()
+    # (a) bounded layout: multiple folds ran, a major merge ran (56
+    # foldable batches / 8 per fold = 7 chunks > max_chunks=3), and the
+    # listing surface is far below the 64-dirs-a-batch-partitioned
+    # layout would show
+    assert st["folded_through"] >= 48
+    assert len(sink.store._tail_batch_ids()) <= 8 + 2
+    assert 1 <= len(st["chunks"]) <= 3 + 1
+    assert any(c["n_batches"] > 8 for c in st["chunks"])  # merged chunk
+    n_files = sink.store.file_count(spark)
+    assert n_files <= (len(st["chunks"]) + len(sink.store._tail_batch_ids())) * 8
+
+    # (b) current state == batch engine over the full corpus
+    q = "alpha zeta"
+    expect = textstats.bm25_search(
+        _docs(spark, rows), "doc_id", "text", q, k=15).collect()
+    got = streamed_postings_search(spark, idx, "doc_id", q, k=15).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+
+    # (c) as-of at an in-chunk, chunk-boundary, and live-tail horizon
+    for b in (0, 7, 8, 31, st["folded_through"], n_batches - 1):
+        prefix = _docs(spark, rows[: (b + 1) * per_batch])
+        exp_b = textstats.bm25_search(
+            prefix, "doc_id", "text", q, k=15).collect()
+        got_b = streamed_postings_search(
+            spark, idx, "doc_id", q, k=15, as_of_batch=b).collect()
+        assert [tuple(r) for r in got_b] == [tuple(r) for r in exp_b], b
+
+    # (d) replay of a folded batch: no tail dir reappears, answers hold
+    replay_bid = 3
+    assert replay_bid <= st["folded_through"]
+    sink.write_batch(
+        _docs(spark, rows[replay_bid * per_batch:(replay_bid + 1) * per_batch]),
+        replay_bid,
+    )
+    import os
+    assert not os.path.isdir(
+        os.path.join(idx, "postings", f"batch={replay_bid}"))
+    again = streamed_postings_search(spark, idx, "doc_id", q, k=15).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in expect]
+
+
+def test_auto_compaction_bounds_ivf_layout(spark, tmp_path):
+    """IVF twin of the 64-batch postings test, 32 batches deep: bounded
+    cell-partitioned layout, current + as-of top-k equal to the batch
+    engine over the matching prefix corpus across automatic folds."""
+    import random
+
+    from flinkrealtimedatawarehouse_spark.datapipeline import similarity
+    from flinkrealtimedatawarehouse_spark.streaming.simsearch import (
+        IvfIndexSink,
+        streamed_ivf_topk,
+    )
+
+    random.seed(43)
+    n_batches, per_batch = 32, 2
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(4)], i % 2)
+        for i in range(1, n_batches * per_batch + 1)
+    ]
+    schema = "vec_id long, embedding array<double>, label int"
+    sink = IvfIndexSink(
+        str(tmp_path / "vcomp"), "vec_id", "embedding", "label",
+        compact_every=6, keep_recent=2, max_chunks=3,
+    )
+    for bid in range(n_batches):
+        sink.write_batch(
+            spark.createDataFrame(
+                rows[bid * per_batch:(bid + 1) * per_batch], schema), bid
+        )
+    st = sink.store._load()
+    assert st["folded_through"] >= 18
+    assert len(sink.store._tail_batch_ids()) <= 6 + 2
+    assert len(st["chunks"]) <= 3 + 1
+
+    probes = spark.createDataFrame(rows[:2], schema)
+    expect = similarity.ivf_topk(
+        spark.createDataFrame(rows, schema), probes,
+        "vec_id", "embedding", "label", k=4, n_probe=2).collect()
+    got = streamed_ivf_topk(spark, sink, probes, k=4, n_probe=2).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+    for b in (0, st["folded_through"], n_batches - 1):
+        prefix = spark.createDataFrame(rows[: (b + 1) * per_batch], schema)
+        exp_b = similarity.ivf_topk(
+            prefix, probes, "vec_id", "embedding", "label",
+            k=4, n_probe=2).collect()
+        got_b = streamed_ivf_topk(
+            spark, sink, probes, k=4, n_probe=2, as_of_batch=b).collect()
+        assert [tuple(r) for r in got_b] == [tuple(r) for r in exp_b], b
