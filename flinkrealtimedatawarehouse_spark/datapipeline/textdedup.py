@@ -583,7 +583,8 @@ def ngram_overlap(docs: DataFrame, bench: DataFrame, id_col: str, text_col: str,
 # --- dedup cluster assignment (connected components) ----------------------
 
 def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str,
-                   max_iter: int = 50) -> DataFrame:
+                   max_iter: int = 50,
+                   rounds_out: list | None = None) -> DataFrame:
     """Canonical-document assignment: connected components over near-dup
     pairs via min-label propagation — every doc gets ``cluster`` = the
     smallest doc id reachable through the dup graph (the id to KEEP; all
@@ -597,6 +598,9 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str,
     GraphX/GraphFrames CC). At extreme scale — or adversarial long
     near-dup chains — use ``dedup_clusters_star`` below: same output
     contract, O(log^2 n) rounds independent of graph diameter.
+
+    ``rounds_out``: if a list is passed, the executed round count is
+    appended — instrumentation for the scale probe's rounds-vs-n check.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -613,7 +617,9 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str,
     # Checkpointing truncates the lineage unconditionally.
     labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     converged = False
+    n_rounds = 0
     for _ in range(max_iter):
+        n_rounds += 1
         neigh = (
             edges.join(labels, edges["src"] == labels["node"])
             .groupBy(F.col("dst").alias("node2"))
@@ -639,6 +645,8 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str,
             converged = True
             break
     edges.unpersist()
+    if rounds_out is not None:
+        rounds_out.append(n_rounds)
     if not converged:
         # wrong labels are worse than no labels: a component with diameter
         # > max_iter would silently mislabel its far members
@@ -651,7 +659,8 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str,
 
 
 def dedup_clusters_star(pairs: DataFrame, ids: DataFrame, id_col: str,
-                        max_rounds: int = 25) -> DataFrame:
+                        max_rounds: int = 25,
+                        rounds_out: list | None = None) -> DataFrame:
     """Connected components via alternating big-star/small-star (Kiveris
     et al. 2014, "Connected Components in MapReduce and Beyond") — the
     extreme-scale variant of ``dedup_clusters``. Identical output
@@ -709,9 +718,11 @@ def dedup_clusters_star(pairs: DataFrame, ids: DataFrame, id_col: str,
         return out.filter(F.col("u") != F.col("v")).distinct()
 
     converged = edges.limit(1).count() == 0
+    n_rounds = 0
     for _ in range(max_rounds):
         if converged:
             break
+        n_rounds += 1
         nxt = _star(_star(edges, large=True), large=False).localCheckpoint(eager=True)
         unchanged = (
             nxt.exceptAll(edges).limit(1).count() == 0
@@ -720,6 +731,8 @@ def dedup_clusters_star(pairs: DataFrame, ids: DataFrame, id_col: str,
         edges = nxt
         if unchanged:
             converged = True
+    if rounds_out is not None:
+        rounds_out.append(n_rounds)
     if not converged:
         raise RuntimeError(
             f"dedup_clusters_star did not converge within {max_rounds} "

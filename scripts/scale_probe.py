@@ -65,7 +65,7 @@ def main() -> int:
     from flinkrealtimedatawarehouse_spark.tables import load_table
 
     sweeps = {"batch", "cep", "sinks", "funnel", "scd2topk", "spans", "spansink",
-              "dp3cap", "sindexcost"}
+              "dp3cap", "sindexcost", "dp19"}
     args = sys.argv[1:]
     sf = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
     picked = {a for a in args if a in sweeps} or sweeps
@@ -250,6 +250,41 @@ def main() -> int:
         print(
             f"x{m} dp3cap[perturb]: embcos={t_ed:.1f}s ({n_ed} pairs, "
             f"kept {ed_k} / dropped<= {ed_d}, {ed_f:.1%})",
+            flush=True,
+        )
+
+    # dp19 cluster assignment vs corpus size: the chaining fix (round 10)
+    # means megacluster mass now reaches dedup_clusters as witness edges,
+    # so the CC stage itself must be re-checked past sf1. The inflate
+    # amplifier is the harsh case: copies are exact dups of each other, so
+    # every cluster's SIZE grows m× (not just the cluster count) and the
+    # min label must propagate across copies. Claim under test: label-prop
+    # rounds stay ~graph-diameter (flat in m), star rounds stay O(log n),
+    # wall flat-to-linear in m, and both algorithms agree on the
+    # partition (cluster COUNT equality here; full assignment equality is
+    # pinned in tests/test_datapipeline.py).
+    for m in (multiples if want("dp19") else []):
+        d = amplify(docs, "doc_id", m)
+        pairs = textdedup.minhash_near_dups(
+            d, "doc_id", "text", 3, 16, 8, 0.5, hot_bucket_cap=500
+        ).localCheckpoint(eager=True)  # freeze the edge feed out of the CC timing
+        n_pairs = pairs.count()
+        ids = d.select("doc_id")
+        r_lp: list = []
+        t0 = time.time()
+        lp = textdedup.dedup_clusters(pairs, ids, "doc_id", rounds_out=r_lp)
+        n_cl_lp = lp.select("cluster").distinct().count()
+        t_lp = time.time() - t0
+        r_st: list = []
+        t0 = time.time()
+        st = textdedup.dedup_clusters_star(pairs, ids, "doc_id", rounds_out=r_st)
+        n_cl_st = st.select("cluster").distinct().count()
+        t_st = time.time() - t0
+        agree = "AGREE" if n_cl_lp == n_cl_st else "DISAGREE"
+        print(
+            f"x{m} dp19 ({base_n * m} docs, {n_pairs} pairs): "
+            f"labelprop={t_lp:.1f}s rounds={r_lp[0]} clusters={n_cl_lp} "
+            f"star={t_st:.1f}s rounds={r_st[0]} clusters={n_cl_st} [{agree}]",
             flush=True,
         )
 

@@ -189,9 +189,14 @@ def test_dedup_clusters_chain_and_singleton(spark):
     # chain 1-2-3 (one component, canonical 1); pair 10-11; 99 isolated
     pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
     ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+    rounds: list = []
     got = {r["doc_id"]: r["cluster"] for r in
-           textdedup.dedup_clusters(pairs, ids, "doc_id").collect()}
+           textdedup.dedup_clusters(pairs, ids, "doc_id",
+                                    rounds_out=rounds).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+    # rounds_out instrumentation (scale probe's rounds-vs-n material):
+    # diameter-2 graph converges in <= diameter + 1 verification rounds
+    assert rounds == [3]
 
 
 def test_dedup_clusters_star_parity_and_long_chain(spark):
@@ -226,15 +231,21 @@ def test_dedup_clusters_star_parity_and_long_chain(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(39)],
                                   "id_a long, id_b long")
     ids_c = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    rounds_c: list = []
     got_c = {r["doc_id"]: r["cluster"] for r in
              textdedup.dedup_clusters_star(chain, ids_c, "doc_id",
-                                           max_rounds=8).collect()}
+                                           max_rounds=8,
+                                           rounds_out=rounds_c).collect()}
     assert got_c == {i: 0 for i in range(40)}
+    assert 1 <= rounds_c[0] <= 8  # O(log^2 n), NOT the 39-round diameter
     # zero-edge graph: every node its own cluster, no iteration needed
     empty = spark.createDataFrame([], "id_a long, id_b long")
+    rounds_e: list = []
     got_e = {r["doc_id"]: r["cluster"] for r in
-             textdedup.dedup_clusters_star(empty, ids, "doc_id").collect()}
+             textdedup.dedup_clusters_star(empty, ids, "doc_id",
+                                           rounds_out=rounds_e).collect()}
     assert got_e == {i: i for i in (1, 2, 3, 10, 11, 99)}
+    assert rounds_e == [0]
 
 
 def test_mix_sample_deterministic_and_rate_bounded(spark):
@@ -1407,6 +1418,20 @@ def test_streamed_postings_index_matches_batch_search(spark, tmp_path):
             spark, idx, "doc_id", q, k=15
         ).collect()
         assert [tuple(r) for r in got] == [tuple(r) for r in direct], n_batches
+
+    # staged_dir reuse (the bench path: staging excluded from timed build)
+    # answers identically to the stage-inside variant
+    staged = searchindex.stage_postings_input(
+        d, "doc_id", "text", n_batches=3, tag="sidxpre")
+    idx_pre = str(tmp_path / "sidxpre")
+    searchindex.stream_postings_upkeep(
+        d, "doc_id", "text", idx_pre, n_batches=3, n_buckets=16,
+        tag="sidxpre", staged_dir=staged,
+    )
+    got_pre = searchindex.streamed_postings_search(
+        spark, idx_pre, "doc_id", q, k=15
+    ).collect()
+    assert [tuple(r) for r in got_pre] == [tuple(r) for r in direct]
 
     from flinkrealtimedatawarehouse_spark.operators.layout import scan_report
     buckets = sorted({textstats._xxhash64_bucket(t, 16) for t in ["alpha", "zeta"]})
