@@ -1021,17 +1021,40 @@ SQL_DECONTAMINATE = _sql_decontaminate()
 # --- dp19 dedup cluster assignment (connected components) -----------------
 
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """Canonical-id assignment over the LSH near-dup graph: connected
-    components by min-label propagation; emits only multi-member clusters
-    (the dedup work list)."""
+    """dp19 tagged union: canonical-id assignment over the LSH near-dup
+    graph, batch AND streamed.
+
+    - ``batch``: connected components by min-label propagation
+      (``textdedup.dedup_clusters``) over the full pair set; emits only
+      multi-member clusters (the dedup work list).
+    - ``stream``: the SAME pairs replayed as id-ordered micro-batches
+      through ``ClusterUpkeepSink`` (incremental CC by contraction,
+      streaming/clusters.py). The sink's final label table must equal
+      the batch run for any split — both branches are hash-verified
+      against one recursive-CTE DuckDB twin, so the incremental
+      contraction algebra is oracle-checked at every driver scale."""
+    from flinkrealtimedatawarehouse_spark.streaming import clusters as sclusters
+    from flinkrealtimedatawarehouse_spark.streaming.runner import scratch_dir
+
     docs = _docs_with_near_dups(spark, sf)
     pairs = textdedup.minhash_near_dups(
         docs, "doc_id", "text", _MH_N, _MH_K, _MH_BANDS, _MH_THRESH
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=True)  # one compute, two consumers
     labels = textdedup.dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
-    return labels.filter(F.col("cluster") != F.col("doc_id")).orderBy("doc_id")
+    batch_br = labels.filter(F.col("cluster") != F.col("doc_id")).select(
+        F.lit("batch").alias("branch"), "doc_id", "cluster"
+    )
+    sink = sclusters.stream_cluster_upkeep(
+        pairs, "doc_id", scratch_dir("dp19s"), n_batches=3, tag="dp19s"
+    )
+    stream_br = (
+        sink.clusters(spark)
+        .filter(F.col("cluster") != F.col("doc_id"))
+        .select(F.lit("stream").alias("branch"), "doc_id", "cluster")
+    )
+    return batch_br.unionByName(stream_br).orderBy("branch", "doc_id")
 
-SQL_DEDUP_CLUSTERS = f"""
+_SQL_CC_CORE = f"""
 WITH {_sql_sigs_cte()},
 bd AS (
   SELECT doc_id, bi.band_idx,
@@ -1061,7 +1084,15 @@ rc AS (
   )
   SELECT node, min(r) AS cluster FROM reach GROUP BY 1
 )
-SELECT node AS doc_id, cluster FROM rc WHERE cluster <> node ORDER BY doc_id
+SELECT node AS doc_id, cluster FROM rc WHERE cluster <> node
+"""
+
+# batch + stream branches are DEFINED to agree (the sink invariant), so
+# one CC computation twins both
+SQL_DEDUP_CLUSTERS = f"""
+SELECT 'batch' AS branch, * FROM ({_SQL_CC_CORE})
+UNION ALL
+SELECT 'stream' AS branch, * FROM ({_SQL_CC_CORE})
 """
 
 # --- dp20 training-mix sampling -------------------------------------------

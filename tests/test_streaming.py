@@ -1532,3 +1532,114 @@ def test_auto_compaction_bounds_ivf_layout(spark, tmp_path):
         got_b = streamed_ivf_topk(
             spark, sink, probes, k=4, n_probe=2, as_of_batch=b).collect()
         assert [tuple(r) for r in got_b] == [tuple(r) for r in exp_b], b
+
+
+# --- streaming dedup-cluster upkeep (streaming/clusters.py) ----------------
+
+def _batch_cc(spark, all_pairs, ids):
+    from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
+
+    pairs = spark.createDataFrame(all_pairs, "id_a long, id_b long")
+    ids_df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    return {r["doc_id"]: r["cluster"] for r in
+            textdedup.dedup_clusters(pairs, ids_df, "doc_id").collect()}
+
+
+def test_cluster_upkeep_matches_batch_for_any_split(spark, tmp_path):
+    """The module invariant: the sink's final label table equals batch
+    dedup_clusters over the accumulated pairs for ANY batch split —
+    including the adversarial split where edges that merge previously
+    disjoint clusters arrive LAST (the remap-through-cluster step must
+    relabel members that never reappear in any later batch)."""
+    import random
+
+    from flinkrealtimedatawarehouse_spark.streaming.clusters import (
+        stream_cluster_upkeep,
+    )
+
+    rng = random.Random(23)
+    n = 60
+    edges = list({(a, b) for a, b in
+                  ((rng.randrange(n), rng.randrange(n)) for _ in range(45))
+                  if a != b})
+    touched = sorted({x for e in edges for x in e})
+    want = {k: v for k, v in _batch_cc(spark, edges, touched).items() if k != v}
+
+    for n_batches in (1, 4):
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        sink = stream_cluster_upkeep(
+            pairs, "doc_id", str(tmp_path / f"cl{n_batches}"),
+            n_batches=n_batches, tag=f"cl{n_batches}",
+        )
+        got = {r["doc_id"]: r["cluster"] for r in
+               sink.clusters(spark).collect() if r["doc_id"] != r["cluster"]}
+        assert got == want, n_batches
+
+
+def test_cluster_upkeep_cross_batch_merges_and_as_of(spark, tmp_path):
+    """Hand-driven batches exercising every interesting transition:
+    disjoint clusters forming, a later edge merging two existing clusters
+    (members of the absorbed cluster must follow their representative),
+    and a second merge chaining through. read_version(b) must equal a
+    batch CC over the pair PREFIX through batch b (version == batch id)."""
+    from flinkrealtimedatawarehouse_spark.streaming.clusters import ClusterUpkeepSink
+
+    batches = [
+        [(1, 2), (5, 6)],   # b0: {1,2} {5,6}
+        [(3, 4)],           # b1: + {3,4}
+        [(2, 3)],           # b2: merges {1,2}+{3,4} -> min 1 (4 must move 3->1)
+        [],                 # b3: empty batch still commits a version
+        [(6, 3)],           # b4: merges {5,6} into 1 (5 must move 5->1... rep follows)
+    ]
+    sink = ClusterUpkeepSink(str(tmp_path / "clm"), "doc_id")
+    prefix: list[tuple[int, int]] = []
+    for bid, pb in enumerate(batches):
+        sink.write_batch(
+            spark.createDataFrame(pb, "id_a long, id_b long"), bid
+        )
+        prefix.extend(pb)
+        assert sink.version == bid  # one snapshot version per applied batch
+    # final state
+    got = {r["doc_id"]: r["cluster"] for r in sink.clusters(spark).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1}
+    # as-of every committed version == batch CC over the prefix
+    prefix = []
+    for bid, pb in enumerate(batches):
+        prefix.extend(pb)
+        touched = sorted({x for e in prefix for x in e})
+        want = _batch_cc(spark, prefix, touched)
+        got_b = {r["doc_id"]: r["cluster"] for r in
+                 sink.clusters(spark, as_of_batch=bid).collect()}
+        assert got_b == want, bid
+
+
+def test_cluster_upkeep_replay_and_restart(spark, tmp_path):
+    """At-least-once replay of an applied batch is a no-op (no new
+    version, labels unchanged), and a fresh sink object on the same dir
+    resumes from the committed marker — a restart mid-stream continues
+    instead of re-initializing."""
+    from flinkrealtimedatawarehouse_spark.streaming.clusters import ClusterUpkeepSink
+
+    def pairs_df(rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    d = str(tmp_path / "clr")
+    sink = ClusterUpkeepSink(d, "doc_id")
+    sink.write_batch(pairs_df([(1, 2)]), 0)
+    v_after = sink.version
+    sink.write_batch(pairs_df([(7, 8)]), 0)  # redelivery: must no-op
+    assert sink.version == v_after
+    got = {r["doc_id"]: r["cluster"] for r in sink.clusters(spark).collect()}
+    assert got == {1: 1, 2: 1}
+
+    # restart: a NEW sink object resumes and applies the next batch
+    sink2 = ClusterUpkeepSink(d, "doc_id")
+    assert sink2.version == v_after and sink2.last_bid == 0
+    sink2.write_batch(pairs_df([(2, 0)]), 1)  # new min absorbs {1,2}
+    got2 = {r["doc_id"]: r["cluster"] for r in sink2.clusters(spark).collect()}
+    assert got2 == {0: 0, 1: 0, 2: 0}
+    # the old handle is fenced now (single-writer contract)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="claimed by another writer"):
+        sink.write_batch(pairs_df([(9, 10)]), 2)
