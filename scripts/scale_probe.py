@@ -65,7 +65,7 @@ def main() -> int:
     from flinkrealtimedatawarehouse_spark.tables import load_table
 
     sweeps = {"batch", "cep", "sinks", "funnel", "scd2topk", "spans", "spansink",
-              "dp3cap", "sindexcost", "dp19"}
+              "dp3cap", "sindexcost", "dp19", "clupkeep"}
     args = sys.argv[1:]
     sf = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
     picked = {a for a in args if a in sweeps} or sweeps
@@ -285,6 +285,41 @@ def main() -> int:
             f"x{m} dp19 ({base_n * m} docs, {n_pairs} pairs): "
             f"labelprop={t_lp:.1f}s rounds={r_lp[0]} clusters={n_cl_lp} "
             f"star={t_st:.1f}s rounds={r_st[0]} clusters={n_cl_st} [{agree}]",
+            flush=True,
+        )
+
+    # streaming cluster upkeep cost decomposition: fold the (amplified)
+    # corpus's real near-dup pairs through ClusterUpkeepSink as N equal
+    # batches, timing EACH write_batch. The design claim is two-part:
+    # contraction keeps the CC work O(|batch| + touched clusters) — no
+    # recompute over accumulated pairs — while the snapshot REWRITE is
+    # O(|label table|) per batch (the running-table class shared with the
+    # K4 additive folds). So per-batch wall should rise gently with the
+    # growing label table and scale with pair mass across multiples —
+    # a superlinear rise within one run would expose a hidden
+    # O(accumulated-pairs) term the contraction exists to avoid.
+    for m in (multiples if want("clupkeep") else []):
+        from flinkrealtimedatawarehouse_spark.streaming.clusters import ClusterUpkeepSink
+        from flinkrealtimedatawarehouse_spark.streaming.runner import scratch_dir
+
+        d = amplify(docs, "doc_id", m)
+        cl_pairs = textdedup.minhash_near_dups(
+            d, "doc_id", "text", 3, 16, 8, 0.5, hot_bucket_cap=500
+        ).select("id_a", "id_b").localCheckpoint(eager=True)
+        n_pairs = cl_pairs.count()
+        csink = ClusterUpkeepSink(scratch_dir(f"clup{m}"), "doc_id")
+        cbt: list[float] = []
+
+        def _fold_cl(b, i):
+            t0 = time.time()
+            csink.write_batch(b, i)
+            cbt.append(time.time() - t0)
+
+        drive_batches(_fold_cl, cl_pairs, "id_a", n=8)
+        n_lab = csink.current(spark).count()
+        print(
+            f"x{m} clupkeep ({n_pairs} pairs -> {n_lab} labels, 8 batches): "
+            + " ".join(f"b{i}={t:.1f}s" for i, t in enumerate(cbt)),
             flush=True,
         )
 

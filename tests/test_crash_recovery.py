@@ -709,3 +709,37 @@ def test_compaction_respects_writer_fence(spark, tmp_path):
     with pytest.raises(RuntimeError, match="fenced|claimed"):
         sink.write_batch(docs(2), 2)  # stats fold raises on the fence
     assert sink.store._load() == st0  # compaction state untouched
+
+
+def _run_clusters(spark, base_dir, crash_batch=None):
+    from flinkrealtimedatawarehouse_spark.streaming.clusters import ClusterUpkeepSink
+
+    batches = [
+        [(1, 2), (5, 6)],
+        [(3, 4), (2, 3)],   # merges {1,2}+{3,4} in the same batch it forms
+        [(6, 3)],           # absorbs {5,6} into 1
+    ]
+    sink = ClusterUpkeepSink(base_dir, "doc_id")
+    for bid, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "id_a long, id_b long")
+        if bid == crash_batch:
+            _arm_marker_crash(sink)
+            with pytest.raises(_CrashInjected):
+                sink.write_batch(df, bid)
+            sink = ClusterUpkeepSink(base_dir, "doc_id")  # restart + redeliver
+        sink.write_batch(df, bid)
+    return sorted((r.doc_id, r.cluster) for r in sink.clusters(spark).collect())
+
+
+def test_cluster_upkeep_restart_mid_batch_exactly_once(spark, tmp_path):
+    """Streaming cluster upkeep: a crash between the snapshot data write
+    and the marker commit must leave the previous consistent label table;
+    the restart's redelivery must fold the batch exactly once (a double
+    apply cannot corrupt min-labels — they are idempotent — but a LOST
+    batch would silently orphan its merges)."""
+    clean = _run_clusters(spark, str(tmp_path / "clean"))
+    assert clean == [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (6, 1)]
+    for crash_at in (0, 1, 2):
+        got = _run_clusters(spark, str(tmp_path / f"crash{crash_at}"),
+                            crash_batch=crash_at)
+        assert got == clean, f"labels diverged after crash at batch {crash_at}"
