@@ -70,7 +70,7 @@ class BandStateNearDupSink(VersionedSnapshotSink):
 
     def __init__(self, base_dir: str, id_col: str, text_col: str,
                  shingle_n: int = 3, k: int = 16, bands: int = 8,
-                 lineage: str | None = None):
+                 lineage: str | None = None, cluster_sink=None):
         super().__init__(os.path.join(base_dir, "state"), lineage)
         self.flags_dir = os.path.join(base_dir, "flags")
         self.id_col = id_col
@@ -78,6 +78,18 @@ class BandStateNearDupSink(VersionedSnapshotSink):
         self.shingle_n = shingle_n
         self.k = k
         self.bands = bands
+        # optional downstream ClusterUpkeepSink (streaming/clusters.py):
+        # when attached, every micro-batch ALSO emits its pair edges —
+        # (doc, witness) where witness = the band key's pre-batch state
+        # minimum (the earlier holder) or the within-batch minimum for
+        # first-seen keys — and folds them into the incremental
+        # connected-components label table. Connectivity through band
+        # minima equals band-sharing connectivity (every claimant of a
+        # key chains through the key's evolving minimum), so the label
+        # table converges to CC over the full LSH candidate graph: the
+        # complete one-pass streaming dedup DAG, docs -> flags -> pair
+        # edges -> canonical cluster ids, one micro-batch at a time.
+        self.cluster_sink = cluster_sink
 
     def init(self, spark: SparkSession) -> None:
         self.snapshot_init(spark.createDataFrame(
@@ -92,14 +104,44 @@ class BandStateNearDupSink(VersionedSnapshotSink):
 
     # -- per-batch ---------------------------------------------------------
     def write_batch(self, batch: DataFrame, batch_id: int) -> None:
-        if self.seen(batch_id):  # at-least-once redelivery: no-op
-            return
+        cs = self.cluster_sink
+        if self.seen(batch_id) and (cs is None or cs.seen(batch_id)):
+            return  # at-least-once redelivery, both sinks committed: no-op
         spark = batch.sparkSession
         sigs = minhash_signatures(
             batch, self.id_col, self.text_col, self.shingle_n, self.k
         )
         rows_per_band = self.k // self.bands
         band_rows = lsh_band_rows(sigs, self.id_col, self.bands, rows_per_band)
+
+        if cs is not None and not cs.seen(batch_id):
+            # Pair edges for the downstream cluster sink, derived from the
+            # PRE-BATCH state VERSION — not the live state — so a crash
+            # between the two sinks' commits replays with byte-identical
+            # edges (snapshot_init writes v0 empty and each applied batch
+            # commits one version, so version b IS the state before batch
+            # b, still addressable even after this sink committed b).
+            prior = self.read_version(spark, batch_id).select(
+                "band_idx", "band_key", F.col("min_id").alias("_w")
+            )
+            bmin = band_rows.groupBy("band_idx", "band_key").agg(
+                F.min(self.id_col).alias("_bm")
+            )
+            witness = bmin.join(prior, ["band_idx", "band_key"], "left").select(
+                "band_idx", "band_key", F.coalesce("_w", "_bm").alias("_w")
+            )
+            edges = (
+                band_rows.join(witness, ["band_idx", "band_key"])
+                .filter(F.col(self.id_col) != F.col("_w"))
+                .select(
+                    F.least(F.col(self.id_col), F.col("_w")).alias("id_a"),
+                    F.greatest(F.col(self.id_col), F.col("_w")).alias("id_b"),
+                )
+                .distinct()
+            )
+            cs.write_batch(edges, batch_id)
+        if self.seen(batch_id):
+            return  # flags/state already committed; only clusters lagged
 
         # first-arrival-wins (the f6ae7d7 rule, same as SpanStateDedupSink):
         # a doc is flagged iff a band key was in the PRE-batch state — so a

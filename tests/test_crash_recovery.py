@@ -743,3 +743,51 @@ def test_cluster_upkeep_restart_mid_batch_exactly_once(spark, tmp_path):
         got = _run_clusters(spark, str(tmp_path / f"crash{crash_at}"),
                             crash_batch=crash_at)
         assert got == clean, f"labels diverged after crash at batch {crash_at}"
+
+
+def _run_band_with_clusters(spark, base_dir, crash_batch=None,
+                            crash_sink=None):
+    """Drive the composed DAG (band detector + attached cluster sink);
+    optionally crash ONE of the two sinks' marker commits mid-batch.
+    The two sinks commit independently under the same batch id, so a
+    crash between their commits is the interesting window: redelivery
+    must fold the batch into exactly the sink that missed it, with the
+    cluster edges derived from the pre-batch state VERSION so they are
+    byte-identical on replay even though the live state moved on."""
+    from flinkrealtimedatawarehouse_spark.streaming.clusters import ClusterUpkeepSink
+    from flinkrealtimedatawarehouse_spark.streaming.neardup import (
+        BandStateNearDupSink,
+    )
+
+    def fresh():
+        cl = ClusterUpkeepSink(os.path.join(base_dir, "cl"), "doc_id")
+        s = BandStateNearDupSink(os.path.join(base_dir, "bs"), "doc_id", "text",
+                                 shingle_n=3, k=16, bands=8, cluster_sink=cl)
+        s.init(spark)
+        return s
+
+    sink = fresh()
+    for bid, rows in enumerate([B0, B1, B2]):
+        if bid == crash_batch:
+            _arm_marker_crash(sink if crash_sink == "band" else sink.cluster_sink)
+            with pytest.raises(_CrashInjected):
+                sink.write_batch(_docs(spark, rows), bid)
+            sink = fresh()  # restart both handles, redeliver
+        sink.write_batch(_docs(spark, rows), bid)
+    flags = {r.doc_id: r.is_near_dup for r in sink.flags(spark).collect()}
+    labels = sorted((r.doc_id, r.cluster)
+                    for r in sink.cluster_sink.clusters(spark).collect())
+    return flags, labels
+
+
+def test_composed_dedup_dag_survives_either_sink_crashing(spark, tmp_path):
+    clean = _run_band_with_clusters(spark, str(tmp_path / "clean"))
+    # the planted dups (1, 3, 5 share BASE) must collapse to cluster 1
+    assert [(d, c) for d, c in clean[1] if c != d] == [(3, 1), (5, 1)]
+    for crash_sink in ("band", "cluster"):
+        for crash_at in (1, 2):
+            got = _run_band_with_clusters(
+                spark, str(tmp_path / f"{crash_sink}{crash_at}"),
+                crash_batch=crash_at, crash_sink=crash_sink,
+            )
+            assert got == clean, (crash_sink, crash_at)

@@ -1643,3 +1643,59 @@ def test_cluster_upkeep_replay_and_restart(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="claimed by another writer"):
         sink.write_batch(pairs_df([(9, 10)]), 2)
+
+
+def test_band_sink_composes_with_cluster_upkeep(spark, tmp_path):
+    """The full one-pass streaming dedup DAG: docs stream through the
+    band-state detector, each micro-batch ALSO emits its (doc, band-min
+    witness) pair edges into an attached ClusterUpkeepSink, and the
+    final label table equals batch connected components over the FULL
+    LSH candidate graph of the corpus — for any batch split. The witness
+    rule (pre-batch state minimum, else within-batch minimum) gives the
+    same connectivity as band-sharing because every claimant of a key
+    chains through the key's evolving minimum."""
+    import random
+
+    from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
+    from flinkrealtimedatawarehouse_spark.streaming.clusters import ClusterUpkeepSink
+    from flinkrealtimedatawarehouse_spark.streaming.neardup import (
+        BandStateNearDupSink,
+    )
+
+    random.seed(31)
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = []
+    for i in range(1, 31):
+        if i % 3 == 0:
+            rows.append((i, base + f" tail{i % 2}"))  # two dup families
+        else:
+            rows.append((i, " ".join(
+                random.sample(["alpha", "beta", "gamma", "delta", "omega",
+                               "sigma", "kappa", "lambda", "theta", "zeta"], 8))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = textdedup.minhash_signatures(docs, "doc_id", "text", 3, 16)
+    cands = textdedup.lsh_candidate_pairs(sigs, "doc_id", 8, 2)
+    want = {r["doc_id"]: r["cluster"] for r in
+            textdedup.dedup_clusters(
+                cands, docs.select("doc_id"), "doc_id").collect()
+            if r["doc_id"] != r["cluster"]}
+    assert want  # the planted families must actually collide
+
+    for n_batches in (1, 3):
+        cl = ClusterUpkeepSink(str(tmp_path / f"cl{n_batches}"), "doc_id")
+        sink = BandStateNearDupSink(
+            str(tmp_path / f"bs{n_batches}"), "doc_id", "text",
+            shingle_n=3, k=16, bands=8, cluster_sink=cl,
+        )
+        sink.init(spark)
+        per = len(rows) // n_batches
+        for bid in range(n_batches):
+            lo, hi = bid * per, (bid + 1) * per if bid < n_batches - 1 else len(rows)
+            sink.write_batch(
+                spark.createDataFrame(rows[lo:hi], "doc_id long, text string"),
+                bid,
+            )
+        got = {r["doc_id"]: r["cluster"] for r in
+               cl.clusters(spark).collect() if r["doc_id"] != r["cluster"]}
+        assert got == want, n_batches
