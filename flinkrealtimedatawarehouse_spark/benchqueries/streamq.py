@@ -778,6 +778,34 @@ FROM h WHERE rn = 1 GROUP BY 1
 
 # --- dp28: streaming MinHash-LSH near-dup ingest --------------------------
 
+def _dp28_replay(spark: SparkSession, sf: str):
+    """One composed-DAG replay shared by the dp22 gate's neardup and
+    clusters branches: documents stream id-ordered through the band-state
+    detector with a ClusterUpkeepSink attached, so flags, band state, AND
+    canonical cluster labels all advance per micro-batch (the full
+    streaming dedup DAG — streaming/neardup.py + streaming/clusters.py).
+    Returns (band sink, docs)."""
+    from flinkrealtimedatawarehouse_spark.benchqueries.pipeline import (
+        _MH_BANDS,
+        _MH_K,
+        _MH_N,
+        _docs_with_near_dups,
+    )
+    from flinkrealtimedatawarehouse_spark.streaming import clusters, neardup
+
+    docs = _docs_with_near_dups(spark, sf).select("doc_id", "text", "source")
+    in_dir = runner.stage_stream_dir(docs, "doc_id", _N_FILES, "dp28")
+    sdf = runner.parquet_stream(spark, in_dir, docs.schema)
+    cl = clusters.ClusterUpkeepSink(runner.scratch_dir("cl_dp28"), "doc_id")
+    sink = neardup.BandStateNearDupSink(
+        runner.scratch_dir("nd_dp28"), "doc_id", "text",
+        shingle_n=_MH_N, k=_MH_K, bands=_MH_BANDS, cluster_sink=cl,
+    )
+    sink.init(spark)
+    runner.run_foreach_batch(sdf, sink.write_batch, "dp28")
+    return sink, docs
+
+
 def q_dp28(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming near-dedup: documents replayed id-ordered -> per-batch
     MinHash band keys -> flag vs the accumulated band-key state (smaller
@@ -785,23 +813,7 @@ def q_dp28(spark: SparkSession, sf: str) -> DataFrame:
     the scale contract; under the id-ordered replay the flags equal the
     batch directional-LSH relation, which is what the oracle encodes.
     """
-    from flinkrealtimedatawarehouse_spark.benchqueries.pipeline import (
-        _MH_BANDS,
-        _MH_K,
-        _MH_N,
-        _docs_with_near_dups,
-    )
-    from flinkrealtimedatawarehouse_spark.streaming import neardup
-
-    docs = _docs_with_near_dups(spark, sf).select("doc_id", "text", "source")
-    in_dir = runner.stage_stream_dir(docs, "doc_id", _N_FILES, "dp28")
-    sdf = runner.parquet_stream(spark, in_dir, docs.schema)
-    sink = neardup.BandStateNearDupSink(
-        runner.scratch_dir("nd_dp28"), "doc_id", "text",
-        shingle_n=_MH_N, k=_MH_K, bands=_MH_BANDS,
-    )
-    sink.init(spark)
-    runner.run_foreach_batch(sdf, sink.write_batch, "dp28")
+    sink, docs = _dp28_replay(spark, sf)
     return (
         sink.flags(spark)
         .join(docs.select("doc_id", "source"), "doc_id")
@@ -926,15 +938,40 @@ SELECT *, 'stream' AS method FROM ({SQL_COSINE_TOPK})
 # dp22+dp28: the streaming ingest pair, one tagged gate entry —
 # exact-dedup MERGE ingest and band-state near-dup flagging.
 def q_dp22c(spark: SparkSession, sf: str) -> DataFrame:
+    """dp22 tagged union, all from ONE composed streaming replay:
+    ``ingest`` (snapshot-merge upsert counts), ``neardup`` (band-state
+    flag aggregates), and ``clusters`` (per-doc canonical labels from
+    the attached ClusterUpkeepSink — the one-pass dedup DAG's final
+    stage, hash-checked per document against a recursive-CTE DuckDB
+    twin over the same band-sharing graph)."""
     ingest = q_dp22(spark, sf).select(
         F.lit("ingest").alias("kind"), "source",
         F.col("kept_ct").alias("v1"), F.col("min_id").alias("v2"),
     )
-    nd = q_dp28(spark, sf).select(
-        F.lit("neardup").alias("kind"), "source",
-        F.col("dup_ct").alias("v1"), F.col("doc_ct").alias("v2"),
+    sink, docs = _dp28_replay(spark, sf)
+    nd = (
+        sink.flags(spark)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("is_near_dup").cast("long").alias("dup_ct"),
+            F.count(F.lit(1)).cast("long").alias("doc_ct"),
+        )
+        .select(
+            F.lit("neardup").alias("kind"), "source",
+            F.col("dup_ct").alias("v1"), F.col("doc_ct").alias("v2"),
+        )
     )
-    return ingest.unionByName(nd)
+    cl = (
+        sink.cluster_sink.clusters(spark)
+        .filter(F.col("cluster") != F.col("doc_id"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            F.lit("clusters").alias("kind"), "source",
+            F.col("doc_id").alias("v1"), F.col("cluster").alias("v2"),
+        )
+    )
+    return ingest.unionByName(nd).unionByName(cl)
 
 
 def _sql_dp22c() -> str:
@@ -972,6 +1009,43 @@ SELECT 'neardup', source, sum(isdup)::BIGINT, count(*)::BIGINT FROM (
   SELECT src.doc_id, src.source, coalesce(fl.isdup, 0) AS isdup
   FROM src LEFT JOIN fl USING (doc_id)
 ) GROUP BY 2
+UNION ALL
+-- clusters branch: connected components over the SAME band-sharing
+-- graph the detector walks. The twin contracts each band key to its
+-- global min-id edges (same components as all-pairs band sharing, and
+-- as the streamed evolving-minimum witness edges), then takes the min
+-- reachable id per node via a recursive closure — mirroring
+-- ClusterUpkeepSink's invariant term-for-term.
+SELECT 'clusters', q.source, q.doc_id, q.cluster FROM (
+  WITH {_sql_sigs_cte()},
+  bd AS (
+    SELECT doc_id, bi.band_idx,
+           concat_ws('_', {band_elems}) AS band_key
+    FROM ms CROSS JOIN (SELECT unnest(generate_series(0, {_MH_BANDS - 1})) AS band_idx) bi
+  ),
+  mn AS (SELECT band_idx, band_key, min(doc_id) AS mid FROM bd GROUP BY 1, 2),
+  me AS (
+    SELECT DISTINCT bd.doc_id AS a, mn.mid AS b
+    FROM bd JOIN mn USING (band_idx, band_key) WHERE bd.doc_id <> mn.mid
+  ),
+  e AS (SELECT a AS s, b AS d FROM me UNION SELECT b, a FROM me),
+  rc AS (
+    WITH RECURSIVE reach(node, r) AS (
+      SELECT DISTINCT s, s FROM e
+      UNION
+      SELECT reach.node, e.d FROM reach JOIN e ON e.s = reach.r
+    )
+    SELECT node, min(r) AS cluster FROM reach GROUP BY 1
+  ),
+  src AS (
+    SELECT doc_id, source FROM documents
+    UNION ALL
+    SELECT doc_id + 20000, source FROM documents WHERE doc_id % 7 = 0
+  )
+  SELECT src.source, rc.node AS doc_id, rc.cluster
+  FROM rc JOIN src ON rc.node = src.doc_id
+  WHERE rc.cluster <> rc.node
+) q
 """
 
 

@@ -102,6 +102,12 @@ _STREAM_GATES = {
     "t3b_asym_join_stream", "t5_dedup_stream", "t7_bounce_stream",
     "k2_fanout_stream", "s2_cdc_stream_apply", "dp22_stream_ingest",
     "w4_session_stats", "k3_dim_upsert",
+    # round 11: the dp19 gate's stream branch replays pairs through
+    # ClusterUpkeepSink when built, and both branches are localCheckpoint-
+    # backed (scanned-RDD plans), so the sweep would execute a stream to
+    # inspect an opaque plan; its real plans are audited via PLAN_AUDIT
+    # and pinned by the cluster-upkeep tests
+    "dp19_dedup_clusters",
 }
 
 # BNLJ allowlist: gates where the broadcast side is bounded by contract
