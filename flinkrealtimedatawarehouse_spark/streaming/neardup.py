@@ -113,7 +113,19 @@ class BandStateNearDupSink(VersionedSnapshotSink):
         )
         rows_per_band = self.k // self.bands
         band_rows = lsh_band_rows(sigs, self.id_col, self.bands, rows_per_band)
+        # multiple actions read this lineage (flags write, state commit,
+        # and — composed — the cluster fold's own joins), and the CPU-
+        # dense signature stage would otherwise re-run per action
+        # (measured at sf1: composed per-batch wall 8.5-10.8 s without
+        # the persist, 5-6 s with)
+        band_rows.persist()
+        try:
+            self._apply_batch(spark, batch, band_rows, batch_id)
+        finally:
+            band_rows.unpersist()
 
+    def _apply_batch(self, spark, batch, band_rows, batch_id: int) -> None:
+        cs = self.cluster_sink
         if cs is not None and not cs.seen(batch_id):
             # Pair edges for the downstream cluster sink, derived from the
             # PRE-BATCH state VERSION — not the live state — so a crash
@@ -138,6 +150,10 @@ class BandStateNearDupSink(VersionedSnapshotSink):
                     F.greatest(F.col(self.id_col), F.col("_w")).alias("id_b"),
                 )
                 .distinct()
+                # the cluster fold runs several actions over its input
+                # (CC rounds, remap joins, snapshot write); checkpoint the
+                # small edge set so none of them re-derives it
+                .localCheckpoint(eager=True)
             )
             cs.write_batch(edges, batch_id)
         if self.seen(batch_id):
