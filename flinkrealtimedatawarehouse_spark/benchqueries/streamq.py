@@ -938,12 +938,15 @@ SELECT *, 'stream' AS method FROM ({SQL_COSINE_TOPK})
 # dp22+dp28: the streaming ingest pair, one tagged gate entry —
 # exact-dedup MERGE ingest and band-state near-dup flagging.
 def q_dp22c(spark: SparkSession, sf: str) -> DataFrame:
-    """dp22 tagged union, all from ONE composed streaming replay:
-    ``ingest`` (snapshot-merge upsert counts), ``neardup`` (band-state
-    flag aggregates), and ``clusters`` (per-doc canonical labels from
-    the attached ClusterUpkeepSink — the one-pass dedup DAG's final
-    stage, hash-checked per document against a recursive-CTE DuckDB
-    twin over the same band-sharing graph)."""
+    """dp22 tagged union — the streaming dedup surface in one gate slot:
+    ``ingest`` (snapshot-merge upsert counts); from ONE composed replay,
+    ``neardup`` (band-state flag aggregates) and ``clusters`` (per-doc
+    canonical labels from the attached ClusterUpkeepSink — the one-pass
+    dedup DAG's final stage, hash-checked per document against a
+    recursive-CTE DuckDB twin over the same band-sharing graph); and
+    ``shflags``/``edflags`` — the SimHash and embedding families'
+    streaming twins via the generic KeyStateNearDupSink, per-doc
+    directional flags against per-family DuckDB twins."""
     ingest = q_dp22(spark, sf).select(
         F.lit("ingest").alias("kind"), "source",
         F.col("kept_ct").alias("v1"), F.col("min_id").alias("v2"),
@@ -971,14 +974,83 @@ def q_dp22c(spark: SparkSession, sf: str) -> DataFrame:
             F.col("doc_id").alias("v1"), F.col("cluster").alias("v2"),
         )
     )
-    return ingest.unionByName(nd).unionByName(cl)
+    sh, ed = _keystate_replays(spark, sf)
+    return ingest.unionByName(nd).unionByName(cl).unionByName(sh).unionByName(ed)
+
+
+def _keystate_replays(spark: SparkSession, sf: str):
+    """Streaming twins for the OTHER two dedup families (SimHash bands,
+    embedding sign buckets) via the generic KeyStateNearDupSink: each
+    corpus replays id-ordered and the accumulated per-doc flags must
+    equal the batch directional relation 'flagged iff a smaller id
+    shares a key' — the same contract the MinHash band sink gates, now
+    proven family-generic against per-family DuckDB twins."""
+    from flinkrealtimedatawarehouse_spark.benchqueries.pipeline import (
+        _docs_with_near_dups,
+        _ED_PLANES,
+        _emb_with_dups,
+    )
+    from flinkrealtimedatawarehouse_spark.streaming.neardup import (
+        KeyStateNearDupSink,
+        embedding_bucket_keys,
+        simhash_band_keys,
+    )
+
+    docs = _docs_with_near_dups(spark, sf).select("doc_id", "text", "source")
+    in_dir = runner.stage_stream_dir(docs, "doc_id", _N_FILES, "dp22sh")
+    sdf = runner.parquet_stream(spark, in_dir, docs.schema)
+    shsink = KeyStateNearDupSink(
+        runner.scratch_dir("sh_dp22"), "doc_id",
+        simhash_band_keys("doc_id", "text"),
+    )
+    shsink.init(spark)
+    runner.run_foreach_batch(sdf, shsink.write_batch, "dp22sh")
+    sh = (
+        shsink.flags(spark)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            F.lit("shflags").alias("kind"), "source",
+            F.col("doc_id").alias("v1"),
+            F.col("is_near_dup").cast("long").alias("v2"),
+        )
+    )
+
+    emb = _emb_with_dups(spark, sf).select("vec_id", "embedding", "label")
+    in_dir = runner.stage_stream_dir(emb, "vec_id", _N_FILES, "dp22ed")
+    edf = runner.parquet_stream(spark, in_dir, emb.schema)
+    edsink = KeyStateNearDupSink(
+        runner.scratch_dir("ed_dp22"), "vec_id",
+        embedding_bucket_keys("vec_id", "embedding", n_planes=_ED_PLANES),
+    )
+    edsink.init(spark)
+    runner.run_foreach_batch(edf, edsink.write_batch, "dp22ed")
+    ed = (
+        edsink.flags(spark)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            F.lit("edflags").alias("kind"),
+            F.col("label").cast("string").alias("source"),
+            F.col("vec_id").alias("v1"),
+            F.col("is_near_dup").cast("long").alias("v2"),
+        )
+    )
+    return sh, ed
 
 
 def _sql_dp22c() -> str:
     from flinkrealtimedatawarehouse_spark.benchqueries.pipeline import (
+        _DUCK_Q,
+        _duck_bucket,
+        _duck_simhash,
+        _ED_PLANES,
         _MH_BANDS,
         _R,
         _sql_sigs_cte,
+        _SQL_NEAR_DUPS,
+    )
+    from flinkrealtimedatawarehouse_spark.datapipeline.hashing import (
+        duck_phash,
+        duck_tokens,
     )
 
     # band key from _R (= rows per band), never a hardcoded stride — the
@@ -1045,6 +1117,52 @@ SELECT 'clusters', q.source, q.doc_id, q.cluster FROM (
   SELECT src.source, rc.node AS doc_id, rc.cluster
   FROM rc JOIN src ON rc.node = src.doc_id
   WHERE rc.cluster <> rc.node
+) q
+UNION ALL
+-- shflags: streaming SimHash twin via the generic keyed-state sink —
+-- under id-ordered replay the flags equal the directional relation
+-- "flagged iff a smaller id shares a band byte" (same band exprs as the
+-- batch simhash twin; docs with zero tokens never band, never flag)
+SELECT 'shflags', q.source, q.doc_id, q.f FROM (
+  WITH a AS ({_SQL_NEAR_DUPS}),
+  tk AS (
+    SELECT doc_id, list_transform(list_distinct({duck_tokens('text')}), t -> {duck_phash('t')}) AS th
+    FROM a
+  ),
+  sm AS (SELECT doc_id, {_duck_simhash('th')} AS simhash FROM tk WHERE len(th) > 0),
+  bd AS (
+    SELECT doc_id, bi.band_idx, (simhash >> (8 * bi.band_idx)) & 255 AS band_val
+    FROM sm CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_idx) bi
+  ),
+  mn AS (SELECT band_idx, band_val, min(doc_id) AS mid FROM bd GROUP BY 1, 2),
+  fl AS (
+    SELECT bd.doc_id, max(CASE WHEN mn.mid < bd.doc_id THEN 1 ELSE 0 END) AS f
+    FROM bd JOIN mn USING (band_idx, band_val) GROUP BY 1
+  ),
+  src AS (
+    SELECT doc_id, source FROM documents
+    UNION ALL
+    SELECT doc_id + 20000, source FROM documents WHERE doc_id % 7 = 0
+  )
+  SELECT src.source, src.doc_id, coalesce(fl.f, 0)::BIGINT AS f
+  FROM src LEFT JOIN fl USING (doc_id)
+) q
+UNION ALL
+-- edflags: streaming embedding-cosine twin — flagged iff a smaller
+-- vec_id shares the hyperplane sign bucket (same quantization + plane
+-- exprs as the batch embedding twin)
+SELECT 'edflags', q.label::VARCHAR, q.vec_id, q.f FROM (
+  WITH a AS (
+    SELECT vec_id, embedding, label FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000, embedding, label FROM embeddings WHERE vec_id % 11 = 0
+  ),
+  qz AS (SELECT vec_id, label, {_DUCK_Q} AS q FROM a),
+  b0 AS (SELECT vec_id, label, {_duck_bucket('q', _ED_PLANES)} AS bucket FROM qz),
+  mn AS (SELECT bucket, min(vec_id) AS mid FROM b0 GROUP BY 1)
+  SELECT b0.label, b0.vec_id,
+         (CASE WHEN mn.mid < b0.vec_id THEN 1 ELSE 0 END)::BIGINT AS f
+  FROM b0 JOIN mn USING (bucket)
 ) q
 """
 

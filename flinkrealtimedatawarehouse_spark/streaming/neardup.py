@@ -352,3 +352,130 @@ class SpanStateDedupSink(VersionedSnapshotSink):
             .parquet(self.flags_dir)
         )
         self.commit_snapshot(new_state, batch_id)
+
+
+# --- generic keyed-state near-dup flagging (SimHash / embedding twins) ----
+
+class KeyStateNearDupSink(VersionedSnapshotSink):
+    """First-arrival near-dup flagging over an ARBITRARY key derivation —
+    the generalization that gives the OTHER dedup families their
+    streaming twins (the MinHash band family keeps its dedicated
+    ``BandStateNearDupSink`` above, which additionally supports the
+    composed cluster-upkeep DAG).
+
+    ``key_rows_fn(batch) -> DataFrame[(id_col, key string)]`` maps a
+    micro-batch to one row per (doc, collision key): SimHash band bytes
+    (``simhash_band_keys``), embedding sign buckets
+    (``embedding_bucket_keys``), or any future family. The algebra is
+    the band sink's, on a single generic key column: a doc is flagged
+    iff some key was in the PRE-batch state (first-arrival-wins) or a
+    smaller id claims it within the batch; state then absorbs the batch
+    as min-id-per-key. Under id-ordered replay flags equal the batch
+    directional relation "∃ d' < d sharing a key" for any split — the
+    property the dp22 gate's shflags/edflags DuckDB twins encode.
+
+    Scale shape is the band sink's too: state is O(distinct keys), the
+    per-batch work is one groupBy over the batch's keys + one equi-join
+    against state — never a corpus scan.
+    """
+
+    def __init__(self, base_dir: str, id_col: str, key_rows_fn,
+                 lineage: str | None = None):
+        super().__init__(os.path.join(base_dir, "state"), lineage)
+        self.flags_dir = os.path.join(base_dir, "flags")
+        self.id_col = id_col
+        self.key_rows_fn = key_rows_fn
+
+    def init(self, spark: SparkSession) -> None:
+        self.snapshot_init(
+            spark.createDataFrame([], "key string, min_id long")
+        )
+
+    def state(self, spark: SparkSession) -> DataFrame:
+        return self.current(spark)
+
+    def flags(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.flags_dir).drop("_bid")
+
+    def write_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if self.seen(batch_id):
+            return
+        spark = batch.sparkSession
+        kr = self.key_rows_fn(batch).select(self.id_col, "key")
+        state = self.state(spark)
+        batch_min = kr.groupBy("key").agg(F.min(self.id_col).alias("_bmin"))
+        seen_before = state.select("key").withColumn("_prior", F.lit(True))
+        flagged = (
+            kr.join(batch_min, "key")
+            .join(seen_before, "key", "left")
+            .groupBy(self.id_col)
+            .agg(
+                F.max(
+                    (
+                        F.col("_prior").isNotNull()
+                        | (F.col("_bmin") < F.col(self.id_col))
+                    ).cast("int")
+                ).alias("is_near_dup")
+            )
+        )
+        new_state = (
+            state.unionByName(
+                batch_min.select("key", F.col("_bmin").alias("min_id"))
+            )
+            .groupBy("key")
+            .agg(F.min("min_id").alias("min_id"))
+        )
+        out = (
+            batch.select(self.id_col)
+            .join(flagged, self.id_col, "left")
+            .select(
+                self.id_col,
+                F.coalesce("is_near_dup", F.lit(0)).alias("is_near_dup"),
+                F.lit(batch_id).alias("_bid"),
+            )
+        )
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bid")
+            .parquet(self.flags_dir)
+        )
+        self.commit_snapshot(new_state, batch_id)
+
+
+def simhash_band_keys(id_col: str, text_col: str):
+    """Key derivation for the SimHash family: one row per (doc, band),
+    key = 'band_idx_band_val' — identical band algebra to the batch
+    ``textdedup.simhash_near_dups`` candidate stage."""
+    from flinkrealtimedatawarehouse_spark.datapipeline.textdedup import (
+        _simhash_band_rows,
+        simhash,
+    )
+
+    def f(batch: DataFrame) -> DataFrame:
+        return _simhash_band_rows(simhash(batch, id_col, text_col), id_col).select(
+            id_col, F.concat_ws("_", "band_idx", "band_val").alias("key")
+        )
+
+    return f
+
+
+def embedding_bucket_keys(id_col: str, vec_col: str, n_planes: int = 8,
+                          quant: int = 1000):
+    """Key derivation for the embedding-cosine family: one row per doc,
+    key = its hyperplane sign bucket — identical bucket algebra to the
+    batch ``textdedup.embedding_near_dups`` candidate stage."""
+    from flinkrealtimedatawarehouse_spark.datapipeline.similarity import (
+        hyperplane_bucket,
+        quantized,
+    )
+
+    def f(batch: DataFrame) -> DataFrame:
+        return batch.select(
+            id_col,
+            hyperplane_bucket(
+                quantized(F.col(vec_col), quant), n_planes
+            ).cast("string").alias("key"),
+        )
+
+    return f

@@ -1699,3 +1699,113 @@ def test_band_sink_composes_with_cluster_upkeep(spark, tmp_path):
         got = {r["doc_id"]: r["cluster"] for r in
                cl.clusters(spark).collect() if r["doc_id"] != r["cluster"]}
         assert got == want, n_batches
+
+
+def test_keystate_sink_simhash_and_embedding_twins(spark, tmp_path):
+    """The generic keyed-state sink gives the SimHash and embedding
+    families their streaming twins: under id-ordered replay the
+    accumulated flags equal the batch directional relation 'doc d is
+    flagged iff some d' < d shares a key' — for any split — with the key
+    algebra bit-identical to the batch candidate stages (band rows /
+    sign buckets)."""
+    import random
+
+    from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
+    from flinkrealtimedatawarehouse_spark.datapipeline.similarity import (
+        hyperplane_bucket,
+        quantized,
+    )
+    from flinkrealtimedatawarehouse_spark.streaming.neardup import (
+        KeyStateNearDupSink,
+        embedding_bucket_keys,
+        simhash_band_keys,
+    )
+
+    random.seed(47)
+    base = "spark shuffles the quick brown fox over a lazy catalyst plan"
+    doc_rows = [
+        (i, base + (" copyish" if i % 4 == 0 else f" unique {random.random()}"))
+        for i in range(1, 25)
+    ]
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    bd = textdedup._simhash_band_rows(
+        textdedup.simhash(docs, "doc_id", "text"), "doc_id"
+    ).select("doc_id", "band_idx", "band_val")
+    mn = bd.groupBy("band_idx", "band_val").agg(F.min("doc_id").alias("mid"))
+    want_sh = {
+        r["doc_id"]: r["f"] for r in
+        bd.join(mn, ["band_idx", "band_val"]).groupBy("doc_id").agg(
+            F.max((F.col("mid") < F.col("doc_id")).cast("int")).alias("f")
+        ).collect()
+    }
+    for i, _ in doc_rows:
+        want_sh.setdefault(i, 0)
+
+    emb_rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(4)])
+        for i in range(1, 25)
+    ]
+    for i in (8, 16):  # planted exact dups of vec 4 -> same sign bucket
+        emb_rows[i - 1] = (i, emb_rows[3][1])
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+    eb = emb.select(
+        "vec_id",
+        hyperplane_bucket(quantized(F.col("embedding"), 1000), 8).alias("b"),
+    )
+    emn = eb.groupBy("b").agg(F.min("vec_id").alias("mid"))
+    want_ed = {
+        r["vec_id"]: r["f"] for r in
+        eb.join(emn, "b").groupBy("vec_id").agg(
+            F.max((F.col("mid") < F.col("vec_id")).cast("int")).alias("f")
+        ).collect()
+    }
+    assert want_ed[8] == 1 and want_ed[16] == 1  # planted dups flag
+
+    for n_batches in (1, 3):
+        sh = KeyStateNearDupSink(
+            str(tmp_path / f"sh{n_batches}"), "doc_id",
+            simhash_band_keys("doc_id", "text"),
+        )
+        sh.init(spark)
+        per = len(doc_rows) // n_batches
+        for bid in range(n_batches):
+            lo = bid * per
+            hi = (bid + 1) * per if bid < n_batches - 1 else len(doc_rows)
+            sh.write_batch(
+                spark.createDataFrame(doc_rows[lo:hi], "doc_id long, text string"),
+                bid,
+            )
+        got = {r["doc_id"]: r["is_near_dup"] for r in sh.flags(spark).collect()}
+        assert got == want_sh, ("simhash", n_batches)
+
+        ed = KeyStateNearDupSink(
+            str(tmp_path / f"ed{n_batches}"), "vec_id",
+            embedding_bucket_keys("vec_id", "embedding"),
+        )
+        ed.init(spark)
+        for bid in range(n_batches):
+            lo = bid * per
+            hi = (bid + 1) * per if bid < n_batches - 1 else len(emb_rows)
+            ed.write_batch(
+                spark.createDataFrame(
+                    emb_rows[lo:hi], "vec_id long, embedding array<double>"),
+                bid,
+            )
+        got_e = {r["vec_id"]: r["is_near_dup"] for r in ed.flags(spark).collect()}
+        assert got_e == want_ed, ("embedding", n_batches)
+
+    # first-arrival-wins: a LATE smaller id sharing keys marks ITSELF;
+    # replay of an applied batch is a no-op
+    late = KeyStateNearDupSink(
+        str(tmp_path / "late"), "doc_id", simhash_band_keys("doc_id", "text"))
+    late.init(spark)
+    late.write_batch(
+        spark.createDataFrame([(50, base)], "doc_id long, text string"), 0)
+    late.write_batch(
+        spark.createDataFrame([(7, base)], "doc_id long, text string"), 1)
+    v = late.version
+    late.write_batch(  # redelivery with different rows must no-op
+        spark.createDataFrame([(99, base)], "doc_id long, text string"), 1)
+    assert late.version == v
+    got_l = {r["doc_id"]: r["is_near_dup"] for r in late.flags(spark).collect()}
+    assert got_l == {50: 0, 7: 1}
