@@ -621,15 +621,26 @@ def main() -> int:
         # BENCH_r<N>.json is written by the driver AFTER bench runs, so
         # the current round = max recorded round + 1; every full bench run
         # this round overwrites the same file, leaving the LAST (= the
-        # driver's own) run as the artifact.
+        # driver's own) run as the artifact. The inference is wrong in
+        # exactly one case: a manual re-run AFTER the driver already
+        # recorded the current round's BENCH_r<N>.json would infer N+1
+        # and pre-seed a stale detail file for the NEXT round — the very
+        # class this stamp exists to prevent. SPARK_GRAFT_ROUND pins the
+        # round explicitly for such re-runs (the builder's in-round
+        # measurement runs set it; the driver's own run relies on the
+        # inference, which is correct there by construction).
         import re as _re
 
-        rounds = [
-            int(m.group(1))
-            for f_ in os.listdir(repo)
-            if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f_))
-        ]
-        cur = (max(rounds) + 1) if rounds else 1
+        env_round = os.environ.get("SPARK_GRAFT_ROUND")
+        if env_round:
+            cur = int(env_round)
+        else:
+            rounds = [
+                int(m.group(1))
+                for f_ in os.listdir(repo)
+                if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f_))
+            ]
+            cur = (max(rounds) + 1) if rounds else 1
         with open(os.path.join(repo, f"BENCH_DETAIL_r{cur:02d}.json"), "w") as f:
             json.dump(out, f, indent=1)
     except OSError as e:

