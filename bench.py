@@ -212,16 +212,83 @@ def run_serving_tier() -> int:
     return 0
 
 
+def run_build_one() -> int:
+    """One streamed-index build in its own JVM (`bench.py --build-one
+    <kind> <sf_dir> <out_dir> <n_batches>`): stages the stream input
+    (untimed, test plumbing), runs the build, prints {"build_wall": s}.
+    This is the isolated-builds worker — serving-tier BUILD figures taken
+    in the shared measurement JVM inherited GC/JIT churn from preceding
+    micro-batch commits twice in a row (r10 postings 16.9->10.1 s, r11
+    wide 40.1->18.1 s on isolated re-measure), so each build now runs
+    fresh by default; read paths stay in the shared JVM as before."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from flinkrealtimedatawarehouse_spark import serving
+    from flinkrealtimedatawarehouse_spark.session import get_spark
+    from flinkrealtimedatawarehouse_spark.streaming import searchindex, simsearch
+    from flinkrealtimedatawarehouse_spark.tables import load_table
+
+    i = sys.argv.index("--build-one")
+    kind, sf_dir, out_dir, n_b_s = sys.argv[i + 1:i + 5]
+    n_b = int(n_b_s)
+    spark = get_spark(f"bench-build-{kind}")
+    tag = f"iso_{kind}_{n_b}"
+    if kind == "post":
+        docs = load_table(spark, sf_dir, "documents")
+        staged = searchindex.stage_postings_input(
+            docs, "doc_id", "text", n_batches=n_b, tag=tag)
+        t0 = time.time()
+        searchindex.stream_postings_upkeep(
+            docs, "doc_id", "text", out_dir, n_batches=n_b, tag=tag,
+            staged_dir=staged)
+    elif kind == "ivf":
+        emb = load_table(spark, sf_dir, "embeddings")
+        staged = simsearch.stage_ivf_input(
+            emb, "vec_id", "embedding", "label", n_batches=n_b, tag=tag)
+        t0 = time.time()
+        simsearch.stream_ivf_upkeep(
+            emb, "vec_id", "embedding", "label", out_dir, n_batches=n_b,
+            tag=tag, staged_dir=staged)
+    elif kind == "wide":
+        staged = serving.stage_wide_input(spark, sf_dir, n_batches=n_b, tag=tag)
+        t0 = time.time()
+        serving.stream_wide_product_upkeep(
+            spark, sf_dir, out_dir, n_batches=n_b, tag=tag, staged_dir=staged)
+    else:
+        raise SystemExit(f"unknown build kind {kind!r}")
+    print(json.dumps({"build_wall": round(time.time() - t0, 3)}))
+    return 0
+
+
 def _serving_measure(spark, sf_dir: str, hibatch: bool = False) -> dict:
+    import subprocess
+
     from pyspark.sql import functions as F
 
     from flinkrealtimedatawarehouse_spark import serving
     from flinkrealtimedatawarehouse_spark.datapipeline import similarity, textstats
     from flinkrealtimedatawarehouse_spark.streaming import searchindex, simsearch
+    from flinkrealtimedatawarehouse_spark.streaming import sinks as ssinks
     from flinkrealtimedatawarehouse_spark.streaming.runner import scratch_dir
     from flinkrealtimedatawarehouse_spark.tables import load_table
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    # isolated builds (default ON, r11 VERDICT #4): each *_stream_upkeep
+    # build runs in a fresh subprocess JVM so its wall can't inherit
+    # GC/JIT state from this JVM's preceding work; read paths stay here.
+    isolated = os.environ.get("SPARK_GRAFT_ISOLATED_BUILDS", "1") != "0"
+
+    def isolated_build(kind: str, out_dir: str, n_batches: int = 4) -> float:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--build-one",
+             kind, sf_dir, out_dir, str(n_batches)],
+            stdout=subprocess.PIPE,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=1800,
+        )
+        return float(
+            json.loads(proc.stdout.decode().strip().splitlines()[-1])
+            ["build_wall"]
+        )
 
     def timed(fn):
         fn()  # warm-up: codegen + worker forks, same rule as the tiers
@@ -243,11 +310,15 @@ def _serving_measure(spark, sf_dir: str, hibatch: bool = False) -> dict:
     # reads a Kafka topic), so including it overstated the streamed
     # write-path cost vs the batch build (round-10 ADVICE)
     spost = scratch_dir("serv_spost")
-    staged = searchindex.stage_postings_input(docs, "doc_id", "text", tag="servpost")
-    t0 = time.time()
-    searchindex.stream_postings_upkeep(
-        docs, "doc_id", "text", spost, tag="servpost", staged_dir=staged)
-    build["postings_stream_upkeep"] = round(time.time() - t0, 3)
+    if isolated:
+        build["postings_stream_upkeep"] = isolated_build("post", spost)
+    else:
+        staged = searchindex.stage_postings_input(
+            docs, "doc_id", "text", tag="servpost")
+        t0 = time.time()
+        searchindex.stream_postings_upkeep(
+            docs, "doc_id", "text", spost, tag="servpost", staged_dir=staged)
+        build["postings_stream_upkeep"] = round(time.time() - t0, 3)
     bpost = scratch_dir("serv_bpost")
     t0 = time.time()
     textstats.build_postings(docs, "doc_id", "text", bpost)
@@ -278,13 +349,17 @@ def _serving_measure(spark, sf_dir: str, hibatch: bool = False) -> dict:
         # 4-batch post_stream_* entries above), including the as-of path
         # whose horizon (batch 2) now lives inside a folded chunk.
         spost48 = scratch_dir("serv_spost48")
-        staged48 = searchindex.stage_postings_input(
-            docs, "doc_id", "text", n_batches=48, tag="servpost48")
-        t0 = time.time()
-        searchindex.stream_postings_upkeep(
-            docs, "doc_id", "text", spost48, n_batches=48,
-            tag="servpost48", staged_dir=staged48)
-        build["postings_stream_upkeep_48b"] = round(time.time() - t0, 3)
+        if isolated:
+            build["postings_stream_upkeep_48b"] = isolated_build(
+                "post", spost48, n_batches=48)
+        else:
+            staged48 = searchindex.stage_postings_input(
+                docs, "doc_id", "text", n_batches=48, tag="servpost48")
+            t0 = time.time()
+            searchindex.stream_postings_upkeep(
+                docs, "doc_id", "text", spost48, n_batches=48,
+                tag="servpost48", staged_dir=staged48)
+            build["postings_stream_upkeep_48b"] = round(time.time() - t0, 3)
         queries["post_stream_single_48b"] = timed(
             lambda: searchindex.streamed_postings_search(
                 spark, spost48, "doc_id", _SERVING_QUERY, k=10).count())
@@ -296,13 +371,18 @@ def _serving_measure(spark, sf_dir: str, hibatch: bool = False) -> dict:
     # --- dp7 IVF: streamed upkeep vs batch-built persisted index ---
     probes = emb.filter(F.col("vec_id") < 8)
     sivf_dir = scratch_dir("serv_sivf")
-    staged = simsearch.stage_ivf_input(
-        emb, "vec_id", "embedding", "label", tag="servivf")
-    t0 = time.time()
-    vsink = simsearch.stream_ivf_upkeep(
-        emb, "vec_id", "embedding", "label", sivf_dir, tag="servivf",
-        staged_dir=staged)
-    build["ivf_stream_upkeep"] = round(time.time() - t0, 3)
+    if isolated:
+        build["ivf_stream_upkeep"] = isolated_build("ivf", sivf_dir)
+        vsink = simsearch.IvfIndexSink(
+            sivf_dir, "vec_id", "embedding", "label", read_only=True)
+    else:
+        staged = simsearch.stage_ivf_input(
+            emb, "vec_id", "embedding", "label", tag="servivf")
+        t0 = time.time()
+        vsink = simsearch.stream_ivf_upkeep(
+            emb, "vec_id", "embedding", "label", sivf_dir, tag="servivf",
+            staged_dir=staged)
+        build["ivf_stream_upkeep"] = round(time.time() - t0, 3)
     bivf = scratch_dir("serv_bivf")
     t0 = time.time()
     similarity.build_ivf_index(emb, bivf, "vec_id", "embedding", "label")
@@ -321,27 +401,43 @@ def _serving_measure(spark, sf_dir: str, hibatch: bool = False) -> dict:
     if hibatch:
         # IVF twin of the 48-batch postings evidence above
         sivf48 = scratch_dir("serv_sivf48")
-        staged48 = simsearch.stage_ivf_input(
-            emb, "vec_id", "embedding", "label", n_batches=48, tag="servivf48")
-        t0 = time.time()
-        vsink48 = simsearch.stream_ivf_upkeep(
-            emb, "vec_id", "embedding", "label", sivf48, n_batches=48,
-            tag="servivf48", staged_dir=staged48)
-        build["ivf_stream_upkeep_48b"] = round(time.time() - t0, 3)
+        if isolated:
+            build["ivf_stream_upkeep_48b"] = isolated_build(
+                "ivf", sivf48, n_batches=48)
+            vsink48 = simsearch.IvfIndexSink(
+                sivf48, "vec_id", "embedding", "label", read_only=True)
+        else:
+            staged48 = simsearch.stage_ivf_input(
+                emb, "vec_id", "embedding", "label", n_batches=48,
+                tag="servivf48")
+            t0 = time.time()
+            vsink48 = simsearch.stream_ivf_upkeep(
+                emb, "vec_id", "embedding", "label", sivf48, n_batches=48,
+                tag="servivf48", staged_dir=staged48)
+            build["ivf_stream_upkeep_48b"] = round(time.time() - t0, 3)
         queries["ivf_stream_topk_48b"] = timed(
             lambda: simsearch.streamed_ivf_topk(
                 spark, vsink48, probes, k=5, n_probe=2).count())
 
     # --- J6 wide gold: live (stream-maintained) vs batch-built views ---
     live_dir = scratch_dir("serv_wlive")
-    staged = serving.stage_wide_input(spark, sf_dir, tag="servwide")
-    t0 = time.time()
-    # the upkeep stream has drained by the time we read, so its own sink
-    # handle serves the reads — no separate read_only twin needed here
-    live_sink = serving.stream_wide_product_upkeep(
-        spark, sf_dir, live_dir, tag="servwide", staged_dir=staged
-    )
-    build["wide_stream_upkeep"] = round(time.time() - t0, 3)
+    if isolated:
+        build["wide_stream_upkeep"] = isolated_build("wide", live_dir)
+        live_sink = ssinks.AdditiveGoldSink(
+            live_dir, keys=serving.WIDE_AGG_KEYS,
+            measures={"order_amount": ("l_extendedprice", "sum"),
+                      "order_ct": ("l_extendedprice", "count")},
+            read_only=True,
+        )
+    else:
+        staged = serving.stage_wide_input(spark, sf_dir, tag="servwide")
+        t0 = time.time()
+        # the upkeep stream has drained by the time we read, so its own
+        # sink handle serves the reads — no separate read_only twin needed
+        live_sink = serving.stream_wide_product_upkeep(
+            spark, sf_dir, live_dir, tag="servwide", staged_dir=staged
+        )
+        build["wide_stream_upkeep"] = round(time.time() - t0, 3)
     wide_dir = scratch_dir("serv_wbatch")
     t0 = time.time()
     serving.build_wide_product(spark, sf_dir, wide_dir)
@@ -375,7 +471,7 @@ def _serving_measure(spark, sf_dir: str, hibatch: bool = False) -> dict:
     for name in sorted(queries):
         print(f"# serving {os.path.basename(sf_dir)} {name}: {queries[name]}s",
               file=sys.stderr)
-    return {"queries": queries, "build": build}
+    return {"queries": queries, "build": build, "isolated": isolated}
 
 
 def run_headline_tier() -> int:
@@ -533,6 +629,8 @@ def main() -> int:
         return run_headline_tier()
     if "--serving-only" in sys.argv:
         return run_serving_tier()
+    if "--build-one" in sys.argv:
+        return run_build_one()
 
     # Orchestrator: no SparkSession here. Tiers run SEQUENTIALLY in fresh
     # subprocesses (two concurrent full-size JVMs would exceed this

@@ -28,11 +28,16 @@ occurrence of a duplicate group is emitted first goes unflagged, every
 later one is flagged, so no duplicate pair is ever silently lost.
 
 State size: O(distinct band keys) ~ O(accepted docs × bands) rows of
-(int, string, long) — compact enough to snapshot per batch at test scale;
-on a cluster the same MERGE runs against a Delta table partitioned by
-``pmod(hash(band_key), N)`` so each micro-batch touches only the
-partitions its keys hash into. The per-batch work is one groupBy over the
-batch's band keys + one equi-join against state — never a corpus scan.
+(int, string, long). Since round 12 the state lives in a
+``PartitionedSnapshotStore`` (streaming/partstore.py): every commit
+APPENDS the batch's min-per-key delta into hash partitions
+(``pmod(xxhash64(band_idx, band_key), P)``) instead of rewriting the
+table, reads are min-merged on the fly and PRUNED to the partitions the
+batch's keys hash into, and per-partition size-tiered folds bound run
+counts at O(log B) amortized rewrites per row — per-batch write volume
+is O(|batch|), never O(|state|). The per-batch compute is one groupBy
+over the batch's band keys + one equi-join against the pruned state —
+never a corpus scan.
 
 Candidate flags are LSH-level (no Jaccard verify stage): the streaming
 contract is "cheap online filter, exact offline verify" — chain
@@ -54,24 +59,35 @@ from flinkrealtimedatawarehouse_spark.datapipeline.textdedup import (
     minhash_signatures,
     span_window_hashes,
 )
-from flinkrealtimedatawarehouse_spark.streaming.snapshots import VersionedSnapshotSink
+from flinkrealtimedatawarehouse_spark.streaming.partstore import (
+    PartitionedSnapshotStore,
+    min_merge,
+    min_struct_merge,
+)
 
 
-class BandStateNearDupSink(VersionedSnapshotSink):
+class BandStateNearDupSink(PartitionedSnapshotStore):
     """foreachBatch sink: maintains the band-key -> min-doc-id state and
     appends per-doc ``is_near_dup`` flags for every micro-batch.
 
-    Durability/replay from VersionedSnapshotSink (state snapshots live
-    under ``base_dir/state``). The state fold (min per band key) is
-    idempotent and flags use per-``_bid`` dynamic overwrite, so a
-    redelivered batch would be harmless anyway — the batch-id guard just
-    skips the wasted work.
+    Durability/replay from PartitionedSnapshotStore (state runs live
+    under ``base_dir/state``): each commit appends the batch's
+    min-per-key delta — O(|batch|) write, with state reads pruned to the
+    batch's hash partitions and size-tiered folds bounding run counts.
+    The state fold (min per band key) is idempotent and flags use
+    per-``_bid`` dynamic overwrite, so a redelivered batch would be
+    harmless anyway — the batch-id guard just skips the wasted work.
     """
 
     def __init__(self, base_dir: str, id_col: str, text_col: str,
                  shingle_n: int = 3, k: int = 16, bands: int = 8,
-                 lineage: str | None = None, cluster_sink=None):
-        super().__init__(os.path.join(base_dir, "state"), lineage)
+                 lineage: str | None = None, cluster_sink=None,
+                 n_partitions: int = 8):
+        super().__init__(os.path.join(base_dir, "state"),
+                         key_cols=["band_idx", "band_key"],
+                         merge_fn=min_merge(["band_idx", "band_key"],
+                                            ["min_id"]),
+                         n_partitions=n_partitions, lineage=lineage)
         self.flags_dir = os.path.join(base_dir, "flags")
         self.id_col = id_col
         self.text_col = text_col
@@ -126,6 +142,14 @@ class BandStateNearDupSink(VersionedSnapshotSink):
 
     def _apply_batch(self, spark, batch, band_rows, batch_id: int) -> None:
         cs = self.cluster_sink
+        # one min-per-key aggregate serves the witness derivation, the
+        # flag rule AND the state delta; its keys also give the partition
+        # set every state read below is pruned to (bounded collect: at
+        # most n_partitions ints — partstore.pids_of's contract)
+        batch_min = band_rows.groupBy("band_idx", "band_key").agg(
+            F.min(self.id_col).alias("_bmin")
+        )
+        touched = self.pids_of(batch_min)
         if cs is not None and not cs.seen(batch_id):
             # Pair edges for the downstream cluster sink, derived from the
             # PRE-BATCH state VERSION — not the live state — so a crash
@@ -133,14 +157,15 @@ class BandStateNearDupSink(VersionedSnapshotSink):
             # edges (snapshot_init writes v0 empty and each applied batch
             # commits one version, so version b IS the state before batch
             # b, still addressable even after this sink committed b).
-            prior = self.read_version(spark, batch_id).select(
+            # Pruned to the batch's partitions: a witness for a batch key
+            # can only live where that key hashes.
+            prior = self.read_parts(spark, touched, version=batch_id).select(
                 "band_idx", "band_key", F.col("min_id").alias("_w")
             )
-            bmin = band_rows.groupBy("band_idx", "band_key").agg(
-                F.min(self.id_col).alias("_bm")
-            )
-            witness = bmin.join(prior, ["band_idx", "band_key"], "left").select(
-                "band_idx", "band_key", F.coalesce("_w", "_bm").alias("_w")
+            witness = batch_min.join(
+                prior, ["band_idx", "band_key"], "left"
+            ).select(
+                "band_idx", "band_key", F.coalesce("_w", "_bmin").alias("_w")
             )
             edges = (
                 band_rows.join(witness, ["band_idx", "band_key"])
@@ -165,14 +190,11 @@ class BandStateNearDupSink(VersionedSnapshotSink):
         # silently unseating the already-emitted holder — or a smaller id
         # claims the key within this batch. Under id-ordered replay this
         # equals the old merged-min rule (state ids are all smaller), so
-        # the batch oracle still holds for any split.
-        state = self.state(spark)
-        batch_min = band_rows.groupBy("band_idx", "band_key").agg(
-            F.min(self.id_col).alias("_bmin")
-        )
-        seen_before = state.select("band_idx", "band_key").withColumn(
-            "_prior", F.lit(True)
-        )
+        # the batch oracle still holds for any split. The membership probe
+        # reads only the batch's own partitions.
+        seen_before = self.read_parts(spark, touched).select(
+            "band_idx", "band_key"
+        ).withColumn("_prior", F.lit(True))
         flagged = (
             band_rows.join(batch_min, ["band_idx", "band_key"])
             .join(seen_before, ["band_idx", "band_key"], "left")
@@ -185,17 +207,6 @@ class BandStateNearDupSink(VersionedSnapshotSink):
                     ).cast("int")
                 ).alias("is_near_dup")
             )
-        )
-        # new state = min id per band key over state ∪ batch (computed
-        # from batch_min, not re-derived, so state and flags share work)
-        new_state = (
-            state.unionByName(
-                batch_min.select(
-                    "band_idx", "band_key", F.col("_bmin").alias("min_id")
-                )
-            )
-            .groupBy("band_idx", "band_key")
-            .agg(F.min("min_id").alias("min_id"))
         )
         # docs with too few tokens never produce band rows -> never dups
         out = (
@@ -213,10 +224,18 @@ class BandStateNearDupSink(VersionedSnapshotSink):
             .partitionBy("_bid")
             .parquet(self.flags_dir)
         )
-        self.commit_snapshot(new_state, batch_id)
+        # state delta = the batch's min per band key, O(|batch|) rows; the
+        # store's merge-on-read min-folds it against history — the full
+        # state table is never rewritten
+        self.commit_batch(
+            batch_min.select(
+                "band_idx", "band_key", F.col("_bmin").alias("min_id")
+            ),
+            batch_id,
+        )
 
 
-class SpanStateDedupSink(VersionedSnapshotSink):
+class SpanStateDedupSink(PartitionedSnapshotStore):
     """Streaming substring-level dedup (the streaming twin of
     ``textdedup.repeated_spans``): maintains window-hash -> canonical
     (min doc_id, pos) state and appends per-doc span-coverage flags for
@@ -240,18 +259,20 @@ class SpanStateDedupSink(VersionedSnapshotSink):
     State: one (wh, min_id, min_pos) row per distinct accepted window
     hash — bounded by distinct content, not stream volume (measured flat
     under 4× amplification, SCALE.md). Per-batch compute is the batch's
-    windows + one equi-join against state and one min-merge into it; in
-    this parquet-snapshot container the state file is rewritten per
-    commit (the same test-scale caveat as ``BandStateNearDupSink`` —
-    on a cluster the min-merge is a Delta MERGE against a table
-    partitioned by ``pmod(hash(wh), N)``, touching only the partitions
-    the batch's hashes land in). The corpus TEXT is never rescanned
-    either way.
+    windows + one equi-join against state pruned to the batch's hash
+    partitions; the commit appends only the batch's min-(id, pos) delta
+    (PartitionedSnapshotStore — the state table is never rewritten per
+    batch), and the corpus TEXT is never rescanned either way.
     """
 
     def __init__(self, base_dir: str, id_col: str, text_col: str,
-                 window_n: int = 20, lineage: str | None = None):
-        super().__init__(os.path.join(base_dir, "state"), lineage)
+                 window_n: int = 20, lineage: str | None = None,
+                 n_partitions: int = 8):
+        super().__init__(os.path.join(base_dir, "state"),
+                         key_cols=["wh"],
+                         merge_fn=min_struct_merge(["wh"],
+                                                   ["min_id", "min_pos"]),
+                         n_partitions=n_partitions, lineage=lineage)
         self.flags_dir = os.path.join(base_dir, "flags")
         self.id_col = id_col
         self.text_col = text_col
@@ -286,8 +307,8 @@ class SpanStateDedupSink(VersionedSnapshotSink):
         # hash arrived in an EARLIER batch (pre-state membership — a late
         # smaller id gets marked, it does not steal canonicity from an
         # already-emitted doc), or a smaller (id, pos) occurrence exists
-        # within this batch
-        state = self.state(spark)
+        # within this batch. The membership probe reads only the
+        # partitions the batch's hashes land in (bounded pid collect).
         batch_canon = wh.groupBy("wh").agg(
             F.min(
                 F.struct(
@@ -296,7 +317,10 @@ class SpanStateDedupSink(VersionedSnapshotSink):
                 )
             ).alias("_bc")
         )
-        seen_before = state.select("wh").withColumn("_prior", F.lit(True))
+        touched = self.pids_of(batch_canon)
+        seen_before = self.read_parts(spark, touched).select(
+            "wh"
+        ).withColumn("_prior", F.lit(True))
         marked = (
             wh.join(batch_canon, "wh")
             .join(seen_before, "wh", "left")
@@ -333,30 +357,24 @@ class SpanStateDedupSink(VersionedSnapshotSink):
                 F.lit(batch_id).alias("_bid"),
             )
         )
-        # new state = min-(id, pos) merge of state ∪ batch canon; computed
-        # AFTER flags so the plan evaluates once, in commit_snapshot
-        new_state = (
-            state.unionByName(
-                batch_canon.select(
-                    "wh", F.col("_bc.min_id"), F.col("_bc.min_pos")
-                )
-            )
-            .groupBy("wh")
-            .agg(F.min(F.struct("min_id", "min_pos")).alias("_c"))
-            .select("wh", F.col("_c.min_id"), F.col("_c.min_pos"))
-        )
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_bid")
             .parquet(self.flags_dir)
         )
-        self.commit_snapshot(new_state, batch_id)
+        # state delta = the batch's canonical (id, pos) per window hash —
+        # O(|batch|) rows; the store min-struct-folds it on read, so the
+        # accumulated state is never rewritten per commit
+        self.commit_batch(
+            batch_canon.select("wh", F.col("_bc.min_id"), F.col("_bc.min_pos")),
+            batch_id,
+        )
 
 
 # --- generic keyed-state near-dup flagging (SimHash / embedding twins) ----
 
-class KeyStateNearDupSink(VersionedSnapshotSink):
+class KeyStateNearDupSink(PartitionedSnapshotStore):
     """First-arrival near-dup flagging over an ARBITRARY key derivation —
     the generalization that gives the OTHER dedup families their
     streaming twins (the MinHash band family keeps its dedicated
@@ -376,12 +394,16 @@ class KeyStateNearDupSink(VersionedSnapshotSink):
 
     Scale shape is the band sink's too: state is O(distinct keys), the
     per-batch work is one groupBy over the batch's keys + one equi-join
-    against state — never a corpus scan.
+    against state pruned to the batch's hash partitions — never a corpus
+    scan; commits append O(|batch|) deltas (PartitionedSnapshotStore).
     """
 
     def __init__(self, base_dir: str, id_col: str, key_rows_fn,
-                 lineage: str | None = None):
-        super().__init__(os.path.join(base_dir, "state"), lineage)
+                 lineage: str | None = None, n_partitions: int = 8):
+        super().__init__(os.path.join(base_dir, "state"),
+                         key_cols=["key"],
+                         merge_fn=min_merge(["key"], ["min_id"]),
+                         n_partitions=n_partitions, lineage=lineage)
         self.flags_dir = os.path.join(base_dir, "flags")
         self.id_col = id_col
         self.key_rows_fn = key_rows_fn
@@ -402,9 +424,11 @@ class KeyStateNearDupSink(VersionedSnapshotSink):
             return
         spark = batch.sparkSession
         kr = self.key_rows_fn(batch).select(self.id_col, "key")
-        state = self.state(spark)
         batch_min = kr.groupBy("key").agg(F.min(self.id_col).alias("_bmin"))
-        seen_before = state.select("key").withColumn("_prior", F.lit(True))
+        touched = self.pids_of(batch_min)
+        seen_before = self.read_parts(spark, touched).select(
+            "key"
+        ).withColumn("_prior", F.lit(True))
         flagged = (
             kr.join(batch_min, "key")
             .join(seen_before, "key", "left")
@@ -417,13 +441,6 @@ class KeyStateNearDupSink(VersionedSnapshotSink):
                     ).cast("int")
                 ).alias("is_near_dup")
             )
-        )
-        new_state = (
-            state.unionByName(
-                batch_min.select("key", F.col("_bmin").alias("min_id"))
-            )
-            .groupBy("key")
-            .agg(F.min("min_id").alias("min_id"))
         )
         out = (
             batch.select(self.id_col)
@@ -440,7 +457,10 @@ class KeyStateNearDupSink(VersionedSnapshotSink):
             .partitionBy("_bid")
             .parquet(self.flags_dir)
         )
-        self.commit_snapshot(new_state, batch_id)
+        # state delta = the batch's min id per key, min-merged on read
+        self.commit_batch(
+            batch_min.select("key", F.col("_bmin").alias("min_id")), batch_id
+        )
 
 
 def simhash_band_keys(id_col: str, text_col: str):

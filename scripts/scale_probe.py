@@ -65,7 +65,7 @@ def main() -> int:
     from flinkrealtimedatawarehouse_spark.tables import load_table
 
     sweeps = {"batch", "cep", "sinks", "funnel", "scd2topk", "spans", "spansink",
-              "dp3cap", "sindexcost", "dp19", "clupkeep"}
+              "dp3cap", "sindexcost", "dp19", "clupkeep", "incrsnap", "dagsoak"}
     args = sys.argv[1:]
     sf = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
     picked = {a for a in args if a in sweeps} or sweeps
@@ -200,16 +200,36 @@ def main() -> int:
         for variant, d in (("grow", amplify_grow(docs, "doc_id", m)),
                            ("inflate", amplify(docs, "doc_id", m))):
             t0 = time.time()
-            n_sh = textdedup.simhash_near_dups(
+            pairs_sh = textdedup.simhash_near_dups(
                 d, "doc_id", "text", max_hamming=6, hot_bucket_cap=sh_cap
-            ).count()
+            ).persist()
+            n_sh = pairs_sh.count()
             t_sh = time.time() - t0
-            sh_sizes = (
-                textdedup._simhash_band_rows(
-                    textdedup.simhash(d, "doc_id", "text"), "doc_id"
-                ).groupBy("band_idx", "band_val").agg(F.count(F.lit(1)).alias("c"))
+            br = textdedup._simhash_band_rows(
+                textdedup.simhash(d, "doc_id", "text"), "doc_id"
+            )
+            sh_sizes = br.groupBy("band_idx", "band_val").agg(
+                F.count(F.lit(1)).alias("c")
             )
             sh_k, sh_d, sh_f = _cand_split(sh_sizes, sh_cap)
+            # residue accounting (r12 task #5): docs hot in EVERY band
+            # whose chained witness pairs all fail the Hamming verify —
+            # the accounted recall floor of the rotation design. Measured
+            # per multiple so "the floor is a fixed fraction of the
+            # all-hot mass, not a growing set" is data, not extrapolation.
+            all_hot = (
+                br.join(sh_sizes, ["band_idx", "band_val"])
+                .groupBy("doc_id").agg(F.min("c").alias("_minc"))
+                .filter(F.col("_minc") > sh_cap).select("doc_id")
+            )
+            paired = (
+                pairs_sh.select(F.col("id_a").alias("doc_id"))
+                .unionByName(pairs_sh.select(F.col("id_b").alias("doc_id")))
+                .distinct()
+            )
+            n_allhot = all_hot.count()
+            n_res = all_hot.join(paired, "doc_id", "left_anti").count()
+            pairs_sh.unpersist()
 
             t0 = time.time()
             n_mh = textdedup.minhash_near_dups(
@@ -225,7 +245,9 @@ def main() -> int:
             mh_k, mh_d, mh_f = _cand_split(mh_sizes, mh_cap)
             print(
                 f"x{m} dp3cap[{variant}]: simhash={t_sh:.1f}s ({n_sh} pairs, "
-                f"kept {sh_k} / dropped<= {sh_d}, {sh_f:.1%}) "
+                f"kept {sh_k} / dropped<= {sh_d}, {sh_f:.1%}, "
+                f"allhot={n_allhot} residue={n_res} "
+                f"[{n_res / max(n_allhot, 1):.2%}]) "
                 f"minhash={t_mh:.1f}s ({n_mh} pairs, kept {mh_k} / "
                 f"dropped<= {mh_d}, {mh_f:.1%})",
                 flush=True,
@@ -292,11 +314,11 @@ def main() -> int:
     # corpus's real near-dup pairs through ClusterUpkeepSink as N equal
     # batches, timing EACH write_batch. The design claim is two-part:
     # contraction keeps the CC work O(|batch| + touched clusters) — no
-    # recompute over accumulated pairs — while the snapshot REWRITE is
-    # O(|label table|) per batch (the running-table class shared with the
-    # K4 additive folds). So per-batch wall should rise gently with the
-    # growing label table and scale with pair mass across multiples —
-    # a superlinear rise within one run would expose a hidden
+    # recompute over accumulated pairs — and (round 12) the commit writes
+    # only the batch's CHANGED label rows as a delta into the partitioned
+    # store, so per-batch wall should stay flat-to-gentle as the label
+    # table grows and scale with pair mass across multiples — a
+    # superlinear rise within one run would expose a hidden
     # O(accumulated-pairs) term the contraction exists to avoid.
     for m in (multiples if want("clupkeep") else []):
         from flinkrealtimedatawarehouse_spark.streaming.clusters import ClusterUpkeepSink
@@ -466,6 +488,112 @@ def main() -> int:
         print(
             f"x{m} neardup_ingest={t_nd:.1f}s ({n_state} band keys, {n_dup} dups) "
             f"mg_heavyhitters={t_mg:.1f}s (state {mg.current(spark).count()} rows)",
+            flush=True,
+        )
+
+    # round-12 write-volume probe: the PartitionedSnapshotStore's claim is
+    # per-batch write bytes ~ O(|delta|), never O(|state|). Drive the band
+    # sink 16 batches; per batch, record the bytes the commit actually
+    # wrote (delta + any fold runs, straight from the manifest) against
+    # an A/B measurement of what the OLD backend paid: the full merged
+    # state, written once to a scratch dir (excluded from the sink wall).
+    def _manifest_run_bytes(sink, prefix):
+        man = sink._load_manifest(sink.version)
+        name = f"{prefix}{sink.version:06d}"
+        return sum(r["b"] for runs in man.values() for r in runs
+                   if r["n"] == name)
+
+    def _dir_bytes(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f_ in files:
+                total += os.path.getsize(os.path.join(root, f_))
+        return total
+
+    for m in (multiples if want("incrsnap") else []):
+        d = amplify(docs, "doc_id", m).select("doc_id", "text")
+        nd = neardup.BandStateNearDupSink(
+            srunner.scratch_dir(f"probe_is_x{m}"), "doc_id", "text"
+        )
+        nd.init(spark)
+        recs = []
+
+        def _w(b, i):
+            t0 = time.time()
+            nd.write_batch(b, i)
+            wall = time.time() - t0
+            db = _manifest_run_bytes(nd, "d")
+            fb = _manifest_run_bytes(nd, "f")
+            # old-backend A/B: a full merged-state rewrite, timed apart
+            rw_dir = srunner.scratch_dir(f"probe_is_rw_x{m}_{i}")
+            t1 = time.time()
+            nd.current(spark).write.mode("overwrite").parquet(rw_dir)
+            rw_wall = time.time() - t1
+            recs.append((i, wall, db, fb, nd.state_bytes(),
+                         _dir_bytes(rw_dir), rw_wall))
+
+        drive_batches(_w, d, "doc_id", n=16)
+        print(f"x{m} incrsnap (16 batches, band sink): "
+              "bid wall deltaKB foldKB stateKB oldRewriteKB oldRewriteWall",
+              flush=True)
+        for i, wall, db, fb, sb, rwb, rww in recs:
+            print(
+                f"x{m} incrsnap b{i}: {wall:.1f}s d={db/1024:.0f} "
+                f"f={fb/1024:.0f} state={sb/1024:.0f} "
+                f"old={rwb/1024:.0f} oldwall={rww:.1f}s",
+                flush=True,
+            )
+
+    # round-12 composed-DAG soak (VERDICT r12 task #2): the detector +
+    # cluster-upkeep DAG driven DEEP (64 batches) at amplified scale — the
+    # state-accumulation regime where the old backend's O(|state|)
+    # rewrite term had to show. Per-batch wall plus both sinks' per-batch
+    # write bytes; the claim under the incremental store is wall and
+    # bytes flat-to-gentle from b0 to b63.
+    for m in (multiples if want("dagsoak") else []):
+        from flinkrealtimedatawarehouse_spark.streaming.clusters import ClusterUpkeepSink
+
+        n_b = 64
+        d = amplify(docs, "doc_id", m).select("doc_id", "text")
+        cl = ClusterUpkeepSink(srunner.scratch_dir(f"probe_ds_cl_x{m}"), "doc_id")
+        nd = neardup.BandStateNearDupSink(
+            srunner.scratch_dir(f"probe_ds_nd_x{m}"), "doc_id", "text",
+            cluster_sink=cl,
+        )
+        nd.init(spark)
+        recs = []
+
+        def _w(b, i):
+            t0 = time.time()
+            nd.write_batch(b, i)
+            recs.append((
+                time.time() - t0,
+                _manifest_run_bytes(nd, "d") + _manifest_run_bytes(nd, "f"),
+                (_manifest_run_bytes(cl, "d") + _manifest_run_bytes(cl, "f"))
+                if cl.version >= 0 else 0,
+            ))
+
+        drive_batches(_w, d, "doc_id", n=n_b)
+        walls = [r[0] for r in recs]
+        n_lab = cl.current(spark).count()
+        n_state = nd.state(spark).count()
+        print(
+            f"x{m} dagsoak ({n_b} batches, {base_n * m} docs -> "
+            f"{n_state} band keys, {n_lab} labels): "
+            + " ".join(f"b{i}={t:.1f}s" for i, t in enumerate(walls)),
+            flush=True,
+        )
+        print(
+            f"x{m} dagsoak bytes/batch (band+cluster KB): "
+            + " ".join(f"b{i}={(r[1] + r[2]) / 1024:.0f}"
+                       for i, r in enumerate(recs)),
+            flush=True,
+        )
+        q = sorted(walls)
+        print(
+            f"x{m} dagsoak wall quartiles: first4={sum(walls[:4]) / 4:.1f}s "
+            f"last4={sum(walls[-4:]) / 4:.1f}s median={q[len(q) // 2]:.1f}s "
+            f"max={q[-1]:.1f}s",
             flush=True,
         )
 

@@ -686,6 +686,48 @@ def test_compaction_crash_before_marker_is_invisible(spark, tmp_path):
     assert [tuple(r) for r in got2] == [tuple(r) for r in expect2]
 
 
+def test_compaction_read_raced_by_concurrent_fold_retries_clean(spark, tmp_path):
+    """The documented reader hazard (compaction.py "Reader hazard"): a
+    query PLANNED over tail directories that a concurrent minor fold
+    deletes mid-read fails at execution and must succeed on retry with
+    exactly the pinned answer. The race is driven deterministically:
+    Spark lists parquet files when the DataFrame is created, so holding a
+    pre-fold plan across ``maybe_compact`` (via the 6th write_batch that
+    trips the policy) IS the planned-then-deleted interleaving."""
+    from flinkrealtimedatawarehouse_spark.streaming.searchindex import (
+        PostingsIndexSink,
+    )
+
+    rows = [(i, "alpha beta" if i % 2 else "gamma zeta") for i in range(24)]
+    idx = str(tmp_path / "rrace")
+    sink = PostingsIndexSink(
+        idx, "doc_id", "text", n_buckets=4,
+        compact_every=4, keep_recent=2, max_chunks=3,
+    )
+    docs = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        rows[lo:hi], "doc_id long, text string")
+    for bid in range(5):  # one short of the fold trigger
+        sink.write_batch(docs(bid * 4, bid * 4 + 4), bid)
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    pinned = canon(sink.store.read(spark))
+    stale = sink.store.read(spark)  # plan NOW: file listing captures the
+    # 5 tail dirs that the fold below is about to delete
+    sink.write_batch(docs(20, 24), 5)  # 6th batch -> minor fold fires
+    st = sink.store._load()
+    assert st["folded_through"] == 3 and st["chunks"]  # batches 0-3 folded
+    with pytest.raises(Exception, match="(?i)file|path|exist"):
+        stale.count()  # the raced read fails, it does not undercount
+    # the retry re-plans from the marker (chunks + surviving tail) and
+    # returns the pinned rows plus exactly the new batch
+    fresh = sink.store.read(spark)
+    new_rows = canon(sink.store.read(spark).filter(F.col("batch") == 5))
+    assert canon(fresh) == sorted(pinned + new_rows)
+
+
 def test_compaction_respects_writer_fence(spark, tmp_path):
     """A fenced (superseded) postings writer must not compact: the
     marker commit re-checks the owning stats sink's fence and raises

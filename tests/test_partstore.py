@@ -1,0 +1,308 @@
+"""PartitionedSnapshotStore contract tests: the incremental (MERGE-backed)
+snapshot backend that replaced full-table rewrites for the keyed-state
+sinks (streaming/partstore.py). Covers the delta-commit/merge-on-read
+algebra, as-of manifests, size-tiered folds, reference-based vacuum, the
+replay/fence guards, and the crash windows specific to the new layout:
+between run renames and the manifest write, and between the manifest
+write and the marker commit (both orders the r11 verdict demanded)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flinkrealtimedatawarehouse_spark.streaming.partstore import (
+    PartitionedSnapshotStore,
+    latest_wins,
+    min_merge,
+)
+
+
+def _store(base, merge=None, **kw):
+    kw.setdefault("n_partitions", 4)
+    kw.setdefault("max_runs", 3)
+    return PartitionedSnapshotStore(
+        base, key_cols=["k"], merge_fn=merge or min_merge(["k"], ["v"]), **kw
+    )
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long")
+
+
+def _init(spark, s):
+    s.snapshot_init(_kv(spark, []))
+    return s
+
+
+def _state(spark, s, version=None):
+    df = s.current(spark) if version is None else s.read_version(spark, version)
+    return {r.k: r.v for r in df.collect()}
+
+
+def test_commit_and_min_merge_roundtrip(spark, tmp_path):
+    s = _init(spark, _store(str(tmp_path / "s")))
+    s.commit_batch(_kv(spark, [("a", 5), ("b", 2)]), 0)
+    s.commit_batch(_kv(spark, [("a", 3), ("c", 9)]), 1)
+    s.commit_batch(_kv(spark, [("a", 7), ("b", 1)]), 2)  # a=7 loses to 3
+    assert _state(spark, s) == {"a": 3, "b": 1, "c": 9}
+    # as-of: each version is the min-merge of the delta prefix
+    assert _state(spark, s, 0) == {}
+    assert _state(spark, s, 1) == {"a": 5, "b": 2}
+    assert _state(spark, s, 2) == {"a": 3, "b": 2, "c": 9}
+    assert s.versions() == [0, 1, 2, 3]
+    with pytest.raises(ValueError, match="not available"):
+        s.read_version(spark, 4)
+
+
+def test_latest_wins_merge_is_order_free(spark, tmp_path):
+    s = _init(spark, _store(str(tmp_path / "lw"), merge=latest_wins(["k"], ["v"])))
+    s.commit_batch(_kv(spark, [("a", 1), ("b", 1)]), 0)
+    s.commit_batch(_kv(spark, [("a", 2)]), 1)
+    s.commit_batch(_kv(spark, [("a", 3), ("c", 1)]), 2)
+    assert _state(spark, s) == {"a": 3, "b": 1, "c": 1}
+    assert _state(spark, s, 2) == {"a": 2, "b": 1}
+    # upsert to a SMALLER value must still win (not min semantics)
+    s.commit_batch(_kv(spark, [("c", 0)]), 3)
+    assert _state(spark, s)["c"] == 0
+
+
+def test_write_volume_is_delta_not_state(spark, tmp_path):
+    """The r11 verdict's acceptance shape: per-commit write bytes track
+    the delta, never the accumulated state. Build up a state ~40x one
+    batch; the next same-sized delta's write bytes must stay a small
+    fraction of state bytes (fold commits are the amortized exception
+    and are reported separately)."""
+    s = _init(spark, _store(str(tmp_path / "wv"), max_runs=64))
+    rows = lambda b: [(f"k{b}_{i}", i) for i in range(50)]  # noqa: E731
+    stats = [s.commit_batch(_kv(spark, rows(b)), b) for b in range(8)]
+    state_bytes = s.state_bytes()
+    last = stats[-1]
+    assert last["fold_bytes"] == 0  # max_runs high: no fold in this test
+    assert last["delta_bytes"] < state_bytes / 4
+    # delta bytes are flat across commits while state grows monotonically
+    sizes = [st["delta_bytes"] for st in stats]
+    assert max(sizes) < 2 * min(sizes)
+
+
+def test_fold_bounds_runs_and_preserves_reads(spark, tmp_path):
+    s = _init(spark, _store(str(tmp_path / "fold"), n_partitions=2, max_runs=3))
+    want: dict[str, int] = {}
+    per_version = []
+    for b in range(10):
+        delta = [(f"k{i}", b * 10 + i) for i in range(6)]  # overlapping keys
+        for k, v in delta:
+            want[k] = min(want.get(k, 1 << 60), v)
+        s.commit_batch(_kv(spark, delta), b)
+        per_version.append(dict(want))
+    # run counts bounded by the fold policy in the CURRENT manifest
+    parts = s._load_manifest(s.version)
+    assert parts and all(len(runs) <= s.max_runs for runs in parts.values())
+    assert _state(spark, s) == want
+    # every as-of read still equals the prefix min-merge (folds rewrote
+    # the current manifest only; history reads old runs)
+    for b in range(10):
+        assert _state(spark, s, b + 1) == per_version[b], b
+
+
+def test_vacuum_reference_gc(spark, tmp_path):
+    s = _init(spark, _store(str(tmp_path / "vac"), max_runs=10))
+    for b in range(6):
+        s.commit_batch(_kv(spark, [(f"k{b}", b)]), b)
+    full = _state(spark, s)
+    removed = s.vacuum(keep_last=2)
+    # early delta runs are still referenced by the RETAINED manifests
+    # (nothing folded), so nothing may be deleted
+    assert removed == []
+    assert s.versions() == [5, 6]
+    with pytest.raises(ValueError, match="not available"):
+        s.read_version(spark, 4)
+    assert _state(spark, s) == full
+    # manifests below the horizon are gone
+    assert not os.path.exists(s._manifest_path(0))
+
+
+def test_vacuum_collects_folded_away_runs(spark, tmp_path):
+    s = _init(spark, _store(str(tmp_path / "vacf"), n_partitions=1, max_runs=2))
+    for b in range(6):  # folds fire repeatedly at max_runs=2
+        s.commit_batch(_kv(spark, [(f"k{b}", b), ("shared", b)]), b)
+    full = _state(spark, s)
+    assert s.vacuum(keep_last=1)  # old manifests drop -> folded-away runs GC
+    assert _state(spark, s) == full
+    # only the current manifest's runs survive on disk
+    live = {os.path.basename(p) for p in s._run_paths(s.version)}
+    on_disk = set(os.listdir(os.path.join(str(tmp_path / "vacf"), "p0000")))
+    assert on_disk == live
+
+
+def test_replay_guard_and_empty_delta_version(spark, tmp_path):
+    s = _init(spark, _store(str(tmp_path / "rg")))
+    s.commit_batch(_kv(spark, [("a", 1)]), 0)
+    assert s.seen(0)
+    # an empty delta still advances exactly one version (batch<->version
+    # bookkeeping must not skid on quiet batches)
+    v = s.version
+    s.commit_batch(_kv(spark, []), 1)
+    assert s.version == v + 1 and s.seen(1)
+    assert _state(spark, s) == {"a": 1}
+
+
+def test_restart_recovers_and_layout_params_are_pinned(spark, tmp_path):
+    base = str(tmp_path / "re")
+    s = _init(spark, _store(base))
+    s.commit_batch(_kv(spark, [("a", 1)]), 0)
+    s2 = _store(base)
+    assert s2.version == s.version and s2.last_bid == 0
+    assert _state(spark, s2) == {"a": 1}
+    with pytest.raises(ValueError, match="n_partitions"):
+        PartitionedSnapshotStore(base, key_cols=["k"],
+                                 merge_fn=min_merge(["k"], ["v"]),
+                                 n_partitions=16)
+    with pytest.raises(ValueError, match="keyed on"):
+        PartitionedSnapshotStore(base, key_cols=["other"],
+                                 merge_fn=min_merge(["other"], ["v"]),
+                                 n_partitions=4)
+
+
+def test_commit_snapshot_is_a_contract_error(spark, tmp_path):
+    s = _init(spark, _store(str(tmp_path / "cs")))
+    with pytest.raises(TypeError, match="commit_batch"):
+        s.commit_snapshot(_kv(spark, [("a", 1)]), 0)
+
+
+def test_read_parts_prunes_to_key_partitions(spark, tmp_path):
+    s = _init(spark, _store(str(tmp_path / "rp"), n_partitions=8))
+    rows = [(f"k{i}", i) for i in range(40)]
+    s.commit_batch(_kv(spark, rows), 0)
+    probe = _kv(spark, rows[:3])
+    pids = s.pids_of(probe)
+    assert 0 < len(pids) <= 8
+    got = {r.k for r in s.read_parts(spark, pids).collect()}
+    # the probed keys are all present, and the read really pruned:
+    # only the probed partitions' rows came back
+    assert {"k0", "k1", "k2"} <= got
+    full = {r.k for r in s.current(spark).collect()}
+    if len(pids) < 8:
+        assert got < full
+
+
+# --- crash windows ---------------------------------------------------------
+
+
+class _Crash(Exception):
+    pass
+
+
+def _arm(obj, attr):
+    orig = getattr(obj, attr)
+    armed = {"on": True}
+
+    def crashing(*a, **kw):
+        if armed["on"]:
+            armed["on"] = False
+            raise _Crash(f"died inside {attr}")
+        return orig(*a, **kw)
+
+    setattr(obj, attr, crashing)
+
+
+def test_crash_between_manifest_and_marker_replays_clean(spark, tmp_path):
+    """The widest window: runs + manifest landed, marker did not. The
+    restart must expose the PREVIOUS version; the redelivery must land
+    the batch exactly once, overwriting the orphaned run dirs."""
+    base = str(tmp_path / "cmm")
+    s = _init(spark, _store(base))
+    s.commit_batch(_kv(spark, [("a", 5)]), 0)
+    _arm(s, "_commit")
+    with pytest.raises(_Crash):
+        s.commit_batch(_kv(spark, [("a", 9), ("b", 2)]), 1)
+    s2 = _store(base)  # restart
+    assert s2.version == 1  # crashed commit invisible
+    assert _state(spark, s2) == {"a": 5}
+    s2.commit_batch(_kv(spark, [("a", 9), ("b", 2)]), 1)  # redeliver
+    assert _state(spark, s2) == {"a": 5, "b": 2}
+    assert s2.version == 2
+
+
+def test_crash_between_renames_and_manifest_replays_clean(spark, tmp_path):
+    """The OTHER order: run dirs published, manifest never written. The
+    orphan runs are unreferenced by every manifest; the replay overwrites
+    them in place (fence-checked rmtree+rename)."""
+    base = str(tmp_path / "crm")
+    s = _init(spark, _store(base))
+    s.commit_batch(_kv(spark, [("a", 5)]), 0)
+    _arm(s, "_write_manifest")
+    with pytest.raises(_Crash):
+        s.commit_batch(_kv(spark, [("b", 2)]), 1)
+    # orphaned d000002 run dirs exist but no manifest references them
+    orphans = [
+        os.path.join(r, d)
+        for r, dirs, _ in os.walk(base)
+        for d in dirs
+        if d == "d000002"
+    ]
+    assert orphans
+    s2 = _store(base)
+    assert s2.version == 1 and _state(spark, s2) == {"a": 5}
+    s2.commit_batch(_kv(spark, [("b", 2)]), 1)
+    assert _state(spark, s2) == {"a": 5, "b": 2}
+
+
+def test_crash_in_stage_write_is_swept_on_reclaim(spark, tmp_path):
+    base = str(tmp_path / "csw")
+    s = _init(spark, _store(base))
+    # fake a dead writer's stage residue
+    residue = os.path.join(base, f"delta1.stage-{'0' * 32}")
+    os.makedirs(residue)
+    s2 = _store(base)  # new claimant sweeps .stage- residue
+    assert not os.path.exists(residue)
+    s2.commit_batch(_kv(spark, [("a", 1)]), 0)
+    assert _state(spark, s2) == {"a": 1}
+
+
+def test_fold_crash_before_manifest_rewrite_changes_nothing(spark, tmp_path):
+    """A fold that dies after writing folded runs but before the manifest
+    rewrite must leave reads bit-identical; the orphan folded runs are
+    unreferenced and vacuum sweeps them."""
+    base = str(tmp_path / "fcr")
+    s = _init(spark, _store(base, n_partitions=1, max_runs=2))
+    s.commit_batch(_kv(spark, [("a", 1)]), 0)
+    s.commit_batch(_kv(spark, [("b", 2)]), 1)
+    # next commit exceeds max_runs -> fold fires; crash its manifest write
+    # (the commit's own manifest write happens FIRST and must survive, so
+    # arm after it: patch _write_manifest to crash only on the 2nd call)
+    orig = s._write_manifest
+    calls = {"n": 0}
+
+    def crash_second(v, parts):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise _Crash("died in fold manifest rewrite")
+        return orig(v, parts)
+
+    s._write_manifest = crash_second
+    with pytest.raises(_Crash):
+        s.commit_batch(_kv(spark, [("c", 3)]), 2)
+    s2 = _store(base, n_partitions=1, max_runs=2)
+    # the COMMIT landed (marker written before the fold runs); only the
+    # fold was lost — state complete, orphan folded run swept by vacuum
+    assert s2.version == 3
+    assert _state(spark, s2) == {"a": 1, "b": 2, "c": 3}
+    removed = s2.vacuum(keep_last=10)  # horizon keeps everything referenced
+    assert any("f0000" in p for p in removed)
+    assert _state(spark, s2) == {"a": 1, "b": 2, "c": 3}
+
+
+def test_fenced_writer_cannot_commit(spark, tmp_path):
+    base = str(tmp_path / "fw")
+    s = _init(spark, _store(base))
+    s.commit_batch(_kv(spark, [("a", 1)]), 0)
+    s2 = _store(base)  # claims the dir; s is fenced
+    with pytest.raises(RuntimeError, match="claimed by another writer"):
+        s.commit_batch(_kv(spark, [("b", 2)]), 1)
+    s2.commit_batch(_kv(spark, [("b", 2)]), 1)
+    assert _state(spark, s2) == {"a": 1, "b": 2}

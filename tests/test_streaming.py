@@ -1580,8 +1580,9 @@ def test_cluster_upkeep_cross_batch_merges_and_as_of(spark, tmp_path):
     """Hand-driven batches exercising every interesting transition:
     disjoint clusters forming, a later edge merging two existing clusters
     (members of the absorbed cluster must follow their representative),
-    and a second merge chaining through. read_version(b) must equal a
-    batch CC over the pair PREFIX through batch b (version == batch id)."""
+    and a second merge chaining through. clusters(as_of_batch=b) must
+    equal a batch CC over the pair PREFIX through batch b (version 0 is
+    the empty init, so batch b's post-state is version b+1)."""
     from flinkrealtimedatawarehouse_spark.streaming.clusters import ClusterUpkeepSink
 
     batches = [
@@ -1598,7 +1599,7 @@ def test_cluster_upkeep_cross_batch_merges_and_as_of(spark, tmp_path):
             spark.createDataFrame(pb, "id_a long, id_b long"), bid
         )
         prefix.extend(pb)
-        assert sink.version == bid  # one snapshot version per applied batch
+        assert sink.version == bid + 1  # one version per applied batch (+v0 init)
     # final state
     got = {r["doc_id"]: r["cluster"] for r in sink.clusters(spark).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1}
