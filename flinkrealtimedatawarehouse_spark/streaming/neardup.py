@@ -145,10 +145,21 @@ class BandStateNearDupSink(PartitionedSnapshotStore):
         # one min-per-key aggregate serves the witness derivation, the
         # flag rule AND the state delta; its keys also give the partition
         # set every state read below is pruned to (bounded collect: at
-        # most n_partitions ints — partstore.pids_of's contract)
+        # most n_partitions ints — partstore.pids_of's contract). Persist:
+        # the pid collect, flag join, witness join and delta write are
+        # four actions over it.
         batch_min = band_rows.groupBy("band_idx", "band_key").agg(
             F.min(self.id_col).alias("_bmin")
         )
+        batch_min.persist()
+        try:
+            self._apply_batch_inner(spark, batch, band_rows, batch_min, batch_id)
+        finally:
+            batch_min.unpersist()
+
+    def _apply_batch_inner(self, spark, batch, band_rows, batch_min,
+                           batch_id: int) -> None:
+        cs = self.cluster_sink
         touched = self.pids_of(batch_min)
         if cs is not None and not cs.seen(batch_id):
             # Pair edges for the downstream cluster sink, derived from the
@@ -317,6 +328,16 @@ class SpanStateDedupSink(PartitionedSnapshotStore):
                 )
             ).alias("_bc")
         )
+        # persisted: the pid collect, the marking join and the delta
+        # commit are three actions over the (distinct-hash-sized) canon
+        batch_canon.persist()
+        try:
+            self._mark_and_commit(spark, base, wh, batch_canon, batch_id)
+        finally:
+            batch_canon.unpersist()
+
+    def _mark_and_commit(self, spark, base, wh, batch_canon,
+                         batch_id: int) -> None:
         touched = self.pids_of(batch_canon)
         seen_before = self.read_parts(spark, touched).select(
             "wh"
@@ -425,6 +446,17 @@ class KeyStateNearDupSink(PartitionedSnapshotStore):
         spark = batch.sparkSession
         kr = self.key_rows_fn(batch).select(self.id_col, "key")
         batch_min = kr.groupBy("key").agg(F.min(self.id_col).alias("_bmin"))
+        # persisted: the key derivation can be CPU-dense (SimHash family),
+        # and the pid collect, flag join and delta commit are three
+        # actions over this aggregate
+        batch_min.persist()
+        try:
+            self._flag_and_commit(spark, batch, kr, batch_min, batch_id)
+        finally:
+            batch_min.unpersist()
+
+    def _flag_and_commit(self, spark, batch, kr, batch_min,
+                         batch_id: int) -> None:
         touched = self.pids_of(batch_min)
         seen_before = self.read_parts(spark, touched).select(
             "key"
