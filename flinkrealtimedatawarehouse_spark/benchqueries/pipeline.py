@@ -313,21 +313,46 @@ bsz AS (
 bdc AS (
   SELECT bd.* FROM bd JOIN bsz USING (band_idx, band_val) WHERE bsz.c <= {_SH_CAP}
 ),
+-- over-cap bucket members with their second-band STRATUM (the 8-bit
+-- slice at band_idx+1 of the member's own simhash), mirroring
+-- textdedup.simhash_near_dups's stratified hot branch
+bdh AS (
+  SELECT bd.*, bsz.rep_id, bsz.rep_sim,
+         (bd.simhash >> (8 * ((bd.band_idx + 1) % 4))) & 255 AS strat
+  FROM bd JOIN bsz USING (band_idx, band_val)
+  WHERE bsz.c > {_SH_CAP}
+),
+srep AS (
+  SELECT band_idx, band_val, strat,
+         min(doc_id) AS sid, arg_min(simhash, doc_id) AS ssim,
+         any_value(rep_id) AS rep_id, any_value(rep_sim) AS rep_sim
+  FROM bdh GROUP BY 1, 2, 3
+),
 cd AS (
   SELECT DISTINCT * FROM (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
     FROM bdc a JOIN bdc b
       ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     UNION ALL
-    -- over-cap buckets: representative chaining (member vs the rotating
-    -- rep: min id on even bands, max id on odd; sa stays the simhash OF
-    -- id_a), mirroring textdedup.simhash_near_dups's hot branch
-    SELECT least(bd.doc_id, bsz.rep_id) AS id_a,
-           greatest(bd.doc_id, bsz.rep_id) AS id_b,
-           CASE WHEN bd.doc_id < bsz.rep_id THEN bd.simhash ELSE bsz.rep_sim END AS sa,
-           CASE WHEN bd.doc_id < bsz.rep_id THEN bsz.rep_sim ELSE bd.simhash END AS sb
-    FROM bd JOIN bsz USING (band_idx, band_val)
-    WHERE bsz.c > {_SH_CAP} AND bd.doc_id <> bsz.rep_id
+    -- hot: member vs the rotating bucket rep (min id on even bands, max
+    -- id on odd; sa stays the simhash OF id_a)
+    SELECT least(doc_id, rep_id), greatest(doc_id, rep_id),
+           CASE WHEN doc_id < rep_id THEN simhash ELSE rep_sim END,
+           CASE WHEN doc_id < rep_id THEN rep_sim ELSE simhash END
+    FROM bdh WHERE doc_id <> rep_id
+    UNION ALL
+    -- hot: member vs its stratum's min-id rep (content-coherent witness)
+    SELECT least(bdh.doc_id, srep.sid), greatest(bdh.doc_id, srep.sid),
+           CASE WHEN bdh.doc_id < srep.sid THEN bdh.simhash ELSE srep.ssim END,
+           CASE WHEN bdh.doc_id < srep.sid THEN srep.ssim ELSE bdh.simhash END
+    FROM bdh JOIN srep USING (band_idx, band_val, strat)
+    WHERE bdh.doc_id <> srep.sid
+    UNION ALL
+    -- hot: stratum reps chain to the bucket rep (connectivity)
+    SELECT least(sid, rep_id), greatest(sid, rep_id),
+           CASE WHEN sid < rep_id THEN ssim ELSE rep_sim END,
+           CASE WHEN sid < rep_id THEN rep_sim ELSE ssim END
+    FROM srep WHERE sid <> rep_id
   )
 )
 SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming

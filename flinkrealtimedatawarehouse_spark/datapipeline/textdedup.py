@@ -379,7 +379,22 @@ def simhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
     parity rotation gives drift-shaped chains witnesses from both ends),
     so an all-bands-hot megacluster still verifies witness pairs and
     collapses under ``dedup_clusters`` instead of becoming invisible to
-    near-dedup. None keeps the exact all-pairs behavior."""
+    near-dedup. None keeps the exact all-pairs behavior.
+
+    STRATIFIED witnesses (round 12): an 8-bit band has only 256 values,
+    so at corpus scale hot buckets DILUTE — many unrelated templates
+    share one band value, the two chain-end representatives become
+    template-arbitrary, and the Hamming verify fails for a growing
+    fraction of members (measured: the all-hot residue rose 0.14% ->
+    2.0% from sf1 to sf1x4 under plain rotation — the round-11 "fixed
+    floor" was NOT fixed). Fix: members of a hot bucket ALSO pair
+    against the min-id member of their second-band STRATUM (the 8-bit
+    slice at band_idx+1 of their own simhash) — same-template docs share
+    most bands, so strata are content-coherent and the stratum witness
+    verifies where the bucket-end witness fails; stratum reps pair
+    against the bucket representative so connectivity through the bucket
+    is preserved. Cost stays linear: <= 2c member pairs + one rep pair
+    per stratum. Mirrored term-for-term in the dp3 gate's DuckDB twin."""
     exploded = _simhash_band_rows(simhash(docs, id_col, text_col), id_col)
     if hot_bucket_cap is not None:
         sizes = exploded.groupBy("band_idx", "band_val").agg(
@@ -393,24 +408,64 @@ def simhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
         )
         rep = F.when(F.col("band_idx") % 2 == 0, F.col("_lo")).otherwise(F.col("_hi"))
         _mem_first = F.col(id_col) < F.col(f"_rep.{id_col}")
+
+        def _vs_rep(members):
+            # member vs a representative struct column ``_rep``; sim_a
+            # stays the simhash OF id_a (the cool branch's invariant, so a
+            # pair surfacing in several branches dedupes under distinct)
+            return (
+                members.filter(F.col(id_col) != F.col(f"_rep.{id_col}"))
+                .select(
+                    F.least(F.col(id_col), F.col(f"_rep.{id_col}")).alias("id_a"),
+                    F.greatest(F.col(id_col), F.col(f"_rep.{id_col}")).alias("id_b"),
+                    F.when(_mem_first, F.col("simhash"))
+                    .otherwise(F.col("_rep.simhash")).alias("sim_a"),
+                    F.when(_mem_first, F.col("_rep.simhash"))
+                    .otherwise(F.col("simhash")).alias("sim_b"),
+                )
+            )
+
+        n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+        hot_members = exploded.join(
+            sizes.filter(F.col("_bsz") > hot_bucket_cap).select(
+                "band_idx", "band_val", rep.alias("_rep")
+            ),
+            ["band_idx", "band_val"],
+        )
+        # second-band stratum of the member's OWN simhash: hot buckets at
+        # corpus scale mix many templates (8-bit band = 256 values), so
+        # the bucket-end representative is template-arbitrary; strata are
+        # content-coherent and their witness pairs verify where the
+        # bucket-end witness fails (docstring: stratified witnesses)
+        strat = F.expr(
+            f"shiftright(simhash, pmod(band_idx + 1, {n_bands}) "
+            f"* {SIMHASH_BAND_BITS}) & 255"
+        )
+        hot_strat = hot_members.withColumn("_strat", strat)
+        sreps = hot_strat.groupBy("band_idx", "band_val", "_strat").agg(
+            F.min(F.struct(F.col(id_col), F.col("simhash"))).alias("_srep"),
+            F.first("_rep").alias("_brep"),
+        )
+        member_vs_srep = _vs_rep(
+            hot_strat.drop("_rep").join(
+                sreps.select("band_idx", "band_val", "_strat",
+                             F.col("_srep").alias("_rep")),
+                ["band_idx", "band_val", "_strat"],
+            )
+        )
+        # stratum reps chain to the bucket representative: connectivity
+        # through the bucket is preserved (member -> stratum rep -> rep)
+        srep_vs_rep = _vs_rep(
+            sreps.select(
+                F.col(f"_srep.{id_col}").alias(id_col),
+                F.col("_srep.simhash").alias("simhash"),
+                F.col("_brep").alias("_rep"),
+            )
+        )
         hot_pairs = (
-            exploded.join(
-                sizes.filter(F.col("_bsz") > hot_bucket_cap).select(
-                    "band_idx", "band_val", rep.alias("_rep")
-                ),
-                ["band_idx", "band_val"],
-            )
-            .filter(F.col(id_col) != F.col(f"_rep.{id_col}"))
-            # sim_a stays the simhash OF id_a (the cool branch's invariant,
-            # so a pair surfacing in both branches dedupes under distinct)
-            .select(
-                F.least(F.col(id_col), F.col(f"_rep.{id_col}")).alias("id_a"),
-                F.greatest(F.col(id_col), F.col(f"_rep.{id_col}")).alias("id_b"),
-                F.when(_mem_first, F.col("simhash"))
-                .otherwise(F.col("_rep.simhash")).alias("sim_a"),
-                F.when(_mem_first, F.col("_rep.simhash"))
-                .otherwise(F.col("simhash")).alias("sim_b"),
-            )
+            _vs_rep(hot_members)
+            .unionByName(member_vs_srep)
+            .unionByName(srep_vs_rep)
         )
     else:
         cool, hot_pairs = exploded, None

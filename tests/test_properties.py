@@ -651,15 +651,33 @@ def test_capped_simhash_and_embedding_keep_megacluster_connected(spark, docs, ca
     assert cap_pairs <= unc
     bands = textdedup._simhash_band_rows(
         textdedup.simhash(d, "doc_id", "text"), "doc_id").collect()
+    n_bands = textdedup.SIMHASH_BITS // textdedup.SIMHASH_BAND_BITS
     buckets: dict = {}
     for r in bands:
-        buckets.setdefault((r.band_idx, r.band_val), []).append(r.doc_id)
-    for (band_idx, _), members in buckets.items():
-        if len(members) > cap:
+        buckets.setdefault((r.band_idx, r.band_val), []).append(
+            (r.doc_id, r.simhash))
+    for (band_idx, _), mem in buckets.items():
+        if len(mem) > cap:
+            members = [m for m, _s in mem]
             rep = min(members) if band_idx % 2 == 0 else max(members)
+            # stratified-witness law (round 12): every hot-bucket member
+            # also pairs with the min-id member of its second-band
+            # stratum, and every stratum rep pairs with the bucket rep
+            strata: dict = {}
+            for m_id, sh in mem:
+                sv = (sh >> (((band_idx + 1) % n_bands)
+                             * textdedup.SIMHASH_BAND_BITS)) & 255
+                strata.setdefault(sv, []).append(m_id)
             for m_id in members:
                 if m_id != rep:
                     assert (min(rep, m_id), max(rep, m_id)) in cap_pairs
+            for smem in strata.values():
+                srep = min(smem)
+                for m_id in smem:
+                    if m_id != srep:
+                        assert (srep, m_id) in cap_pairs
+                if srep != rep:
+                    assert (min(rep, srep), max(rep, srep)) in cap_pairs
 
     # embedding twin: vectors derived from the template id (identical
     # within a template -> one sign bucket per template), threshold -1
