@@ -87,6 +87,25 @@ from pyspark.sql.types import LongType, StructField, StructType
 from flinkrealtimedatawarehouse_spark.streaming.snapshots import VersionedSnapshotSink
 
 
+def group_latest(key_cols: list[str]):
+    """Merge-on-read fold: per key, keep ALL rows carrying the key's
+    newest ``_sv`` (group-replacement upsert — the SCD2 history sink,
+    where a commit replaces a key's entire interval row-set). One window
+    shuffle on the key per read; associative and idempotent because max
+    is."""
+    from pyspark.sql import Window
+
+    def f(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*key_cols)
+        return (
+            df.withColumn("_mx", F.max("_sv").over(w))
+            .filter(F.col("_sv") == F.col("_mx"))
+            .drop("_mx")
+        )
+
+    return f
+
+
 def min_merge(key_cols: list[str], val_cols: list[str]):
     """Merge-on-read fold: per key, the MINIMUM of each value column
     (independently — for the first-arrival sinks the single value column
@@ -184,21 +203,28 @@ class PartitionedSnapshotStore(VersionedSnapshotSink):
         return os.path.join(self.base_dir, f"_manifest_v{v}.json")
 
     def _load_manifest(self, v: int) -> dict:
+        """{"parts": {pid: [runs]}, "schema": <json>} — the schema is
+        PER VERSION, so as-of reads keep the column set as it stood then
+        (schema evolution: a later delta may add columns)."""
         with open(self._manifest_path(v)) as f:
             return json.load(f)
 
-    def _write_manifest(self, v: int, parts: dict) -> None:
+    def _write_manifest(self, v: int, parts: dict, schema_json: str) -> None:
         tmp = self._manifest_path(v) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(parts, f)
+            json.dump({"parts": parts, "schema": schema_json}, f)
         os.replace(tmp, self._manifest_path(v))  # atomic on POSIX
 
-    def _state_schema(self) -> StructType:
-        return StructType.fromJson(json.loads(self.meta["schema"]))
+    def _state_schema(self, version: int | None = None) -> StructType:
+        if version is None:
+            return StructType.fromJson(json.loads(self.meta["schema"]))
+        return StructType.fromJson(
+            json.loads(self._load_manifest(version)["schema"])
+        )
 
-    def _raw_schema(self) -> StructType:
+    def _raw_schema(self, version: int | None = None) -> StructType:
         return StructType(
-            list(self._state_schema().fields)
+            list(self._state_schema(version).fields)
             + [StructField("_sv", LongType(), False)]
         )
 
@@ -235,7 +261,7 @@ class PartitionedSnapshotStore(VersionedSnapshotSink):
         self.meta["n_partitions"] = self.n_partitions
         self.meta["key_cols"] = self.key_cols
         self.version = 0
-        self._write_manifest(0, {})
+        self._write_manifest(0, {}, self.meta["schema"])
         self._commit()
 
     def commit_snapshot(self, df: DataFrame, batch_id: int, **meta) -> None:
@@ -265,9 +291,30 @@ class PartitionedSnapshotStore(VersionedSnapshotSink):
         run_name = f"d{next_v:06d}"
         touched: list[int] = []
         delta_bytes = 0
+        # schema evolution: stored columns the delta lacks are null-filled
+        # (the old backend's unionByName(allowMissingColumns) semantics);
+        # NEW delta columns append to the schema, which is recorded per
+        # version in the manifest so as-of reads keep the column set as
+        # it stood then
+        stored = self._state_schema()
+        stored_names = {f.name for f in stored.fields}
+        aligned = [
+            F.col(f.name) if f.name in delta.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in stored.fields
+        ]
+        new_names = [c for c in delta.columns if c not in stored_names]
+        schema_json = self.meta["schema"]
+        if new_names:
+            delta_t = dict(zip(delta.schema.names, delta.schema.fields))
+            evolved = StructType(
+                list(stored.fields) + [delta_t[c] for c in new_names]
+            )
+            schema_json = evolved.json()
+            aligned += [F.col(c) for c in new_names]
         try:
             (
-                delta.select(*[f.name for f in self._state_schema().fields])
+                delta.select(*aligned)
                 .withColumn("_sv", F.lit(next_v).cast("long"))
                 .withColumn("_pid", self.pid_expr())
                 .repartition(F.col("_pid"))
@@ -275,8 +322,10 @@ class PartitionedSnapshotStore(VersionedSnapshotSink):
                 .write.mode("overwrite").partitionBy("_pid").parquet(stage)
             )
             self._check_fence()  # post-write, pre-publish (slow part done)
-            parts = {p: list(runs)
-                     for p, runs in self._load_manifest(self.version).items()}
+            parts = {
+                p: list(runs)
+                for p, runs in self._load_manifest(self.version)["parts"].items()
+            }
             for name in sorted(os.listdir(stage)):
                 if not name.startswith("_pid="):
                     continue
@@ -291,9 +340,10 @@ class PartitionedSnapshotStore(VersionedSnapshotSink):
                 touched.append(pid)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
-        self._write_manifest(next_v, parts)
+        self._write_manifest(next_v, parts, schema_json)
         self.version = next_v
         self.last_bid = batch_id
+        self.meta["schema"] = schema_json
         self.meta.update(meta)
         self._commit()  # the marker is the single commit point (crash suite)
         fold_bytes = self._maybe_fold(spark)
@@ -307,7 +357,8 @@ class PartitionedSnapshotStore(VersionedSnapshotSink):
         partition over its run budget. Rewrites the CURRENT manifest in
         place (equivalent content) so ``version`` keeps tracking applied
         batches. Returns folded bytes (0 = no fold)."""
-        parts = self._load_manifest(self.version)
+        man = self._load_manifest(self.version)
+        parts = man["parts"]
         plan: dict[str, tuple[list, list]] = {}
         for pid, runs in parts.items():
             if len(runs) > self.max_runs:
@@ -367,13 +418,13 @@ class PartitionedSnapshotStore(VersionedSnapshotSink):
         # in-place manifest rewrite: atomic replace, equivalent content —
         # replaced runs stay on disk (older manifests reference them) until
         # vacuum's reference-based GC ages them out
-        self._write_manifest(self.version, parts)
+        self._write_manifest(self.version, parts, man["schema"])
         return fold_bytes
 
     # --- read path -----------------------------------------------------------
 
     def _run_paths(self, version: int, pids=None) -> list[str]:
-        parts = self._load_manifest(version)
+        parts = self._load_manifest(version)["parts"]
         out = []
         for pid, runs in parts.items():
             if pids is not None and int(pid) not in pids:
@@ -391,10 +442,21 @@ class PartitionedSnapshotStore(VersionedSnapshotSink):
                 "have been vacuumed)"
             )
         paths = self._run_paths(version, pids)
+        raw = self._raw_schema(version)
         if not paths:
-            df = spark.createDataFrame([], self._raw_schema())
+            df = spark.createDataFrame([], raw)
         else:
-            df = spark.read.parquet(*paths)
+            # mergeSchema: runs written before a schema-evolving delta
+            # lack its columns; the union view null-fills them. The
+            # explicit select pins the PER-VERSION column order (and
+            # covers the edge where a column entered the schema via an
+            # empty delta, so no referenced file carries it yet).
+            df = spark.read.option("mergeSchema", "true").parquet(*paths)
+            df = df.select(*[
+                F.col(f.name) if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in raw.fields
+            ])
         if merged:
             df = self.merge_fn(df).drop("_sv")
         return df
@@ -434,7 +496,9 @@ class PartitionedSnapshotStore(VersionedSnapshotSink):
         sizes) — the scale probe's denominator."""
         v = self.version if version is None else version
         return sum(
-            r["b"] for runs in self._load_manifest(v).values() for r in runs
+            r["b"]
+            for runs in self._load_manifest(v)["parts"].values()
+            for r in runs
         )
 
     def vacuum(self, keep_last: int) -> list[str]:
@@ -454,7 +518,7 @@ class PartitionedSnapshotStore(VersionedSnapshotSink):
         self._check_fence()  # last look before the destructive sweep
         referenced: set[tuple[int, str]] = set()
         for v in range(self.min_version, self.version + 1):
-            for pid, runs in self._load_manifest(v).items():
+            for pid, runs in self._load_manifest(v)["parts"].items():
                 for r in runs:
                     referenced.add((int(pid), r["n"]))
         removed = []

@@ -28,6 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flinkrealtimedatawarehouse_spark.operators.merge import upsert_latest
+from flinkrealtimedatawarehouse_spark.streaming.partstore import (
+    PartitionedSnapshotStore,
+    group_latest,
+)
 from flinkrealtimedatawarehouse_spark.streaming.runner import run_foreach_batch
 from flinkrealtimedatawarehouse_spark.streaming.snapshots import VersionedSnapshotSink
 
@@ -115,7 +119,7 @@ class SnapshotMergeSink(VersionedSnapshotSink):
         self.commit_snapshot(merged, batch_id)
 
 
-class Scd2HistorySink(VersionedSnapshotSink):
+class Scd2HistorySink(PartitionedSnapshotStore):
     """K3 extension: streaming Type-2 dimension history maintenance.
 
     Where ``SnapshotMergeSink`` keeps only the latest row per key (the
@@ -125,7 +129,7 @@ class Scd2HistorySink(VersionedSnapshotSink):
     (operators/merge.scd2_history semantics, incl. delete-closes-interval).
 
     Incremental maintenance: each micro-batch re-stamps intervals ONLY for
-    the keys it touches (left-semi/anti split on the pk), so the window
+    the keys it touches (left-semi split on the pk), so the window
     recompute is bounded by the touched keys' change counts, not the table
     size. Delete changes are retained internally as tombstone rows (they
     close intervals and must keep closing them on later re-stamps);
@@ -134,15 +138,24 @@ class Scd2HistorySink(VersionedSnapshotSink):
     changes were split across batches AND to cross-batch disorder — a late
     change slots into its correct interval position.
 
-    Scale: the per-batch plan is one semi/anti join pair + a keyed window
-    over touched keys; on Delta the same logic runs as MERGE with the
-    history table partitioned by is_current to keep the hot partition
-    small. Durability/replay guard from VersionedSnapshotSink.
+    Scale: the per-batch plan is one semi join + a keyed window over
+    touched keys, and — since round 12 — the COMMIT is a delta too: only
+    the touched keys' re-stamped interval rows are written
+    (PartitionedSnapshotStore with ``group_latest`` merge: a key's newest
+    commit replaces its whole interval row-set on read), so the history
+    table is never rewritten per batch. Dim schema evolution (the
+    reference's config table adds sink_columns over time,
+    TableProcessFunction.java:84-111) flows through the store's
+    per-version schema: historical rows carry NULL for attributes born
+    later. Durability/replay/fence from the shared store contract.
     """
 
     def __init__(self, base_dir: str, pk: str, version_col: str,
-                 type_col: str = "type", lineage: str | None = None):
-        super().__init__(base_dir, lineage)
+                 type_col: str = "type", lineage: str | None = None,
+                 n_partitions: int = 8):
+        super().__init__(base_dir, key_cols=[pk],
+                         merge_fn=group_latest([pk]),
+                         n_partitions=n_partitions, lineage=lineage)
         self.pk = pk
         self.version_col = version_col
         self.type_col = type_col
@@ -161,19 +174,16 @@ class Scd2HistorySink(VersionedSnapshotSink):
         spark = batch.sparkSession
         cur = self.current(spark)
         affected = batch.select(self.pk).distinct()
-        untouched = cur.join(affected, self.pk, "left_anti")
         touched_changes = cur.join(affected, self.pk, "left_semi").drop(
             "valid_from", "valid_to", "is_current"
         )
-        # allowMissingColumns: dim schema evolution (the reference's config
-        # table adds sink_columns over time, TableProcessFunction.java:84-111)
-        # — historical rows carry NULL for attributes born later
         restamped = self._stamp(
             touched_changes.unionByName(batch, allowMissingColumns=True)
         )
-        self.commit_snapshot(
-            untouched.unionByName(restamped, allowMissingColumns=True), batch_id
-        )
+        # delta = the touched keys' complete NEW interval row-set; the
+        # store's group-latest merge retires their previous rows on read,
+        # untouched keys' rows ride along from their own last commit
+        self.commit_batch(restamped, batch_id)
 
     def history(self, spark: SparkSession) -> DataFrame:
         """The public SCD2 table: interval rows, tombstones excluded."""

@@ -17,6 +17,15 @@ of five hand-rolled copies drifting apart:
 
 Same contract Delta's transaction log gives MERGE, emulated on parquet
 (`operators/merge.py` is the MERGE itself; this is the log).
+
+Cost model note: ``commit_snapshot`` writes the FULL table per commit —
+right for sinks whose state IS a complete small table rewritten anyway
+(per-key stats, SCD2 history, the wide gold aggregate, top-k unions),
+where a version is the natural unit and reads want one directory. Sinks
+whose state GROWS with the stream (band keys, window hashes, cluster
+labels) instead use ``partstore.PartitionedSnapshotStore`` — same
+marker/fence/replay contract, O(|delta|) commits via hash-partitioned
+runs + merge-on-read + size-tiered folds.
 """
 
 from __future__ import annotations

@@ -498,7 +498,7 @@ def main() -> int:
     # an A/B measurement of what the OLD backend paid: the full merged
     # state, written once to a scratch dir (excluded from the sink wall).
     def _manifest_run_bytes(sink, prefix):
-        man = sink._load_manifest(sink.version)
+        man = sink._load_manifest(sink.version)["parts"]
         name = f"{prefix}{sink.version:06d}"
         return sum(r["b"] for runs in man.values() for r in runs
                    if r["n"] == name)

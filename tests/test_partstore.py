@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from flinkrealtimedatawarehouse_spark.streaming.partstore import (
     PartitionedSnapshotStore,
+    group_latest,
     latest_wins,
     min_merge,
 )
@@ -100,7 +101,7 @@ def test_fold_bounds_runs_and_preserves_reads(spark, tmp_path):
         s.commit_batch(_kv(spark, delta), b)
         per_version.append(dict(want))
     # run counts bounded by the fold policy in the CURRENT manifest
-    parts = s._load_manifest(s.version)
+    parts = s._load_manifest(s.version)["parts"]
     assert parts and all(len(runs) <= s.max_runs for runs in parts.values())
     assert _state(spark, s) == want
     # every as-of read still equals the prefix min-merge (folds rewrote
@@ -166,6 +167,33 @@ def test_restart_recovers_and_layout_params_are_pinned(spark, tmp_path):
         PartitionedSnapshotStore(base, key_cols=["other"],
                                  merge_fn=min_merge(["other"], ["v"]),
                                  n_partitions=4)
+
+
+def test_schema_evolution_per_version(spark, tmp_path):
+    """A delta may ADD columns (dim schema evolution): later reads
+    null-fill older runs, the manifest records the schema PER VERSION so
+    as-of reads keep the column set as it stood then, and a delta missing
+    stored columns gets them null-filled (the old backend's
+    unionByName(allowMissingColumns) semantics)."""
+    # group_latest is the merge evolving sinks use: it passes ALL columns
+    # through (a val-col-list merge like latest_wins pins its columns)
+    s = _init(spark, _store(str(tmp_path / "evo"), merge=group_latest(["k"])))
+    s.commit_batch(_kv(spark, [("a", 1)]), 0)
+    wide = spark.createDataFrame([("b", 2, "x")], "k string, v long, extra string")
+    s.commit_batch(wide, 1)
+    cur = s.current(spark)
+    assert cur.columns == ["k", "v", "extra"]
+    got = {r.k: (r.v, r.extra) for r in cur.collect()}
+    assert got == {"a": (1, None), "b": (2, "x")}
+    # as-of version 1 (before the evolving delta) keeps the old schema
+    assert s.read_version(spark, 1).columns == ["k", "v"]
+    # a later delta MISSING the evolved column null-fills it
+    s.commit_batch(_kv(spark, [("c", 3)]), 2)
+    got3 = {r.k: (r.v, r.extra) for r in s.current(spark).collect()}
+    assert got3 == {"a": (1, None), "b": (2, "x"), "c": (3, None)}
+    # restart recovers the evolved schema
+    s2 = _store(str(tmp_path / "evo"), merge=group_latest(["k"]))
+    assert s2.current(spark).columns == ["k", "v", "extra"]
 
 
 def test_commit_snapshot_is_a_contract_error(spark, tmp_path):
