@@ -1646,6 +1646,51 @@ def test_cluster_upkeep_replay_and_restart(spark, tmp_path):
         sink.write_batch(pairs_df([(9, 10)]), 2)
 
 
+def test_band_sink_folds_preserve_flags_and_prebatch_witness_reads(spark, tmp_path):
+    """Drive the composed DAG deep enough that the incremental store's
+    size-tiered folds FIRE (n_partitions=1, max_runs=2, 12 batches) and
+    pin that (a) flags/labels equal a fold-free run — folds rewrite
+    layout, never content — and (b) the pre-batch-version witness reads
+    (read_parts at version=batch_id) stay correct across in-place
+    manifest rewrites."""
+    from flinkrealtimedatawarehouse_spark.streaming.clusters import ClusterUpkeepSink
+    from flinkrealtimedatawarehouse_spark.streaming.neardup import (
+        BandStateNearDupSink,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, base + f" tail{i % 3}") for i in range(1, 25)]
+
+    def run(tag, **kw):
+        cl = ClusterUpkeepSink(str(tmp_path / f"cl{tag}"), "doc_id", **kw)
+        sink = BandStateNearDupSink(
+            str(tmp_path / f"bs{tag}"), "doc_id", "text",
+            shingle_n=3, k=16, bands=8, cluster_sink=cl, **kw)
+        sink.init(spark)
+        for bid in range(12):
+            batch = spark.createDataFrame(
+                rows[bid * 2:bid * 2 + 2], "doc_id long, text string")
+            sink.write_batch(batch, bid)
+        flags = sorted((r.doc_id, r.is_near_dup)
+                       for r in sink.flags(spark).collect())
+        labels = sorted((r.doc_id, r.cluster)
+                        for r in cl.clusters(spark).collect())
+        state = sorted((r.band_key, r.min_id)
+                       for r in sink.state(spark).collect())
+        return sink, flags, labels, state
+
+    # folding run: ONE partition means every commit lands a run in p0000,
+    # so 12 commits cross the max_runs=8 budget and folds fire
+    folded, f_flags, f_labels, f_state = run("fold", n_partitions=1)
+    assert any(
+        r["n"].startswith("f")
+        for runs in folded._load_manifest(folded.version)["parts"].values()
+        for r in runs
+    ), "fold never fired — the scenario under test did not occur"
+    _, p_flags, p_labels, p_state = run("plain", n_partitions=8)
+    assert f_flags == p_flags and f_labels == p_labels and f_state == p_state
+
+
 def test_band_sink_composes_with_cluster_upkeep(spark, tmp_path):
     """The full one-pass streaming dedup DAG: docs stream through the
     band-state detector, each micro-batch ALSO emits its (doc, band-min
