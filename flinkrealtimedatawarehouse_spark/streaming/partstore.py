@@ -304,6 +304,11 @@ class PartitionedSnapshotStore(VersionedSnapshotSink):
             for f in stored.fields
         ]
         new_names = [c for c in delta.columns if c not in stored_names]
+        if any(c in ("_sv", "_pid") for c in new_names):
+            raise ValueError(
+                "_sv and _pid are store-internal column names; a delta "
+                "must not carry them"
+            )
         schema_json = self.meta["schema"]
         if new_names:
             delta_t = dict(zip(delta.schema.names, delta.schema.fields))
