@@ -223,6 +223,6 @@ def stream_cluster_upkeep(pairs: DataFrame, id_col: str, out_dir: str,
     src = pairs.select("id_a", "id_b")
     in_dir = staged_dir or runner.stage_stream_dir(src, "id_a", n_batches, tag)
     sdf = runner.parquet_stream(pairs.sparkSession, in_dir, src.schema)
-    sink = ClusterUpkeepSink(out_dir, id_col)
+    sink = ClusterUpkeepSink(out_dir, id_col, retain_versions=retain_versions)
     runner.run_foreach_batch(sdf, sink.write_batch, tag)
     return sink

@@ -306,11 +306,11 @@ def test_fold_crash_before_manifest_rewrite_changes_nothing(spark, tmp_path):
     orig = s._write_manifest
     calls = {"n": 0}
 
-    def crash_second(v, parts):
+    def crash_second(*args, **kwargs):
         calls["n"] += 1
         if calls["n"] == 2:
             raise _Crash("died in fold manifest rewrite")
-        return orig(v, parts)
+        return orig(*args, **kwargs)
 
     s._write_manifest = crash_second
     with pytest.raises(_Crash):
