@@ -544,6 +544,39 @@ def main() -> int:
                 flush=True,
             )
 
+        # SCD2 twin: a rotating 50-key slice of a 200m-key dim changes
+        # per batch, so every batch's delta is the touched keys' restamped
+        # interval history (grows with THEIR change count) while the full
+        # history table grows with every key's — the claim is delta bytes
+        # track the touched slice, not the table
+        from flinkrealtimedatawarehouse_spark.streaming.sinks import (
+            Scd2HistorySink,
+        )
+
+        scd_schema = "pk long, v long, type string, attr string"
+        sc = Scd2HistorySink(
+            srunner.scratch_dir(f"probe_is_scd2_x{m}"), "pk", "v"
+        )
+        sc.init(spark.createDataFrame([], scd_schema))
+        n_keys = 200 * m
+        srecs = []
+        for b in range(16):
+            lo = (b % 4) * (n_keys // 4)
+            rows2 = [(int(lo + k), b, "insert", f"a{b}")
+                     for k in range(n_keys // 4)]
+            df2 = spark.createDataFrame(rows2, scd_schema)
+            t0 = time.time()
+            sc.write_batch(df2, b)
+            srecs.append((b, time.time() - t0,
+                          _manifest_run_bytes(sc, "d"),
+                          _manifest_run_bytes(sc, "f"), sc.state_bytes()))
+        for i, wall, db, fb, sb in srecs:
+            print(
+                f"x{m} incrsnap-scd2 b{i}: {wall:.1f}s d={db/1024:.0f} "
+                f"f={fb/1024:.0f} state={sb/1024:.0f}",
+                flush=True,
+            )
+
     # round-12 composed-DAG soak (VERDICT r12 task #2): the detector +
     # cluster-upkeep DAG driven DEEP (64 batches) at amplified scale — the
     # state-accumulation regime where the old backend's O(|state|)

@@ -325,6 +325,30 @@ def test_fold_crash_before_manifest_rewrite_changes_nothing(spark, tmp_path):
     assert _state(spark, s2) == {"a": 1, "b": 2, "c": 3}
 
 
+def test_read_raced_by_fold_plus_vacuum_retries_clean(spark, tmp_path):
+    """The partstore twin of the compaction reader hazard: a DataFrame
+    planned over run files that a later fold + retention vacuum DELETES
+    fails at execution and must succeed on retry with the pinned answer.
+    (Without vacuum there is no hazard — folds leave replaced runs on
+    disk for older manifests; retention is what makes deletes real.)"""
+    base = str(tmp_path / "rrace")
+    s = _init(spark, _store(base, n_partitions=1, max_runs=2,
+                            retain_versions=1))
+    for b in range(3):
+        s.commit_batch(_kv(spark, [(f"k{b}", b)]), b)
+    pinned = _state(spark, s)
+    stale = s.current(spark)  # plan NOW: the file listing captures runs
+    # that the next commits' folds + keep-last-1 vacuum will delete
+    for b in range(3, 9):
+        s.commit_batch(_kv(spark, [(f"k{b}", b)]), b)
+    assert s.min_version > 3  # retention really slid past the stale plan
+    with pytest.raises(Exception, match="(?i)file|path|exist"):
+        stale.collect()
+    got = _state(spark, s)  # the retry re-plans from the marker
+    assert all(got[k] == v for k, v in pinned.items())
+    assert len(got) == 9
+
+
 def test_fenced_writer_cannot_commit(spark, tmp_path):
     base = str(tmp_path / "fw")
     s = _init(spark, _store(base))
