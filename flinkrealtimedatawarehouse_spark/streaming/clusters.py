@@ -117,10 +117,12 @@ class ClusterUpkeepSink(PartitionedSnapshotStore):
             pairs.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
             .filter(F.col("id_a") != F.col("id_b"))
             .distinct()
-            # pid collect + contraction joins + newly-seen anti-join all
-            # act on this small frame
-            .localCheckpoint(eager=True)
         )
+        # NOT checkpointed here: the composed DAG already hands us an
+        # eagerly-checkpointed edge set (neardup._apply_batch), and the
+        # upkeep-stream path reads a tiny parquet micro-batch — an extra
+        # materialization per batch would just double the action count
+        # (measured: it showed up as ~+1.5 s/batch in the dagsoak)
         # the label store is partitioned by the ID hash, so every lookup
         # KEYED ON ID prunes to the partitions the batch's endpoints hash
         # into (an id's row can live nowhere else); only the
