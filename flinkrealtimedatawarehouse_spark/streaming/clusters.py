@@ -131,7 +131,10 @@ class ClusterUpkeepSink(PartitionedSnapshotStore):
         ids_in_batch = edges.select(F.col("id_a").alias(self.id_col)).unionByName(
             edges.select(F.col("id_b").alias(self.id_col))
         ).distinct()
-        labels = self.read_parts(spark, self.pids_of(ids_in_batch))
+        # lazy persist (no extra action): the pruned lookup feeds THREE
+        # plan legs (both contraction sides + the newly-seen anti-join),
+        # and each would otherwise re-read and re-merge its runs
+        labels = self.read_parts(spark, self.pids_of(ids_in_batch)).persist()
 
         # 1. contract edge endpoints through the current labels
         la = labels.select(
@@ -195,7 +198,10 @@ class ClusterUpkeepSink(PartitionedSnapshotStore):
         # eager checkpoint: the delta is small (touched rows only) but its
         # lineage spans the CC rounds and three joins — the commit's write
         # job must not re-derive it
-        delta = changed.unionByName(newly_seen).localCheckpoint(eager=True)
+        try:
+            delta = changed.unionByName(newly_seen).localCheckpoint(eager=True)
+        finally:
+            labels.unpersist()
         self.commit_batch(delta, batch_id)
 
     def clusters(self, spark: SparkSession,
