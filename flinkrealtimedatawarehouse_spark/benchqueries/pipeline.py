@@ -407,6 +407,19 @@ bz AS (SELECT bucket, count(*) AS c,
               max(vec_id) AS hi_id, arg_max(q, vec_id) AS hi_q
        FROM b0 GROUP BY 1),
 b AS (SELECT b0.* FROM b0 JOIN bz USING (bucket) WHERE bz.c <= {_ED_CAP}),
+-- over-cap members with their STRATUM: the sign bucket under a second,
+-- disjoint hyperplane family (plane_offset = n_planes) — mirroring
+-- textdedup.embedding_near_dups's stratified hot branch
+bh AS (
+  SELECT b0.vec_id, b0.q, b0.bucket, bz.lo_id, bz.lo_q, bz.hi_id, bz.hi_q,
+         {_duck_bucket('q', _ED_PLANES, _ED_PLANES)} AS strat
+  FROM b0 JOIN bz USING (bucket) WHERE bz.c > {_ED_CAP}
+),
+esr AS (
+  SELECT bucket, strat, min(vec_id) AS sid, arg_min(q, vec_id) AS sq,
+         any_value(lo_id) AS lo_id, any_value(lo_q) AS lo_q
+  FROM bh GROUP BY 1, 2
+),
 cd AS (
   SELECT DISTINCT * FROM (
     SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.q AS qa, y.q AS qb
@@ -414,15 +427,25 @@ cd AS (
     UNION ALL
     -- over-cap sign buckets: BOTH-ENDS representative chaining (member vs
     -- min-id rep AND member vs max-id rep; the shared (lo, hi) pair
-    -- dedupes under the DISTINCT), mirroring
-    -- textdedup.embedding_near_dups's hot branch term-for-term
-    SELECT bz.lo_id AS id_a, m.vec_id AS id_b, bz.lo_q AS qa, m.q AS qb
-    FROM b0 m JOIN bz USING (bucket)
-    WHERE bz.c > {_ED_CAP} AND m.vec_id > bz.lo_id
+    -- dedupes under the DISTINCT)
+    SELECT lo_id AS id_a, vec_id AS id_b, lo_q AS qa, q AS qb
+    FROM bh WHERE vec_id > lo_id
     UNION ALL
-    SELECT m.vec_id AS id_a, bz.hi_id AS id_b, m.q AS qa, bz.hi_q AS qb
-    FROM b0 m JOIN bz USING (bucket)
-    WHERE bz.c > {_ED_CAP} AND m.vec_id < bz.hi_id
+    SELECT vec_id AS id_a, hi_id AS id_b, q AS qa, hi_q AS qb
+    FROM bh WHERE vec_id < hi_id
+    UNION ALL
+    -- hot: member vs its stratum's min-id rep (cluster-coherent witness)
+    SELECT least(bh.vec_id, esr.sid), greatest(bh.vec_id, esr.sid),
+           CASE WHEN bh.vec_id < esr.sid THEN bh.q ELSE esr.sq END,
+           CASE WHEN bh.vec_id < esr.sid THEN esr.sq ELSE bh.q END
+    FROM bh JOIN esr USING (bucket, strat)
+    WHERE bh.vec_id <> esr.sid
+    UNION ALL
+    -- hot: stratum reps chain to the bucket's min-id end (connectivity)
+    SELECT least(sid, lo_id), greatest(sid, lo_id),
+           CASE WHEN sid < lo_id THEN sq ELSE lo_q END,
+           CASE WHEN sid < lo_id THEN lo_q ELSE sq END
+    FROM esr WHERE sid <> lo_id
   )
 )
 SELECT id_a, id_b, {_duck_cosine('qa', 'qb')} AS cosine

@@ -508,7 +508,22 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
     no bands to rotate a representative across, so a hot bucket chains
     against BOTH its min-id and max-id member (2c-3 distinct rows, still
     O(c)) — a drift-shaped chain gets witnesses from both ends — keeping
-    the dup graph connected for ``dedup_clusters``. None = exact."""
+    the dup graph connected for ``dedup_clusters``. None = exact.
+
+    STRATIFIED witnesses (round 12, same mechanism as the SimHash fix):
+    an 8-plane sign space has only 256 buckets, so hot buckets DILUTE at
+    corpus scale — many unrelated vector clusters share one sign pattern,
+    the two chain-end representatives become cluster-arbitrary, and the
+    cosine verify fails for almost every member (measured at sf1:
+    97-99% of hot members carried ZERO verified pairs while their true
+    near-identical siblings sat co-bucketed). Fix: members of a hot
+    bucket ALSO pair against the min-id member of their STRATUM — the
+    sign bucket under a SECOND, disjoint hyperplane family
+    (``plane_offset=n_planes``). Same-cluster vectors agree on the second
+    family's signs too, so strata are cluster-coherent and the stratum
+    witness verifies where the bucket ends fail; stratum reps chain to
+    the bucket's min-id end for connectivity. Cost stays O(c + strata).
+    Mirrored term-for-term in the dp3 gate's DuckDB twin."""
     from flinkrealtimedatawarehouse_spark.datapipeline.similarity import (
         _sq_norm,
         hyperplane_bucket,
@@ -553,7 +568,55 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
             F.col("_n").alias("na"),
             F.col("_hi._n").alias("nb"),
         )
-        hot_cands = lo_cands.unionByName(hi_cands)
+
+        def _vs(members, rep_struct):
+            # member vs a representative struct; (qa, na) stay the vector
+            # OF id_a so pairs surfacing in several branches dedupe under
+            # the distinct downstream
+            first = F.col(id_col) < F.col(f"{rep_struct}.{id_col}")
+            return (
+                members.filter(F.col(id_col) != F.col(f"{rep_struct}.{id_col}"))
+                .select(
+                    F.least(F.col(id_col), F.col(f"{rep_struct}.{id_col}")).alias("id_a"),
+                    F.greatest(F.col(id_col), F.col(f"{rep_struct}.{id_col}")).alias("id_b"),
+                    F.when(first, F.col("q")).otherwise(F.col(f"{rep_struct}.q")).alias("qa"),
+                    F.when(first, F.col(f"{rep_struct}.q")).otherwise(F.col("q")).alias("qb"),
+                    F.when(first, F.col("_n")).otherwise(F.col(f"{rep_struct}._n")).alias("na"),
+                    F.when(first, F.col(f"{rep_struct}._n")).otherwise(F.col("_n")).alias("nb"),
+                )
+            )
+
+        # stratified witnesses: the sign bucket under a DISJOINT second
+        # hyperplane family is cluster-coherent where the primary bucket
+        # has diluted (docstring) — members chain to their stratum's
+        # min-id rep, stratum reps chain to the bucket's min-id end
+        hot_strat = hot_members.withColumn(
+            "_st", hyperplane_bucket(F.col("q"), n_planes, plane_offset=n_planes)
+        )
+        esreps = hot_strat.groupBy("bucket", "_st").agg(
+            F.min(F.struct(F.col(id_col), F.col("q"), F.col("_n"))).alias("_sr"),
+            F.first("_lo").alias("_blo"),
+        )
+        member_vs_srep = _vs(
+            hot_strat.join(
+                esreps.select("bucket", "_st", "_sr"), ["bucket", "_st"]
+            ),
+            "_sr",
+        )
+        srep_vs_lo = _vs(
+            esreps.select(
+                F.col(f"_sr.{id_col}").alias(id_col),
+                F.col("_sr.q").alias("q"),
+                F.col("_sr._n").alias("_n"),
+                F.col("_blo").alias("_lo"),
+            ),
+            "_lo",
+        )
+        hot_cands = (
+            lo_cands.unionByName(hi_cands)
+            .unionByName(member_vs_srep)
+            .unionByName(srep_vs_lo)
+        )
     else:
         cool, hot_cands = q, None
     a, b = cool.alias("a"), cool.alias("b")

@@ -259,19 +259,40 @@ def main() -> int:
 
         e = amplify_perturb(emb, "vec_id", "embedding", m)
         t0 = time.time()
-        n_ed = textdedup.embedding_near_dups(
+        pairs_ed = textdedup.embedding_near_dups(
             e, "vec_id", "embedding", threshold=0.99, n_planes=8,
             hot_bucket_cap=ed_cap,
-        ).count()
+        ).persist()
+        n_ed = pairs_ed.count()
         t_ed = time.time() - t0
-        ed_sizes = (
-            e.select(hyperplane_bucket(quantized(F.col("embedding"), 1000), 8).alias("b"))
-            .groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+        ebr = e.select(
+            "vec_id",
+            hyperplane_bucket(quantized(F.col("embedding"), 1000), 8).alias("b"),
         )
+        ed_sizes = ebr.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
         ed_k, ed_d, ed_f = _cand_split(ed_sizes, ed_cap, both_ends=True)
+        # residue accounting, embedding family (r12): hot-sign-bucket
+        # members with ZERO verified pairs — the same dilution mechanism
+        # the simhash residue exposed (256 sign buckets), measured per
+        # multiple. Unlike simhash, a residue member here may genuinely
+        # have no >= threshold partner; the column bounds the hole, the
+        # trend across multiples tells whether it GROWS.
+        ed_hot = (
+            ebr.join(ed_sizes, "b").filter(F.col("c") > ed_cap).select("vec_id")
+        )
+        ed_paired = (
+            pairs_ed.select(F.col("id_a").alias("vec_id"))
+            .unionByName(pairs_ed.select(F.col("id_b").alias("vec_id")))
+            .distinct()
+        )
+        n_edhot = ed_hot.count()
+        n_edres = ed_hot.join(ed_paired, "vec_id", "left_anti").count()
+        pairs_ed.unpersist()
         print(
             f"x{m} dp3cap[perturb]: embcos={t_ed:.1f}s ({n_ed} pairs, "
-            f"kept {ed_k} / dropped<= {ed_d}, {ed_f:.1%})",
+            f"kept {ed_k} / dropped<= {ed_d}, {ed_f:.1%}, "
+            f"hot={n_edhot} residue={n_edres} "
+            f"[{n_edres / max(n_edhot, 1):.2%}])",
             flush=True,
         )
 

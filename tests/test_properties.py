@@ -703,15 +703,32 @@ def test_capped_simhash_and_embedding_keep_megacluster_connected(spark, docs, ca
     bk = emb.select(
         "vec_id",
         hyperplane_bucket(quantized(F.col("embedding"), 1000), 4).alias("b"),
+        hyperplane_bucket(
+            quantized(F.col("embedding"), 1000), 4, plane_offset=4
+        ).alias("st"),
     ).collect()
     ebuckets: dict = {}
     for r in bk:
-        ebuckets.setdefault(r.b, []).append(r.vec_id)
-    for members in ebuckets.values():
-        if len(members) > cap:
+        ebuckets.setdefault(r.b, []).append((r.vec_id, r.st))
+    for mem in ebuckets.values():
+        if len(mem) > cap:
+            members = [m for m, _s in mem]
             lo, hi = min(members), max(members)
+            # stratified-witness law (round 12): every hot member also
+            # pairs with its second-plane-family stratum's min id, and
+            # every stratum rep pairs with the bucket's min-id end
+            strata: dict = {}
+            for m_id, st in mem:
+                strata.setdefault(st, []).append(m_id)
             for m_id in members:
                 if m_id != lo:
                     assert (lo, m_id) in cap_e
                 if m_id != hi:
                     assert (m_id, hi) in cap_e
+            for smem in strata.values():
+                srep = min(smem)
+                for m_id in smem:
+                    if m_id != srep:
+                        assert (srep, m_id) in cap_e
+                if srep != lo:
+                    assert (min(lo, srep), max(lo, srep)) in cap_e
