@@ -416,7 +416,8 @@ bh AS (
   FROM b0 JOIN bz USING (bucket) WHERE bz.c > {_ED_CAP}
 ),
 esr AS (
-  SELECT bucket, strat, min(vec_id) AS sid, arg_min(q, vec_id) AS sq,
+  SELECT bucket, strat, count(*) AS sc,
+         min(vec_id) AS sid, arg_min(q, vec_id) AS sq,
          any_value(lo_id) AS lo_id, any_value(lo_q) AS lo_q
   FROM bh GROUP BY 1, 2
 ),
@@ -434,18 +435,26 @@ cd AS (
     SELECT vec_id AS id_a, hi_id AS id_b, q AS qa, hi_q AS qb
     FROM bh WHERE vec_id < hi_id
     UNION ALL
-    -- hot: member vs its stratum's min-id rep (cluster-coherent witness)
+    -- hot: <= cap strata run ALL-PAIRS (the refinement that makes
+    -- co-located siblings direct candidates)
+    SELECT x.vec_id, y.vec_id, x.q, y.q
+    FROM bh x JOIN bh y ON x.bucket = y.bucket AND x.strat = y.strat
+                       AND x.vec_id < y.vec_id
+    JOIN esr ON esr.bucket = x.bucket AND esr.strat = x.strat
+    WHERE esr.sc <= {_ED_CAP}
+    UNION ALL
+    -- hot: still-hot strata chain members to the stratum's min-id rep
     SELECT least(bh.vec_id, esr.sid), greatest(bh.vec_id, esr.sid),
            CASE WHEN bh.vec_id < esr.sid THEN bh.q ELSE esr.sq END,
            CASE WHEN bh.vec_id < esr.sid THEN esr.sq ELSE bh.q END
     FROM bh JOIN esr USING (bucket, strat)
-    WHERE bh.vec_id <> esr.sid
+    WHERE esr.sc > {_ED_CAP} AND bh.vec_id <> esr.sid
     UNION ALL
-    -- hot: stratum reps chain to the bucket's min-id end (connectivity)
+    -- hot: still-hot stratum reps chain to the bucket's min-id end
     SELECT least(sid, lo_id), greatest(sid, lo_id),
            CASE WHEN sid < lo_id THEN sq ELSE lo_q END,
            CASE WHEN sid < lo_id THEN lo_q ELSE sq END
-    FROM esr WHERE sid <> lo_id
+    FROM esr WHERE sc > {_ED_CAP} AND sid <> lo_id
   )
 )
 SELECT id_a, id_b, {_duck_cosine('qa', 'qb')} AS cosine

@@ -510,20 +510,34 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
     O(c)) — a drift-shaped chain gets witnesses from both ends — keeping
     the dup graph connected for ``dedup_clusters``. None = exact.
 
-    STRATIFIED witnesses (round 12, same mechanism as the SimHash fix):
-    an 8-plane sign space has only 256 buckets, so hot buckets DILUTE at
-    corpus scale — many unrelated vector clusters share one sign pattern,
-    the two chain-end representatives become cluster-arbitrary, and the
-    cosine verify fails for almost every member (measured at sf1:
-    97-99% of hot members carried ZERO verified pairs while their true
-    near-identical siblings sat co-bucketed). Fix: members of a hot
-    bucket ALSO pair against the min-id member of their STRATUM — the
-    sign bucket under a SECOND, disjoint hyperplane family
-    (``plane_offset=n_planes``). Same-cluster vectors agree on the second
-    family's signs too, so strata are cluster-coherent and the stratum
-    witness verifies where the bucket ends fail; stratum reps chain to
-    the bucket's min-id end for connectivity. Cost stays O(c + strata).
-    Mirrored term-for-term in the dp3 gate's DuckDB twin."""
+    STRATIFIED refinement (round 12, same dilution mechanism the SimHash
+    residue exposed, but the fix differs): an 8-plane sign space has only
+    256 buckets, so hot buckets DILUTE at corpus scale — many unrelated
+    vector clusters share one sign pattern, the two chain-end
+    representatives are cluster-arbitrary, and the cosine verify fails
+    for almost every member (measured at sf1: 97-99% of hot members
+    carried ZERO verified pairs while their true near-identical siblings
+    sat co-bucketed). Each hot bucket is therefore REFINED by a second,
+    disjoint hyperplane family (``plane_offset=n_planes``):
+
+    - strata that fall UNDER the cap run ALL-PAIRS — exactly the
+      semantics a cool bucket gets, so co-located siblings become direct
+      candidates (rep-chaining inside a stratum would NOT work here:
+      unlike SimHash, where band+stratum pin 16 of the 32 hashed bits
+      and the Hamming verify then passes against any co-stratum rep, 16
+      shared sign bits imply nothing about cosine >= threshold — a
+      stratum rep is as cluster-arbitrary as a bucket rep, measured:
+      rep-only stratification moved the residue 97% -> 89%, all-pairs
+      refinement is what collapses it);
+    - still-hot strata chain members to their stratum's min-id rep, and
+      stratum reps chain to the bucket's min-id end;
+    - the bucket-level BOTH-ENDS chain stays for every member
+      (connectivity for ``dedup_clusters`` is exactly as before).
+
+    Cost stays linear-with-cap: all-pairs only inside <= cap strata
+    bounds the extra candidates at cap*c/2 per hot bucket — the same
+    budget the cap already grants cool buckets. Mirrored term-for-term
+    in the dp3 gate's DuckDB twin."""
     from flinkrealtimedatawarehouse_spark.datapipeline.similarity import (
         _sq_norm,
         hyperplane_bucket,
@@ -586,25 +600,44 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
                 )
             )
 
-        # stratified witnesses: the sign bucket under a DISJOINT second
-        # hyperplane family is cluster-coherent where the primary bucket
-        # has diluted (docstring) — members chain to their stratum's
-        # min-id rep, stratum reps chain to the bucket's min-id end
+        # stratified refinement under a DISJOINT second hyperplane family
+        # (docstring): <= cap strata run all-pairs, still-hot strata
+        # rep-chain, every member keeps the bucket-level chain above
         hot_strat = hot_members.withColumn(
             "_st", hyperplane_bucket(F.col("q"), n_planes, plane_offset=n_planes)
         )
-        esreps = hot_strat.groupBy("bucket", "_st").agg(
+        ssizes = hot_strat.groupBy("bucket", "_st").agg(
+            F.count(F.lit(1)).alias("_ssz"),
             F.min(F.struct(F.col(id_col), F.col("q"), F.col("_n"))).alias("_sr"),
             F.first("_lo").alias("_blo"),
         )
+        cool_strat = hot_strat.join(
+            ssizes.filter(F.col("_ssz") <= hot_bucket_cap).select("bucket", "_st"),
+            ["bucket", "_st"],
+        )
+        sa, sb = cool_strat.alias("sa"), cool_strat.alias("sb")
+        strat_pairs = sa.join(
+            sb,
+            (F.col("sa.bucket") == F.col("sb.bucket"))
+            & (F.col("sa._st") == F.col("sb._st"))
+            & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
+        ).select(
+            F.col(f"sa.{id_col}").alias("id_a"),
+            F.col(f"sb.{id_col}").alias("id_b"),
+            F.col("sa.q").alias("qa"),
+            F.col("sb.q").alias("qb"),
+            F.col("sa._n").alias("na"),
+            F.col("sb._n").alias("nb"),
+        )
+        hot_ssizes = ssizes.filter(F.col("_ssz") > hot_bucket_cap)
         member_vs_srep = _vs(
             hot_strat.join(
-                esreps.select("bucket", "_st", "_sr"), ["bucket", "_st"]
+                hot_ssizes.select("bucket", "_st", "_sr"), ["bucket", "_st"]
             ),
             "_sr",
         )
         srep_vs_lo = _vs(
-            esreps.select(
+            hot_ssizes.select(
                 F.col(f"_sr.{id_col}").alias(id_col),
                 F.col("_sr.q").alias("q"),
                 F.col("_sr._n").alias("_n"),
@@ -614,6 +647,7 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
         )
         hot_cands = (
             lo_cands.unionByName(hi_cands)
+            .unionByName(strat_pairs)
             .unionByName(member_vs_srep)
             .unionByName(srep_vs_lo)
         )

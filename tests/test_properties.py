@@ -714,9 +714,10 @@ def test_capped_simhash_and_embedding_keep_megacluster_connected(spark, docs, ca
         if len(mem) > cap:
             members = [m for m, _s in mem]
             lo, hi = min(members), max(members)
-            # stratified-witness law (round 12): every hot member also
-            # pairs with its second-plane-family stratum's min id, and
-            # every stratum rep pairs with the bucket's min-id end
+            # stratified-refinement law (round 12): <= cap strata run
+            # all-pairs (co-located siblings become direct candidates);
+            # still-hot strata chain members to the stratum min and the
+            # stratum min to the bucket's min-id end
             strata: dict = {}
             for m_id, st in mem:
                 strata.setdefault(st, []).append(m_id)
@@ -726,9 +727,15 @@ def test_capped_simhash_and_embedding_keep_megacluster_connected(spark, docs, ca
                 if m_id != hi:
                     assert (m_id, hi) in cap_e
             for smem in strata.values():
-                srep = min(smem)
-                for m_id in smem:
-                    if m_id != srep:
-                        assert (srep, m_id) in cap_e
-                if srep != lo:
-                    assert (min(lo, srep), max(lo, srep)) in cap_e
+                if len(smem) <= cap:
+                    for x in smem:
+                        for y in smem:
+                            if x < y:
+                                assert (x, y) in cap_e
+                else:
+                    srep = min(smem)
+                    for m_id in smem:
+                        if m_id != srep:
+                            assert (srep, m_id) in cap_e
+                    if srep != lo:
+                        assert (min(lo, srep), max(lo, srep)) in cap_e
