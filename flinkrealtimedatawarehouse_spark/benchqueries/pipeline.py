@@ -398,6 +398,10 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
         threshold=_ED_THRESH, n_planes=_ED_PLANES, hot_bucket_cap=_ED_CAP,
     )
 
+# the SQL twin below unrolls the recursive refinement to exactly this
+# depth — a depth change must update both sides together
+assert textdedup._ED_REFINE_DEPTH == 2
+
 SQL_EMBEDDING_NEARDUP = f"""
 WITH a AS ({_SQL_EMB_DUPS}),
 q AS (SELECT vec_id, {_DUCK_Q} AS q FROM a),
@@ -407,19 +411,26 @@ bz AS (SELECT bucket, count(*) AS c,
               max(vec_id) AS hi_id, arg_max(q, vec_id) AS hi_q
        FROM b0 GROUP BY 1),
 b AS (SELECT b0.* FROM b0 JOIN bz USING (bucket) WHERE bz.c <= {_ED_CAP}),
--- over-cap members with their STRATUM: the sign bucket under a second,
--- disjoint hyperplane family (plane_offset = n_planes) — mirroring
--- textdedup.embedding_near_dups's stratified hot branch
+-- over-cap members with their level-1 and level-2 STRATA: sign buckets
+-- under disjoint hyperplane families (plane_offset = k * n_planes),
+-- mirroring textdedup.embedding_near_dups's RECURSIVE refinement
+-- (unrolled to _ED_REFINE_DEPTH = 2)
 bh AS (
   SELECT b0.vec_id, b0.q, b0.bucket, bz.lo_id, bz.lo_q, bz.hi_id, bz.hi_q,
-         {_duck_bucket('q', _ED_PLANES, _ED_PLANES)} AS strat
+         {_duck_bucket('q', _ED_PLANES, _ED_PLANES)} AS st1,
+         {_duck_bucket('q', _ED_PLANES, 2 * _ED_PLANES)} AS st2
   FROM b0 JOIN bz USING (bucket) WHERE bz.c > {_ED_CAP}
 ),
-esr AS (
-  SELECT bucket, strat, count(*) AS sc,
+s1 AS (SELECT bucket, st1, count(*) AS sc1 FROM bh GROUP BY 1, 2),
+-- level-2 groups exist only inside still-hot level-1 groups
+bh2 AS (
+  SELECT bh.* FROM bh JOIN s1 USING (bucket, st1) WHERE s1.sc1 > {_ED_CAP}
+),
+s2 AS (
+  SELECT bucket, st1, st2, count(*) AS sc2,
          min(vec_id) AS sid, arg_min(q, vec_id) AS sq,
          any_value(lo_id) AS lo_id, any_value(lo_q) AS lo_q
-  FROM bh GROUP BY 1, 2
+  FROM bh2 GROUP BY 1, 2, 3
 ),
 cd AS (
   SELECT DISTINCT * FROM (
@@ -435,26 +446,32 @@ cd AS (
     SELECT vec_id AS id_a, hi_id AS id_b, q AS qa, hi_q AS qb
     FROM bh WHERE vec_id < hi_id
     UNION ALL
-    -- hot: <= cap strata run ALL-PAIRS (the refinement that makes
-    -- co-located siblings direct candidates)
+    -- level 1: <= cap strata run ALL-PAIRS
     SELECT x.vec_id, y.vec_id, x.q, y.q
-    FROM bh x JOIN bh y ON x.bucket = y.bucket AND x.strat = y.strat
+    FROM bh x JOIN bh y ON x.bucket = y.bucket AND x.st1 = y.st1
                        AND x.vec_id < y.vec_id
-    JOIN esr ON esr.bucket = x.bucket AND esr.strat = x.strat
-    WHERE esr.sc <= {_ED_CAP}
+    JOIN s1 ON s1.bucket = x.bucket AND s1.st1 = x.st1
+    WHERE s1.sc1 <= {_ED_CAP}
     UNION ALL
-    -- hot: still-hot strata chain members to the stratum's min-id rep
-    SELECT least(bh.vec_id, esr.sid), greatest(bh.vec_id, esr.sid),
-           CASE WHEN bh.vec_id < esr.sid THEN bh.q ELSE esr.sq END,
-           CASE WHEN bh.vec_id < esr.sid THEN esr.sq ELSE bh.q END
-    FROM bh JOIN esr USING (bucket, strat)
-    WHERE esr.sc > {_ED_CAP} AND bh.vec_id <> esr.sid
+    -- level 2: <= cap sub-strata of still-hot level-1 strata, all-pairs
+    SELECT x.vec_id, y.vec_id, x.q, y.q
+    FROM bh2 x JOIN bh2 y ON x.bucket = y.bucket AND x.st1 = y.st1
+                         AND x.st2 = y.st2 AND x.vec_id < y.vec_id
+    JOIN s2 ON s2.bucket = x.bucket AND s2.st1 = x.st1 AND s2.st2 = x.st2
+    WHERE s2.sc2 <= {_ED_CAP}
     UNION ALL
-    -- hot: still-hot stratum reps chain to the bucket's min-id end
+    -- bottom: still-hot level-2 leftovers chain to the group's min-id rep
+    SELECT least(bh2.vec_id, s2.sid), greatest(bh2.vec_id, s2.sid),
+           CASE WHEN bh2.vec_id < s2.sid THEN bh2.q ELSE s2.sq END,
+           CASE WHEN bh2.vec_id < s2.sid THEN s2.sq ELSE bh2.q END
+    FROM bh2 JOIN s2 USING (bucket, st1, st2)
+    WHERE s2.sc2 > {_ED_CAP} AND bh2.vec_id <> s2.sid
+    UNION ALL
+    -- bottom: leftover group reps chain to the bucket's min-id end
     SELECT least(sid, lo_id), greatest(sid, lo_id),
            CASE WHEN sid < lo_id THEN sq ELSE lo_q END,
            CASE WHEN sid < lo_id THEN lo_q ELSE sq END
-    FROM esr WHERE sc > {_ED_CAP} AND sid <> lo_id
+    FROM s2 WHERE sc2 > {_ED_CAP} AND sid <> lo_id
   )
 )
 SELECT id_a, id_b, {_duck_cosine('qa', 'qb')} AS cosine

@@ -12,6 +12,8 @@ reproduce every value exactly (see hashing.py docstring).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -256,6 +258,13 @@ def minhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
 
 SIMHASH_BITS = 32
 SIMHASH_BAND_BITS = 8
+
+# levels of recursive sign-stratification inside over-cap embedding
+# buckets (embedding_near_dups): each level splits still-hot groups by a
+# further disjoint hyperplane family; 2 levels x 8 planes on top of the
+# primary bucket = 24 sign bits of discrimination before rep-chaining
+# kicks in (chosen by the sf1 sibling-recall decomposition in SCALE.md)
+_ED_REFINE_DEPTH = 2
 
 
 def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -517,27 +526,31 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
     representatives are cluster-arbitrary, and the cosine verify fails
     for almost every member (measured at sf1: 97-99% of hot members
     carried ZERO verified pairs while their true near-identical siblings
-    sat co-bucketed). Each hot bucket is therefore REFINED by a second,
-    disjoint hyperplane family (``plane_offset=n_planes``):
+    sat co-bucketed). Each hot bucket is therefore refined RECURSIVELY by
+    further disjoint hyperplane families (level k uses
+    ``plane_offset = k * n_planes``, depth ``_ED_REFINE_DEPTH``):
 
-    - strata that fall UNDER the cap run ALL-PAIRS — exactly the
-      semantics a cool bucket gets, so co-located siblings become direct
-      candidates (rep-chaining inside a stratum would NOT work here:
-      unlike SimHash, where band+stratum pin 16 of the 32 hashed bits
-      and the Hamming verify then passes against any co-stratum rep, 16
+    - groups that fall UNDER the cap at any level run ALL-PAIRS — exactly
+      the semantics a cool bucket gets, so co-located siblings become
+      direct candidates (rep-chaining inside a stratum would NOT work
+      here: unlike SimHash, where band+stratum pin 16 of the 32 hashed
+      bits and the Hamming verify then passes against any co-stratum rep,
       shared sign bits imply nothing about cosine >= threshold — a
-      stratum rep is as cluster-arbitrary as a bucket rep, measured:
-      rep-only stratification moved the residue 97% -> 89%, all-pairs
-      refinement is what collapses it);
-    - still-hot strata chain members to their stratum's min-id rep, and
-      stratum reps chain to the bucket's min-id end;
+      stratum rep is as cluster-arbitrary as a bucket rep; measured:
+      rep-only stratification moved the sf1 residue 97% -> 89%, one
+      all-pairs level -> 37-55% with sibling recall still capped at
+      55-76% because level-1 strata saturate at x4, recursion is what
+      closes it);
+    - still-hot groups descend one more level; BOTTOM-level leftovers
+      chain members to their group's min-id rep and reps to the bucket's
+      min-id end;
     - the bucket-level BOTH-ENDS chain stays for every member
       (connectivity for ``dedup_clusters`` is exactly as before).
 
-    Cost stays linear-with-cap: all-pairs only inside <= cap strata
-    bounds the extra candidates at cap*c/2 per hot bucket — the same
-    budget the cap already grants cool buckets. Mirrored term-for-term
-    in the dp3 gate's DuckDB twin."""
+    Cost stays linear-with-cap: all-pairs only inside <= cap groups
+    bounds the extra candidates at cap*c/2 per hot bucket PER LEVEL —
+    the same budget the cap already grants cool buckets. Mirrored
+    term-for-term (unrolled to depth 2) in the dp3 gate's DuckDB twin."""
     from flinkrealtimedatawarehouse_spark.datapipeline.similarity import (
         _sq_norm,
         hyperplane_bucket,
@@ -600,57 +613,63 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
                 )
             )
 
-        # stratified refinement under a DISJOINT second hyperplane family
-        # (docstring): <= cap strata run all-pairs, still-hot strata
-        # rep-chain, every member keeps the bucket-level chain above
-        hot_strat = hot_members.withColumn(
-            "_st", hyperplane_bucket(F.col("q"), n_planes, plane_offset=n_planes)
-        )
-        ssizes = hot_strat.groupBy("bucket", "_st").agg(
-            F.count(F.lit(1)).alias("_ssz"),
-            F.min(F.struct(F.col(id_col), F.col("q"), F.col("_n"))).alias("_sr"),
-            F.first("_lo").alias("_blo"),
-        )
-        cool_strat = hot_strat.join(
-            ssizes.filter(F.col("_ssz") <= hot_bucket_cap).select("bucket", "_st"),
-            ["bucket", "_st"],
-        )
-        sa, sb = cool_strat.alias("sa"), cool_strat.alias("sb")
-        strat_pairs = sa.join(
-            sb,
-            (F.col("sa.bucket") == F.col("sb.bucket"))
-            & (F.col("sa._st") == F.col("sb._st"))
-            & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
-        ).select(
-            F.col(f"sa.{id_col}").alias("id_a"),
-            F.col(f"sb.{id_col}").alias("id_b"),
-            F.col("sa.q").alias("qa"),
-            F.col("sb.q").alias("qb"),
-            F.col("sa._n").alias("na"),
-            F.col("sb._n").alias("nb"),
-        )
-        hot_ssizes = ssizes.filter(F.col("_ssz") > hot_bucket_cap)
-        member_vs_srep = _vs(
-            hot_strat.join(
-                hot_ssizes.select("bucket", "_st", "_sr"), ["bucket", "_st"]
-            ),
-            "_sr",
-        )
-        srep_vs_lo = _vs(
-            hot_ssizes.select(
-                F.col(f"_sr.{id_col}").alias(id_col),
-                F.col("_sr.q").alias("q"),
-                F.col("_sr._n").alias("_n"),
-                F.col("_blo").alias("_lo"),
-            ),
-            "_lo",
-        )
-        hot_cands = (
-            lo_cands.unionByName(hi_cands)
-            .unionByName(strat_pairs)
-            .unionByName(member_vs_srep)
-            .unionByName(srep_vs_lo)
-        )
+        # RECURSIVE stratified refinement under disjoint hyperplane
+        # families (docstring): at each level, groups that fall under the
+        # cap run all-pairs (co-located siblings become direct
+        # candidates); still-hot groups descend one more level; bottom-
+        # level leftovers rep-chain. The bucket-level both-ends chain
+        # above keeps connectivity regardless.
+        frames = [lo_cands, hi_cands]
+        cur = hot_members
+        gcols = ["bucket"]
+        for lvl in range(1, _ED_REFINE_DEPTH + 1):
+            cur = cur.withColumn(
+                f"_st{lvl}",
+                hyperplane_bucket(F.col("q"), n_planes,
+                                  plane_offset=lvl * n_planes),
+            )
+            gcols = gcols + [f"_st{lvl}"]
+            sz = cur.groupBy(*gcols).agg(
+                F.count(F.lit(1)).alias("_ssz"),
+                F.min(F.struct(F.col(id_col), F.col("q"), F.col("_n"))).alias("_sr"),
+                F.first("_lo").alias("_blo"),
+            )
+            cool_l = cur.join(
+                sz.filter(F.col("_ssz") <= hot_bucket_cap).select(*gcols), gcols
+            )
+            sa, sb = cool_l.alias("sa"), cool_l.alias("sb")
+            cond = F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")
+            for g in gcols:
+                cond = cond & (F.col(f"sa.{g}") == F.col(f"sb.{g}"))
+            frames.append(
+                sa.join(sb, cond).select(
+                    F.col(f"sa.{id_col}").alias("id_a"),
+                    F.col(f"sb.{id_col}").alias("id_b"),
+                    F.col("sa.q").alias("qa"),
+                    F.col("sb.q").alias("qb"),
+                    F.col("sa._n").alias("na"),
+                    F.col("sb._n").alias("nb"),
+                )
+            )
+            hot_sz = sz.filter(F.col("_ssz") > hot_bucket_cap)
+            if lvl == _ED_REFINE_DEPTH:
+                # bottom: leftovers chain to their group's min-id rep,
+                # reps chain to the bucket's min-id end
+                frames.append(_vs(
+                    cur.join(hot_sz.select(*gcols, "_sr"), gcols), "_sr"
+                ))
+                frames.append(_vs(
+                    hot_sz.select(
+                        F.col(f"_sr.{id_col}").alias(id_col),
+                        F.col("_sr.q").alias("q"),
+                        F.col("_sr._n").alias("_n"),
+                        F.col("_blo").alias("_lo"),
+                    ),
+                    "_lo",
+                ))
+            else:
+                cur = cur.join(hot_sz.select(*gcols), gcols)
+        hot_cands = functools.reduce(lambda x, y: x.unionByName(y), frames)
     else:
         cool, hot_cands = q, None
     a, b = cool.alias("a"), cool.alias("b")

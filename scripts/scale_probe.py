@@ -287,12 +287,37 @@ def main() -> int:
         )
         n_edhot = ed_hot.count()
         n_edres = ed_hot.join(ed_paired, "vec_id", "left_anti").count()
+        # sibling-recall decomposition (m > 1): amplified copies are TRUE
+        # >= threshold partners by construction, so the fraction of
+        # (base, copy) pairs found in the verified output, against the
+        # fraction sharing the primary sign bucket at all (the inherent
+        # single-table LSH ceiling — a pair split across buckets is
+        # unreachable capped or not), separates cap-induced loss from
+        # LSH recall.
+        sib_line = ""
+        if m > 1:
+            sibs = (
+                ebr.select(F.col("vec_id").alias("id_a"), F.col("b").alias("ba"))
+                .join(
+                    ebr.select((F.col("vec_id") - 1_000_000).alias("id_a"),
+                               F.col("vec_id").alias("id_b"),
+                               F.col("b").alias("bb")),
+                    "id_a",
+                )
+            )
+            n_sib = sibs.count()
+            n_cob = sibs.filter(F.col("ba") == F.col("bb")).count()
+            n_found = sibs.join(pairs_ed, ["id_a", "id_b"], "left_semi").count()
+            sib_line = (
+                f" sib_pairs={n_sib} co_bucket={n_cob / max(n_sib, 1):.1%} "
+                f"found={n_found / max(n_sib, 1):.1%}"
+            )
         pairs_ed.unpersist()
         print(
             f"x{m} dp3cap[perturb]: embcos={t_ed:.1f}s ({n_ed} pairs, "
             f"kept {ed_k} / dropped<= {ed_d}, {ed_f:.1%}, "
             f"hot={n_edhot} residue={n_edres} "
-            f"[{n_edres / max(n_edhot, 1):.2%}])",
+            f"[{n_edres / max(n_edhot, 1):.2%}]{sib_line})",
             flush=True,
         )
 

@@ -705,37 +705,51 @@ def test_capped_simhash_and_embedding_keep_megacluster_connected(spark, docs, ca
         hyperplane_bucket(quantized(F.col("embedding"), 1000), 4).alias("b"),
         hyperplane_bucket(
             quantized(F.col("embedding"), 1000), 4, plane_offset=4
-        ).alias("st"),
+        ).alias("st1"),
+        hyperplane_bucket(
+            quantized(F.col("embedding"), 1000), 4, plane_offset=8
+        ).alias("st2"),
     ).collect()
     ebuckets: dict = {}
     for r in bk:
-        ebuckets.setdefault(r.b, []).append((r.vec_id, r.st))
+        ebuckets.setdefault(r.b, []).append((r.vec_id, r.st1, r.st2))
     for mem in ebuckets.values():
         if len(mem) > cap:
-            members = [m for m, _s in mem]
+            members = [m for m, _s1, _s2 in mem]
             lo, hi = min(members), max(members)
-            # stratified-refinement law (round 12): <= cap strata run
-            # all-pairs (co-located siblings become direct candidates);
-            # still-hot strata chain members to the stratum min and the
-            # stratum min to the bucket's min-id end
-            strata: dict = {}
-            for m_id, st in mem:
-                strata.setdefault(st, []).append(m_id)
             for m_id in members:
                 if m_id != lo:
                     assert (lo, m_id) in cap_e
                 if m_id != hi:
                     assert (m_id, hi) in cap_e
+            # recursive-refinement law (round 12, depth 2): <= cap level-1
+            # strata run all-pairs; still-hot ones split by level 2 —
+            # <= cap sub-strata all-pairs, leftovers chain member -> group
+            # min -> bucket's min-id end
+            strata: dict = {}
+            for m_id, s1, s2 in mem:
+                strata.setdefault(s1, []).append((m_id, s2))
             for smem in strata.values():
-                if len(smem) <= cap:
-                    for x in smem:
-                        for y in smem:
+                sids = [m for m, _s in smem]
+                if len(sids) <= cap:
+                    for x in sids:
+                        for y in sids:
                             if x < y:
                                 assert (x, y) in cap_e
-                else:
-                    srep = min(smem)
-                    for m_id in smem:
-                        if m_id != srep:
-                            assert (srep, m_id) in cap_e
-                    if srep != lo:
-                        assert (min(lo, srep), max(lo, srep)) in cap_e
+                    continue
+                sub: dict = {}
+                for m_id, s2 in smem:
+                    sub.setdefault(s2, []).append(m_id)
+                for ssmem in sub.values():
+                    if len(ssmem) <= cap:
+                        for x in ssmem:
+                            for y in ssmem:
+                                if x < y:
+                                    assert (x, y) in cap_e
+                    else:
+                        srep = min(ssmem)
+                        for m_id in ssmem:
+                            if m_id != srep:
+                                assert (srep, m_id) in cap_e
+                        if srep != lo:
+                            assert (min(lo, srep), max(lo, srep)) in cap_e
