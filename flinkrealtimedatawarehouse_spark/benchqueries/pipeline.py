@@ -399,8 +399,8 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 # the SQL twin below unrolls the recursive refinement to exactly this
-# depth — a depth change must update both sides together
-assert textdedup._ED_REFINE_DEPTH == 2
+# depth and plane budget — a change must update both sides together
+assert textdedup._ED_REFINE_DEPTH == 2 and textdedup._ED_REFINE_PLANES == 8
 
 SQL_EMBEDDING_NEARDUP = f"""
 WITH a AS ({_SQL_EMB_DUPS}),
@@ -417,8 +417,8 @@ b AS (SELECT b0.* FROM b0 JOIN bz USING (bucket) WHERE bz.c <= {_ED_CAP}),
 -- (unrolled to _ED_REFINE_DEPTH = 2)
 bh AS (
   SELECT b0.vec_id, b0.q, b0.bucket, bz.lo_id, bz.lo_q, bz.hi_id, bz.hi_q,
-         {_duck_bucket('q', _ED_PLANES, _ED_PLANES)} AS st1,
-         {_duck_bucket('q', _ED_PLANES, 2 * _ED_PLANES)} AS st2
+         {_duck_bucket('q', 8, _ED_PLANES)} AS st1,
+         {_duck_bucket('q', 8, _ED_PLANES + 8)} AS st2
   FROM b0 JOIN bz USING (bucket) WHERE bz.c > {_ED_CAP}
 ),
 s1 AS (SELECT bucket, st1, count(*) AS sc1 FROM bh GROUP BY 1, 2),

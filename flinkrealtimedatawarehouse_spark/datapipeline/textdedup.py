@@ -259,12 +259,19 @@ def minhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
 SIMHASH_BITS = 32
 SIMHASH_BAND_BITS = 8
 
-# levels of recursive sign-stratification inside over-cap embedding
-# buckets (embedding_near_dups): each level splits still-hot groups by a
-# further disjoint hyperplane family; 2 levels x 8 planes on top of the
-# primary bucket = 24 sign bits of discrimination before rep-chaining
-# kicks in (chosen by the sf1 sibling-recall decomposition in SCALE.md)
+# recursive sign-stratification inside over-cap embedding buckets
+# (embedding_near_dups): each level splits still-hot groups by a further
+# disjoint hyperplane family of _ED_REFINE_PLANES planes. Tuned by the
+# sf1 sibling-recall decomposition (SCALE.md round 12): 4-plane levels
+# halve the sign-flip exposure but their 16-way split leaves groups over
+# the cap (x1 residue 54% vs 0.3%) — discrimination binds before flip
+# loss does, so levels keep the full 8 planes. The residual ~15% of
+# co-bucket sibling pairs lost to stratum-boundary flips is the measured
+# ceiling of AND-composed sign refinement; the documented knob for
+# recovering it is OR-amplification (an independent second family per
+# level, union of candidates, 2x cost) — not shipped, priced in SCALE.md.
 _ED_REFINE_DEPTH = 2
+_ED_REFINE_PLANES = 8
 
 
 def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -527,8 +534,10 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
     for almost every member (measured at sf1: 97-99% of hot members
     carried ZERO verified pairs while their true near-identical siblings
     sat co-bucketed). Each hot bucket is therefore refined RECURSIVELY by
-    further disjoint hyperplane families (level k uses
-    ``plane_offset = k * n_planes``, depth ``_ED_REFINE_DEPTH``):
+    further disjoint hyperplane families (``_ED_REFINE_PLANES`` planes
+    per level at ``plane_offset = n_planes + (k-1) * _ED_REFINE_PLANES``,
+    depth ``_ED_REFINE_DEPTH`` — fewer planes per level than the primary
+    bucket, see the constants' comment):
 
     - groups that fall UNDER the cap at any level run ALL-PAIRS — exactly
       the semantics a cool bucket gets, so co-located siblings become
@@ -625,8 +634,10 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
         for lvl in range(1, _ED_REFINE_DEPTH + 1):
             cur = cur.withColumn(
                 f"_st{lvl}",
-                hyperplane_bucket(F.col("q"), n_planes,
-                                  plane_offset=lvl * n_planes),
+                hyperplane_bucket(
+                    F.col("q"), _ED_REFINE_PLANES,
+                    plane_offset=n_planes + (lvl - 1) * _ED_REFINE_PLANES,
+                ),
             )
             gcols = gcols + [f"_st{lvl}"]
             sz = cur.groupBy(*gcols).agg(

@@ -308,9 +308,31 @@ def main() -> int:
             n_sib = sibs.count()
             n_cob = sibs.filter(F.col("ba") == F.col("bb")).count()
             n_found = sibs.join(pairs_ed, ["id_a", "id_b"], "left_semi").count()
+            # the metric that matters downstream: siblings CONNECTED
+            # through the verified pair graph (a coherent bottom group
+            # chains every member through its rep, so a sibling pair can
+            # be connected without a direct pair — that is the designed
+            # O(c) behavior, not a recall loss)
+            ids_ed = (
+                pairs_ed.select(F.col("id_a").alias("vec_id"))
+                .unionByName(pairs_ed.select(F.col("id_b").alias("vec_id")))
+                .distinct()
+            )
+            cc = textdedup.dedup_clusters(
+                pairs_ed.select("id_a", "id_b"), ids_ed, "vec_id"
+            )
+            ca = cc.select(F.col("vec_id").alias("id_a"),
+                           F.col("cluster").alias("cla"))
+            cb = cc.select(F.col("vec_id").alias("id_b"),
+                           F.col("cluster").alias("clb"))
+            n_conn = (
+                sibs.join(ca, "id_a").join(cb, "id_b")
+                .filter(F.col("cla") == F.col("clb")).count()
+            )
             sib_line = (
                 f" sib_pairs={n_sib} co_bucket={n_cob / max(n_sib, 1):.1%} "
-                f"found={n_found / max(n_sib, 1):.1%}"
+                f"found={n_found / max(n_sib, 1):.1%} "
+                f"connected={n_conn / max(n_sib, 1):.1%}"
             )
         pairs_ed.unpersist()
         print(

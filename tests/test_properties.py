@@ -700,14 +700,16 @@ def test_capped_simhash_and_embedding_keep_megacluster_connected(spark, docs, ca
                  emb, "vec_id", "embedding", threshold=-1.0, n_planes=4,
                  hot_bucket_cap=cap).collect()}
     assert cap_e <= unc_e
+    rp = textdedup._ED_REFINE_PLANES  # mirror the implementation's rule:
+    # refinement level k uses rp planes at offset n_planes + (k-1) * rp
     bk = emb.select(
         "vec_id",
         hyperplane_bucket(quantized(F.col("embedding"), 1000), 4).alias("b"),
         hyperplane_bucket(
-            quantized(F.col("embedding"), 1000), 4, plane_offset=4
+            quantized(F.col("embedding"), 1000), rp, plane_offset=4
         ).alias("st1"),
         hyperplane_bucket(
-            quantized(F.col("embedding"), 1000), 4, plane_offset=8
+            quantized(F.col("embedding"), 1000), rp, plane_offset=4 + rp
         ).alias("st2"),
     ).collect()
     ebuckets: dict = {}
