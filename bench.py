@@ -285,6 +285,12 @@ def _serving_measure(spark, sf_dir: str, hibatch: bool = False) -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
             timeout=1800,
         )
+        if proc.returncode != 0:  # surface the build error, not a JSON parse
+            raise RuntimeError(
+                f"--build-one {kind} subprocess exited "
+                f"{proc.returncode}; stdout tail: "
+                f"{proc.stdout.decode(errors='replace')[-2000:]!r}"
+            )
         return float(
             json.loads(proc.stdout.decode().strip().splitlines()[-1])
             ["build_wall"]

@@ -400,7 +400,14 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 # the SQL twin below unrolls the recursive refinement to exactly this
 # depth and plane budget — a change must update both sides together
-assert textdedup._ED_REFINE_DEPTH == 2 and textdedup._ED_REFINE_PLANES == 8
+# (explicit raise, not assert: must survive `python -O`)
+if not (textdedup._ED_REFINE_DEPTH == 2 and textdedup._ED_REFINE_PLANES == 8):
+    raise AssertionError(
+        "SQL_EMBEDDING_NEARDUP is unrolled for _ED_REFINE_DEPTH=2 / "
+        "_ED_REFINE_PLANES=8; textdedup's constants moved — update the "
+        f"SQL twin (got depth={textdedup._ED_REFINE_DEPTH}, "
+        f"planes={textdedup._ED_REFINE_PLANES})"
+    )
 
 SQL_EMBEDDING_NEARDUP = f"""
 WITH a AS ({_SQL_EMB_DUPS}),

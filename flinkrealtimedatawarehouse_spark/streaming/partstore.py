@@ -103,6 +103,9 @@ def group_latest(key_cols: list[str]):
             .drop("_mx")
         )
 
+    # pass-through per-row filter: every input column survives the merge,
+    # so schema-evolving deltas stay visible on merged reads
+    f.evolves = True
     return f
 
 
@@ -116,6 +119,7 @@ def min_merge(key_cols: list[str], val_cols: list[str]):
         aggs.append(F.max("_sv").alias("_sv"))
         return df.groupBy(*key_cols).agg(*aggs)
 
+    f.evolves = False  # value-column list is pinned: no schema evolution
     return f
 
 
@@ -134,6 +138,7 @@ def min_struct_merge(key_cols: list[str], struct_cols: list[str]):
                     "_sv")
         )
 
+    f.evolves = False  # struct-column list is pinned: no schema evolution
     return f
 
 
@@ -151,6 +156,7 @@ def latest_wins(key_cols: list[str], val_cols: list[str]):
                     F.col("_m._sv").alias("_sv"))
         )
 
+    f.evolves = False  # value-column list is pinned: no schema evolution
     return f
 
 
@@ -310,6 +316,14 @@ class PartitionedSnapshotStore(VersionedSnapshotSink):
                 "must not carry them"
             )
         schema_json = self.meta["schema"]
+        if new_names and not getattr(self.merge_fn, "evolves", False):
+            raise ValueError(
+                f"delta adds columns {new_names}, but this store's merge_fn "
+                "pins its value-column list — the new columns would be "
+                "written to runs yet silently dropped from every merged "
+                "read. Only pass-through merges (group_latest) support "
+                "schema evolution; re-create the store for a new value set"
+            )
         if new_names:
             delta_t = dict(zip(delta.schema.names, delta.schema.fields))
             evolved = StructType(
@@ -380,8 +394,20 @@ class PartitionedSnapshotStore(VersionedSnapshotSink):
         # keys never cross partitions (pid is a pure function of the key),
         # so one global merge over every folding partition's runs equals
         # per-partition merges — and re-routing via pid_expr puts each
-        # merged row back where its inputs came from
-        merged = self.merge_fn(spark.read.parquet(*paths))
+        # merged row back where its inputs came from.
+        # mergeSchema + the null-fill select: fold inputs may span a
+        # schema-evolution boundary, and a plain read would infer the
+        # schema from one arbitrary footer and silently drop the evolved
+        # column(s) from the folded run — align to the CURRENT version's
+        # schema exactly as _read does
+        raw = self._raw_schema()
+        src = spark.read.option("mergeSchema", "true").parquet(*paths)
+        src = src.select(*[
+            F.col(f.name) if f.name in src.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in raw.fields
+        ])
+        merged = self.merge_fn(src)
         stage = os.path.join(
             self.base_dir, f"fold{self.version}.stage-{self._writer_id}"
         )

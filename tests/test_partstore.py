@@ -196,6 +196,53 @@ def test_schema_evolution_per_version(spark, tmp_path):
     assert s2.current(spark).columns == ["k", "v", "extra"]
 
 
+def test_fold_across_schema_evolution_keeps_evolved_column(spark, tmp_path):
+    """ADVICE r12 (high): a size-tiered fold whose inputs span a
+    schema-evolution boundary must read with mergeSchema and align to the
+    current version's schema — a plain multi-path read infers the schema
+    from one arbitrary footer and can silently drop the evolved column
+    from the folded run. n_partitions=1 + max_runs=2 forces the fold to
+    mix pre- and post-evolution runs."""
+    s = _init(spark, _store(str(tmp_path / "fevo"), merge=group_latest(["k"]),
+                            n_partitions=1, max_runs=2))
+    s.commit_batch(_kv(spark, [("a", 1)]), 0)
+    s.commit_batch(_kv(spark, [("b", 2)]), 1)
+    wide = spark.createDataFrame([("c", 3, "x")], "k string, v long, extra string")
+    stats = s.commit_batch(wide, 2)  # 3 runs > max_runs=2 -> fold fires
+    assert stats["fold_bytes"] > 0, "test must exercise the fold path"
+    # every run referenced by the current manifest is now fold-mixed;
+    # the evolved column must survive with its values intact
+    cur = s.current(spark)
+    assert cur.columns == ["k", "v", "extra"]
+    got = {r.k: (r.v, r.extra) for r in cur.collect()}
+    assert got == {"a": (1, None), "b": (2, None), "c": (3, "x")}
+    # keep folding past the boundary: another commit re-folds the folded
+    # run together with the evolving delta's run
+    s.commit_batch(_kv(spark, [("d", 4)]), 3)
+    got2 = {r.k: (r.v, r.extra) for r in s.current(spark).collect()}
+    assert got2 == {"a": (1, None), "b": (2, None), "c": (3, "x"),
+                    "d": (4, None)}
+
+
+def test_evolving_delta_rejected_on_pinned_merge(spark, tmp_path):
+    """ADVICE r12: min/struct/latest merges pin their value-column list,
+    so an evolved column would be written to runs yet dropped from every
+    merged read — accepted on write, invisible on read. The store must
+    reject it loudly instead."""
+    for merge in (min_merge(["k"], ["v"]), latest_wins(["k"], ["v"])):
+        base = str(tmp_path / f"pin-{getattr(merge, '__qualname__', id(merge))}")
+        s = _init(spark, _store(base, merge=merge))
+        s.commit_batch(_kv(spark, [("a", 1)]), 0)
+        wide = spark.createDataFrame(
+            [("b", 2, "x")], "k string, v long, extra string"
+        )
+        with pytest.raises(ValueError, match="pins its value-column list"):
+            s.commit_batch(wide, 1)
+        # the rejected commit must not have advanced state
+        assert _state(spark, s) == {"a": 1}
+        assert s.version == 1
+
+
 def test_commit_snapshot_is_a_contract_error(spark, tmp_path):
     s = _init(spark, _store(str(tmp_path / "cs")))
     with pytest.raises(TypeError, match="commit_batch"):
