@@ -28,6 +28,33 @@ import sys
 import time
 
 
+def _load_stamp() -> dict:
+    """Ambient-load fingerprint stamped into every bench fragment
+    (VERDICT r12 task #1): 1/5/15-min load averages plus the count of
+    live JVMs on the box. Three rounds of serving-tier regressions
+    'resolved on re-measure' traced to concurrent soak/bench JVMs —
+    contamination must be self-documenting in the committed record, not
+    reconstructed from memory."""
+    try:
+        la = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        la = None
+    n_jvm = 0
+    try:
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/comm") as fh:
+                    if fh.read().strip() == "java":
+                        n_jvm += 1
+            except OSError:
+                continue  # process exited between listdir and open
+    except OSError:
+        n_jvm = None
+    return {"loadavg": la, "jvms": n_jvm}
+
+
 def _headline():
     # Per-operator functions, NOT the consolidated driver registry — the
     # registry's tagged-union gate entries bundle several operators per
@@ -81,6 +108,7 @@ def run_sf1_tier() -> int:
     from flinkrealtimedatawarehouse_spark.benchqueries import pipeline, tpch, warehouse as wh
     from scripts.gen_sf1 import ensure_sf1, OUT_DIR
 
+    load_start = _load_stamp()
     spark = get_spark("bench-sf1")
     fresh = not os.path.exists(os.path.join(OUT_DIR, "_SF1_OK"))
     t0 = time.time()
@@ -157,6 +185,7 @@ def run_sf1_tier() -> int:
             "value_cold": round(sum(sf1_cold.get(n, 0.0) for n in sf1_queries), 3),
             "queries": sf1_queries,
             "queries_cold": {n: sf1_cold[n] for n in sf1_queries if n in sf1_cold},
+            "load": {"start": load_start, "end": _load_stamp()},
         },
         "sf1_gen_sec": gen_sec,
         "sf1_fresh_gen": fresh,
@@ -271,6 +300,7 @@ def _serving_measure(spark, sf_dir: str, hibatch: bool = False) -> dict:
     from flinkrealtimedatawarehouse_spark.streaming.runner import scratch_dir
     from flinkrealtimedatawarehouse_spark.tables import load_table
 
+    load_start = _load_stamp()
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     # isolated builds (default ON, r11 VERDICT #4): each *_stream_upkeep
     # build runs in a fresh subprocess JVM so its wall can't inherit
@@ -477,7 +507,8 @@ def _serving_measure(spark, sf_dir: str, hibatch: bool = False) -> dict:
     for name in sorted(queries):
         print(f"# serving {os.path.basename(sf_dir)} {name}: {queries[name]}s",
               file=sys.stderr)
-    return {"queries": queries, "build": build, "isolated": isolated}
+    return {"queries": queries, "build": build, "isolated": isolated,
+            "load": {"start": load_start, "end": _load_stamp()}}
 
 
 def run_headline_tier() -> int:
@@ -500,6 +531,7 @@ def _collect_headline() -> dict:
 
     from flinkrealtimedatawarehouse_spark.session import get_spark
 
+    load_start = _load_stamp()
     spark = get_spark("bench")
     registry = _headline()
 
@@ -605,6 +637,7 @@ def _collect_headline() -> dict:
             "queries_cold": {n: cold[n] for n in timings if n in cold},
             "extras": extras,
             "cold_incomplete": [n for n in timings if n not in cold],
+            "load": {"start": load_start, "end": _load_stamp()},
         }
     }
 
@@ -697,6 +730,9 @@ def main() -> int:
         "sf1": sf1_out,
         "serving": serving_out,
         "sf": sf,
+        # orchestrator-level ambient fingerprint at record time; each
+        # tier fragment carries its own start/end stamps
+        "load": _load_stamp(),
     }
     if sf1_gen_sec is not None:
         out["sf1_gen_sec"] = sf1_gen_sec

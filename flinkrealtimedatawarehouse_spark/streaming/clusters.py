@@ -50,17 +50,30 @@ pair-touched doc (the dup mass, typically a small corpus fraction);
 singleton docs never enter it: ``cluster(id) = id`` is implicit for
 absent ids. Reads prune too: the store is partitioned by the id hash, so
 the contraction lookup and the newly-seen probe (both id-keyed) read
-only the partitions the batch's endpoints hash into. The one remaining
-O(|state|) term is the remap-membership probe (keyed on the CLUSTER
-value, which lives in arbitrary id partitions) — a read-only scan
-against a broadcast of the batch-bounded remap, never a shuffle of the
-label table; at full cluster scale a secondary cluster->partition index
-would prune it as well, changing no algebra here.
+only the partitions the batch's endpoints hash into. The remap-membership
+probe (keyed on the CLUSTER value, which lives in arbitrary id
+partitions) prunes through a SECONDARY INDEX since round 13 — see
+``_ClusterPidIndex`` below — closing the last O(|state|) read in the
+streaming dedup DAG (VERDICT r12 task #2).
+
+Secondary index invariant (superset semantics): whenever the label table
+holds a row ``(id, c)`` at the current version, the index holds
+``(c, pid(id))`` — every label delta row commits its ``(cluster, pid)``
+projection to the index BEFORE the label commit, so a crash between the
+two leaves the index a harmless SUPERSET (extra partitions read, never a
+missed member). Stale entries — clusters merged away — are never probed
+again: a cluster value is the min id of its component, components only
+grow, so once ``c``'s component merges into a smaller min, no row is
+ever labeled ``c`` again and no contracted-graph node ever carries it.
+The index is fully derivable from the label table, so an out-of-sync
+index (pre-index store upgrade, wiped dir, stale ``label_version``
+stamp) is REBUILT from a one-off full scan rather than trusted.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,7 +81,32 @@ from pyspark.sql import functions as F
 from flinkrealtimedatawarehouse_spark.streaming.partstore import (
     PartitionedSnapshotStore,
     latest_wins,
+    min_merge,
 )
+
+
+class _ClusterPidIndex(PartitionedSnapshotStore):
+    """Secondary index ``(cluster, pid)``: label-store partition ``pid``
+    MAY hold rows currently labeled ``cluster``. Presence set —
+    ``min_merge`` with no value columns is per-key distinct. Routed by
+    the CLUSTER hash alone (``pid_expr`` override) so cluster-keyed
+    probes prune index reads exactly the way id-keyed probes prune label
+    reads; ``(cluster, pid)`` keys still never cross store partitions
+    because the routing is a pure function of the key's cluster
+    component (the fold's re-route invariant holds)."""
+
+    def __init__(self, base_dir: str, n_partitions: int = 8,
+                 lineage: str | None = None, read_only: bool = False,
+                 retain_versions: int | None = None):
+        super().__init__(base_dir, key_cols=["cluster", "pid"],
+                         merge_fn=min_merge(["cluster", "pid"], []),
+                         n_partitions=n_partitions, lineage=lineage,
+                         read_only=read_only,
+                         retain_versions=retain_versions)
+
+    def pid_expr(self):
+        return F.pmod(F.xxhash64("cluster"),
+                      F.lit(self.n_partitions)).cast("int")
 
 
 class ClusterUpkeepSink(PartitionedSnapshotStore):
@@ -89,6 +127,14 @@ class ClusterUpkeepSink(PartitionedSnapshotStore):
                          retain_versions=retain_versions)
         self.id_col = id_col
         self.max_iter = max_iter
+        self._pidx_dir = os.path.join(out_dir, "labelpidx")
+        self.pidx = _ClusterPidIndex(self._pidx_dir,
+                                     n_partitions=n_partitions,
+                                     lineage=lineage, read_only=read_only,
+                                     retain_versions=retain_versions)
+        # per-batch probe stats for the scale probe: pids + manifest
+        # bytes each label-table read actually scanned
+        self.last_probe: dict = {}
 
     def write_batch(self, pairs: DataFrame, batch_id: int) -> None:
         from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
@@ -102,6 +148,10 @@ class ClusterUpkeepSink(PartitionedSnapshotStore):
             self.snapshot_init(spark.createDataFrame(
                 [], f"{self.id_col} long, cluster long"
             ))
+        if self.pidx.version < 0:
+            self.pidx.snapshot_init(
+                spark.createDataFrame([], "cluster long, pid int")
+            )
         if batch_id != self.version:
             # ``clusters(as_of_batch=b)`` reads version b+1, which is only
             # the post-batch-b state when batch ids arrive consecutively
@@ -134,7 +184,8 @@ class ClusterUpkeepSink(PartitionedSnapshotStore):
         # lazy persist (no extra action): the pruned lookup feeds THREE
         # plan legs (both contraction sides + the newly-seen anti-join),
         # and each would otherwise re-read and re-merge its runs
-        labels = self.read_parts(spark, self.pids_of(ids_in_batch)).persist()
+        lookup_pids = self.pids_of(ids_in_batch)
+        labels = self.read_parts(spark, lookup_pids).persist()
 
         # 1. contract edge endpoints through the current labels
         la = labels.select(
@@ -172,13 +223,18 @@ class ClusterUpkeepSink(PartitionedSnapshotStore):
         # resolves them against history on read — the label table itself
         # is never rewritten.
         remap_changed = remap.filter(F.col("_node") != F.col("_new"))
-        # the ONE cluster-keyed probe: members of remapped clusters live in
-        # arbitrary id partitions, so this scans the full table — but the
-        # remap side is batch-bounded, so it broadcasts and the scan never
-        # shuffles the label table (at full cluster scale a secondary
-        # cluster->partition index would prune this too; algebra unchanged)
+        # the ONE cluster-keyed probe: members of remapped clusters live
+        # in arbitrary id partitions — the secondary (cluster, pid) index
+        # prunes the scan to the label partitions that can hold them
+        # (superset invariant: the index commits before every label
+        # commit, so it never misses a member; extra pids only cost
+        # bytes). The remap side is batch-bounded, so it broadcasts and
+        # nothing here shuffles the label table.
+        member_pids = self._member_pids(
+            spark, remap_changed.select(F.col("_node").alias("cluster"))
+        )
         changed = (
-            self.current(spark).join(
+            self.read_parts(spark, member_pids).join(
                 F.broadcast(remap_changed),
                 F.col("cluster") == remap_changed["_node"],
             )
@@ -202,7 +258,85 @@ class ClusterUpkeepSink(PartitionedSnapshotStore):
             delta = changed.unionByName(newly_seen).localCheckpoint(eager=True)
         finally:
             labels.unpersist()
+        # probe accounting at the PRE-commit version — the manifests the
+        # three label-table reads above actually scanned (contraction +
+        # newly-seen share the id-pruned read; membership is index-pruned)
+        self.last_probe = {
+            "lookup_pids": lookup_pids,
+            "member_pids": member_pids,
+            "lookup_bytes": self.state_bytes(pids=lookup_pids),
+            "member_bytes": self.state_bytes(pids=member_pids),
+            "state_bytes": self.state_bytes(),
+            "index_bytes": (self.pidx.state_bytes()
+                            if self.pidx.version >= 0 else 0),
+        }
+        # index BEFORE labels: a crash between the two leaves the index a
+        # superset (safe); the other order could leave it missing members
+        # of committed label rows (wrong forever). On replay after such a
+        # crash the index's seen() skips its (already-committed) half.
+        if not self.pidx.seen(batch_id):
+            idx_delta = (
+                delta.select("cluster", self.pid_expr().alias("pid"))
+                .distinct()
+            )
+            self.pidx.commit_batch(idx_delta, batch_id,
+                                   label_version=self.version + 1)
         self.commit_batch(delta, batch_id)
+
+    def _member_pids(self, spark: SparkSession,
+                     clusters_df: DataFrame) -> list[int]:
+        """Label partitions that can hold members of ``clusters_df``'s
+        cluster values, via the secondary index. Two bounded collects
+        (the package's ``.collect()`` contract): ``pids_of`` returns at
+        most the index's partition count, and the pid projection at most
+        the label store's. ``clusters_df`` is batch-bounded (contracted
+        remap nodes), so its broadcast is small by construction."""
+        self._ensure_index(spark)
+        ipids = self.pidx.pids_of(clusters_df)
+        if not ipids:
+            return []
+        rows = (
+            self.pidx.read_parts(spark, ipids)
+            .join(F.broadcast(clusters_df.distinct()), "cluster",
+                  "left_semi")
+            .select("pid").distinct()
+            .collect()  # BOUNDED: at most n_partitions ints
+        )
+        return sorted(r["pid"] for r in rows)
+
+    def _ensure_index(self, spark: SparkSession) -> None:
+        """Rebuild the secondary index when it cannot be trusted: missing
+        entirely (a pre-index store upgraded in place, or a wiped dir) or
+        its ``label_version`` stamp trails the label store (the stamp
+        runs AHEAD by one inside the index-then-labels commit pair, so
+        ``>= version`` is the in-sync test). The index is derivable, so
+        rebuild-on-mismatch is the recovery contract — one full label
+        scan, amortized over the store's remaining life."""
+        stamped = self.pidx.meta.get("label_version", -1)
+        if self.pidx.version >= 0 and stamped >= self.version:
+            return
+        if self.pidx.version >= 0 and self.version <= 0:
+            return  # both empty: nothing to index yet
+        self._rebuild_index(spark)
+
+    def _rebuild_index(self, spark: SparkSession) -> None:
+        shutil.rmtree(self._pidx_dir, ignore_errors=True)
+        self.pidx = _ClusterPidIndex(self._pidx_dir,
+                                     n_partitions=self.n_partitions,
+                                     lineage=self.lineage,
+                                     retain_versions=self.retain_versions)
+        self.pidx.snapshot_init(
+            spark.createDataFrame([], "cluster long, pid int")
+        )
+        full = (
+            self.current(spark)
+            .select("cluster", self.pid_expr().alias("pid"))
+            .distinct()
+        )
+        # stamp with the LABEL batch cursor so replay skipping lines up:
+        # the rebuilt index covers everything labels has applied
+        self.pidx.commit_batch(full, self.last_bid,
+                               label_version=self.version)
 
     def clusters(self, spark: SparkSession,
                  as_of_batch: int | None = None) -> DataFrame:

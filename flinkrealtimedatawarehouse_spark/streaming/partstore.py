@@ -522,13 +522,17 @@ class PartitionedSnapshotStore(VersionedSnapshotSink):
 
     # --- retention -----------------------------------------------------------
 
-    def state_bytes(self, version: int | None = None) -> int:
+    def state_bytes(self, version: int | None = None, pids=None) -> int:
         """Bytes a read at ``version`` would scan (manifest-recorded run
-        sizes) — the scale probe's denominator."""
+        sizes) — the scale probe's denominator. ``pids`` restricts to a
+        partition subset: the bytes a ``read_parts`` of those pids scans
+        (the probe's numerator for pruned reads)."""
         v = self.version if version is None else version
+        pid_set = None if pids is None else {int(p) for p in pids}
         return sum(
             r["b"]
-            for runs in self._load_manifest(v)["parts"].values()
+            for pid, runs in self._load_manifest(v)["parts"].items()
+            if pid_set is None or int(pid) in pid_set
             for r in runs
         )
 

@@ -667,11 +667,15 @@ def main() -> int:
         def _w(b, i):
             t0 = time.time()
             nd.write_batch(b, i)
+            lp = cl.last_probe or {}
             recs.append((
                 time.time() - t0,
                 _manifest_run_bytes(nd, "d") + _manifest_run_bytes(nd, "f"),
                 (_manifest_run_bytes(cl, "d") + _manifest_run_bytes(cl, "f"))
                 if cl.version >= 0 else 0,
+                lp.get("lookup_bytes", 0),   # id-keyed: contraction+newly-seen
+                lp.get("member_bytes", 0),   # cluster-keyed via secondary index
+                lp.get("state_bytes", 0),    # full label table (the un-pruned cost)
             ))
 
         drive_batches(_w, d, "doc_id", n=n_b)
@@ -688,6 +692,19 @@ def main() -> int:
             f"x{m} dagsoak bytes/batch (band+cluster KB): "
             + " ".join(f"b{i}={(r[1] + r[2]) / 1024:.0f}"
                        for i, r in enumerate(recs)),
+            flush=True,
+        )
+        # r12 task #2 acceptance: the cluster sink's THREE label-table
+        # probes must all read pruned bytes — the id-keyed pair
+        # (contraction lookup + newly-seen anti-join, one shared read)
+        # and the cluster-keyed membership probe (secondary-index-pruned
+        # since r13) — each tracking touched partitions, not state size
+        print(
+            f"x{m} dagsoak label-read KB/batch (lookup|member|full): "
+            + " ".join(
+                f"b{i}={r[3] / 1024:.0f}|{r[4] / 1024:.0f}|{r[5] / 1024:.0f}"
+                for i, r in enumerate(recs)
+            ),
             flush=True,
         )
         q = sorted(walls)

@@ -787,6 +787,37 @@ def test_cluster_upkeep_restart_mid_batch_exactly_once(spark, tmp_path):
         assert got == clean, f"labels diverged after crash at batch {crash_at}"
 
 
+def test_cluster_index_ahead_after_crash_is_superset_and_recovers(
+        spark, tmp_path):
+    """The secondary (cluster, pid) index commits BEFORE the label store,
+    so a crash between the two leaves the index one batch AHEAD — a
+    harmless SUPERSET (extra partitions probed, never a missed member);
+    the reverse order could lose members forever. Pin the intermediate
+    state explicitly, then redeliver: labels fold the batch, the index's
+    seen() skips its already-applied half instead of double-committing."""
+    from flinkrealtimedatawarehouse_spark.streaming.clusters import ClusterUpkeepSink
+
+    def p(rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    d = str(tmp_path / "clxa")
+    sink = ClusterUpkeepSink(d, "doc_id")
+    sink.write_batch(p([(1, 2), (5, 6)]), 0)
+    _arm_marker_crash(sink)  # the LABEL _commit dies; index commit landed
+    with pytest.raises(_CrashInjected):
+        sink.write_batch(p([(2, 5)]), 1)
+    sink2 = ClusterUpkeepSink(d, "doc_id")
+    assert sink2.version == 1          # labels: batch 1 lost in the crash
+    assert sink2.pidx.version == 2     # index: batch 1 landed — ahead
+    assert sink2.pidx.meta["label_version"] == 2  # stamped ahead: superset,
+    # which _ensure_index accepts without a rebuild
+    idx_v = sink2.pidx.version
+    sink2.write_batch(p([(2, 5)]), 1)  # redelivery
+    assert sink2.pidx.version == idx_v  # index half skipped via seen()
+    got = {r["doc_id"]: r["cluster"] for r in sink2.clusters(spark).collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1}
+
+
 def _run_band_with_clusters(spark, base_dir, crash_batch=None,
                             crash_sink=None):
     """Drive the composed DAG (band detector + attached cluster sink);

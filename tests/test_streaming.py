@@ -1646,6 +1646,68 @@ def test_cluster_upkeep_replay_and_restart(spark, tmp_path):
         sink.write_batch(pairs_df([(9, 10)]), 2)
 
 
+def test_cluster_index_prunes_membership_probe(spark, tmp_path):
+    """VERDICT r12 task #2: the remap-membership probe (cluster-keyed, so
+    id-hash partitioning can't prune it) goes through the secondary
+    (cluster, pid) index. With many disjoint clusters spread over every
+    label partition, a batch that remaps ONE cluster must read a strict
+    subset of partitions — bytes tracked in last_probe — and the final
+    table must still equal batch CC."""
+    from flinkrealtimedatawarehouse_spark.streaming.clusters import ClusterUpkeepSink
+
+    sink = ClusterUpkeepSink(str(tmp_path / "clpx"), "doc_id", n_partitions=8)
+    # b0: 100 disjoint 2-clusters covering all 8 partitions
+    base = [(2 * i, 2 * i + 1) for i in range(100)]
+    sink.write_batch(spark.createDataFrame(base, "id_a long, id_b long"), 0)
+    assert sink.last_probe["member_bytes"] <= sink.last_probe["state_bytes"]
+    # b1: one edge merges cluster 198 into cluster 0 — the membership
+    # probe need only read the partitions holding {198, 199}
+    sink.write_batch(
+        spark.createDataFrame([(0, 198)], "id_a long, id_b long"), 1
+    )
+    probe = sink.last_probe
+    assert 1 <= len(probe["member_pids"]) < 8, probe
+    assert probe["member_bytes"] < probe["state_bytes"], probe
+    got = {r["doc_id"]: r["cluster"] for r in sink.clusters(spark).collect()}
+    want = _batch_cc(spark, base + [(0, 198)],
+                     sorted({x for e in base for x in e}))
+    assert got == want
+
+
+def test_cluster_index_rebuilds_when_out_of_sync(spark, tmp_path):
+    """The index is derivable, so out-of-sync = rebuild, not trust: wipe
+    the index dir after real batches (stand-in for a pre-index store
+    upgraded in place, or corruption) — the next batch must detect the
+    stale label_version stamp, rebuild from the label table, and still
+    produce the batch-CC-equal result (a silently missing index entry
+    would leave absorbed members behind forever)."""
+    import shutil as _sh
+
+    from flinkrealtimedatawarehouse_spark.streaming.clusters import ClusterUpkeepSink
+
+    d = str(tmp_path / "clrb")
+    sink = ClusterUpkeepSink(d, "doc_id")
+    sink.write_batch(
+        spark.createDataFrame([(1, 2), (5, 6)], "id_a long, id_b long"), 0
+    )
+    _sh.rmtree(sink.pidx.base_dir)
+    # fresh handle (restart after the wipe); the merge edge lands on a
+    # cluster whose members the (missing) index must be rebuilt to find
+    sink2 = ClusterUpkeepSink(d, "doc_id")
+    sink2.write_batch(
+        spark.createDataFrame([(2, 5)], "id_a long, id_b long"), 1
+    )
+    got = {r["doc_id"]: r["cluster"] for r in sink2.clusters(spark).collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1}  # 6 followed 5 via the rebuild
+    # the rebuilt index is stamped in sync and keeps working
+    assert sink2.pidx.meta["label_version"] >= sink2.version - 1
+    sink2.write_batch(
+        spark.createDataFrame([(6, 0)], "id_a long, id_b long"), 2
+    )
+    got2 = {r["doc_id"]: r["cluster"] for r in sink2.clusters(spark).collect()}
+    assert got2 == {0: 0, 1: 0, 2: 0, 5: 0, 6: 0}
+
+
 def test_band_sink_folds_preserve_flags_and_prebatch_witness_reads(spark, tmp_path):
     """Drive the composed DAG deep enough that the incremental store's
     size-tiered folds FIRE (n_partitions=1, max_runs=2, 12 batches) and
