@@ -520,6 +520,85 @@ class PartitionedSnapshotStore(VersionedSnapshotSink):
         )
         return sorted(r["_pid"] for r in rows)
 
+    # --- migration -----------------------------------------------------------
+
+    def repartitioned(self, spark: SparkSession, new_base_dir: str,
+                      n_partitions: int, max_runs: int | None = None,
+                      lineage: str | None = None) -> "PartitionedSnapshotStore":
+        """Migration path for a store that outgrew (or over-provisioned)
+        its partition count — ``n_partitions`` is otherwise pinned at
+        creation because the key->partition routing would scramble.
+
+        Reads the MERGED state at the current version, re-hashes it to
+        ``n_partitions``, and writes it as a NEW store at
+        ``new_base_dir`` (one run per partition — a fresh fold base).
+        The version counter and batch cursor CARRY OVER (``version ==
+        min_version == source version``, ``last_bid`` unchanged), so
+        replay guards and the one-version-per-batch as-of convention
+        keep working across the cutover; history BELOW the migration
+        point stays with the source store — reads there raise
+        not-available, exactly as after a vacuum to ``keep_last=1``.
+        Carried ``_sv`` stamps stay below every future commit's version,
+        so latest-wins ordering is preserved.
+
+        The SOURCE is never mutated (a read_only handle migrates fine);
+        a crash mid-migration leaves a marker-less target dir that the
+        re-run overwrites. Cost: one full read + write of |state| —
+        amortized over the store's remaining life, the same class as an
+        index rebuild."""
+        new = PartitionedSnapshotStore(
+            new_base_dir, key_cols=self.key_cols, merge_fn=self.merge_fn,
+            n_partitions=n_partitions,
+            max_runs=self.max_runs if max_runs is None else max_runs,
+            lineage=self.lineage if lineage is None else lineage,
+            retain_versions=self.retain_versions,
+        )
+        if new.version >= 0:
+            raise ValueError(
+                f"target {new_base_dir!r} already holds a committed store"
+            )
+        if self.version < 0:
+            raise RuntimeError("source store has no committed state")
+        v = self.version
+        run_name = f"m{v:06d}"
+        stage = os.path.join(new.base_dir, f"mig{v}.stage-{new._writer_id}")
+        # merge BEFORE the rewrite: the new store starts from distinct
+        # keys (one run per partition), not the source's run stack
+        src = self.merge_fn(self._read(spark, v, merged=False))
+        parts: dict[str, list] = {}
+        try:
+            (
+                src.withColumn("_pid", new.pid_expr())
+                .repartition(F.col("_pid"))
+                .sortWithinPartitions(*new.key_cols)
+                .write.mode("overwrite").partitionBy("_pid").parquet(stage)
+            )
+            new._check_fence()
+            for name in sorted(os.listdir(stage)):
+                if not name.startswith("_pid="):
+                    continue
+                pid = int(name.split("=", 1)[1])
+                os.makedirs(new._pdir(pid), exist_ok=True)
+                dst = os.path.join(new._pdir(pid), run_name)
+                new._rename_run(os.path.join(stage, name), dst)
+                parts[str(pid)] = [{"n": run_name,
+                                    "b": new._dir_bytes(dst)}]
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        schema_json = self._load_manifest(v)["schema"]
+        new.meta = dict(self.meta)
+        new.meta.update(
+            n_partitions=n_partitions, key_cols=self.key_cols,
+            schema=schema_json,
+            repartitioned_from=self.base_dir, repartitioned_at=v,
+        )
+        new.version = v
+        new.min_version = v  # pre-migration history stays with the source
+        new.last_bid = self.last_bid
+        new._write_manifest(v, parts, schema_json)
+        new._commit()  # single commit point: target is all-or-nothing
+        return new
+
     # --- retention -----------------------------------------------------------
 
     def state_bytes(self, version: int | None = None, pids=None) -> int:
