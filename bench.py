@@ -241,6 +241,24 @@ def run_serving_tier() -> int:
     return 0
 
 
+def _scd2_changes(spark, sf_dir: str):
+    """Events replayed as dim changes for the SCD2 serving subject:
+    ~20k hashed keys so each micro-batch touches a sparse key subset
+    (the realistic dim-change shape — per-batch re-stamp work bounded by
+    touched keys' change counts, not history size)."""
+    from pyspark.sql import functions as F
+
+    from flinkrealtimedatawarehouse_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.pmod(F.xxhash64("event_id"), F.lit(20000)).alias("pk"),
+        F.col("event_id").alias("ver"),
+        F.lit("insert").alias("type"),
+        F.col("event_type").alias("attr"),
+    )
+
+
 def run_build_one() -> int:
     """One streamed-index build in its own JVM (`bench.py --build-one
     <kind> <sf_dir> <out_dir> <n_batches>`): stages the stream input
@@ -282,6 +300,14 @@ def run_build_one() -> int:
         t0 = time.time()
         serving.stream_wide_product_upkeep(
             spark, sf_dir, out_dir, n_batches=n_b, tag=tag, staged_dir=staged)
+    elif kind == "scd2":
+        from flinkrealtimedatawarehouse_spark.streaming import sinks as ssinks
+
+        ch = _scd2_changes(spark, sf_dir)
+        staged = ssinks.stage_scd2_input(ch, "ver", n_batches=n_b, tag=tag)
+        t0 = time.time()
+        ssinks.stream_scd2_upkeep(ch, "pk", "ver", out_dir, n_batches=n_b,
+                                  tag=tag, staged_dir=staged)
     else:
         raise SystemExit(f"unknown build kind {kind!r}")
     print(json.dumps({"build_wall": round(time.time() - t0, 3)}))
@@ -403,6 +429,51 @@ def _serving_measure(spark, sf_dir: str, hibatch: bool = False) -> dict:
             lambda: searchindex.streamed_postings_search(
                 spark, spost48, "doc_id", _SERVING_QUERY, k=10,
                 as_of_batch=2).count())
+
+    # --- K3 SCD2 history: partstore as-of reads at depth (r12 task #4) ---
+    # The five partstore-backed sinks' as-of reads were test-pinned but
+    # never priced in this tier; this subject reads the SCD2 history —
+    # current and at a historical version — over the store's run stack.
+    # The hibatch twin at 64 batches is the depth claim: size-tiered
+    # folds bound the run count, so read latency stays flat in B.
+    sscd2 = scratch_dir("serv_scd2")
+    if isolated:
+        build["scd2_stream_upkeep"] = isolated_build("scd2", sscd2)
+    else:
+        ch = _scd2_changes(spark, sf_dir)
+        staged = ssinks.stage_scd2_input(ch, "ver", tag="servscd2")
+        t0 = time.time()
+        ssinks.stream_scd2_upkeep(ch, "pk", "ver", sscd2, tag="servscd2",
+                                  staged_dir=staged)
+        build["scd2_stream_upkeep"] = round(time.time() - t0, 3)
+    scd2_sink = ssinks.Scd2HistorySink(sscd2, "pk", "ver", read_only=True)
+    queries["scd2_hist_current"] = timed(
+        lambda: scd2_sink.history(spark).count())
+    queries["scd2_hist_asof"] = timed(
+        lambda: scd2_sink.history(spark, as_of_batch=2).count())
+
+    if hibatch:
+        sscd2_64 = scratch_dir("serv_scd2_64")
+        if isolated:
+            build["scd2_stream_upkeep_64b"] = isolated_build(
+                "scd2", sscd2_64, n_batches=64)
+        else:
+            ch = _scd2_changes(spark, sf_dir)
+            staged64 = ssinks.stage_scd2_input(ch, "ver", n_batches=64,
+                                               tag="servscd264")
+            t0 = time.time()
+            ssinks.stream_scd2_upkeep(ch, "pk", "ver", sscd2_64,
+                                      n_batches=64, tag="servscd264",
+                                      staged_dir=staged64)
+            build["scd2_stream_upkeep_64b"] = round(time.time() - t0, 3)
+        scd2_64 = ssinks.Scd2HistorySink(sscd2_64, "pk", "ver",
+                                         read_only=True)
+        queries["scd2_hist_current_64b"] = timed(
+            lambda: scd2_64.history(spark).count())
+        # the as-of horizon (batch 2) sits UNDER dozens of later folds —
+        # the manifest lookup must keep it one read, never a delta replay
+        queries["scd2_hist_asof_64b"] = timed(
+            lambda: scd2_64.history(spark, as_of_batch=2).count())
 
     # --- dp7 IVF: streamed upkeep vs batch-built persisted index ---
     probes = emb.filter(F.col("vec_id") < 8)

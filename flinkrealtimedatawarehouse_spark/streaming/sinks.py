@@ -152,10 +152,11 @@ class Scd2HistorySink(PartitionedSnapshotStore):
 
     def __init__(self, base_dir: str, pk: str, version_col: str,
                  type_col: str = "type", lineage: str | None = None,
-                 n_partitions: int = 8):
+                 n_partitions: int = 8, read_only: bool = False):
         super().__init__(base_dir, key_cols=[pk],
                          merge_fn=group_latest([pk]),
-                         n_partitions=n_partitions, lineage=lineage)
+                         n_partitions=n_partitions, lineage=lineage,
+                         read_only=read_only)
         self.pk = pk
         self.version_col = version_col
         self.type_col = type_col
@@ -185,11 +186,42 @@ class Scd2HistorySink(PartitionedSnapshotStore):
         # untouched keys' rows ride along from their own last commit
         self.commit_batch(restamped, batch_id)
 
-    def history(self, spark: SparkSession) -> DataFrame:
-        """The public SCD2 table: interval rows, tombstones excluded."""
-        return self.current(spark).filter(F.col(self.type_col) != "delete").drop(
-            self.type_col
-        )
+    def history(self, spark: SparkSession,
+                as_of_batch: int | None = None) -> DataFrame:
+        """The public SCD2 table: interval rows, tombstones excluded.
+        ``as_of_batch`` time-travels to the history as it stood after
+        that batch committed (version 0 is the empty init, so batch b's
+        post-state is version b+1 — the package-wide convention)."""
+        df = (self.current(spark) if as_of_batch is None
+              else self.read_version(spark, as_of_batch + 1))
+        return df.filter(F.col(self.type_col) != "delete").drop(self.type_col)
+
+
+def stage_scd2_input(changes: DataFrame, version_col: str,
+                     n_batches: int = 4, tag: str = "scd2") -> str:
+    """Stage a change stream's file-source input (untimed test plumbing —
+    a real deployment reads the CDC topic)."""
+    from flinkrealtimedatawarehouse_spark.streaming import runner
+
+    return runner.stage_stream_dir(changes, version_col, n_batches, tag)
+
+
+def stream_scd2_upkeep(changes: DataFrame, pk: str, version_col: str,
+                       out_dir: str, n_batches: int = 4, tag: str = "scd2",
+                       staged_dir: str | None = None) -> Scd2HistorySink:
+    """Run a dim-change set through SCD2 history upkeep as a checkpointed
+    stream (micro-batched file source standing in for the CDC topic) and
+    return the sink — the serving bench's partstore-read-at-depth
+    subject (VERDICT r12 task #4)."""
+    from flinkrealtimedatawarehouse_spark.streaming import runner
+
+    in_dir = staged_dir or stage_scd2_input(changes, version_col,
+                                            n_batches, tag)
+    sdf = runner.parquet_stream(changes.sparkSession, in_dir, changes.schema)
+    sink = Scd2HistorySink(out_dir, pk, version_col)
+    sink.init(changes.limit(0))
+    runner.run_foreach_batch(sdf, sink.write_batch, tag)
+    return sink
 
 
 class AdditiveGoldSink(VersionedSnapshotSink):
