@@ -226,14 +226,23 @@ def run_serving_tier() -> int:
     spark = get_spark("bench-serving")
     out: dict[str, dict] = {}
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # hibatch (the 48-micro-batch auto-compaction evidence) runs at the
-    # default sf only: the claim it supports — read latency flat vs batch
-    # count — is about directory LAYOUT, not data size, and 48 micro-
-    # batches at sf1 would add minutes of pure foreachBatch overhead
-    out[os.path.basename(sf_dir.rstrip("/"))] = _serving_measure(
-        spark, sf_dir, hibatch=True
-    )
-    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+    # SPARK_GRAFT_SERVING_SCOPE splits the two sf tiers into separate
+    # fresh JVMs (r12 VERDICT #1: the sf1 serving reads regressed
+    # 1.2-1.66x in a JVM that had just run the full sf0.1 pass + hibatch
+    # staging — the same inherited-GC/JIT class that moved the BUILD
+    # figures to isolated subprocesses in r11). The orchestrator invokes
+    # this tier once per scope; "both" remains for manual runs.
+    scope = os.environ.get("SPARK_GRAFT_SERVING_SCOPE", "both")
+    # hibatch (the 48/64-micro-batch auto-compaction evidence) runs at
+    # the default sf only: the claim it supports — read latency flat vs
+    # batch count — is about directory LAYOUT, not data size, and that
+    # many micro-batches at sf1 would add minutes of pure foreachBatch
+    # overhead
+    if scope in ("both", "sf0"):
+        out[os.path.basename(sf_dir.rstrip("/"))] = _serving_measure(
+            spark, sf_dir, hibatch=True
+        )
+    if scope in ("both", "sf1") and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         from scripts.gen_sf1 import ensure_sf1
 
         out["sf1"] = _serving_measure(spark, ensure_sf1(spark))
@@ -713,17 +722,24 @@ def _collect_headline() -> dict:
     }
 
 
-def _run_tier_subprocess(flag: str, timeout: int) -> dict | None:
+def _run_tier_subprocess(flag: str, timeout: int,
+                         env: dict | None = None) -> dict | None:
     """Run one bench tier in a fresh subprocess and parse its final JSON
-    fragment line. Returns None on any failure (caller falls back)."""
+    fragment line. Returns None on any failure (caller falls back).
+    ``env`` adds/overrides environment variables for the child."""
     import subprocess
 
+    child_env = None
+    if env:
+        child_env = dict(os.environ)
+        child_env.update(env)
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), flag],
             stdout=subprocess.PIPE,
             cwd=os.path.dirname(os.path.abspath(__file__)),
             timeout=timeout,
+            env=child_env,
         )
         line = proc.stdout.decode().strip().splitlines()[-1]
         return json.loads(line)
@@ -782,9 +798,20 @@ def main() -> int:
     # SPARK_GRAFT_SERVING=0.
     serving_out: dict = {}
     if os.environ.get("SPARK_GRAFT_SERVING", "1") != "0":
-        serving_frag = _run_tier_subprocess("--serving-only", timeout=3600)
+        # two fresh JVMs — the sf1 READ tier must not inherit the sf0.1
+        # pass's GC/JIT state (r12 VERDICT #1; same isolation the builds
+        # got in r11)
+        serving_frag = _run_tier_subprocess(
+            "--serving-only", timeout=3600,
+            env={"SPARK_GRAFT_SERVING_SCOPE": "sf0"})
         if serving_frag is not None:
             serving_out = serving_frag["serving"]
+        if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+            sf1_serv_frag = _run_tier_subprocess(
+                "--serving-only", timeout=3600,
+                env={"SPARK_GRAFT_SERVING_SCOPE": "sf1"})
+            if sf1_serv_frag is not None:
+                serving_out.update(sf1_serv_frag["serving"])
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))

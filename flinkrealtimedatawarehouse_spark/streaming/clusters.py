@@ -296,7 +296,10 @@ class ClusterUpkeepSink(PartitionedSnapshotStore):
         if not ipids:
             return []
         rows = (
-            self.pidx.read_parts(spark, ipids)
+            # merged=False: the presence-set merge (groupBy) is pointless
+            # here — duplicate (cluster, pid) rows collapse in the
+            # distinct() below without a second shuffle
+            self.pidx.read_parts(spark, ipids, merged=False)
             .join(F.broadcast(clusters_df.distinct()), "cluster",
                   "left_semi")
             .select("pid").distinct()
