@@ -755,3 +755,58 @@ def test_capped_simhash_and_embedding_keep_megacluster_connected(spark, docs, ca
                                 assert (srep, m_id) in cap_e
                         if srep != lo:
                             assert (min(lo, srep), max(lo, srep)) in cap_e
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=0, max_size=14,
+    ),
+    cut=st.integers(0, 14),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_cluster_upkeep_index_superset_and_batch_cc(
+        spark, tmp_path_factory, edges, cut):
+    """Streaming cluster-upkeep law, for ANY edge set and ANY 2-batch
+    split: after EVERY batch (a) the label table equals batch CC over the
+    pair prefix, and (b) for every label row (id, c) the secondary index
+    holds (c, pid(id)) — the SUPERSET invariant the membership-probe
+    pruning rests on (one missing entry = an absorbed member silently
+    left behind forever)."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
+    from flinkrealtimedatawarehouse_spark.streaming.clusters import (
+        ClusterUpkeepSink,
+    )
+
+    d = str(tmp_path_factory.mktemp("clprop"))
+    sink = ClusterUpkeepSink(d, "doc_id", n_partitions=4)
+    prefix: list[tuple[int, int]] = []
+    for bid, pb in enumerate([edges[:cut], edges[cut:]]):
+        sink.write_batch(
+            spark.createDataFrame(pb, "id_a long, id_b long"), bid
+        )
+        prefix.extend(e for e in pb if e[0] != e[1])
+        got = {(r.doc_id, r.cluster)
+               for r in sink.clusters(spark).collect()}
+        touched = sorted({x for e in prefix for x in e})
+        if touched:
+            want = {
+                (r.doc_id, r.cluster)
+                for r in textdedup.dedup_clusters(
+                    spark.createDataFrame(prefix, "id_a long, id_b long"),
+                    spark.createDataFrame([(i,) for i in touched],
+                                          "doc_id long"),
+                    "doc_id",
+                ).collect()
+            }
+        else:
+            want = set()
+        assert got == want
+        labels = (sink.current(spark)
+                  .withColumn("pid", sink.pid_expr())
+                  .select("cluster", "pid"))
+        missing = labels.join(sink.pidx.current(spark),
+                              ["cluster", "pid"], "left_anti").count()
+        assert missing == 0
