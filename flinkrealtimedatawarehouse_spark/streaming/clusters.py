@@ -322,6 +322,16 @@ class ClusterUpkeepSink(PartitionedSnapshotStore):
             return  # both empty: nothing to index yet
         self._rebuild_index(spark)
 
+    def rebuild_index(self, spark: SparkSession) -> None:
+        """Rebuild the secondary index from the label table — also the
+        index's GC lever: stale entries (clusters merged away — never
+        probed again, but never removed either, since the presence merge
+        keeps every key) accumulate at the rate clusters merge, and a
+        rebuild emits exactly the LIVE (cluster, pid) set. A deployment
+        can schedule this at the same cadence as vacuum; between
+        rebuilds, stale entries cost index bytes, never correctness."""
+        self._rebuild_index(spark)
+
     def _rebuild_index(self, spark: SparkSession) -> None:
         shutil.rmtree(self._pidx_dir, ignore_errors=True)
         self.pidx = _ClusterPidIndex(self._pidx_dir,

@@ -1708,6 +1708,36 @@ def test_cluster_index_rebuilds_when_out_of_sync(spark, tmp_path):
     assert got2 == {0: 0, 1: 0, 2: 0, 5: 0, 6: 0}
 
 
+def test_cluster_index_rebuild_gc_drops_stale_entries(spark, tmp_path):
+    """rebuild_index doubles as the index's GC: merged-away cluster
+    values leave stale (cluster, pid) entries (harmless — never probed —
+    but they cost bytes); a rebuild emits exactly the live set and the
+    sink keeps committing afterwards."""
+    from flinkrealtimedatawarehouse_spark.streaming.clusters import ClusterUpkeepSink
+
+    def p(rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    sink = ClusterUpkeepSink(str(tmp_path / "clgc"), "doc_id")
+    sink.write_batch(p([(1, 2), (3, 4)]), 0)
+    sink.write_batch(p([(2, 3)]), 1)  # cluster 3 merges away -> stale
+    def live_set():
+        return {(r.cluster, r.pid) for r in
+                sink.current(spark).withColumn("pid", sink.pid_expr())
+                .select("cluster", "pid").distinct().collect()}
+
+    def idx_set():
+        return {(r.cluster, r.pid)
+                for r in sink.pidx.current(spark).collect()}
+
+    assert idx_set() > live_set()  # strict superset: stale entries exist
+    sink.rebuild_index(spark)
+    assert idx_set() == live_set()
+    sink.write_batch(p([(4, 0)]), 2)  # still consistent after the GC
+    got = {r["doc_id"]: r["cluster"] for r in sink.clusters(spark).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0}
+
+
 def test_band_sink_folds_preserve_flags_and_prebatch_witness_reads(spark, tmp_path):
     """Drive the composed DAG deep enough that the incremental store's
     size-tiered folds FIRE (n_partitions=1, max_runs=2, 12 batches) and
