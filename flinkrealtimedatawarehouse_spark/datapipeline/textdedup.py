@@ -499,10 +499,17 @@ def simhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
     )
     if hot_pairs is not None:
         cands = cands.unionByName(hot_pairs)
-    cands = cands.distinct()
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    # verify BEFORE the dedupe: a pair re-emitted by several shared bands
+    # (or witness branches) carries the same per-doc simhashes, hence the
+    # same hamming — so the distinct collapses identically AFTER the
+    # filter, and the shuffle moves only VERIFIED narrow rows instead of
+    # every duplicate candidate with both signature columns. The
+    # bit_count re-computed per duplicate is map-side and trivial.
+    return (
+        cands.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -695,10 +702,7 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
         F.col("b._n").alias("nb"),
     )
     if hot_cands is not None:
-        # distinct is only needed on the chained path: cool buckets emit a
-        # pair once (one bucket per doc), but the (lo, hi) witness arrives
-        # from both ends of every hot bucket
-        cands = cands.unionByName(hot_cands).distinct()
+        cands = cands.unionByName(hot_cands)
     dot = F.aggregate(
         F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
@@ -709,9 +713,23 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
     cos = F.when(
         _prod > 0, F.round(dot.cast("double") / F.sqrt(_prod), 6)
     ).otherwise(F.lit(0.0))
-    return cands.select("id_a", "id_b", cos.alias("cosine")).filter(
+    out = cands.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+    if hot_cands is not None:
+        # dedupe is only needed on the chained path: cool buckets emit a
+        # pair once (one bucket per doc), but the (lo, hi) witness arrives
+        # from both ends of every hot bucket and stratum branches can
+        # re-emit a pair. Dedupe AFTER the verify, on the narrow
+        # (id_a, id_b, cosine) rows: every branch orients the pair the
+        # same way (qa/na always id_a's vector), so duplicates carry
+        # bit-identical cosine — a distinct over the WIDE candidate rows
+        # shuffled both quantized vectors per pair (~2 KB/row, the
+        # dominant exchange at sf1×4), where this one moves two ids and a
+        # double; duplicate dot products cost O(dup × d) map-side, far
+        # below the avoided shuffle
+        out = out.distinct()
+    return out
 
 
 # --- benchmark decontamination -------------------------------------------
