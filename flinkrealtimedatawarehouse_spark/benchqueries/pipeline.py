@@ -36,6 +36,7 @@ from flinkrealtimedatawarehouse_spark.datapipeline.hashing import (
 from flinkrealtimedatawarehouse_spark.datapipeline.similarity import (
     PLANE_A,
     PLANE_B,
+    PLANE_C,
     PLANE_MOD,
     PLANE_SHIFT,
 )
@@ -99,7 +100,8 @@ def _duck_bucket(q: str, n_planes: int, plane_offset: int = 0) -> str:
         pl = p + plane_offset
         proj = (
             f"list_sum(list_transform(range(1, len({q}) + 1), "
-            f"d -> ({q})[d] * ((({pl} * {PLANE_A} + (d - 1) * {PLANE_B}) % {PLANE_MOD}) - {PLANE_SHIFT})))"
+            f"d -> ({q})[d] * ((({pl} * {PLANE_A} + (d - 1) * "
+            f"{PLANE_B + pl * PLANE_C}) % {PLANE_MOD}) - {PLANE_SHIFT})))"
         )
         terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")::BIGINT"

@@ -29,9 +29,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 QUANT = 1000
-# weight(plane, dim) = ((plane*1000003 + dim*7919) % 1997) - 998  (integers
-# in [-998, 998]; same closed form is embedded in the oracle SQL).
+# weight(plane, dim) = ((plane*1000003 + dim*7919 + plane*dim*104729) % 1997)
+# - 998 (integers in [-998, 998]; same closed form is embedded in the
+# oracle SQL). The plane*dim CROSS TERM is load-bearing (round 13):
+# without it, a plane's weights across dims form an arithmetic ramp mod
+# 1997 with the SAME stride (7919) for every plane — different planes
+# were mere shifts of one sawtooth, so "disjoint" plane families were
+# heavily correlated and an 8-bit bucket carried far fewer than 8 bits
+# of direction (measured at sf1x4: 60,893 of 80k vectors sat in
+# over-1000 sign buckets, and the recursive refinement families stalled
+# at 10.8k still-hot members after depth 2 because each new family
+# re-asked nearly the same question). With per-plane strides
+# (7919 + plane*104729 mod 1997), the same corpus has ZERO over-cap
+# buckets while sibling co-bucket recall stays 98.5%.
 PLANE_A, PLANE_B, PLANE_MOD, PLANE_SHIFT = 1000003, 7919, 1997, 998
+PLANE_C = 104729
 
 
 def quantized(vec: Column, quant: int = QUANT) -> Column:
@@ -40,7 +52,10 @@ def quantized(vec: Column, quant: int = QUANT) -> Column:
 
 
 def _plane_weight(plane: int, dim_idx: Column) -> Column:
-    return (F.lit(plane * PLANE_A) + dim_idx * F.lit(PLANE_B)) % F.lit(PLANE_MOD) - F.lit(PLANE_SHIFT)
+    return (
+        F.lit(plane * PLANE_A)
+        + dim_idx * F.lit(PLANE_B + plane * PLANE_C)
+    ) % F.lit(PLANE_MOD) - F.lit(PLANE_SHIFT)
 
 
 def hyperplane_bucket(q: Column, n_planes: int, plane_offset: int = 0) -> Column:

@@ -280,15 +280,16 @@ def test_drift_chain_connects_under_rotated_representatives(spark):
           for r in textdedup.dedup_clusters(kept, ids, "doc_id").collect()}
     assert cl == {0: 0, 1: 0, 2: 0}
 
-    # --- embedding family, end-to-end: three vectors at 0/20/40 degrees
-    # share one sign bucket (n_planes=2, verified below); consecutive
-    # cosines ~0.94 pass the 0.9 threshold, the ends' 0.766 fails
+    # --- embedding family, end-to-end: three vectors at 0/18/36 degrees
+    # share one sign bucket (n_planes=2, verified below — angles chosen
+    # inside one sign cell of the r13 decorrelated planes); consecutive
+    # cosines ~0.95 pass the 0.9 threshold, the ends' 0.809 fails
     from flinkrealtimedatawarehouse_spark.datapipeline.similarity import (
         hyperplane_bucket,
         quantized,
     )
 
-    vecs = [(0, [1.0, 0.0]), (1, [0.94, 0.342]), (2, [0.766, 0.643])]
+    vecs = [(0, [1.0, 0.0]), (1, [0.951, 0.309]), (2, [0.809, 0.5878])]
     emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
     buckets = {r.b for r in emb.select(
         hyperplane_bucket(quantized(F.col("embedding"), 1000), 2).alias("b")
