@@ -320,6 +320,15 @@ class ClusterUpkeepSink(PartitionedSnapshotStore):
             return
         if self.pidx.version >= 0 and self.version <= 0:
             return  # both empty: nothing to index yet
+        if self.read_only:
+            # a rebuild would claim the index dir and fence the live
+            # writer — a read handle must never hold the write lock
+            # (probes run in the writer path only, so this is a guard
+            # against misuse, not a reachable state of the sink itself)
+            raise RuntimeError(
+                "cluster index out of sync and this is a read-only "
+                "handle; rebuild must run on the writer"
+            )
         self._rebuild_index(spark)
 
     def rebuild_index(self, spark: SparkSession) -> None:
