@@ -322,6 +322,39 @@ def test_skewed_key_distribution_degrades_gracefully(spark, tmp_path):
         assert pid in ("0", "1"), parts.keys()
 
 
+def test_repartition_crash_mid_migration_rerun_overwrites(spark, tmp_path):
+    """A crash between the migration's data write and its single marker
+    commit leaves a marker-less target dir; the docstring contract is
+    that a re-run overwrites it cleanly and the source stays pristine."""
+    s = _init(spark, _store(str(tmp_path / "src"), n_partitions=2))
+    s.commit_batch(_kv(spark, [("a", 5), ("b", 2)]), 0)
+    dst = str(tmp_path / "dst")
+
+    orig = PartitionedSnapshotStore._commit
+    def dying(self):
+        if self.base_dir == dst:
+            raise RuntimeError("injected mid-migration crash")
+        return orig(self)
+    PartitionedSnapshotStore._commit = dying
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            s.repartitioned(spark, dst, n_partitions=8)
+    finally:
+        PartitionedSnapshotStore._commit = orig
+    # half-written target: run dirs exist, no marker — unreadable, and
+    # NOT mistaken for a committed store by the re-run's guard
+    probe = PartitionedSnapshotStore(dst, key_cols=["k"],
+                                     merge_fn=min_merge(["k"], ["v"]),
+                                     n_partitions=8)
+    assert probe.version == -1
+    # the re-run claims the dir back (fencing the crashed attempt's
+    # probe handle is fine — it was never a committed store)
+    m = s.repartitioned(spark, dst, n_partitions=8)
+    assert _state(spark, m) == {"a": 5, "b": 2}
+    assert (m.version, m.last_bid) == (1, 0)
+    assert _state(spark, s) == {"a": 5, "b": 2}  # source untouched
+
+
 def _state_sub(spark, s, keys_df):
     df = s.read_parts(keys_df.sparkSession, s.pids_of(keys_df))
     return {r.k: r.v for r in df.join(keys_df.select("k"), "k").collect()}
