@@ -115,6 +115,13 @@ class ClusterUpkeepSink(PartitionedSnapshotStore):
     ``(id_a, id_b)``. One committed version per applied batch (version 0
     is the empty init, so batch ``b``'s post-state is version ``b+1``)."""
 
+    # Re-partitioning cutover (a long-lived stream outgrowing P): migrate
+    # the label store with ``repartitioned`` into <new_dir>/labels, then
+    # open a fresh ClusterUpkeepSink(new_dir, ..., n_partitions=P') —
+    # the secondary index is P-dependent (it maps clusters to LABEL
+    # partitions), so it is deliberately NOT migrated; the first batch's
+    # _ensure_index rebuilds it under the new routing. Tested end-to-end
+    # in test_streaming.test_cluster_sink_repartition_cutover.
     def __init__(self, out_dir: str, id_col: str,
                  lineage: str | None = None, read_only: bool = False,
                  retain_versions: int | None = None, max_iter: int = 50,

@@ -1708,6 +1708,51 @@ def test_cluster_index_rebuilds_when_out_of_sync(spark, tmp_path):
     assert got2 == {0: 0, 1: 0, 2: 0, 5: 0, 6: 0}
 
 
+def test_cluster_sink_repartition_cutover(spark, tmp_path):
+    """Deployment recipe for a cluster sink that outgrew its partition
+    count, using ONLY existing machinery: migrate the label store with
+    ``repartitioned`` (version/batch cursor carry over), open a new sink
+    handle at the new P — its secondary index is empty, so the first
+    batch's _ensure_index REBUILDS it under the new id->partition
+    routing (index contents are P-dependent and must not be copied) —
+    and the batch sequence continues seamlessly."""
+    import os as _os
+
+    from flinkrealtimedatawarehouse_spark.streaming.clusters import ClusterUpkeepSink
+
+    def p(rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    sink = ClusterUpkeepSink(str(tmp_path / "old"), "doc_id", n_partitions=2)
+    sink.write_batch(p([(1, 2), (5, 6)]), 0)
+    sink.write_batch(p([(3, 4)]), 1)
+    new_dir = str(tmp_path / "new")
+    sink.repartitioned(spark, _os.path.join(new_dir, "labels"),
+                       n_partitions=8)
+    sink2 = ClusterUpkeepSink(new_dir, "doc_id", n_partitions=8)
+    assert (sink2.version, sink2.last_bid) == (2, 1)  # cursor carried
+    # the merge edge needs the rebuilt index to find cluster 5's members
+    sink2.write_batch(p([(2, 5)]), 2)
+    got = {r["doc_id"]: r["cluster"] for r in sink2.clusters(spark).collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 1, 6: 1}
+    # the rebuilt index routes by the NEW partitioning: superset law
+    labels = (sink2.current(spark)
+              .withColumn("pid", sink2.pid_expr())
+              .select("cluster", "pid"))
+    missing = labels.join(sink2.pidx.current(spark),
+                          ["cluster", "pid"], "left_anti").count()
+    assert missing == 0
+    # as-of below the migration point stays with the OLD sink
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not available"):
+        sink2.clusters(spark, as_of_batch=0)
+    old_reader = ClusterUpkeepSink(str(tmp_path / "old"), "doc_id",
+                                   n_partitions=2, read_only=True)
+    asof0 = {r["doc_id"]: r["cluster"]
+             for r in old_reader.clusters(spark, as_of_batch=0).collect()}
+    assert asof0 == {1: 1, 2: 1, 5: 5, 6: 5}
+
+
 def test_cluster_index_rebuild_gc_drops_stale_entries(spark, tmp_path):
     """rebuild_index doubles as the index's GC: merged-away cluster
     values leave stale (cluster, pid) entries (harmless — never probed —
