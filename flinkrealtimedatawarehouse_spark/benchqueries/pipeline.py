@@ -390,8 +390,12 @@ FROM pr JOIN ms x ON x.doc_id = id_a JOIN ms y ON y.doc_id = id_b
 
 _ED_PLANES, _ED_THRESH = 8, 0.99
 # Hot-bucket guard twin of _SH_CAP: above the biggest sf0.01 sign-bucket,
-# so the driver-gate result is unchanged; bounds the sf1 sweep's pair join
-# (measured 9.1M candidate pairs uncapped at sf1 with a 1945-vec bucket).
+# so the driver-gate result is unchanged; bounds the sweep's pair join.
+# (History: under the pre-r13 correlated planes the biggest sf1 bucket
+# held 1,945 vectors and the uncapped join reached 9.1M candidate
+# pairs; the r13 decorrelated planes spread the same corpus under the
+# cap even at sf1x4 — the guard stays for genuinely-identical mass at
+# real scale.)
 _ED_CAP = 1000
 
 def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:

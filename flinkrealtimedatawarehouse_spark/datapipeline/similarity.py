@@ -44,6 +44,10 @@ QUANT = 1000
 # buckets while sibling co-bucket recall stays 98.5%.
 PLANE_A, PLANE_B, PLANE_MOD, PLANE_SHIFT = 1000003, 7919, 1997, 998
 PLANE_C = 104729
+# NB: these constants are part of the on-disk format of anything that
+# PERSISTS sign-bucket values (streamed band-state sinks, persisted LSH
+# tables): changing them invalidates that state — rebuild such indexes
+# on upgrade (in-repo state is all scratch-dir-scoped, nothing survives).
 
 
 def quantized(vec: Column, quant: int = QUANT) -> Column:
