@@ -68,6 +68,24 @@ ever labeled ``c`` again and no contracted-graph node ever carries it.
 The index is fully derivable from the label table, so an out-of-sync
 index (pre-index store upgrade, wiped dir, stale ``label_version``
 stamp) is REBUILT from a one-off full scan rather than trusted.
+
+Index GC (round 14): stale entries — clusters merged away — cost index
+bytes on every member probe (the probe scans whole index partitions and
+filters), and under high merge churn the index drifts toward the
+full-table read it exists to avoid. The sink tracks staleness EXACTLY
+and for free: ``_member_pids`` already semi-joins the index against the
+batch's remapped cluster values, which are precisely the cluster values
+this batch retires (a retired value never recurs — see the invariant
+above — so matched index rows are live-until-now entries that the
+commit makes stale). The cumulative count rides in the index's own
+commit meta (replay-safe), and when the provably-stale fraction
+``stale_entries / entries_ub`` crosses ``index_gc_threshold`` the sink
+rebuilds the index inline — ``entries_ub`` is an UPPER bound on total
+entries (exact at each rebuild + per-batch insert counts, which may
+re-count duplicate (cluster, pid) inserts), so the fraction is a LOWER
+bound on true staleness and the trigger errs toward rebuilding late,
+never eagerly. ``index_gc_threshold=None`` disables (manual
+``rebuild_index`` remains). Churn-soak measurements: SCALE.md r14.
 """
 
 from __future__ import annotations
@@ -125,7 +143,8 @@ class ClusterUpkeepSink(PartitionedSnapshotStore):
     def __init__(self, out_dir: str, id_col: str,
                  lineage: str | None = None, read_only: bool = False,
                  retain_versions: int | None = None, max_iter: int = 50,
-                 n_partitions: int = 8):
+                 n_partitions: int = 8,
+                 index_gc_threshold: float | None = 0.5):
         super().__init__(os.path.join(out_dir, "labels"),
                          key_cols=[id_col],
                          merge_fn=latest_wins([id_col], ["cluster"]),
@@ -134,6 +153,9 @@ class ClusterUpkeepSink(PartitionedSnapshotStore):
                          retain_versions=retain_versions)
         self.id_col = id_col
         self.max_iter = max_iter
+        # auto-GC: rebuild the index when the provably-stale entry
+        # fraction crosses this (None = manual rebuild_index only)
+        self.index_gc_threshold = index_gc_threshold
         self._pidx_dir = os.path.join(out_dir, "labelpidx")
         self.pidx = _ClusterPidIndex(self._pidx_dir,
                                      n_partitions=n_partitions,
@@ -276,19 +298,40 @@ class ClusterUpkeepSink(PartitionedSnapshotStore):
             "state_bytes": self.state_bytes(),
             "index_bytes": (self.pidx.state_bytes()
                             if self.pidx.version >= 0 else 0),
+            "index_probe_bytes": getattr(self, "_idx_probe_bytes", 0),
         }
         # index BEFORE labels: a crash between the two leaves the index a
         # superset (safe); the other order could leave it missing members
         # of committed label rows (wrong forever). On replay after such a
-        # crash the index's seen() skips its (already-committed) half.
+        # crash the index's seen() skips its (already-committed) half —
+        # including the GC counters, which ride the index commit's meta
+        # so they are exactly-once too.
         if not self.pidx.seen(batch_id):
             idx_delta = (
                 delta.select("cluster", self.pid_expr().alias("pid"))
                 .distinct()
             )
-            self.pidx.commit_batch(idx_delta, batch_id,
-                                   label_version=self.version + 1)
+            # inserted count may re-count (cluster, pid) pairs already
+            # present (the presence merge dedups them), so entries_ub is
+            # an UPPER bound on total entries -> stale/ub is a LOWER
+            # bound on true staleness (GC errs late, never eager)
+            inserted = idx_delta.count()
+            self.pidx.commit_batch(
+                idx_delta, batch_id, label_version=self.version + 1,
+                stale_entries=(self.pidx.meta.get("stale_entries", 0)
+                               + self._stale_delta),
+                entries_ub=(self.pidx.meta.get("entries_ub", 0) + inserted),
+            )
         self.commit_batch(delta, batch_id)
+        stale = self.pidx.meta.get("stale_entries", 0)
+        ub = max(self.pidx.meta.get("entries_ub", 0), 1)
+        self.last_probe["index_stale_entries"] = stale
+        self.last_probe["index_entries_ub"] = ub
+        self.last_probe["index_stale_frac"] = stale / ub
+        if (self.index_gc_threshold is not None
+                and stale / ub >= self.index_gc_threshold):
+            self._rebuild_index(spark)
+            self.last_probe["index_gc_rebuilt"] = True
 
     def _member_pids(self, spark: SparkSession,
                      clusters_df: DataFrame) -> list[int]:
@@ -299,20 +342,30 @@ class ClusterUpkeepSink(PartitionedSnapshotStore):
         the label store's. ``clusters_df`` is batch-bounded (contracted
         remap nodes), so its broadcast is small by construction."""
         self._ensure_index(spark)
+        self._stale_delta = 0
+        self._idx_probe_bytes = 0
         ipids = self.pidx.pids_of(clusters_df)
         if not ipids:
             return []
-        rows = (
+        # index bytes this probe scans (stale entries inflate exactly
+        # this number — the churn-soak metric for the auto-GC)
+        self._idx_probe_bytes = self.pidx.state_bytes(pids=ipids)
+        row = (
             # merged=False: the presence-set merge (groupBy) is pointless
             # here — duplicate (cluster, pid) rows collapse in the
-            # distinct() below without a second shuffle
+            # collect_set below without a second shuffle. The matched-row
+            # COUNT rides the same action: the probed cluster values are
+            # exactly the values this batch retires, so matched entries
+            # are the ones the commit makes stale (GC accounting, free).
             self.pidx.read_parts(spark, ipids, merged=False)
             .join(F.broadcast(clusters_df.distinct()), "cluster",
                   "left_semi")
-            .select("pid").distinct()
-            .collect()  # BOUNDED: at most n_partitions ints
+            .agg(F.count(F.lit(1)).alias("_n"),
+                 F.collect_set("pid").alias("_pids"))
+            .collect()[0]  # BOUNDED: one row, at most n_partitions ints
         )
-        return sorted(r["pid"] for r in rows)
+        self._stale_delta = int(row["_n"])
+        return sorted(int(p) for p in row["_pids"])
 
     def _ensure_index(self, spark: SparkSession) -> None:
         """Rebuild the secondary index when it cannot be trusted: missing
@@ -346,6 +399,14 @@ class ClusterUpkeepSink(PartitionedSnapshotStore):
         rebuild emits exactly the LIVE (cluster, pid) set. A deployment
         can schedule this at the same cadence as vacuum; between
         rebuilds, stale entries cost index bytes, never correctness."""
+        if self.read_only:
+            # same guard as _ensure_index: a rebuild rmtree's the live
+            # index dir and claims its writer token — a read handle doing
+            # that would fence the live writer's index
+            raise RuntimeError(
+                "rebuild_index must run on the writer; this is a "
+                "read-only handle"
+            )
         self._rebuild_index(spark)
 
     def _rebuild_index(self, spark: SparkSession) -> None:
@@ -361,11 +422,16 @@ class ClusterUpkeepSink(PartitionedSnapshotStore):
             self.current(spark)
             .select("cluster", self.pid_expr().alias("pid"))
             .distinct()
+            # checkpoint so the exact-count action below and the commit's
+            # write job share ONE label-table scan
+            .localCheckpoint(eager=True)
         )
         # stamp with the LABEL batch cursor so replay skipping lines up:
-        # the rebuilt index covers everything labels has applied
+        # the rebuilt index covers everything labels has applied. GC
+        # counters reset to exact: the rebuilt set is all-live.
         self.pidx.commit_batch(full, self.last_bid,
-                               label_version=self.version)
+                               label_version=self.version,
+                               stale_entries=0, entries_ub=full.count())
 
     def clusters(self, spark: SparkSession,
                  as_of_batch: int | None = None) -> DataFrame:

@@ -546,6 +546,20 @@ class PartitionedSnapshotStore(VersionedSnapshotSink):
         re-run overwrites. Cost: one full read + write of |state| —
         amortized over the store's remaining life, the same class as an
         index rebuild."""
+        if type(self).pid_expr is not PartitionedSnapshotStore.pid_expr:
+            # the migrated rows are routed with the BASE pid_expr below
+            # and the target is a base-class store; a subclass with its
+            # own routing (e.g. the cluster secondary index hashes the
+            # cluster value only) would re-open the target expecting its
+            # OWN routing and silently miss rows on pruned reads. Such
+            # derived stores are rebuildable from their primary — rebuild
+            # under the new partition count instead of migrating.
+            raise TypeError(
+                f"{type(self).__name__} overrides pid_expr; repartitioned() "
+                "routes with the base-class expression and would scramble "
+                "this store's pruned reads — rebuild the derived store at "
+                "the new partition count instead"
+            )
         new = PartitionedSnapshotStore(
             new_base_dir, key_cols=self.key_cols, merge_fn=self.merge_fn,
             n_partitions=n_partitions,

@@ -172,6 +172,18 @@ class Scd2HistorySink(PartitionedSnapshotStore):
     def write_batch(self, batch: DataFrame, batch_id: int) -> None:
         if self.seen(batch_id):  # at-least-once redelivery: no-op
             return
+        self._check_fence()  # fail as FENCED, not as a feed gap
+        if batch_id != self.version:
+            # history(as_of_batch=b) reads version b+1 — only the
+            # post-batch-b state when batch ids arrive consecutively from
+            # 0 with one committed version each (ClusterUpkeepSink has the
+            # same guard); a gapped feed would silently SHIFT every as-of
+            # read, so fail loudly instead
+            raise ValueError(
+                f"non-consecutive batch feed: got batch_id={batch_id}, "
+                f"expected {self.version} (as-of reads require one "
+                "committed version per consecutive batch id)"
+            )
         spark = batch.sparkSession
         cur = self.current(spark)
         affected = batch.select(self.pk).distinct()

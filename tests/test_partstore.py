@@ -283,6 +283,36 @@ def test_repartitioned_migration_carries_contract(spark, tmp_path):
         s.repartitioned(spark, str(tmp_path / "dst"), n_partitions=8)
 
 
+def test_repartitioned_refuses_pid_expr_override(spark, tmp_path):
+    """ADVICE r13: repartitioned() routes the migrated rows with the
+    BASE pid_expr and opens the target as a base-class store; a subclass
+    with its own routing (the cluster secondary index hashes the cluster
+    value only) would re-open the target expecting its OWN routing and
+    silently miss rows on pruned reads. Such derived stores must be
+    rebuilt, not migrated — the guard makes that loud."""
+    from pyspark.sql import functions as F
+
+    class _CustomRouted(PartitionedSnapshotStore):
+        def pid_expr(self):
+            return F.pmod(F.xxhash64("v"), F.lit(self.n_partitions)).cast("int")
+
+    s = _CustomRouted(str(tmp_path / "custom"), key_cols=["k"],
+                      merge_fn=min_merge(["k"], ["v"]), n_partitions=2)
+    s.snapshot_init(_kv(spark, []))
+    s.commit_batch(_kv(spark, [("a", 1)]), 0)
+    with pytest.raises(TypeError, match="overrides pid_expr"):
+        s.repartitioned(spark, str(tmp_path / "dst"), n_partitions=8)
+    # the real derived store in the package hits the same guard
+    from flinkrealtimedatawarehouse_spark.streaming.clusters import (
+        _ClusterPidIndex,
+    )
+
+    idx = _ClusterPidIndex(str(tmp_path / "pidx"), n_partitions=2)
+    idx.snapshot_init(spark.createDataFrame([], "cluster long, pid int"))
+    with pytest.raises(TypeError, match="rebuild the derived store"):
+        idx.repartitioned(spark, str(tmp_path / "pidxdst"), n_partitions=8)
+
+
 def test_skewed_key_distribution_degrades_gracefully(spark, tmp_path):
     """The other half of VERDICT r12 task #5: a hot key family
     concentrated in ONE partition must degrade gracefully — the hot

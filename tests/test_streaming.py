@@ -1757,13 +1757,15 @@ def test_cluster_index_rebuild_gc_drops_stale_entries(spark, tmp_path):
     """rebuild_index doubles as the index's GC: merged-away cluster
     values leave stale (cluster, pid) entries (harmless — never probed —
     but they cost bytes); a rebuild emits exactly the live set and the
-    sink keeps committing afterwards."""
+    sink keeps committing afterwards. Auto-GC disabled here to pin the
+    MANUAL lever; test_cluster_index_auto_gc covers the automatic path."""
     from flinkrealtimedatawarehouse_spark.streaming.clusters import ClusterUpkeepSink
 
     def p(rows):
         return spark.createDataFrame(rows, "id_a long, id_b long")
 
-    sink = ClusterUpkeepSink(str(tmp_path / "clgc"), "doc_id")
+    sink = ClusterUpkeepSink(str(tmp_path / "clgc"), "doc_id",
+                             index_gc_threshold=None)
     sink.write_batch(p([(1, 2), (3, 4)]), 0)
     sink.write_batch(p([(2, 3)]), 1)  # cluster 3 merges away -> stale
     def live_set():
@@ -1781,6 +1783,84 @@ def test_cluster_index_rebuild_gc_drops_stale_entries(spark, tmp_path):
     sink.write_batch(p([(4, 0)]), 2)  # still consistent after the GC
     got = {r["doc_id"]: r["cluster"] for r in sink.clusters(spark).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_cluster_index_auto_gc(spark, tmp_path):
+    """VERDICT r13 task #3: staleness is tracked exactly (each remapped
+    cluster's index entries are counted by the member probe that already
+    reads them) and the index auto-rebuilds past the threshold. A
+    merge-heavy feed must trigger a rebuild that drops the stale entries
+    while labels stay correct; counters survive a restart."""
+    from flinkrealtimedatawarehouse_spark.streaming.clusters import ClusterUpkeepSink
+
+    def p(rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    base = str(tmp_path / "clagc")
+    sink = ClusterUpkeepSink(base, "doc_id", index_gc_threshold=0.5)
+    # 4 disjoint clusters -> entries for clusters 1,3,5,7
+    sink.write_batch(p([(1, 2), (3, 4), (5, 6), (7, 8)]), 0)
+    assert sink.last_probe["index_stale_entries"] == 0
+    # merge-only churn: every batch retires clusters, inserts little
+    sink.write_batch(p([(2, 3), (6, 7)]), 1)   # 3 and 7 retired
+    frac1 = sink.last_probe["index_stale_frac"]
+    assert frac1 > 0
+    assert frac1 < 0.5  # below threshold: no rebuild yet
+    sink.write_batch(p([(4, 5)]), 2)           # 5 retired too
+    # half the tracked entries are now provably stale -> auto-rebuilt
+    assert sink.last_probe["index_stale_frac"] >= 0.5
+    assert sink.last_probe.get("index_gc_rebuilt") is True
+    live = {(r.cluster, r.pid) for r in
+            sink.current(spark).withColumn("pid", sink.pid_expr())
+            .select("cluster", "pid").distinct().collect()}
+    idx = {(r.cluster, r.pid) for r in sink.pidx.current(spark).collect()}
+    assert idx == live  # the rebuild emitted exactly the live set
+    assert sink.pidx.meta["stale_entries"] == 0
+    got = {r["doc_id"]: r["cluster"] for r in sink.clusters(spark).collect()}
+    assert got == {i: 1 for i in range(1, 9)}
+    # counters are commit-meta: a restart handle sees them
+    sink2 = ClusterUpkeepSink(base, "doc_id")
+    assert sink2.pidx.meta.get("stale_entries") == 0
+    assert sink2.pidx.meta.get("entries_ub", 0) >= len(live)
+    # and the next batch keeps committing + accounting
+    sink2.write_batch(p([(9, 10)]), 3)
+    assert sink2.last_probe["index_stale_entries"] == 0
+
+
+def test_cluster_rebuild_index_refuses_read_only_handle(spark, tmp_path):
+    """ADVICE r13: the public rebuild_index() must honor the same
+    read-only guard as _ensure_index — a read handle rmtree'ing the live
+    index dir would claim the writer token and fence the live writer."""
+    from flinkrealtimedatawarehouse_spark.streaming.clusters import ClusterUpkeepSink
+
+    sink = ClusterUpkeepSink(str(tmp_path / "clro"), "doc_id")
+    sink.write_batch(
+        spark.createDataFrame([(1, 2)], "id_a long, id_b long"), 0
+    )
+    reader = ClusterUpkeepSink(str(tmp_path / "clro"), "doc_id",
+                               read_only=True)
+    with pytest.raises(RuntimeError, match="read-only"):
+        reader.rebuild_index(spark)
+    # the writer's index was not touched: the next batch commits cleanly
+    sink.write_batch(
+        spark.createDataFrame([(2, 3)], "id_a long, id_b long"), 1
+    )
+    got = {r["doc_id"]: r["cluster"] for r in sink.clusters(spark).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_scd2_sink_rejects_gapped_batch_feed(spark, tmp_path):
+    """ADVICE r13: history(as_of_batch=N) reads version N+1, which is
+    only the post-batch-N state under a consecutive feed — a gapped feed
+    must fail loudly (same guard as ClusterUpkeepSink), not silently
+    shift every as-of read."""
+    ch = _scd2_changes(spark)
+    sink = sinks.Scd2HistorySink(str(tmp_path / "scd2gap"), "pk", "v")
+    sink.init(ch)
+    sink.write_batch(ch, 0)
+    with pytest.raises(ValueError, match="non-consecutive"):
+        sink.write_batch(ch, 5)
+    assert sink.version == 1  # the rejected batch committed nothing
 
 
 def test_band_sink_folds_preserve_flags_and_prebatch_witness_reads(spark, tmp_path):
