@@ -306,29 +306,41 @@ bd AS (
   FROM sm CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_idx) bi
 ),
 bsz AS (
-  SELECT band_idx, band_val, count(*) AS c,
-         CASE WHEN band_idx % 2 = 0 THEN min(doc_id) ELSE max(doc_id) END AS rep_id,
-         CASE WHEN band_idx % 2 = 0 THEN arg_min(simhash, doc_id)
-              ELSE arg_max(simhash, doc_id) END AS rep_sim
-  FROM bd GROUP BY 1, 2
+  SELECT band_idx, band_val, count(*) AS c FROM bd GROUP BY 1, 2
 ),
 bdc AS (
   SELECT bd.* FROM bd JOIN bsz USING (band_idx, band_val) WHERE bsz.c <= {_SH_CAP}
 ),
--- over-cap bucket members with their second-band STRATUM (the 8-bit
--- slice at band_idx+1 of the member's own simhash), mirroring
--- textdedup.simhash_near_dups's stratified hot branch
+-- over-cap bucket members with the sorted-neighbor chain keys, mirroring
+-- textdedup.simhash_near_dups's round-14 hot branch: rotk = the member's
+-- own simhash rotated right so band (band_idx+1) is the lowest byte;
+-- seg = the top VARYING byte of that key (band_idx+3's value)
 bdh AS (
-  SELECT bd.*, bsz.rep_id, bsz.rep_sim,
-         (bd.simhash >> (8 * ((bd.band_idx + 1) % 4))) & 255 AS strat
+  SELECT bd.*,
+         ((bd.simhash >> (8 * ((bd.band_idx + 1) % 4))) |
+          ((bd.simhash & ((1::BIGINT << (8 * ((bd.band_idx + 1) % 4))) - 1))
+           << (32 - 8 * ((bd.band_idx + 1) % 4)))) AS rotk,
+         (bd.simhash >> (8 * ((bd.band_idx + 3) % 4))) & 255 AS seg
   FROM bd JOIN bsz USING (band_idx, band_val)
   WHERE bsz.c > {_SH_CAP}
 ),
-srep AS (
-  SELECT band_idx, band_val, strat,
-         min(doc_id) AS sid, arg_min(simhash, doc_id) AS ssim,
-         any_value(rep_id) AS rep_id, any_value(rep_sim) AS rep_sim
-  FROM bdh GROUP BY 1, 2, 3
+mch AS (
+  SELECT doc_id, simhash,
+         lag(doc_id) OVER w AS pid, lag(simhash) OVER w AS psim
+  FROM bdh
+  WINDOW w AS (PARTITION BY band_idx, band_val, seg ORDER BY rotk, doc_id)
+),
+sreps AS (
+  SELECT band_idx, band_val, rotk, doc_id, simhash FROM (
+    SELECT bdh.*, row_number() OVER (
+      PARTITION BY band_idx, band_val, seg ORDER BY rotk, doc_id) AS rn
+    FROM bdh) WHERE rn = 1
+),
+rch AS (
+  SELECT doc_id, simhash,
+         lag(doc_id) OVER w AS pid, lag(simhash) OVER w AS psim
+  FROM sreps
+  WINDOW w AS (PARTITION BY band_idx, band_val ORDER BY rotk, doc_id)
 ),
 cd AS (
   SELECT DISTINCT * FROM (
@@ -336,25 +348,18 @@ cd AS (
     FROM bdc a JOIN bdc b
       ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     UNION ALL
-    -- hot: member vs the rotating bucket rep (min id on even bands, max
-    -- id on odd; sa stays the simhash OF id_a)
-    SELECT least(doc_id, rep_id), greatest(doc_id, rep_id),
-           CASE WHEN doc_id < rep_id THEN simhash ELSE rep_sim END,
-           CASE WHEN doc_id < rep_id THEN rep_sim ELSE simhash END
-    FROM bdh WHERE doc_id <> rep_id
+    -- hot: member vs its chain predecessor within the segment
+    -- (sa stays the simhash OF id_a)
+    SELECT least(doc_id, pid), greatest(doc_id, pid),
+           CASE WHEN doc_id < pid THEN simhash ELSE psim END,
+           CASE WHEN doc_id < pid THEN psim ELSE simhash END
+    FROM mch WHERE pid IS NOT NULL
     UNION ALL
-    -- hot: member vs its stratum's min-id rep (content-coherent witness)
-    SELECT least(bdh.doc_id, srep.sid), greatest(bdh.doc_id, srep.sid),
-           CASE WHEN bdh.doc_id < srep.sid THEN bdh.simhash ELSE srep.ssim END,
-           CASE WHEN bdh.doc_id < srep.sid THEN srep.ssim ELSE bdh.simhash END
-    FROM bdh JOIN srep USING (band_idx, band_val, strat)
-    WHERE bdh.doc_id <> srep.sid
-    UNION ALL
-    -- hot: stratum reps chain to the bucket rep (connectivity)
-    SELECT least(sid, rep_id), greatest(sid, rep_id),
-           CASE WHEN sid < rep_id THEN ssim ELSE rep_sim END,
-           CASE WHEN sid < rep_id THEN rep_sim ELSE ssim END
-    FROM srep WHERE sid <> rep_id
+    -- hot: segment heads chain across the bucket (connectivity)
+    SELECT least(doc_id, pid), greatest(doc_id, pid),
+           CASE WHEN doc_id < pid THEN simhash ELSE psim END,
+           CASE WHEN doc_id < pid THEN psim ELSE simhash END
+    FROM rch WHERE pid IS NOT NULL
   )
 )
 SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming

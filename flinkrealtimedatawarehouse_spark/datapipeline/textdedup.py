@@ -329,7 +329,8 @@ def _over_cap_stats(sizes: DataFrame, cap: int,
     witness pairs each hot bucket still emits (multi-band collisions
     counted once per band; pairs that also co-occur in a cool bucket still
     surface there). Witnesses per hot bucket: c-1 for the banded families
-    (one rotating representative per band), 2c-3 with ``both_ends`` (the
+    (sorted-neighbor chain: segment chains + segment-head chain), 2c-3
+    with ``both_ends`` (the
     bandless embedding family chains against BOTH the min- and max-id
     member; the (min, max) pair is shared between the two ends)."""
     hot = sizes.filter(F.col("c") > cap)
@@ -389,100 +390,123 @@ def simhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
     simhashes of templated/boilerplate corpora CLUSTER (measured on the
     10x amplified bench corpus: 57k docs -> an 24k-doc band bucket ->
     885M candidate pairs, a driver-killing blowup on identical code that
-    passes at small scale). Buckets above the cap switch to representative
-    chaining: each member pairs only against the bucket's representative
-    (c-1 rows, O(c) work; min id on even bands, max id on odd — the
-    parity rotation gives drift-shaped chains witnesses from both ends),
-    so an all-bands-hot megacluster still verifies witness pairs and
-    collapses under ``dedup_clusters`` instead of becoming invisible to
-    near-dedup. None keeps the exact all-pairs behavior.
+    passes at small scale). Buckets above the cap switch to sorted-
+    neighbor chaining (below): c-1 witness rows, O(c) work, so an
+    all-bands-hot megacluster still verifies witness pairs and collapses
+    under ``dedup_clusters`` instead of becoming invisible to near-dedup.
+    None keeps the exact all-pairs behavior.
 
-    STRATIFIED witnesses (round 12): an 8-bit band has only 256 values,
-    so at corpus scale hot buckets DILUTE — many unrelated templates
-    share one band value, the two chain-end representatives become
-    template-arbitrary, and the Hamming verify fails for a growing
-    fraction of members (measured: the all-hot residue rose 0.14% ->
-    2.0% from sf1 to sf1x4 under plain rotation — the round-11 "fixed
-    floor" was NOT fixed). Fix: members of a hot bucket ALSO pair
-    against the min-id member of their second-band STRATUM (the 8-bit
-    slice at band_idx+1 of their own simhash) — same-template docs share
-    most bands, so strata are content-coherent and the stratum witness
-    verifies where the bucket-end witness fails; stratum reps pair
-    against the bucket representative so connectivity through the bucket
-    is preserved. Cost stays linear: <= 2c member pairs + one rep pair
-    per stratum. Mirrored term-for-term in the dp3 gate's DuckDB twin."""
+    SORTED-NEIGHBOR chains (round 14, replacing round 12's stratified
+    reps): an 8-bit band has only 256 values, so at corpus scale hot
+    buckets DILUTE — many unrelated templates share one band value, and
+    ANY fixed single representative (bucket-end or stratum min-id)
+    eventually becomes template-arbitrary: the r12 stratum scheme cut
+    the all-hot residue from 2.0% to 2 docs at sf1x4, but those 2 docs
+    had TRUE partners at Hamming 2-3 whose shared stratum's min-id rep
+    was an alien template at Hamming 7-10 (scale_probe dp3res named
+    them) — the same dilution, one 8-bit level down. Fix: within each
+    hot bucket, sort members by their own simhash ROTATED so the next
+    band (cyclically) is the lowest byte, and pair each member with its
+    predecessor. Near-dup pairs sort adjacent in the bucket where their
+    differing bits are least significant — a pair corrupted only in
+    band j differs in the LOW byte of bucket (j-1)'s sort key, so same-
+    template docs are numeric neighbors and witnesses verify; identical
+    docs chain at Hamming 0, so megaclusters still collapse under
+    ``dedup_clusters``. Exactly c-1 witness pairs per hot bucket (the
+    count ``_over_cap_stats`` prices). For parallelism the chain is
+    segmented: members chain within their top varying byte (band j+3's
+    value, <=256 segments sorted independently — no single-task sort of
+    a mega-bucket), segment heads chain across the bucket; (c - S) +
+    (S - 1) = c - 1. Mirrored term-for-term in the dp3 gate's DuckDB
+    twin.
+
+    Consumer note: the chain makes verified components PATH-shaped
+    (diameter up to the longest same-template run), so cluster
+    assignment over capped-simhash pairs should use
+    ``dedup_clusters_star`` (O(log n) rounds on any graph shape) —
+    plain ``dedup_clusters`` label-prop needs diameter rounds and hits
+    its ``max_iter`` guard on corpus-scale runs (measured: sf1x4 grow
+    exceeds 50 rounds)."""
     exploded = _simhash_band_rows(simhash(docs, id_col, text_col), id_col)
     if hot_bucket_cap is not None:
         sizes = exploded.groupBy("band_idx", "band_val").agg(
             F.count(F.lit(1)).alias("_bsz"),
-            F.min(F.struct(F.col(id_col), F.col("simhash"))).alias("_lo"),
-            F.max(F.struct(F.col(id_col), F.col("simhash"))).alias("_hi"),
         )
         cool = exploded.join(
             sizes.filter(F.col("_bsz") <= hot_bucket_cap).select("band_idx", "band_val"),
             ["band_idx", "band_val"],
         )
-        rep = F.when(F.col("band_idx") % 2 == 0, F.col("_lo")).otherwise(F.col("_hi"))
-        _mem_first = F.col(id_col) < F.col(f"_rep.{id_col}")
-
-        def _vs_rep(members):
-            # member vs a representative struct column ``_rep``; sim_a
-            # stays the simhash OF id_a (the cool branch's invariant, so a
-            # pair surfacing in several branches dedupes under distinct)
-            return (
-                members.filter(F.col(id_col) != F.col(f"_rep.{id_col}"))
-                .select(
-                    F.least(F.col(id_col), F.col(f"_rep.{id_col}")).alias("id_a"),
-                    F.greatest(F.col(id_col), F.col(f"_rep.{id_col}")).alias("id_b"),
-                    F.when(_mem_first, F.col("simhash"))
-                    .otherwise(F.col("_rep.simhash")).alias("sim_a"),
-                    F.when(_mem_first, F.col("_rep.simhash"))
-                    .otherwise(F.col("simhash")).alias("sim_b"),
-                )
-            )
-
         n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
         hot_members = exploded.join(
             sizes.filter(F.col("_bsz") > hot_bucket_cap).select(
-                "band_idx", "band_val", rep.alias("_rep")
+                "band_idx", "band_val"
             ),
             ["band_idx", "band_val"],
         )
-        # second-band stratum of the member's OWN simhash: hot buckets at
-        # corpus scale mix many templates (8-bit band = 256 values), so
-        # the bucket-end representative is template-arbitrary; strata are
-        # content-coherent and their witness pairs verify where the
-        # bucket-end witness fails (docstring: stratified witnesses)
-        strat = F.expr(
-            f"shiftright(simhash, pmod(band_idx + 1, {n_bands}) "
+        # rotate-right so band (band_idx+1) is the lowest byte: the top
+        # byte of the rotated key is band_idx's value — constant within
+        # the bucket — so the effective sort is over the 3 OTHER bands,
+        # nearest-band least significant
+        _k = f"(pmod(band_idx + 1, {n_bands}) * {SIMHASH_BAND_BITS})"
+        rotk = F.expr(
+            f"shiftright(simhash, {_k}) | "
+            f"shiftleft(simhash & (shiftleft(cast(1 as bigint), {_k}) - 1), "
+            f"{SIMHASH_BITS} - {_k})"
+        )
+        # segment = the top VARYING byte of the rotated key (band_idx+3's
+        # value): chains sort per segment in parallel, never one task per
+        # mega-bucket; a pair differing only in the two low bytes shares
+        # its segment and chains there
+        seg = F.expr(
+            f"shiftright(simhash, pmod(band_idx + 3, {n_bands}) "
             f"* {SIMHASH_BAND_BITS}) & 255"
         )
-        hot_strat = hot_members.withColumn("_strat", strat)
-        sreps = hot_strat.groupBy("band_idx", "band_val", "_strat").agg(
-            F.min(F.struct(F.col(id_col), F.col("simhash"))).alias("_srep"),
-            F.first("_rep").alias("_brep"),
+        hs = hot_members.withColumn("_rotk", rotk).withColumn("_seg", seg)
+        w_seg = Window.partitionBy("band_idx", "band_val", "_seg").orderBy(
+            "_rotk", id_col
         )
-        member_vs_srep = _vs_rep(
-            hot_strat.drop("_rep").join(
-                sreps.select("band_idx", "band_val", "_strat",
-                             F.col("_srep").alias("_rep")),
-                ["band_idx", "band_val", "_strat"],
+        member_chain = (
+            hs.withColumn("_prev_id", F.lag(id_col).over(w_seg))
+            .withColumn("_prev_sim", F.lag("simhash").over(w_seg))
+            .filter(F.col("_prev_id").isNotNull())
+        )
+        # segment heads (min sort position) chain across the bucket so
+        # the bucket stays one connected witness path
+        sreps = (
+            hs.groupBy("band_idx", "band_val", "_seg")
+            .agg(F.min(F.struct("_rotk", F.col(id_col), F.col("simhash")))
+                 .alias("_m"))
+            .select(
+                "band_idx", "band_val",
+                F.col("_m._rotk").alias("_rotk"),
+                F.col(f"_m.{id_col}").alias(id_col),
+                F.col("_m.simhash").alias("simhash"),
             )
         )
-        # stratum reps chain to the bucket representative: connectivity
-        # through the bucket is preserved (member -> stratum rep -> rep)
-        srep_vs_rep = _vs_rep(
-            sreps.select(
-                F.col(f"_srep.{id_col}").alias(id_col),
-                F.col("_srep.simhash").alias("simhash"),
-                F.col("_brep").alias("_rep"),
+        w_bkt = Window.partitionBy("band_idx", "band_val").orderBy(
+            "_rotk", id_col
+        )
+        rep_chain = (
+            sreps.withColumn("_prev_id", F.lag(id_col).over(w_bkt))
+            .withColumn("_prev_sim", F.lag("simhash").over(w_bkt))
+            .filter(F.col("_prev_id").isNotNull())
+        )
+
+        def _pairize(ch):
+            # sim_a stays the simhash OF id_a (the cool branch's
+            # invariant, so a pair surfacing in several branches dedupes
+            # under distinct)
+            first = F.col(id_col) < F.col("_prev_id")
+            return ch.select(
+                F.least(F.col(id_col), F.col("_prev_id")).alias("id_a"),
+                F.greatest(F.col(id_col), F.col("_prev_id")).alias("id_b"),
+                F.when(first, F.col("simhash"))
+                .otherwise(F.col("_prev_sim")).alias("sim_a"),
+                F.when(first, F.col("_prev_sim"))
+                .otherwise(F.col("simhash")).alias("sim_b"),
             )
-        )
-        hot_pairs = (
-            _vs_rep(hot_members)
-            .unionByName(member_vs_srep)
-            .unionByName(srep_vs_rep)
-        )
+
+        hot_pairs = _pairize(member_chain).unionByName(_pairize(rep_chain))
     else:
         cool, hot_pairs = exploded, None
     a, b = cool.alias("a"), cool.alias("b")

@@ -736,6 +736,65 @@ def main() -> int:
         m = max(multiples)
         sh_cap, max_ham = 500, 6
         n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+
+        # sibling CONNECTIVITY (cluster-level recall the pair-count
+        # metric can't see): amplified copies are true near-dup partners
+        # — identical under inflate (simhash equal, so connected has a
+        # 100% ceiling), one-token suffix under grow (hamming usually but
+        # not always <= max_ham, so the ceiling is the fraction of
+        # siblings at <= max_ham, printed alongside). A witness-geometry
+        # change can shrink the VERIFIED PAIR COUNT while preserving or
+        # improving recall — redundant witnesses collapse inside one
+        # cluster — so this is the number geometry changes are judged on.
+        for variant, dv in (("grow", amplify_grow(docs, "doc_id", m)),
+                            ("inflate", amplify(docs, "doc_id", m))):
+            pv = textdedup.simhash_near_dups(
+                dv, "doc_id", "text", max_hamming=max_ham,
+                hot_bucket_cap=sh_cap,
+            )
+            ids_in = (
+                pv.select(F.col("id_a").alias("doc_id"))
+                .unionByName(pv.select(F.col("id_b").alias("doc_id")))
+                .distinct()
+            )
+            # star CC, not label-prop: the chain geometry's verified
+            # graph contains PATH components (adjacent same-template
+            # docs), whose diameter exceeds label-prop's round budget —
+            # big/small-star converges in O(log n) rounds on any shape
+            cc = textdedup.dedup_clusters_star(
+                pv.select("id_a", "id_b"), ids_in, "doc_id"
+            )
+            shv = textdedup.simhash(dv, "doc_id", "text")
+            sibs = (
+                shv.select(F.col("doc_id").alias("id_a"),
+                           F.col("simhash").alias("sha"))
+                .join(
+                    shv.select((F.col("doc_id") - 1_000_000).alias("id_a"),
+                               F.col("doc_id").alias("id_b"),
+                               F.col("simhash").alias("shb")),
+                    "id_a",
+                )
+            )
+            n_sib = sibs.count()
+            n_true = sibs.filter(
+                F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))) <= max_ham
+            ).count()
+            ca = cc.select(F.col("doc_id").alias("id_a"),
+                           F.col("cluster").alias("cla"))
+            cb = cc.select(F.col("doc_id").alias("id_b"),
+                           F.col("cluster").alias("clb"))
+            n_conn = (
+                sibs.join(ca, "id_a").join(cb, "id_b")
+                .filter(F.col("cla") == F.col("clb")).count()
+            )
+            print(
+                f"dp3res x{m}[{variant}] sibling connectivity: "
+                f"sib_pairs={n_sib} true<= {max_ham}: "
+                f"{n_true / max(n_sib, 1):.1%} "
+                f"connected={n_conn / max(n_sib, 1):.1%}",
+                flush=True,
+            )
+
         d = amplify_grow(docs, "doc_id", m)
         sh = textdedup.simhash(d, "doc_id", "text").persist()
         br = textdedup._simhash_band_rows(sh, "doc_id")
@@ -1035,7 +1094,7 @@ def main() -> int:
             F.col("c_custkey").alias("pk"),
             (F.col("c_custkey") * 10).alias("v"),
             F.lit("insert").alias("type"),
-            F.col("c_address").alias("attr"),
+            F.col("c_name").alias("attr"),
         ).unionByName(cust.select(
             F.col("c_custkey").alias("pk"),
             (F.col("c_custkey") * 10 + 1).alias("v"),

@@ -623,11 +623,12 @@ def test_capped_lsh_pairs_subset_and_megacluster_connected(spark, docs, cap):
 def test_capped_simhash_and_embedding_keep_megacluster_connected(spark, docs, cap):
     """The chaining algebra holds for the SimHash and embedding-cosine
     families too: capped verified pairs are a subset of uncapped, and in
-    any over-cap bucket every member reaches the representative — the
-    parity-rotating rep for SimHash's bands, BOTH the min- and max-id
-    member for the bandless embedding family (the verify stage may still
-    reject a witness pair on its own merits — subset, not equality, is
-    the invariant on the verified output; max_hamming=32 / threshold=-1
+    any over-cap bucket every member is chained — SimHash via the
+    round-14 sorted-neighbor chain (segment chains + segment-head chain
+    over the rotated sort key), the bandless embedding family against
+    BOTH the min- and max-id member (the verify stage may still reject a
+    witness pair on its own merits — subset, not equality, is the
+    invariant on the verified output; max_hamming=32 / threshold=-1
     below make verify a no-op so the laws are exact here)."""
     from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
 
@@ -658,26 +659,35 @@ def test_capped_simhash_and_embedding_keep_megacluster_connected(spark, docs, ca
             (r.doc_id, r.simhash))
     for (band_idx, _), mem in buckets.items():
         if len(mem) > cap:
-            members = [m for m, _s in mem]
-            rep = min(members) if band_idx % 2 == 0 else max(members)
-            # stratified-witness law (round 12): every hot-bucket member
-            # also pairs with the min-id member of its second-band
-            # stratum, and every stratum rep pairs with the bucket rep
-            strata: dict = {}
+            # sorted-neighbor chain law (round 14): rotate each member's
+            # simhash so band (band_idx+1) is the lowest byte; members
+            # chain within their segment (band_idx+3's byte) in
+            # (rotk, id) order, segment heads chain across the bucket —
+            # exactly c-1 witness pairs, every one present
+            bb = textdedup.SIMHASH_BAND_BITS
+            bits = textdedup.SIMHASH_BITS
+
+            def rot(sh):
+                k = ((band_idx + 1) % n_bands) * bb
+                return (sh >> k) | ((sh & ((1 << k) - 1)) << (bits - k))
+
+            segs: dict = {}
             for m_id, sh in mem:
-                sv = (sh >> (((band_idx + 1) % n_bands)
-                             * textdedup.SIMHASH_BAND_BITS)) & 255
-                strata.setdefault(sv, []).append(m_id)
-            for m_id in members:
-                if m_id != rep:
-                    assert (min(rep, m_id), max(rep, m_id)) in cap_pairs
-            for smem in strata.values():
-                srep = min(smem)
-                for m_id in smem:
-                    if m_id != srep:
-                        assert (srep, m_id) in cap_pairs
-                if srep != rep:
-                    assert (min(rep, srep), max(rep, srep)) in cap_pairs
+                sv = (sh >> (((band_idx + 3) % n_bands) * bb)) & 255
+                segs.setdefault(sv, []).append((rot(sh), m_id))
+            expected = []
+            heads = []
+            for smem in segs.values():
+                smem.sort()
+                heads.append(min(smem))
+                for (_, a), (_, b) in zip(smem, smem[1:]):
+                    expected.append((min(a, b), max(a, b)))
+            heads.sort()
+            for (_, a), (_, b) in zip(heads, heads[1:]):
+                expected.append((min(a, b), max(a, b)))
+            assert len(expected) == len(mem) - 1  # the priced count
+            for pair in expected:
+                assert pair in cap_pairs, (pair, band_idx)
 
     # embedding twin: vectors derived from the template id (identical
     # within a template -> one sign bucket per template), threshold -1

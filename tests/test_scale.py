@@ -206,10 +206,12 @@ def test_simhash_hot_bucket_cap_bounds_planted_mega_bucket(spark):
     ).collect()
     ids = {(r.id_a, r.id_b) for r in capped}
     assert (1000, 1001) in ids
-    # representative chaining keeps the identical cluster connected
-    # (min-id rep on even bands, max-id on odd — all 4 bands are hot)
+    # sorted-neighbor chaining keeps the identical cluster connected:
+    # identical simhashes share the rotated sort key, so the chain within
+    # their (only) segment is the id path — c-1 Hamming-0 links, the same
+    # in every one of the 4 hot bands, deduped to one path
     mega = {(a, b) for a, b in ids if a < 120 and b < 120}
-    assert mega == {(0, j) for j in range(1, 120)} | {(j, 119) for j in range(119)}
+    assert mega == {(j, j + 1) for j in range(119)}
     stats = textdedup.simhash_hot_bucket_stats(
         docs, "doc_id", "text", hot_bucket_cap=50
     ).collect()[0]
@@ -339,7 +341,13 @@ def test_all_bands_hot_megacluster_still_collapses_in_dedup_clusters(spark):
         docs, "doc_id", "text", max_hamming=6, hot_bucket_cap=50
     )
     assert sh_pairs.count() >= n - 1
-    cl2 = textdedup.dedup_clusters(sh_pairs.select("id_a", "id_b"), ids, "doc_id").collect()
+    # star CC, not label-prop: the r14 sorted-neighbor chain makes this
+    # megacluster a 149-edge PATH, whose diameter exceeds label-prop's
+    # round budget — dedup_clusters_star is the documented consumer for
+    # capped-simhash pairs (O(log n) rounds on any component shape)
+    cl2 = textdedup.dedup_clusters_star(
+        sh_pairs.select("id_a", "id_b"), ids, "doc_id"
+    ).collect()
     by_doc2 = {r.doc_id: r.cluster for r in cl2}
     assert all(by_doc2[i] == 0 for i in range(n))
     assert by_doc2[9000] == 9000
