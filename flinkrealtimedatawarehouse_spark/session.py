@@ -31,6 +31,25 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    # Fixed, fully pre-touched heap (round 14, guide §1 "measure first"):
+    # on this sandbox's kernel the JVM's default grow-and-shrink heap
+    # turns every allocation-heavy stage into a kernel-time storm — the
+    # heap commits/uncommits pages continuously and the fault path is
+    # ~50x slower than the memory itself (measured: u2@sf1 spent 2,147 s
+    # of SYSTEM time against 113 s of user time in one cold run; kernel
+    # stacks all in folio_zero_user/huge_pmd fault handling; memset
+    # bandwidth on committed pages is a healthy 10 GB/s single-thread).
+    # -Xms == -Xmx + AlwaysPreTouch commits and zeroes the whole heap
+    # ONCE at startup (~19 s for 16 g here, reported separately from
+    # every timed window), after which TLAB allocation never re-enters
+    # the kernel: the same cold run drops 214 s -> 4 s and steady-state
+    # sys time drops to ~2 s. Same discipline as production executors
+    # (fixed-size pre-touched heaps are the standard large-heap setup);
+    # SPARK_DRIVER_MEMORY stays the size knob — -Xms tracks it.
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    jvm_opts = f"-Xms{driver_mem} -XX:+AlwaysPreTouch " + os.environ.get(
+        "SPARK_GRAFT_JVM_OPTS", ""
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
@@ -42,7 +61,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions", jvm_opts.strip())
     )
     if not SparkSession.getActiveSession():
         builder = builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
