@@ -974,6 +974,45 @@ def test_scd2_sink_replay_and_restart(spark, tmp_path):
     assert got[(3, 7)] == (None, True, "r")
 
 
+def test_scd2_write_batch_semijoins_raw_runs(spark, tmp_path):
+    """Round-14 write-path optimization: the per-batch re-stamp semi-joins
+    the RAW state runs (merged=False) to the touched keys BEFORE the
+    group-latest merge window, instead of merging the full table first.
+    Pin (a) that every state read inside write_batch is unmerged — the
+    full-state per-key window is gone from the write path — and (b)
+    history equality with the all-at-once feed under key-local batches
+    (the split-invariant test pins even splits; this one pins the sparse
+    shape the optimization targets)."""
+    ch = _scd2_changes(spark)
+    base = str(tmp_path / "scd2rawsemi")
+    sink = sinks.Scd2HistorySink(base, "pk", "v", n_partitions=8)
+    sink.init(ch)
+    # key-local batches: each batch carries exactly one pk's changes
+    per_key = {
+        pk: [r for r in ch.collect() if r.pk == pk] for pk in (1, 2, 3)
+    }
+    merged_flags: list[bool] = []
+    orig_read = sinks.Scd2HistorySink._read
+
+    def spy_read(self, s, version, pids=None, merged=True):
+        merged_flags.append(merged)
+        return orig_read(self, s, version, pids=pids, merged=merged)
+
+    sinks.Scd2HistorySink._read = spy_read
+    try:
+        for bid, pk in enumerate((1, 2, 3)):
+            sink.write_batch(
+                spark.createDataFrame(per_key[pk], ch.schema), bid
+            )
+    finally:
+        sinks.Scd2HistorySink._read = orig_read
+    # every state read during the batch loop bypassed the full-table
+    # merge window (the semi-join runs on raw runs; merge_fn is applied
+    # to the touched keys' rows only)
+    assert merged_flags and not any(merged_flags)
+    assert _scd2_got(sink, spark) == _SCD2_WANT
+
+
 def test_stream_join_chained_into_windowed_agg(spark):
     """Multi-stateful: interval join -> watermarked tumble in ONE query.
     The reference crosses a Kafka topic between jobs for this chain
