@@ -300,3 +300,59 @@ def test_wide_live_answers_as_of_any_batch(spark, tmp_path):
     want0 = _rows(spark.sql("SELECT * FROM ads_top_brand_wide_live"),
                   ["p_brand", "order_amount"])
     assert v0_brand == want0
+
+
+def test_wide_upkeep_empty_batch_and_pruned_orders(spark, tmp_path):
+    """Round-14 upkeep optimization edges: the per-batch orders lookup is
+    range-pruned to the batch's min/max l_orderkey. Pin (a) an EMPTY
+    micro-batch (bounds come back NULL -> unfiltered orders path) commits
+    a version and leaves the totals unchanged, and (b) the final table
+    still equals the batch-built aggregation under the pruned path."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flinkrealtimedatawarehouse_spark import serving
+    from flinkrealtimedatawarehouse_spark.streaming import runner
+    from flinkrealtimedatawarehouse_spark.tables import load_table
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    staged = serving.stage_wide_input(spark, SF, n_batches=2, tag="widemptyt")
+    # append an EMPTY third batch file (schema'd, newest mtime)
+    tmp = runner.scratch_dir("widempty_sent")
+    li.limit(0).coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dst = os.path.join(staged, "zzz-empty.parquet")
+    import shutil as _sh
+    _sh.copyfile(src, dst)
+    newest = max(os.path.getmtime(os.path.join(staged, f))
+                 for f in os.listdir(staged) if f.endswith(".parquet"))
+    os.utime(dst, (newest + 10, newest + 10))
+
+    sink = serving.stream_wide_product_upkeep(
+        spark, SF, str(tmp_path / "wlive_empty"), n_batches=3,
+        tag="widemptyt", staged_dir=staged
+    )
+    # three batches committed (2 real + 1 empty), empty batch = no-op fold
+    assert sink.last_bid == 2
+    cols = serving.WIDE_AGG_KEYS + ["order_amount", "order_ct"]
+    assert _rows(sink.read_version(spark, 2), cols) == _rows(
+        sink.read_version(spark, 1), cols
+    )
+    # equality with the direct batch aggregation (pruned path end-to-end)
+    part = load_table(spark, SF, "part").select("p_partkey", "p_brand")
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyyMMdd").alias("dt")
+    )
+    want = _rows(
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(*serving.WIDE_AGG_KEYS)
+        .agg(F.sum("l_extendedprice").cast("double").alias("order_amount"),
+             F.count(F.lit(1)).cast("double").alias("order_ct")),
+        cols,
+    )
+    assert _rows(sink.current(spark), cols) == want
