@@ -218,6 +218,16 @@ def jaccard_verify(pairs: DataFrame, sigs: DataFrame, id_col: str) -> DataFrame:
         pairs.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh_hashes", "sh_a"), "id_a")
         .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh_hashes", "sh_b"), "id_b")
     )
+    # Spread the per-pair set intersection across the cluster (round 14):
+    # AQE coalesces the post-join partitions by BYTES (the (id, id, two
+    # shingle arrays) rows are only a few MB) but the array_intersect/
+    # array_union projection is compute-dense — measured at sf1: 22.7 s of
+    # executor time squeezed into 4 AQE-coalesced tasks, a 5.7 s straggler
+    # wall. An explicit width on the exchange (AQE never coalesces a
+    # user repartition) prices the stage by its compute, not its bytes;
+    # width = spark.sql.shuffle.partitions, the deployment-scaled knob.
+    n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    j = j.repartition(n_part)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     uni = F.size(F.array_union("sh_a", "sh_b"))
     return j.select(
@@ -1062,6 +1072,17 @@ def repeated_spans(
     bucket) + one exchange on the doc id for the island merge. Shuffle
     carries (id, pos, hash) triples, never text. No all-pairs anything.
     """
+    # Same discipline as minhash_near_dups: the tokenize + rolling-hash
+    # subtree is CPU-dense, and its parallelism is otherwise bound by the
+    # input's file-split count (measured at sf1: 31.5 s of executor time
+    # on 10 file-bound tasks, a 3.2 s wall). The round-robin repartition
+    # costs one exchange of the raw text and prices the stage by compute;
+    # at deployment scale scans have >= cluster-width splits and this
+    # widens nothing (repartition to defaultParallelism only when the
+    # scan is narrower).
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     toks_df = docs.select(F.col(id_col), spark_tokens(F.col(text_col)).alias("toks"))
     base = toks_df.select(
         F.col(id_col),
