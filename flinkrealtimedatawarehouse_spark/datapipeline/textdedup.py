@@ -123,7 +123,8 @@ def lsh_band_rows(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int) 
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int,
-                        hot_bucket_cap: int | None = None) -> DataFrame:
+                        hot_bucket_cap: int | None = None,
+                        join_width: int | None = None) -> DataFrame:
     """Banded LSH: signature -> ``bands`` keys of ``rows_per_band`` values;
     candidate pair = same (band_idx, band_key). The self-join key is the
     band bucket, so the shuffle is bucket-bounded. Returns distinct
@@ -145,8 +146,24 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str, bands: int, rows_per_band:
     the ends are not near-dups of each other) collects witnesses from
     BOTH ends instead of only the min-id end, at the same O(c) cost.
     Use ``lsh_hot_bucket_stats`` to account for the non-witness candidate
-    mass the chaining skips. None (default) keeps the exact behavior."""
+    mass the chaining skips. None (default) keeps the exact behavior.
+
+    ``join_width``: pin the width of the bucket self-join (round 14,
+    guide §2.5). The band rows are a few MB (ids + short keys) so AQE
+    coalesces the exchange feeding the join by BYTES — at sf1 the join
+    stage (pair emission + partial distinct, 6.5 s of executor time) ran
+    in 4 coalesced tasks behind a 1.7 s straggler wall. An explicit hash
+    repartition on the join key is never coalesced, is REUSED by both
+    self-join sides (aliases of the same DF share one exchange), and in
+    the capped path also satisfies the sizes groupBy/join distribution.
+    It is a PARAMETER, not unconditional, because at small inputs the
+    added exchange + extra AQE stage waves cost more than the straggler
+    they remove (A/B at sf0.1: unconditional widening regressed the
+    steady wall 1.7 -> 2.5 s while sf1 improved 4.3 -> 3.8 s); callers
+    gate it on measured input size (see ``minhash_near_dups``)."""
     exploded = lsh_band_rows(sigs, id_col, bands, rows_per_band)
+    if join_width is not None:
+        exploded = exploded.repartition(join_width, "band_idx", "band_key")
     if hot_bucket_cap is not None:
         sizes = exploded.groupBy("band_idx", "band_key").agg(
             F.count(F.lit(1)).alias("_bsz"),
@@ -235,6 +252,17 @@ def jaccard_verify(pairs: DataFrame, sigs: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+# Band-row count above which the LSH bucket self-join gets an explicit
+# width (join_width in lsh_candidate_pairs). Measured crossover class:
+# at 46k band rows (sf0.1) widening REGRESSES the wall (+0.8 s of
+# exchange + AQE stage-wave latency vs a sub-second join stage); at 457k
+# (sf1) it removes a 1.7 s four-task straggler. The boundary sits where
+# the narrow join stage's compute (~ band rows x bucket sizes) crosses
+# the ~0.3 s cost of one more exchange + stage wave — O(100k) rows here;
+# anything deployment-scale is orders of magnitude past it.
+_WIDE_SELFJOIN_MIN_BAND_ROWS = 250_000
+
+
 def minhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
                       shingle_n: int = 3, k: int = 16,
                       bands: int = 8, threshold: float = 0.5,
@@ -254,8 +282,20 @@ def minhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
     sigs = minhash_signatures(docs.repartition(n_part), id_col, text_col, shingle_n, k)
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        # Size the bucket self-join from the data, not a constant (round
+        # 14, guide §2): the count() materializes the signature cache the
+        # three consumers below read anyway (work moved, not added) and
+        # decides whether the self-join gets an explicit width. Below the
+        # threshold the join stage is sub-second at ANY width and the
+        # extra exchange/stage waves only add latency (A/B in
+        # ``lsh_candidate_pairs``); above it, AQE's byte-based coalescing
+        # squeezes the compute-dense pair emission into a handful of
+        # tasks. Deployment-scale corpora always take the wide path.
+        wide = sigs.count() * bands >= _WIDE_SELFJOIN_MIN_BAND_ROWS
+        n_shuffle = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         cands = lsh_candidate_pairs(sigs, id_col, bands, k // bands,
-                                    hot_bucket_cap=hot_bucket_cap)
+                                    hot_bucket_cap=hot_bucket_cap,
+                                    join_width=n_shuffle if wide else None)
         out = jaccard_verify(cands, sigs, id_col).filter(F.col("jaccard") >= threshold)
         # materialize the (small) pair set, then release the signature
         # cache — repeated invocations otherwise accumulate cached blocks
