@@ -1089,9 +1089,22 @@ def q_tpch21(spark: SparkSession, sf: str) -> DataFrame:
     ext = _lineitem_ext(spark, sf).select(
         "l_orderkey", "l_suppkey", (F.col("l_receiptdate") > F.col("l_commitdate")).alias("late")
     )
-    per_order = ext.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("nsup"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nlate"),
+    # Two countDistinct aggregates in one groupBy plan as an Expand that
+    # doubles every lineitem row BEFORE the exchange (round 14, guide
+    # §2.3 "shuffle fewer bytes"): profiled at sf0.1, the scan stage wrote
+    # a 17.7 MB expanded shuffle. Decompose instead: first collapse to one
+    # row per (orderkey, suppkey) with an any-late flag — a partial-agg-
+    # friendly plain hash aggregate whose exchange carries each distinct
+    # pair ONCE — then count suppliers / late suppliers per order without
+    # DISTINCT. Identical results: countDistinct(suppkey) = count(*) over
+    # the collapsed pairs, countDistinct(when(late, suppkey)) = count of
+    # pairs whose flag is set (suppkey is never null in lineitem).
+    per_supp = ext.groupBy(F.col("l_orderkey").alias("ok"), "l_suppkey").agg(
+        F.max("late").alias("any_late")
+    )
+    per_order = per_supp.groupBy("ok").agg(
+        F.count(F.lit(1)).alias("nsup"),
+        F.count(F.when(F.col("any_late"), F.lit(1))).alias("nlate"),
     )
     late_lines = ext.filter(F.col("late"))
     o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
