@@ -160,6 +160,34 @@ def test_lsh_hot_bucket_cap_bounds_planted_mega_bucket(spark):
         sigs.unpersist()
 
 
+def test_lsh_join_width_is_result_invariant(spark):
+    """join_width (round 14: explicit self-join width so AQE's byte-based
+    coalescing can't serialize pair emission) is a physical knob only —
+    the candidate pair set must be IDENTICAL at any width, with and
+    without the hot-bucket cap."""
+    from flinkrealtimedatawarehouse_spark.datapipeline import textdedup
+
+    docs = spark.createDataFrame(
+        [(i, f"shared prefix text block {i % 7} with tail {i}") for i in range(80)]
+        + [(200, "one unique outlier document with entirely distinct words")],
+        "doc_id long, text string",
+    )
+    sigs = textdedup.minhash_signatures(docs, "doc_id", "text", 3, 16)
+    sigs = sigs.persist()
+    try:
+        for cap in (None, 5):
+            base = {(r.id_a, r.id_b) for r in textdedup.lsh_candidate_pairs(
+                sigs, "doc_id", 8, 2, hot_bucket_cap=cap).collect()}
+            assert base  # the corpus must actually produce candidates
+            for width in (2, 16):
+                wide = {(r.id_a, r.id_b) for r in textdedup.lsh_candidate_pairs(
+                    sigs, "doc_id", 8, 2, hot_bucket_cap=cap,
+                    join_width=width).collect()}
+                assert wide == base
+    finally:
+        sigs.unpersist()
+
+
 def test_minhash_near_dups_cap_preserves_cool_pairs(spark):
     """End-to-end capped run: same results as uncapped for docs outside
     the hot bucket (the dp2 gate's default path stays cap-less/exact)."""
