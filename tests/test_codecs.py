@@ -189,6 +189,7 @@ def test_resample_plane_nearest_neighbor_hand_computed():
         [1, 1, 2, 2, 1, 1, 2, 2])
 
 
+@pytest.mark.slow
 def test_real_features_match_fake_features_per_doc(spark):
     """decode(encode(text)) == text bytes: the real-decode features must
     equal the fake byte-level features doc-for-doc, across all five

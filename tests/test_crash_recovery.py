@@ -82,6 +82,7 @@ def _run_band(spark, base_dir, crash_batch=None):
     return flags, state
 
 
+@pytest.mark.slow
 def test_band_sink_restart_mid_batch_exactly_once(spark, tmp_path):
     clean_flags, clean_state = _run_band(spark, str(tmp_path / "clean"))
     for crash_at in (1, 2):
@@ -182,6 +183,7 @@ def _run_ivfidx(spark, base_dir, crash_batch=None):
     return [tuple(r) for r in out]
 
 
+@pytest.mark.slow
 def test_ivf_index_restart_mid_batch_exactly_once(spark, tmp_path):
     """Streamed IVF index: a crash between the corpus append and the
     centroid-sum marker must not double-fold the sums (which would move
@@ -221,6 +223,7 @@ def test_reader_handles_do_not_fence_the_index_writer(spark, tmp_path):
         ro.vacuum(keep_last=1)
 
 
+@pytest.mark.slow
 def test_postings_index_restart_mid_batch_exactly_once(spark, tmp_path):
     """dp25 streamed index: a crash between the postings write and the
     stats marker must not double-count n_docs/sum_dl (which would shift
@@ -262,6 +265,7 @@ def _run_scd2(spark, base_dir, crash_batch=None):
     )
 
 
+@pytest.mark.slow
 def test_scd2_restart_mid_batch_history_intact(spark, tmp_path):
     clean = _run_scd2(spark, str(tmp_path / "clean"))
     for crash_at in (1, 2):
@@ -557,6 +561,7 @@ def _run_chain(spark, in_dir, work_dir, crash_batch=None):
     )
 
 
+@pytest.mark.slow
 def test_chain_restart_mid_batch_state_recovers(spark, tmp_path):
     from flinkrealtimedatawarehouse_spark.streaming import runner
 
@@ -575,6 +580,7 @@ def test_chain_restart_mid_batch_state_recovers(spark, tmp_path):
         assert got == clean, f"chain diverged after crash at batch {crash_at}"
 
 
+@pytest.mark.slow
 def test_compaction_crash_between_marker_and_cleanup(spark, tmp_path):
     """Tiered compaction's write-then-commit contract: if the process
     dies AFTER the compaction marker commits but BEFORE the folded tail
@@ -634,6 +640,7 @@ def test_compaction_crash_between_marker_and_cleanup(spark, tmp_path):
     assert all(b > st["folded_through"] for b in left), left
 
 
+@pytest.mark.slow
 def test_compaction_crash_before_marker_is_invisible(spark, tmp_path):
     """The other half of write-then-commit: a chunk directory written by
     a fold that died BEFORE its marker commit must be invisible to reads
@@ -773,6 +780,7 @@ def _run_clusters(spark, base_dir, crash_batch=None):
     return sorted((r.doc_id, r.cluster) for r in sink.clusters(spark).collect())
 
 
+@pytest.mark.slow
 def test_cluster_upkeep_restart_mid_batch_exactly_once(spark, tmp_path):
     """Streaming cluster upkeep: a crash between the snapshot data write
     and the marker commit must leave the previous consistent label table;
@@ -787,6 +795,7 @@ def test_cluster_upkeep_restart_mid_batch_exactly_once(spark, tmp_path):
         assert got == clean, f"labels diverged after crash at batch {crash_at}"
 
 
+@pytest.mark.slow
 def test_cluster_index_ahead_after_crash_is_superset_and_recovers(
         spark, tmp_path):
     """The secondary (cluster, pid) index commits BEFORE the label store,
@@ -853,6 +862,7 @@ def _run_band_with_clusters(spark, base_dir, crash_batch=None,
     return flags, labels
 
 
+@pytest.mark.slow
 def test_composed_dedup_dag_survives_either_sink_crashing(spark, tmp_path):
     clean = _run_band_with_clusters(spark, str(tmp_path / "clean"))
     # the planted dups (1, 3, 5 share BASE) must collapse to cluster 1

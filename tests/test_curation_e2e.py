@@ -86,6 +86,7 @@ def curated(spark):
     }
 
 
+@pytest.mark.slow
 def test_funnel_is_monotone_and_nonempty(curated):
     n0 = curated["n0"]
     n_clean = curated["cleaned"].count()
@@ -104,6 +105,7 @@ def test_no_pii_survives_the_pipeline(curated):
     assert leaked.count() == 0
 
 
+@pytest.mark.slow
 def test_shuffle_covers_train_exactly(curated):
     train_ids = {r.doc_id for r in curated["train"].select("doc_id").collect()}
     rows = curated["shuffled"].select("doc_id", "shard", "pos").collect()

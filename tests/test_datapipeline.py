@@ -201,6 +201,7 @@ def test_dedup_clusters_chain_and_singleton(spark):
     assert len(rounds) == 1 and 2 <= rounds[0] <= 4
 
 
+@pytest.mark.slow
 def test_dedup_clusters_star_parity_and_long_chain(spark):
     """The big-star/small-star variant must return exactly what label
     propagation returns — on the basic shapes, on a random multi-component
@@ -719,6 +720,7 @@ def test_ann_recall_measured_against_bruteforce(spark):
     assert mean_ivf >= 0.9, mean_ivf
 
 
+@pytest.mark.slow
 def test_multilsh_lifts_recall_over_single_table(spark):
     """Multi-table LSH on a corpus where a single table misses: looser
     clusters + more planes so per-table collisions drop below 1, then 8
@@ -766,6 +768,7 @@ def test_multilsh_lifts_recall_over_single_table(spark):
     assert m_multi >= 0.8, m_multi
 
 
+@pytest.mark.slow
 def test_pq_adc_recall_and_determinism(spark):
     """Product quantization: ADC over the m-code corpus must recover the
     true neighbors on clustered data, and training is deterministic
@@ -855,6 +858,7 @@ def test_pq_adc_exact_when_corpus_lies_on_codewords(spark):
             assert got[(pid, i)] == round(acc, 6), (pid, i)
 
 
+@pytest.mark.slow
 def test_ivfpq_composition_prunes_then_ranks(spark):
     """IVF-PQ composition from existing parts: k-means cells prune the
     candidate set, PQ codes rank within it — the ADC scan touches only
@@ -1091,6 +1095,7 @@ def test_embed_text_unit_norm_and_determinism(spark):
     assert out == out2
 
 
+@pytest.mark.slow
 def test_embed_index_search_end_to_end(spark, tmp_path):
     """The full text->vector story: embed_text -> kmeans_assign (coarse
     quantizer) -> build_ivf_index (partitioned, persisted) ->
@@ -1137,6 +1142,7 @@ def test_embed_index_search_end_to_end(spark, tmp_path):
     assert all(c >= 0.9 for c in top1.values()), top1
 
 
+@pytest.mark.slow
 def test_bpe_incremental_matches_full_recount(spark):
     """The incremental pair-count trainer must produce the EXACT merge
     list of the full-rescan baseline (which is itself pinned to the
@@ -1393,6 +1399,7 @@ def test_postings_search_matches_bm25_search_and_prunes(spark, tmp_path):
     assert rep["n_files_scanned"] < rep["n_files_total"]
 
 
+@pytest.mark.slow
 def test_streamed_postings_index_matches_batch_search(spark, tmp_path):
     """dp25 streaming upkeep: the stream-maintained inverted index answers
     the query EXACTLY like direct bm25_search over the same corpus, for
@@ -1444,6 +1451,7 @@ def test_streamed_postings_index_matches_batch_search(spark, tmp_path):
     assert rep["n_files_scanned"] < rep["n_files_total"]
 
 
+@pytest.mark.slow
 def test_streamed_indexes_answer_as_of_any_batch(spark, tmp_path):
     """Point-in-time queries on both streamed indexes: as_of_batch=b must
     answer EXACTLY like the batch engine over the prefix corpus that had
@@ -1662,6 +1670,7 @@ def test_real_resize_16bit_png_preserves_samples(spark):
     assert out["pixels"] == expect
 
 
+@pytest.mark.slow
 def test_streamed_postings_compaction_preserves_search(spark, tmp_path):
     """The documented small-files remedy for streamed indexes: compact the
     postings with partition_cols=["batch", "bucket"] (BOTH directory
@@ -1746,6 +1755,7 @@ def test_streamed_postings_compaction_preserves_search(spark, tmp_path):
         assert [tuple(r) for r in got.collect()] == [tuple(r) for r in before_asof[b]], b
 
 
+@pytest.mark.slow
 def test_streamed_ivf_compaction_preserves_topk_and_as_of(spark, tmp_path):
     """IVF twin of the postings compaction contract: compact the corpus
     with partition_cols=["batch", "cell"], swap, and current-state +
@@ -1805,6 +1815,7 @@ def test_streamed_ivf_compaction_preserves_topk_and_as_of(spark, tmp_path):
     assert "batch" in pf and "cell" in pf, pf
 
 
+@pytest.mark.slow
 def test_streamed_ivf_index_matches_batch_topk(spark, tmp_path):
     """dp7/dp13 streaming upkeep: the stream-maintained persisted IVF
     index answers top-k EXACTLY like in-memory ivf_topk over the full
@@ -1875,6 +1886,7 @@ def test_streamed_ivf_index_matches_batch_topk(spark, tmp_path):
 
 # --- model-based quality filtering (linear classifier) --------------------
 
+@pytest.mark.slow
 def test_logreg_learns_separable_planted_data(spark):
     from flinkrealtimedatawarehouse_spark.datapipeline import classifier
 

@@ -6,6 +6,8 @@ cases can't: arbitrary key/ts distributions, duplicate keys, negative gaps.
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime, timedelta
 
 from hypothesis import HealthCheck, given, settings
@@ -30,6 +32,7 @@ _T0 = datetime(2024, 1, 1)
     right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 30)), min_size=0, max_size=12),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_interval_join_matches_bruteforce(spark, left, right):
     """J1/J2 equals the quadratic definition: pairs with equal key and
     r.ts in [l.ts - 5 s, l.ts + 5 s], bounds inclusive."""
@@ -87,6 +90,7 @@ def test_salted_agg_equals_plain_groupby(spark, rows, n_salts):
     updates=st.lists(st.tuples(st.integers(0, 5), st.integers(6, 11)), min_size=0, max_size=10),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_upsert_latest_is_idempotent_and_newest_wins(spark, base, updates):
     """K3: applying the same update batch twice equals applying it once,
     and every surviving row is the max-version row of its key (updates
@@ -116,6 +120,7 @@ def test_upsert_latest_is_idempotent_and_newest_wins(spark, base, updates):
     ),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_jaccard_verify_matches_python_sets(spark, texts):
     """dp4's Jaccard over hashed shingle sets equals Python-set Jaccard
     over string shingles for explicit all-pairs (hash collisions in a
@@ -237,6 +242,7 @@ def test_sessionize_matches_python_reference(spark, events, gap):
     m=st.integers(3, 20),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_misra_gries_invariants_any_stream_any_split(spark, tmp_path_factory, stream, cuts, m):
     """For arbitrary streams, capacities, and micro-batch splits: estimates
     never over-count, under-count by at most total_decrement, the
@@ -364,6 +370,7 @@ def test_snapshot_diff_roundtrip_reconstructs_new(spark, old_rows, new_rows):
     ),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_line_dedup_preserves_distinct_lines_exactly(spark, docs):
     """line_dedup invariants for ANY corpus: every distinct non-blank
     normalized line survives exactly once; blanks all survive; surviving
@@ -432,6 +439,7 @@ def test_fill_gaps_dense_and_faithful(spark, days):
     w=st.integers(2, 4),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_repeated_spans_equal_python_reference(spark, docs, w):
     # tiny alphabet + short docs force window-hash collisions-by-content
     # (true repeats) across and within docs
@@ -477,6 +485,7 @@ def _split_rows(rows, cuts):
     cuts=st.sets(st.integers(1, 15), max_size=3),
 )
 @settings(**_IDX_SETTINGS)
+@pytest.mark.slow
 def test_streamed_postings_split_invariant(spark, tmp_path_factory, docs, cuts):
     """For ANY corpus and ANY micro-batch split, the stream-maintained
     postings index answers the query exactly like direct bm25_search over
@@ -515,6 +524,7 @@ def test_streamed_postings_split_invariant(spark, tmp_path_factory, docs, cuts):
     cuts=st.sets(st.integers(1, 13), max_size=3),
 )
 @settings(**_IDX_SETTINGS)
+@pytest.mark.slow
 def test_streamed_ivf_split_invariant(spark, tmp_path_factory, vecs, cuts):
     """For ANY vector corpus (zero vectors included) and ANY micro-batch
     split: folded centroids are BIT-equal to the batch definition
@@ -568,6 +578,7 @@ def test_streamed_ivf_split_invariant(spark, tmp_path_factory, vecs, cuts):
     cap=st.integers(2, 6),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_capped_lsh_pairs_subset_and_megacluster_connected(spark, docs, cap):
     """Representative-chaining algebra, for ANY corpus and cap:
     (1) a capped run's candidate pairs are a SUBSET of the uncapped run's
@@ -620,6 +631,7 @@ def test_capped_lsh_pairs_subset_and_megacluster_connected(spark, docs, cap):
     cap=st.integers(2, 6),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_capped_simhash_and_embedding_keep_megacluster_connected(spark, docs, cap):
     """The chaining algebra holds for the SimHash and embedding-cosine
     families too: capped verified pairs are a subset of uncapped, and in
@@ -777,6 +789,7 @@ def test_capped_simhash_and_embedding_keep_megacluster_connected(spark, docs, ca
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
+@pytest.mark.slow
 def test_cluster_upkeep_index_superset_and_batch_cc(
         spark, tmp_path_factory, edges, cut):
     """Streaming cluster-upkeep law, for ANY edge set and ANY 2-batch

@@ -3,6 +3,8 @@ co-bucketed joins plan without a shuffle."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flinkrealtimedatawarehouse_spark.operators import scale
@@ -277,6 +279,7 @@ def test_embedding_neardup_cap_bounds_planted_sign_cluster(spark):
     assert stats.dropped_candidates >= 80 * 79 // 2 - (2 * 80 - 3)
 
 
+@pytest.mark.slow
 def test_drift_chain_connects_under_rotated_representatives(spark):
     """Round-11 rotation fix (VERDICT r10 'what's wrong' #1): a
     drift-SHAPED chain inside an all-hot bucket — A~B~C where consecutive
@@ -337,6 +340,7 @@ def test_drift_chain_connects_under_rotated_representatives(spark):
     assert cl_e == {0: 0, 1: 0, 2: 0}
 
 
+@pytest.mark.slow
 def test_all_bands_hot_megacluster_still_collapses_in_dedup_clusters(spark):
     """The round-10 recall fix end-to-end: a boilerplate cluster whose
     signature is hot in EVERY band (identical text -> identical minhash
