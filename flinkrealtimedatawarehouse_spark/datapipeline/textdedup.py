@@ -153,9 +153,17 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str, bands: int, rows_per_band:
     coalesces the exchange feeding the join by BYTES — at sf1 the join
     stage (pair emission + partial distinct, 6.5 s of executor time) ran
     in 4 coalesced tasks behind a 1.7 s straggler wall. An explicit hash
-    repartition on the join key is never coalesced, is REUSED by both
-    self-join sides (aliases of the same DF share one exchange), and in
-    the capped path also satisfies the sizes groupBy/join distribution.
+    repartition on the join key is never coalesced, and in the capped
+    path also satisfies the sizes groupBy/join distribution. The two
+    self-join aliases do NOT share one exchange at runtime (round 15:
+    the executed-plan dump ``plans/r15/dp2_selfjoin_runtime.txt`` shows
+    two ``hashpartitioning(band_idx, band_key)`` REPARTITION_BY_NUM
+    nodes and no ReusedExchange — AQE does not canonicalize the aliased
+    sides together); that second exchange is immaterial because the
+    cached ``sigs`` feed it and its payload is the same few MB of band
+    rows (A/B at sf1, fresh JVM per config: probe-side-only repartition
+    4.03/3.98 s vs both-sides 4.01/4.13 s — flat). The win is the WIDTH
+    of the pair-emission stage, not exchange count.
     It is a PARAMETER, not unconditional, because at small inputs the
     added exchange + extra AQE stage waves cost more than the straggler
     they remove (A/B at sf0.1: unconditional widening regressed the
@@ -227,24 +235,43 @@ def lsh_hot_bucket_stats(sigs: DataFrame, id_col: str, bands: int,
     return _over_cap_stats(sizes, hot_bucket_cap)
 
 
-def jaccard_verify(pairs: DataFrame, sigs: DataFrame, id_col: str) -> DataFrame:
+def _shuffle_width(spark) -> int:
+    """spark.sql.shuffle.partitions as an int, falling back to
+    defaultParallelism on platforms where the conf is non-numeric (e.g.
+    "auto" under Databricks AQE auto-tuning — round 14 ADVICE)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        return spark.sparkContext.defaultParallelism
+
+
+def jaccard_verify(pairs: DataFrame, sigs: DataFrame, id_col: str,
+                   width: int | None = None) -> DataFrame:
     """n-gram Jaccard on the true (hashed) shingle sets of candidate pairs
-    only — never all pairs."""
+    only — never all pairs.
+
+    ``width``: optional explicit repartition between the pair/shingle
+    joins and the compute-dense ``array_intersect``/``array_union``
+    projection (round 14, guide §2.5): AQE coalesces the post-join
+    partitions by BYTES (the (id, id, two shingle arrays) rows are only
+    a few MB) but the set intersection is compute-dense — measured at
+    sf1: 22.7 s of executor time squeezed into 4 AQE-coalesced tasks, a
+    5.7 s straggler wall; the explicit width took dp2@sf1 4.84 -> 3.73 s.
+    SIZE-GATED BY CALLERS since round 15 (same discipline as the
+    self-join's ``join_width``): round 14 shipped it unconditional, but
+    with the self-join gate in place the extra exchange is pure overhead
+    at small inputs — A/B fresh JVM: sf0.001 1.38 -> 1.58 s, sf0.01
+    1.05 -> 1.33 s, sf0.1 1.41 -> 1.80 s with the unconditional width.
+    ``minhash_near_dups`` passes the deployment-scaled shuffle width
+    above the same measured band-row threshold that widens the
+    self-join; None (default) adds no exchange."""
     sets_ = sigs.select(F.col(id_col), F.col("sh_hashes"))
     j = (
         pairs.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh_hashes", "sh_a"), "id_a")
         .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh_hashes", "sh_b"), "id_b")
     )
-    # Spread the per-pair set intersection across the cluster (round 14):
-    # AQE coalesces the post-join partitions by BYTES (the (id, id, two
-    # shingle arrays) rows are only a few MB) but the array_intersect/
-    # array_union projection is compute-dense — measured at sf1: 22.7 s of
-    # executor time squeezed into 4 AQE-coalesced tasks, a 5.7 s straggler
-    # wall. An explicit width on the exchange (AQE never coalesces a
-    # user repartition) prices the stage by its compute, not its bytes;
-    # width = spark.sql.shuffle.partitions, the deployment-scaled knob.
-    n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    j = j.repartition(n_part)
+    if width is not None:
+        j = j.repartition(width)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     uni = F.size(F.array_union("sh_a", "sh_b"))
     return j.select(
@@ -292,11 +319,13 @@ def minhash_near_dups(docs: DataFrame, id_col: str, text_col: str,
         # squeezes the compute-dense pair emission into a handful of
         # tasks. Deployment-scale corpora always take the wide path.
         wide = sigs.count() * bands >= _WIDE_SELFJOIN_MIN_BAND_ROWS
-        n_shuffle = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        n_shuffle = _shuffle_width(docs.sparkSession)
         cands = lsh_candidate_pairs(sigs, id_col, bands, k // bands,
                                     hot_bucket_cap=hot_bucket_cap,
                                     join_width=n_shuffle if wide else None)
-        out = jaccard_verify(cands, sigs, id_col).filter(F.col("jaccard") >= threshold)
+        out = jaccard_verify(cands, sigs, id_col,
+                             width=n_shuffle if wide else None).filter(
+            F.col("jaccard") >= threshold)
         # materialize the (small) pair set, then release the signature
         # cache — repeated invocations otherwise accumulate cached blocks
         return out.localCheckpoint(eager=True)
