@@ -142,36 +142,87 @@ class TieredAppendStore:
 
     # --- read path -----------------------------------------------------------
 
-    def read(self, spark: SparkSession, as_of_batch: int | None = None) -> DataFrame:
+    def read(self, spark: SparkSession, as_of_batch: int | None = None,
+             part_vals: list | None = None) -> DataFrame:
         """All index rows (chunks + tail), with ``batch`` present as a
         column either way. ``as_of_batch`` prunes chunks wholly above the
         horizon at the MARKER level (no listing, no plan node) and
         filters the rest on the batch column — row-group min/max carry
-        the rest, the measured-faster shape at high batch counts."""
+        the rest, the measured-faster shape at high batch counts.
+
+        ``part_vals`` (round 15, guide §6): the caller's partition-value
+        subset (the search's term buckets / probed IVF cells). The
+        returned rows equal ``read(...).filter(part_col isin part_vals)``
+        — the partition directories partition rows exactly — but the scan
+        is CONSTRUCTED from the explicit ``{part_col}=v`` sub-directories
+        (``basePath`` keeps the partition columns), so Spark's
+        InMemoryFileIndex lists only those leaves instead of walking the
+        full ``batch=N/{part}=M`` tree and pruning afterwards. The
+        per-read listing was the measured stream-vs-batch read premium
+        (r14: post_stream_single 1.59x its batch twin at sf1); the
+        existence probes here are driver-local ``os.path.isdir`` calls —
+        the same filesystem the marker lives on."""
         st = self._load()  # fresh: read handles must see new compactions
         ft = st["folded_through"]
+        sel = None if part_vals is None else list(part_vals)
         parts = []
         for ch in st["chunks"]:
             if as_of_batch is not None and ch["lo"] > as_of_batch:
                 continue  # chunk entirely after the horizon: never listed
-            parts.append(
-                spark.read.parquet(os.path.join(self.chunk_root, ch["name"]))
-            )
+            cdir = os.path.join(self.chunk_root, ch["name"])
+            if sel is None:
+                parts.append(spark.read.parquet(cdir))
+            else:
+                paths = [p for v in sel
+                         if os.path.isdir(p := os.path.join(
+                             cdir, f"{self.part_col}={v}"))]
+                if paths:
+                    parts.append(
+                        spark.read.option("basePath", cdir).parquet(*paths)
+                    )
         if self._has_tail_data():
-            t = spark.read.parquet(self.tail_dir)
-            if ft >= 0:
-                # folded batches may linger as orphan dirs after a crash
-                # between marker commit and cleanup: their rows are in a
-                # chunk already, so the tail contributes only newer ones
-                t = t.filter(F.col("batch") > ft)
-            parts.append(t)
+            if sel is None:
+                t = spark.read.parquet(self.tail_dir)
+                if ft >= 0:
+                    # folded batches may linger as orphan dirs after a crash
+                    # between marker commit and cleanup: their rows are in a
+                    # chunk already, so the tail contributes only newer ones
+                    t = t.filter(F.col("batch") > ft)
+                parts.append(t)
+            else:
+                # explicit live-batch dirs: folded orphans (<= ft) and
+                # batches beyond the as-of horizon are excluded by
+                # construction instead of by post-listing filters
+                bids = [b for b in self._tail_batch_ids()
+                        if b > ft and (as_of_batch is None or b <= as_of_batch)]
+                paths = [p for b in bids for v in sel
+                         if os.path.isdir(p := os.path.join(
+                             self.tail_dir, f"batch={b}",
+                             f"{self.part_col}={v}"))]
+                if paths:
+                    parts.append(
+                        spark.read.option("basePath", self.tail_dir)
+                        .parquet(*paths)
+                    )
         if not parts:
+            if sel is not None:
+                # no matching partition dir anywhere: fall back to the
+                # generic read so schema/raise semantics stay identical
+                # (rare — a query whose term buckets hold no postings)
+                return self.read(spark, as_of_batch).filter(
+                    F.col(self.part_col).isin(sel)
+                )
             raise ValueError(f"append index at {self.tail_dir} has no data")
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
         if as_of_batch is not None:
             df = df.filter(F.col("batch") <= as_of_batch)
+        if sel is not None:
+            # no-op on the pruned scan (defense in depth): keeps the
+            # row-set contract literally read(...).filter(isin) even if a
+            # stray non-partition file ever lands under a selected dir
+            df = df.filter(F.col(self.part_col).isin(sel))
         return df
 
     # --- compaction ----------------------------------------------------------

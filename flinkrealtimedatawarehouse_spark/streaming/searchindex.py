@@ -148,45 +148,73 @@ class PostingsIndexSink:
                 json.dump({"n_buckets": n_buckets}, f)
 
     def write_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
         if batch_id <= self.store.folded_through():
             # redelivered batch whose rows already live in a compacted
             # chunk: recreating its tail directory would double-count the
             # rows (chunk + tail), and its stats fold was committed before
             # the batch became foldable — the whole redelivery is a no-op
             return
+        spark = batch.sparkSession
         toks = batch.select(
             F.col(self.id_col), spark_tokens(F.col(self.text_col)).alias("toks")
         ).filter(F.size("toks") > 0)
-        # two actions read this lineage (postings write + stats fold);
-        # without the batch-scoped persist every document would be
-        # regex-tokenized twice per micro-batch
-        toks.persist()
+        # ONE pass per micro-batch (round 15, guide §1/§2.3 applied to
+        # the commit protocol): the stats scalars (n_docs, sum_dl) ride
+        # the postings-write action as an Observation instead of a second
+        # action re-reading the tokenized batch — which also retires the
+        # batch-scoped persist that pass needed. The crash ordering is
+        # unchanged: postings land first, the stats marker commits after
+        # (module docstring), and the observed values are exactly the old
+        # second pass's count/sum over the same filtered rows.
+        obs = Observation()
+        toks = toks.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("toks")).alias("sum_dl"),
+        )
+        tf = (
+            toks.select(
+                F.col(self.id_col), F.size("toks").alias("dl"),
+                F.explode("toks").alias("term"),
+            )
+            .groupBy(self.id_col, "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int"),
+            )
+        )
+        # idempotent under replay: the batch owns this directory
+        tf.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(self.out_dir, "postings", f"batch={batch_id}")
+        )
         try:
-            tf = (
-                toks.select(
-                    F.col(self.id_col), F.size("toks").alias("dl"),
-                    F.explode("toks").alias("term"),
-                )
-                .groupBy(self.id_col, "dl", "term")
-                .agg(F.count(F.lit(1)).alias("tf"))
-                .withColumn(
-                    "bucket",
-                    F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int"),
-                )
-            )
-            # idempotent under replay: the batch owns this directory
-            tf.write.mode("overwrite").partitionBy("bucket").parquet(
-                os.path.join(self.out_dir, "postings", f"batch={batch_id}")
-            )
-            self.stats.write_batch(
-                toks.select(F.lit(0).alias("all_docs"), F.size("toks").alias("dl")),
-                batch_id,
-            )
-        finally:
-            toks.unpersist()
+            got = obs.get  # complete once the write action above finished
+        except Exception:
+            # a provably-empty batch (all docs tokenize to nothing, or a
+            # zero-row redelivery) lets the optimizer fold the subtree to
+            # an empty relation and DROP the CollectMetrics node — no
+            # metrics to fetch. Recompute the two scalars directly; this
+            # extra action runs only on that degenerate path.
+            r = toks.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size("toks")).alias("sum_dl"),
+            ).first()
+            got = {"n_docs": r["n_docs"], "sum_dl": r["sum_dl"]}
+        part_schema = "all_docs int, n_docs long, sum_dl long"
+        if got["n_docs"]:
+            part = spark.createDataFrame(
+                [(0, got["n_docs"], got["sum_dl"])], part_schema)
+        else:
+            # all-empty batch: the old path's partial was an empty groupBy
+            # result — totals unchanged, version still advances
+            part = spark.createDataFrame([], part_schema)
+        self.stats.write_batch_partial(part, batch_id)
         if self.compact_every is not None:
             # after the stats marker: only committed batches ever fold
-            self.store.maybe_compact(batch.sparkSession, self.stats.last_bid)
+            self.store.maybe_compact(spark, self.stats.last_bid)
 
 
 def stage_postings_input(docs: DataFrame, id_col: str, text_col: str,
@@ -273,9 +301,12 @@ def _streamed_index_rows(spark: SparkSession, out_dir: str, terms: list[str],
         F.col("n_docs"), (F.col("sum_dl") / F.col("n_docs")).alias("avgdl")
     )
     buckets = sorted(set(_term_buckets(spark, terms, n_buckets).values()))
+    # part_vals: the scan is constructed from the term buckets' own
+    # directories (round 15, guide §6) instead of listing the whole
+    # batch= / bucket= tree and pruning after — identical rows, the
+    # per-read listing premium removed
     rows = (
-        _postings_store(out_dir).read(spark, as_of_batch)
-        .filter(F.col("bucket").isin(buckets))
+        _postings_store(out_dir).read(spark, as_of_batch, part_vals=buckets)
         .filter(F.col("term").isin(terms))
     )
     return rows, stats

@@ -300,8 +300,11 @@ def streamed_ivf_topk(spark: SparkSession, sink: IvfIndexSink,
              for r in probe_cells.select("probe_cell").distinct().collect()]
     # tiered read: chunk + tail union after auto-compaction, a plain
     # directory read before it; as-of (ids sequential from 0 == snapshot
-    # version) prunes chunks by range and filters the batch column
-    corpus = sink.store.read(spark, as_of_batch).filter(F.col("cell").isin(cells))
+    # version) prunes chunks by range and filters the batch column.
+    # part_vals constructs the scan from the probed cells' own partition
+    # directories (round 15, guide §6) — identical rows to the old
+    # read().filter(isin), without listing every unprobed cell dir
+    corpus = sink.store.read(spark, as_of_batch, part_vals=cells)
     if corpus_filter is not None:
         corpus = corpus.filter(corpus_filter)
     return _cell_rerank(corpus, probe_cells, k)

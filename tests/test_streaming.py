@@ -198,6 +198,7 @@ def test_cdc_envelope_parse_renames_create(spark):
     assert any(r.type is None for r in env)  # dirty row survives with NULL envelope
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     """T9: a second run sharing the checkpoint resumes from the committed
     source offsets — already-processed files are NOT re-emitted (the
@@ -522,6 +523,7 @@ def test_dynamic_config_update_between_batches(spark, tmp_path):
     assert by_dest == {"fact_orders": [1, 2, 3], "dim_orders": [4, 5, 6]}
 
 
+@pytest.mark.slow
 def test_band_state_neardup_split_invariant_and_matches_batch_lsh(spark, tmp_path):
     """Streaming near-dup flags must (a) not depend on how the id-ordered
     stream is split into micro-batches and (b) equal the directional batch
@@ -1285,6 +1287,7 @@ def test_fenced_writer_mid_write_cannot_clobber_committed_data(spark, tmp_path):
     assert not [p for p in _os.listdir(d) if ".stage-" in p]
 
 
+@pytest.mark.slow
 def test_streaming_classifier_gate_filters_in_flight(spark):
     """The trained quality classifier composes into streaming ingest:
     weights are literal expressions, so score+filter is a stateless map
@@ -1365,6 +1368,7 @@ def test_vacuum_bounds_retention_and_survives_restart(spark, tmp_path):
     assert not _os.path.exists(_os.path.join(d, "v2"))
 
 
+@pytest.mark.slow
 def test_span_state_sink_matches_batch_and_is_split_invariant(spark, tmp_path):
     """Streaming substring dedup: under id-ordered replay the per-doc
     coverage equals batch repeated_spans exactly, for ANY micro-batch
@@ -1447,6 +1451,7 @@ def test_scoped_conf_restores_and_unsets(spark):
     assert spark.conf.get(key_set) == prev_tz
 
 
+@pytest.mark.slow
 def test_auto_compaction_bounds_postings_layout(spark, tmp_path):
     """Round-11 lead task: the tiered compaction policy, driven 64
     batches deep through the postings sink. Asserts (a) the on-disk
@@ -1524,6 +1529,7 @@ def test_auto_compaction_bounds_postings_layout(spark, tmp_path):
     assert [tuple(r) for r in again] == [tuple(r) for r in expect]
 
 
+@pytest.mark.slow
 def test_auto_compaction_bounds_ivf_layout(spark, tmp_path):
     """IVF twin of the 64-batch postings test, 32 batches deep: bounded
     cell-partitioned layout, current + as-of top-k equal to the batch
@@ -1584,6 +1590,7 @@ def _batch_cc(spark, all_pairs, ids):
             textdedup.dedup_clusters(pairs, ids_df, "doc_id").collect()}
 
 
+@pytest.mark.slow
 def test_cluster_upkeep_matches_batch_for_any_split(spark, tmp_path):
     """The module invariant: the sink's final label table equals batch
     dedup_clusters over the accumulated pairs for ANY batch split —
@@ -1615,6 +1622,7 @@ def test_cluster_upkeep_matches_batch_for_any_split(spark, tmp_path):
         assert got == want, n_batches
 
 
+@pytest.mark.slow
 def test_cluster_upkeep_cross_batch_merges_and_as_of(spark, tmp_path):
     """Hand-driven batches exercising every interesting transition:
     disjoint clusters forming, a later edge merging two existing clusters
@@ -1653,6 +1661,7 @@ def test_cluster_upkeep_cross_batch_merges_and_as_of(spark, tmp_path):
         assert got_b == want, bid
 
 
+@pytest.mark.slow
 def test_cluster_upkeep_replay_and_restart(spark, tmp_path):
     """At-least-once replay of an applied batch is a no-op (no new
     version, labels unchanged), and a fresh sink object on the same dir
@@ -1685,6 +1694,7 @@ def test_cluster_upkeep_replay_and_restart(spark, tmp_path):
         sink.write_batch(pairs_df([(9, 10)]), 2)
 
 
+@pytest.mark.slow
 def test_cluster_index_prunes_membership_probe(spark, tmp_path):
     """VERDICT r12 task #2: the remap-membership probe (cluster-keyed, so
     id-hash partitioning can't prune it) goes through the secondary
@@ -1713,6 +1723,7 @@ def test_cluster_index_prunes_membership_probe(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_cluster_index_rebuilds_when_out_of_sync(spark, tmp_path):
     """The index is derivable, so out-of-sync = rebuild, not trust: wipe
     the index dir after real batches (stand-in for a pre-index store
@@ -1747,6 +1758,7 @@ def test_cluster_index_rebuilds_when_out_of_sync(spark, tmp_path):
     assert got2 == {0: 0, 1: 0, 2: 0, 5: 0, 6: 0}
 
 
+@pytest.mark.slow
 def test_cluster_sink_repartition_cutover(spark, tmp_path):
     """Deployment recipe for a cluster sink that outgrew its partition
     count, using ONLY existing machinery: migrate the label store with
@@ -1792,6 +1804,7 @@ def test_cluster_sink_repartition_cutover(spark, tmp_path):
     assert asof0 == {1: 1, 2: 1, 5: 5, 6: 5}
 
 
+@pytest.mark.slow
 def test_cluster_index_rebuild_gc_drops_stale_entries(spark, tmp_path):
     """rebuild_index doubles as the index's GC: merged-away cluster
     values leave stale (cluster, pid) entries (harmless — never probed —
@@ -1824,6 +1837,7 @@ def test_cluster_index_rebuild_gc_drops_stale_entries(spark, tmp_path):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0}
 
 
+@pytest.mark.slow
 def test_cluster_index_auto_gc(spark, tmp_path):
     """VERDICT r13 task #3: staleness is tracked exactly (each remapped
     cluster's index entries are counted by the member probe that already
@@ -1866,6 +1880,7 @@ def test_cluster_index_auto_gc(spark, tmp_path):
     assert sink2.last_probe["index_stale_entries"] == 0
 
 
+@pytest.mark.slow
 def test_cluster_rebuild_index_refuses_read_only_handle(spark, tmp_path):
     """ADVICE r13: the public rebuild_index() must honor the same
     read-only guard as _ensure_index — a read handle rmtree'ing the live
@@ -1902,6 +1917,7 @@ def test_scd2_sink_rejects_gapped_batch_feed(spark, tmp_path):
     assert sink.version == 1  # the rejected batch committed nothing
 
 
+@pytest.mark.slow
 def test_band_sink_folds_preserve_flags_and_prebatch_witness_reads(spark, tmp_path):
     """Drive the composed DAG deep enough that the incremental store's
     size-tiered folds FIRE (n_partitions=1, max_runs=2, 12 batches) and
@@ -1947,6 +1963,7 @@ def test_band_sink_folds_preserve_flags_and_prebatch_witness_reads(spark, tmp_pa
     assert f_flags == p_flags and f_labels == p_labels and f_state == p_state
 
 
+@pytest.mark.slow
 def test_band_sink_composes_with_cluster_upkeep(spark, tmp_path):
     """The full one-pass streaming dedup DAG: docs stream through the
     band-state detector, each micro-batch ALSO emits its (doc, band-min
@@ -2003,6 +2020,7 @@ def test_band_sink_composes_with_cluster_upkeep(spark, tmp_path):
         assert got == want, n_batches
 
 
+@pytest.mark.slow
 def test_keystate_sink_simhash_and_embedding_twins(spark, tmp_path):
     """The generic keyed-state sink gives the SimHash and embedding
     families their streaming twins: under id-ordered replay the
@@ -2111,3 +2129,111 @@ def test_keystate_sink_simhash_and_embedding_twins(spark, tmp_path):
     assert late.version == v
     got_l = {r["doc_id"]: r["is_near_dup"] for r in late.flags(spark).collect()}
     assert got_l == {50: 0, 7: 1}
+
+
+@pytest.mark.slow
+def test_tiered_read_part_vals_equals_filtered_full_read(spark, tmp_path):
+    """Round 15 (guide §6): pruned tiered reads are CONSTRUCTED from the
+    selected partition-value directories (explicit paths + basePath)
+    instead of listing the whole batch=/bucket= tree and filtering. The
+    contract is literal row-set equality with read().filter(isin) — at
+    every as-of horizon, pre- and post-compaction, including selections
+    with missing/absent partition values."""
+    import random
+
+    from flinkrealtimedatawarehouse_spark.streaming.searchindex import (
+        PostingsIndexSink,
+    )
+
+    random.seed(43)
+    vocab = ["alpha", "beta", "gamma", "delta", "zeta", "omega"]
+    n_batches, per_batch = 12, 3
+    rows = [(i, " ".join(random.choices(vocab, k=6)))
+            for i in range(n_batches * per_batch)]
+    idx = str(tmp_path / "pvals")
+    sink = PostingsIndexSink(
+        idx, "doc_id", "text", n_buckets=8,
+        compact_every=4, keep_recent=2, max_chunks=2,
+    )
+    for bid in range(n_batches):
+        sink.write_batch(
+            _docs(spark, rows[bid * per_batch:(bid + 1) * per_batch]), bid
+        )
+    store = sink.store
+    assert store.folded_through() >= 0  # compaction really ran
+    all_buckets = sorted(
+        r.bucket for r in store.read(spark).select("bucket").distinct().collect()
+    )
+    assert len(all_buckets) >= 2
+    cases = [
+        (None, all_buckets[:1]),              # single bucket, full depth
+        (None, all_buckets),                  # everything, full depth
+        (None, [10**6]),                      # absent value -> empty
+        (None, all_buckets[:2] + [10**6]),    # mixed present/absent
+        (1, all_buckets[:2]),                 # horizon inside a chunk
+        (store.folded_through(), all_buckets[:2]),  # chunk boundary
+        (n_batches - 1, all_buckets[:2]),     # live tail horizon
+    ]
+    from pyspark.sql import functions as F
+
+    for as_of, sel in cases:
+        expect = sorted(
+            tuple(r) for r in store.read(spark, as_of)
+            .filter(F.col("bucket").isin(sel))
+            .select("doc_id", "dl", "term", "tf", "bucket", "batch")
+            .collect()
+        )
+        got = sorted(
+            tuple(r) for r in store.read(spark, as_of, part_vals=sel)
+            .select("doc_id", "dl", "term", "tf", "bucket", "batch")
+            .collect()
+        )
+        assert got == expect, (as_of, sel)
+
+
+def test_postings_observed_stats_match_second_pass(spark, tmp_path):
+    """Round 15: the postings sink's (n_docs, sum_dl) fold now rides the
+    postings-write action as an Observation instead of a second pass.
+    The folded totals must equal a direct recompute over the corpus, an
+    all-empty-token batch must advance the version without changing the
+    totals, and as-of stats at every horizon must match the prefix."""
+    from pyspark.sql import functions as F
+
+    from flinkrealtimedatawarehouse_spark.datapipeline.hashing import spark_tokens
+    from flinkrealtimedatawarehouse_spark.streaming.searchindex import (
+        PostingsIndexSink,
+        _stats_sink,
+    )
+
+    batches = [
+        [(0, "alpha beta beta"), (1, "gamma")],
+        [(2, "??? !!!"), (3, "...")],          # tokenizes to nothing
+        [(4, "alpha alpha delta zeta")],
+    ]
+    idx = str(tmp_path / "obstats")
+    sink = PostingsIndexSink(idx, "doc_id", "text", n_buckets=4,
+                             compact_every=None)
+    for bid, rows in enumerate(batches):
+        sink.write_batch(_docs(spark, rows), bid)
+
+    def expected(prefix_rows):
+        toks = _docs(spark, prefix_rows).select(
+            spark_tokens(F.col("text")).alias("toks")
+        ).filter(F.size("toks") > 0)
+        r = toks.agg(F.count(F.lit(1)), F.sum(F.size("toks"))).first()
+        return (float(r[0]), float(r[1]))
+
+    stats = _stats_sink(idx, read_only=True)
+    # one committed version per batch (version == batch id, the sink's
+    # as-of contract), the empty-token batch included
+    assert stats.version == len(batches) - 1
+    flat: list = []
+    for bid, rows in enumerate(batches):
+        flat += rows
+        got = stats.read_version(spark, bid).first()
+        assert (got["n_docs"], got["sum_dl"]) == expected(flat), bid
+    cur = stats.current(spark).first()
+    assert (cur["n_docs"], cur["sum_dl"]) == expected(flat)
+    # replay: a redelivered batch is a no-op on the totals and version
+    sink.write_batch(_docs(spark, batches[1]), 1)
+    assert _stats_sink(idx, read_only=True).version == len(batches) - 1
