@@ -148,73 +148,56 @@ class PostingsIndexSink:
                 json.dump({"n_buckets": n_buckets}, f)
 
     def write_batch(self, batch: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Observation
-
         if batch_id <= self.store.folded_through():
             # redelivered batch whose rows already live in a compacted
             # chunk: recreating its tail directory would double-count the
             # rows (chunk + tail), and its stats fold was committed before
             # the batch became foldable — the whole redelivery is a no-op
             return
-        spark = batch.sparkSession
         toks = batch.select(
             F.col(self.id_col), spark_tokens(F.col(self.text_col)).alias("toks")
         ).filter(F.size("toks") > 0)
-        # ONE pass per micro-batch (round 15, guide §1/§2.3 applied to
-        # the commit protocol): the stats scalars (n_docs, sum_dl) ride
-        # the postings-write action as an Observation instead of a second
-        # action re-reading the tokenized batch — which also retires the
-        # batch-scoped persist that pass needed. The crash ordering is
-        # unchanged: postings land first, the stats marker commits after
-        # (module docstring), and the observed values are exactly the old
-        # second pass's count/sum over the same filtered rows.
-        obs = Observation()
-        toks = toks.observe(
-            obs,
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size("toks")).alias("sum_dl"),
-        )
-        tf = (
-            toks.select(
-                F.col(self.id_col), F.size("toks").alias("dl"),
-                F.explode("toks").alias("term"),
-            )
-            .groupBy(self.id_col, "dl", "term")
-            .agg(F.count(F.lit(1)).alias("tf"))
-            .withColumn(
-                "bucket",
-                F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int"),
-            )
-        )
-        # idempotent under replay: the batch owns this directory
-        tf.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(self.out_dir, "postings", f"batch={batch_id}")
-        )
+        # two actions read this lineage (postings write + stats fold);
+        # without the batch-scoped persist every document would be
+        # regex-tokenized twice per micro-batch.
+        # NEGATIVE RESULT (round 15, kept per the repo's discipline): a
+        # one-pass variant — stats scalars via df.observe on the postings
+        # write, persist dropped, the fold fed a pre-aggregated local
+        # row — was built, tested, and REVERTED: phase-timed over the
+        # same 48-batch drive the fold got SLOWER (0.51 vs 0.32 s/batch;
+        # total 60.4 vs 52.4 s). The old fold's marginal work (agg over
+        # the still-cached toks) is cheaper than executing a fresh
+        # LocalRelation plan per batch, and the action floor dominates
+        # either way. Behavior is pinned by
+        # test_postings_observed_stats_match_second_pass regardless of
+        # implementation.
+        toks.persist()
         try:
-            got = obs.get  # complete once the write action above finished
-        except Exception:
-            # a provably-empty batch (all docs tokenize to nothing, or a
-            # zero-row redelivery) lets the optimizer fold the subtree to
-            # an empty relation and DROP the CollectMetrics node — no
-            # metrics to fetch. Recompute the two scalars directly; this
-            # extra action runs only on that degenerate path.
-            r = toks.agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum(F.size("toks")).alias("sum_dl"),
-            ).first()
-            got = {"n_docs": r["n_docs"], "sum_dl": r["sum_dl"]}
-        part_schema = "all_docs int, n_docs long, sum_dl long"
-        if got["n_docs"]:
-            part = spark.createDataFrame(
-                [(0, got["n_docs"], got["sum_dl"])], part_schema)
-        else:
-            # all-empty batch: the old path's partial was an empty groupBy
-            # result — totals unchanged, version still advances
-            part = spark.createDataFrame([], part_schema)
-        self.stats.write_batch_partial(part, batch_id)
+            tf = (
+                toks.select(
+                    F.col(self.id_col), F.size("toks").alias("dl"),
+                    F.explode("toks").alias("term"),
+                )
+                .groupBy(self.id_col, "dl", "term")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int"),
+                )
+            )
+            # idempotent under replay: the batch owns this directory
+            tf.write.mode("overwrite").partitionBy("bucket").parquet(
+                os.path.join(self.out_dir, "postings", f"batch={batch_id}")
+            )
+            self.stats.write_batch(
+                toks.select(F.lit(0).alias("all_docs"), F.size("toks").alias("dl")),
+                batch_id,
+            )
+        finally:
+            toks.unpersist()
         if self.compact_every is not None:
             # after the stats marker: only committed batches ever fold
-            self.store.maybe_compact(spark, self.stats.last_bid)
+            self.store.maybe_compact(batch.sparkSession, self.stats.last_bid)
 
 
 def stage_postings_input(docs: DataFrame, id_col: str, text_col: str,

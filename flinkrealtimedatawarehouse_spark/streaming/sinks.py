@@ -305,31 +305,11 @@ class AdditiveGoldSink(VersionedSnapshotSink):
             return
         self._fold_partial(self._partial(batch), batch_id)
 
-    def write_batch_partial(self, part: DataFrame, batch_id: int) -> None:
-        """Fold a batch whose partial aggregate the caller ALREADY computed
-        — e.g. via ``df.observe`` riding on the batch's data-write action
-        (round 15, guide §2.3 "aggregate before you shuffle" applied to
-        the commit protocol: the postings sink's stats scalars now come
-        from the same pass that writes the postings, so the per-batch
-        second scan of the tokenized batch — and its batch-scoped persist
-        — are gone). ``part`` must be at exactly (keys, measures) grain;
-        measures are cast to double here, the same normalization
-        ``_partial`` applies, so the folded state is bit-identical to the
-        write_batch path. Empty ``part`` == a batch that contributed no
-        rows (the old path's empty groupBy result): totals unchanged,
-        version still advances."""
-        if self.seen(batch_id):  # replayed batch: already applied
-            return
-        missing = [c for c in (*self.keys, *self.measures) if c not in part.columns]
-        if missing:
-            raise ValueError(f"pre-aggregated partial lacks columns {missing}")
-        part = part.select(
-            *self.keys,
-            *[F.col(m).cast("double").alias(m) for m in self.measures],
-        )
-        self._fold_partial(part, batch_id)
-
     def _fold_partial(self, part: DataFrame, batch_id: int) -> None:
+        # (round 15: a write_batch_partial entry point that fed this fold
+        # a pre-aggregated LocalRelation row — stats scalars observed on
+        # the data-write action — was measured SLOWER than the plain
+        # path, 0.51 vs 0.32 s/batch on a 48-batch drive, and removed.)
         cur = self.current(part.sparkSession)
         if cur is None:
             merged = part

@@ -2192,11 +2192,12 @@ def test_tiered_read_part_vals_equals_filtered_full_read(spark, tmp_path):
 
 
 def test_postings_observed_stats_match_second_pass(spark, tmp_path):
-    """Round 15: the postings sink's (n_docs, sum_dl) fold now rides the
-    postings-write action as an Observation instead of a second pass.
-    The folded totals must equal a direct recompute over the corpus, an
-    all-empty-token batch must advance the version without changing the
-    totals, and as-of stats at every horizon must match the prefix."""
+    """Round 15: pins the postings stats fold's behavior independent of
+    its implementation (an observation-based one-pass variant was tried
+    and reverted — measured slower): the folded totals must equal a
+    direct recompute over the corpus, an all-empty-token batch must
+    advance the version without changing the totals, and as-of stats at
+    every horizon must match the prefix."""
     from pyspark.sql import functions as F
 
     from flinkrealtimedatawarehouse_spark.datapipeline.hashing import spark_tokens
