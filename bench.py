@@ -894,19 +894,6 @@ def main() -> int:
         head_frag = _collect_headline()
     head = head_frag["headline"]
 
-    # Scaling sentinel (round 15, VERDICT r14 #2): ADDED to the queries
-    # dict (the contract permits additions; the frozen 13 are untouched
-    # and measured exactly as before — the sentinel runs in its own JVM
-    # because in-tier it contaminated their steady timings). Its seconds
-    # join the published totals, so the round-over-round TOTAL gains one
-    # new ~0.5-0.8 s entry; per-query comparisons are unaffected.
-    sent_frag = _run_tier_subprocess("--sentinel-only", timeout=1200)
-    if sent_frag is not None:
-        sent = sent_frag["sentinel"]
-        head["queries"]["scale_sentinel_hash"] = sent["steady"]
-        head["queries_cold"]["scale_sentinel_hash"] = sent["cold"]
-        head["value"] = round(head["value"] + sent["steady"], 3)
-        head["value_cold"] = round(head["value_cold"] + sent["cold"], 3)
 
     # sf1 HEADLINE tier (frozen since round 6): at sf0.1 every headline
     # query is overhead-bound (0.1-0.9 s against ~0.1-0.3 s fixed
@@ -947,6 +934,22 @@ def main() -> int:
                 env={"SPARK_GRAFT_SERVING_SCOPE": "sf1"})
             if sf1_serv_frag is not None:
                 serving_out.update(sf1_serv_frag["serving"])
+
+    # Scaling sentinel (round 15, VERDICT r14 #2): ADDED to the queries
+    # dict (the contract permits additions; the frozen 13 are untouched
+    # and measured exactly as before — the sentinel runs in its own JVM
+    # because in-tier it contaminated their steady timings, and LAST so
+    # its JVM's shutdown tail cannot contaminate the sf1/serving tiers).
+    # Its seconds join the published totals, so the round-over-round
+    # TOTAL gains one new ~1-1.5 s entry; per-query comparisons are
+    # unaffected.
+    sent_frag = _run_tier_subprocess("--sentinel-only", timeout=1200)
+    if sent_frag is not None:
+        sent = sent_frag["sentinel"]
+        head["queries"]["scale_sentinel_hash"] = sent["steady"]
+        head["queries_cold"]["scale_sentinel_hash"] = sent["cold"]
+        head["value"] = round(head["value"] + sent["steady"], 3)
+        head["value_cold"] = round(head["value_cold"] + sent["cold"], 3)
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
